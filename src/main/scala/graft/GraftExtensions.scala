@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{AffineMinHash, ArrayCosine, SignBucket, SimHash32, SortedLongJaccard}
+
+/** Registers graft's native Catalyst expressions with a SparkSession via
+  * the public extensions mechanism:
+  * `spark.sql.extensions=graft.GraftExtensions` (set by [[GraftSession]],
+  * or pass `--conf` to any spark-submit/shell). Functions are then
+  * callable from SQL and from the Column API through
+  * `functions.call_function`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[ArrayCosine].getName, "graft_cosine"),
+      (es: Seq[Expression]) => ArrayCosine(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
+      (es: Seq[Expression]) => SimHash32(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[AffineMinHash].getName, "graft_minhash"),
+      (es: Seq[Expression]) =>
+        AffineMinHash(es.head, es(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_jaccard_sorted"),
+      new ExpressionInfo(classOf[SortedLongJaccard].getName, "graft_jaccard_sorted"),
+      (es: Seq[Expression]) => SortedLongJaccard(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_signbucket"),
+      new ExpressionInfo(classOf[SignBucket].getName, "graft_signbucket"),
+      (es: Seq[Expression]) =>
+        SignBucket(es.head, es(1).eval().asInstanceOf[Int])))
+  }
+}

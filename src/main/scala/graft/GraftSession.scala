@@ -16,6 +16,7 @@ object GraftSession {
       .builder()
       .appName("bearystaspark")
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

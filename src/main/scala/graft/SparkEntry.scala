@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
+import graft.operators.{Dedup, EventWindows, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry (+ matching DuckDB `oracleSql`)
   * per implemented operator from SURVEY.md §2.
@@ -167,6 +168,174 @@ object SparkEntry {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
              dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // ---- A7/J4/O4: expected-combination fill — missing expected series
+    //      combos appear as null rows (aggregate.py:619-671)
+    "q15_expected_fill" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val agg = li.groupBy("l_linestatus", "l_returnflag")
+        .agg(round(davg(col("l_quantity")), 6).as("avg_qty"))
+      val expected = Seq("A", "N", "R", "X").toDF("l_returnflag")
+      val grid = li.select("l_linestatus").distinct().crossJoin(expected)
+      val missing = grid.join(agg, Seq("l_linestatus", "l_returnflag"), "left_anti")
+        .withColumn("avg_qty", lit(null).cast("double"))
+      agg.unionByName(missing)
+    }),
+
+    // ---- A8/O1: expected-ordering check — per group, series ordered by
+    //      aggregated value desc (aggregate.py:674-703)
+    "q16_ordering_check" -> ((s, dir) => {
+      val grouped = t(s, dir, "lineitem")
+        .groupBy("l_linestatus", "l_returnflag")
+        .agg(round(davg(col("l_extendedprice")), 6).as("v"))
+      grouped.groupBy("l_linestatus")
+        .agg(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct((-col("v")).as("nv"),
+              col("l_returnflag").as("f")))),
+            x => x.getField("f"))).as("order_desc"))
+    }),
+
+    // ---- TEXT: token counting over documents
+    "q17_token_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"),
+        (sum(TextAnalysis.tokenCount(col("text"))).cast("double") /
+          count(lit(1))).as("avg_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // ---- TEXT: quality scoring (length/alpha/stopword/punct components)
+    "q18_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        round(davg(TextAnalysis.qualityScore(col("text"))), 6).as("avg_quality"))
+    }),
+
+    // ---- TEXT: marker-word language-ID vs labeled lang (confusion counts)
+    "q19_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("guess", TextAnalysis.langId(col("text")))
+        .groupBy("lang", "guess")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // ---- DEDUP: canonical-fingerprint exact dedup stats per source
+    "q20_fingerprint" -> ((s, dir) => {
+      val fp = TextAnalysis.fingerprint(col("text"))
+      t(s, dir, "documents").groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(fp).as("n_uniq"),
+        min(fp).as("min_fp"))
+    }),
+
+    // ---- DEDUP: exact word-3-gram Jaccard near-dup pairs, blocked by
+    //      source (equi-join blocking, then verify — no cross join)
+    "q21_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", "source", 3, 0.02)),
+
+    // ---- DEDUP: MinHash signature + LSH band-bucket candidate pairs
+    //      (k=12, bands=4) with exact-Jaccard verification
+    "q22_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+        k = 12, bands = 4)),
+
+    // ---- DEDUP: SimHash (32-bit) + Hamming-distance near-dup histogram
+    "q23_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Dedup.simhash(col("text")).as("sh"))
+      val a = d.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")))
+        .filter(col("hamming") <= 8)
+        .select("source", "id_a", "id_b", "hamming")
+    }),
+
+    // ---- ANN: brute-force cosine top-k (query side broadcast)
+    "q24_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 8), e, "vec_id", "embedding", 5)
+    }),
+
+    // ---- DEDUP: embedding-cosine near-dup pairs above threshold
+    "q25_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"),
+        "vec_id", "embedding", 0.4)),
+
+    // ---- ANN: deterministic random-hyperplane LSH bucket histogram
+    "q26_lsh_buckets" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .groupBy(Similarity.signBucket(col("embedding"), 8).as("bucket"))
+        .agg(count(lit(1)).as("n_vecs"))),
+
+    // ---- STREAM(batch): tumbling event-time window aggregate
+    "q27_window_tumbling" -> ((s, dir) =>
+      EventWindows.tumbling(t(s, dir, "events"), "ts", "1 hour",
+        Seq("event_type"), "value")),
+
+    // ---- STREAM(batch): sliding event-time window aggregate
+    "q28_window_sliding" -> ((s, dir) =>
+      EventWindows.sliding(t(s, dir, "events"), "ts", "2 hours", "1 hour",
+        Seq.empty, "value")),
+
+    // ---- STREAM(batch): gap-based sessionization (30-min gap)
+    "q29_sessions" -> ((s, dir) =>
+      EventWindows.sessions(t(s, dir, "events"), "ts", "user_id",
+        gapSeconds = 1800, "value")),
+
+    // ---- SCALAR: JSON extraction from event props
+    "q30_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n_events"))),
+
+    // ---- MULTIMODAL: opaque binary payload + expression featurization
+    "q31_multimodal" -> ((s, dir) =>
+      Multimodal.featurizeExpr(
+        Multimodal.fromDocuments(t(s, dir, "documents")))),
+
+    // ---- O1-style: top-k rows per group (window rank)
+    "q32_topk_per_group" -> ((s, dir) =>
+      EventWindows.topKPerGroup(t(s, dir, "orders"),
+        Seq("o_orderpriority"), col("o_totalprice"), col("o_orderkey"), 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")),
+
+    // ---- J: left outer join + aggregate
+    "q33_left_join_agg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("c_custkey")).as("n_cust"),
+             count(col("o_orderkey")).as("n_orders"),
+             dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // ---- J: anti join — customers with no orders
+    "q34_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"))
+    }),
+
+    // ---- J: semi join — customers with >=1 urgent order
+    "q35_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"))
     })
   )
 
@@ -174,6 +343,58 @@ object SparkEntry {
   // mirrors graft.functions.dsum exactly.
   private def DSUM(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(28,6))) AS DOUBLE)"
   private def DAVG(x: String) = s"${DSUM(x)} / COUNT($x)"
+
+  // -- SQL fragments mirroring graft.operators exactly (same expression
+  //    trees, same left-fold float order via list_reduce) --
+  private val TOKS = """string_split_regex(trim(text), '\s+')"""
+  /** word-3-gram distinct shingles of `text` (TextAnalysis.wordShingles) */
+  private val SHINGLES3 =
+    s"""list_distinct(list_transform(range(1, len($TOKS)-1),
+        i -> $TOKS[i] || ' ' || $TOKS[i+1] || ' ' || $TOKS[i+2]))"""
+  /** hash60-hashed distinct shingle set (Dedup's verify-jaccard input) */
+  private val HSHINGLES3 =
+    s"list_distinct(list_transform($SHINGLES3, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))"
+  /** TextAnalysis.hash60 / hash32 */
+  private def H60(s: String) = s"('0x' || substr(md5($s), 1, 15))::BIGINT"
+  private def H32(s: String) = s"('0x' || substr(md5($s), 1, 8))::BIGINT"
+  /** Dedup.jaccard on two (already-distinct) list columns */
+  private def JACC(a: String, b: String) =
+    s"""ROUND(CASE WHEN len(list_distinct($a || $b)) = 0 THEN 0.0
+        ELSE CAST(len(list_intersect($a, $b)) AS DOUBLE)
+             / CAST(len(list_distinct($a || $b)) AS DOUBLE) END, 6)"""
+  /** graft.functions.cosine: sequential left-fold dot & norms in double */
+  private def SUMD(lst: String) = s"list_reduce($lst, (a, b) -> a + b)"
+  private def COS(qv: String, cv: String) =
+    s"""ROUND(${SUMD(s"list_transform(range(1, len($qv)+1), i -> CAST($qv[i] AS DOUBLE) * CAST($cv[i] AS DOUBLE))")}
+        / (sqrt(${SUMD(s"list_transform($qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})
+           * sqrt(${SUMD(s"list_transform($cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})), 6)"""
+  /** TextAnalysis.qualityScore replicated term-by-term */
+  private val QUALITY = {
+    val nTok = s"CAST(len($TOKS) AS DOUBLE)"
+    val alpha = s"""CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      (CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE))
+      / CAST(length(text) AS DOUBLE) END"""
+    val punct = s"""CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      (CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE))
+      / CAST(length(text) AS DOUBLE) END"""
+    val stop = s"""CASE WHEN len($TOKS) = 0 THEN 0.0 ELSE
+      CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+      / $nTok END"""
+    s"""ROUND((LEAST($nTok / 64.0, 1.0) + $alpha + LEAST($stop * 4.0, 1.0)) / 3.0
+        * (1.0 - LEAST($punct * 4.0, 1.0) * 0.5), 6)"""
+  }
+  /** Similarity.signBucket(embedding, 8) replicated */
+  private val SIGNBUCKET = {
+    val sign = s"CASE WHEN ${H32("p::VARCHAR || ',' || i::VARCHAR")} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    val dot = SUMD(s"list_transform(range(0, len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * $sign)")
+    SUMD(s"list_transform(range(0, 8), p -> CASE WHEN $dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)")
+  }
+  /** Dedup.simhash replicated: 32-bit sign-vote hash over token hashes */
+  private val SIMHASH = {
+    val hs = s"list_transform($TOKS, t -> ${H32("t")})"
+    val votes = SUMD(s"list_transform($hs, h -> CASE WHEN (h >> b) % 2 = 1 THEN 1::BIGINT ELSE -1::BIGINT END)")
+    SUMD(s"list_transform(range(0, 32), b -> CASE WHEN $votes >= 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_group_agg" ->
@@ -264,6 +485,160 @@ object SparkEntry {
       s"""SELECT c_mktsegment,
          COUNT(*) AS n_orders, ${DSUM("o_totalprice")} AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
+    "q15_expected_fill" ->
+      s"""WITH agg AS (
+           SELECT l_linestatus, l_returnflag,
+                  ROUND(${DAVG("l_quantity")}, 6) AS avg_qty
+           FROM lineitem GROUP BY 1, 2),
+         grid AS (
+           SELECT DISTINCT l.l_linestatus, e.l_returnflag
+           FROM lineitem l CROSS JOIN (VALUES ('A'),('N'),('R'),('X')) e(l_returnflag)),
+         missing AS (
+           SELECT g.l_linestatus, g.l_returnflag, CAST(NULL AS DOUBLE) AS avg_qty
+           FROM grid g ANTI JOIN agg a
+             ON g.l_linestatus = a.l_linestatus AND g.l_returnflag = a.l_returnflag)
+         SELECT * FROM agg UNION ALL SELECT * FROM missing""",
+    "q16_ordering_check" ->
+      s"""WITH g AS (
+           SELECT l_linestatus, l_returnflag,
+                  ROUND(${DAVG("l_extendedprice")}, 6) AS v
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l_linestatus,
+           array_to_string(array_agg(l_returnflag ORDER BY v DESC, l_returnflag), ',') AS order_desc
+         FROM g GROUP BY 1""",
+    "q17_token_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len($TOKS)) AS BIGINT) AS sum_tokens,
+         CAST(SUM(len($TOKS)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1""",
+    "q18_quality_score" ->
+      s"""WITH q AS (SELECT source, $QUALITY AS q FROM documents)
+         SELECT source, COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(q), 6) AS avg_quality
+         FROM q GROUP BY 1""",
+    "q19_lang_id" ->
+      s"""WITH g AS (
+           SELECT lang, list_reduce([
+             {'hits': len(list_filter($TOKS, t -> t IN ('der','und','die','ist'))), 'lang': 'de'},
+             {'hits': len(list_filter($TOKS, t -> t IN ('the','and','of','is'))), 'lang': 'en'},
+             {'hits': len(list_filter($TOKS, t -> t IN ('el','los','de','es'))), 'lang': 'es'},
+             {'hits': len(list_filter($TOKS, t -> t IN ('le','les','des','est'))), 'lang': 'fr'},
+             {'hits': len(list_filter($TOKS, t -> t IN ('de','shi','zai','he'))), 'lang': 'zh'}],
+             (a, b) -> CASE WHEN b.hits > a.hits THEN b ELSE a END) AS best
+           FROM documents)
+         SELECT lang, CASE WHEN best.hits = 0 THEN 'und' ELSE best.lang END AS guess,
+                COUNT(*) AS n_docs
+         FROM g GROUP BY 1, 2""",
+    "q20_fingerprint" -> {
+      val fp = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+      s"""SELECT source, COUNT(*) AS n_docs,
+         COUNT(DISTINCT $fp) AS n_uniq, MIN($fp) AS min_fp
+         FROM documents GROUP BY 1"""
+    },
+    "q21_ngram_jaccard" ->
+      s"""WITH sh AS (
+           SELECT source AS blk, doc_id AS id, $HSHINGLES3 AS sh FROM documents)
+         SELECT * FROM (
+           SELECT a.blk, a.id AS id_a, b.id AS id_b,
+                  ${JACC("a.sh", "b.sh")} AS jaccard
+           FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id)
+         WHERE jaccard >= 0.02""",
+    "q22_minhash_lsh" ->
+      s"""WITH sh AS (
+           SELECT doc_id AS id, $SHINGLES3 AS strsh, $HSHINGLES3 AS sh FROM documents),
+         sig AS (
+           SELECT id, sh, list_transform(range(0, 12),
+             j -> list_min(list_transform(hs, h -> ((j*2+1) * h + (j*7919+104729)) % 2147483647))) AS sig
+           FROM (SELECT id, sh, list_transform(strsh, s -> ${H32("s")}) AS hs FROM sh)),
+         bands AS (
+           SELECT id, sh, r.b,
+             ${H60("array_to_string(list_transform(sig[r.b*3+1 : r.b*3+3], x -> x::VARCHAR), ',')")} AS bkey
+           FROM sig, range(0, 4) r(b))
+         SELECT DISTINCT a.id AS id_a, b.id AS id_b, ${JACC("a.sh", "b.sh")} AS jaccard
+         FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id""",
+    "q23_simhash" ->
+      s"""WITH d AS (SELECT doc_id, source, $SIMHASH AS sh FROM documents)
+         SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 8""",
+    "q24_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id, ${COS("qv", "cv")} AS cos
+           FROM c CROSS JOIN q WHERE query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, cos,
+                CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         FROM s QUALIFY rank <= 5""",
+    "q25_embedding_neardup" ->
+      s"""SELECT * FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  ${COS("a.embedding", "b.embedding")} AS cos
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         WHERE cos >= 0.4""",
+    "q26_lsh_buckets" ->
+      s"""SELECT $SIGNBUCKET AS bucket, COUNT(*) AS n_vecs
+         FROM embeddings GROUP BY 1""",
+    "q27_window_tumbling" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+         COUNT(*) AS n_events, ${DSUM("value")} AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q28_window_sliding" ->
+      s"""SELECT ws AS window_start, COUNT(*) AS n_events, ${DSUM("value")} AS sum_value
+         FROM (SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                              time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS ws,
+                      value
+               FROM events)
+         GROUP BY 1""",
+    "q29_sessions" ->
+      s"""WITH g AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+           FROM g)
+         SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                COUNT(*) AS n_events, ${DSUM("value")} AS sum_value
+         FROM s GROUP BY 1, 2""",
+    "q30_json_extract" ->
+      """SELECT event_type,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         COUNT(*) AS n_events
+         FROM events GROUP BY 1""",
+    "q31_multimodal" ->
+      """SELECT doc_id AS asset_id, 'text' AS modality,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         md5(text) AS content_hash,
+         ('0x' || substr(md5(text), 1, 2))::INT AS width,
+         ('0x' || substr(md5(text), 3, 2))::INT AS height
+         FROM documents""",
+    "q32_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+         FROM orders QUALIFY rank <= 3""",
+    "q33_left_join_agg" ->
+      s"""SELECT c_mktsegment,
+         COUNT(DISTINCT c_custkey) AS n_cust,
+         COUNT(o_orderkey) AS n_orders,
+         ${DSUM("o_totalprice")} AS sum_price
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1""",
+    "q34_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY 1""",
+    "q35_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
          GROUP BY 1"""
   )
 }

@@ -19,8 +19,10 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
+    // integer `div`, not `/`: double division rounds the microsecond up
+    // for half the rows, off-by-one vs an engine that floors
     if (name == "events")
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 }

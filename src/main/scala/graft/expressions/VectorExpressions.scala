@@ -1,0 +1,222 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Cosine similarity of two float-vector columns, computed in double
+  * precision with a single fused loop.
+  *
+  * Native `Expression` with whole-stage codegen: the higher-order-function
+  * formulation (`zip_with` + `aggregate`) is evaluated interpreted, one
+  * lambda call per element — ~30 µs/vector-pair; this codegen'd loop is
+  * ~100× faster and keeps the surrounding operator inside
+  * WholeStageCodegen. Accumulation order is the same sequential left-fold,
+  * so results are bit-identical to the HOF version (and to a SQL
+  * `list_reduce` mirror).
+  */
+case class ArrayCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xv = (double) $a.getFloat($i);
+          double $yv = (double) $b.getFloat($i);
+          $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 32-bit SimHash over a token array: md5 each token, take the top 32
+  * bits (== `('0x' || substr(md5(t),1,8))::BIGINT`), then per-bit
+  * majority vote (+1/-1, set on >= 0).
+  *
+  * One native pass replaces an interpreted 32-lambda × n-token expression
+  * tree. CodegenFallback: the eval body is a tight compiled Scala loop
+  * (md5 dominates), which surrounding operators still codegen around.
+  */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash32"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](32)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      val d = md.digest(arr.getUTF8String(t).getBytes) // resets digest
+      // first 8 hex chars == first 4 bytes, big-endian, unsigned
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** k-function affine MinHash over a pre-hashed shingle array
+  * (`array<bigint>`): sig_j = min over hashes of (a_j*h + b_j) mod p with
+  * a_j = 2j+1, b_j = 7919j + 104729, p = 2^31-1 — identical to the
+  * column/SQL formulation, one native pass instead of k interpreted
+  * lambda sweeps. */
+case class AffineMinHash(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  private val P = 2147483647L
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = ((2L * j + 1L) * h + (7919L * j + 104729L)) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    if (n == 0) null
+    else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Jaccard similarity of two SORTED distinct long arrays via a single
+  * zero-allocation merge: |a ∩ b| counted by two-pointer sweep,
+  * |a ∪ b| = |a| + |b| - |a ∩ b| (inputs are distinct sets). ~10× faster
+  * than `array_intersect` + `array_union`, which build hash tables and
+  * output arrays per pair. Value identical to the set formulation. */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = n + m - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH sign bucket of a float vector: bit p of the
+  * result = (dot(vec, plane_p) >= 0), planes derived deterministically
+  * from md5("p,d") low bits (+1/-1). The sign matrix is computed once per
+  * (dims) and cached — the column formulation re-derives 8×dims md5
+  * hashes per ROW, which dominates everything. Accumulation order matches
+  * the sequential left-fold of the column/SQL mirror exactly. */
+case class SignBucket(child: Expression, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_signbucket"
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
+
+  private def signMatrix(dims: Int): Array[Array[Double]] =
+    cache.computeIfAbsent(dims, _ => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(planes, dims) { (p, d) =>
+        val dig = md.digest(s"$p,$d".getBytes("UTF-8"))
+        val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        if (h % 2 == 0) 1.0 else -1.0
+      }
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val signs = signMatrix(n)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val row = signs(p)
+      var dot = 0.0
+      var d = 0
+      while (d < n) { dot += v.getFloat(d).toDouble * row(d); d += 1 }
+      if (dot >= 0) bucket += (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -31,6 +31,15 @@ package object functions {
     * result (e.g. 6 decimals) when oracle-compared. */
   def geomean(c: Column): Column = exp(avg(log(c)))
 
+  /** Let-binding for Column expressions: evaluates `e` exactly once and
+    * passes the bound value to `f`. Implemented as a single-element-array
+    * `transform`, whose lambda variable is a true runtime binding — unlike
+    * a Project alias, which CollapseProject may inline into `f`'s body and
+    * re-evaluate per lambda iteration (catastrophic for expensive
+    * subexpressions inside higher-order functions). */
+  def bound(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
   /** Character-level Jaccard similarity of two strings (distinct-char
     * sets), matching DuckDB's `jaccard(s1, s2)`. */
   def charJaccard(a: Column, b: Column): Column = {
@@ -42,8 +51,16 @@ package object functions {
   }
 
   /** Cosine similarity of two equal-length float-array columns, computed
-    * in double precision. */
-  def cosine(a: Column, b: Column): Column = {
+    * in double precision. Dispatches to the native codegen'd
+    * [[graft.expressions.ArrayCosine]] (registered by
+    * [[graft.GraftExtensions]]); bit-identical to [[cosineHof]]. */
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
+  /** Reference higher-order-function formulation of [[cosine]] — same
+    * sequential left-fold accumulation, usable without the extensions
+    * registration; kept for cross-checking the native expression. */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)

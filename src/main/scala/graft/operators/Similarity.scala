@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.cosine
+import graft.operators.TextAnalysis.hash32
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The corpus side is the big
+  *    relation; the query side is broadcast, so the plan is a single
+  *    broadcast nested-loop over corpus partitions followed by a per-query
+  *    top-k — linear in |corpus|, no shuffle of the corpus. This is the
+  *    correctness baseline.
+  *  - [[lshTopK]]: random-hyperplane LSH. Hyperplane signs are derived
+  *    deterministically from md5 (plane p, dimension d), so bucketing is
+  *    reproducible across engines/runs. Candidates = same sign-bucket,
+  *    then exact cosine rerank. At 100 TB the bucket join replaces the
+  *    linear scan with an equi-join whose right side is bucket-partitioned.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane sign for (plane, dim):
+    * +1 / -1 from the low bit of a 32-bit md5 hash. */
+  private def planeSign(p: Int, d: Column): Column =
+    when(hash32(concat(lit(s"$p,"), d.cast("string"))) % 2 === 0, 1.0).otherwise(-1.0)
+
+  /** Sign-bit bucket of a vector under `planes` deterministic hyperplanes:
+    * bit p = (sum_d sign(p,d) * v[d]) >= 0. Returns a long bucket id.
+    * Dispatches to the native [[graft.expressions.SignBucket]] (cached
+    * sign matrix, fused loop); bit-identical to [[signBucketHof]]. */
+  def signBucket(vec: Column, planes: Int): Column =
+    call_function("graft_signbucket", vec, lit(planes))
+
+  /** Reference higher-order-function formulation of [[signBucket]] — kept
+    * for cross-checking the native expression. */
+  def signBucketHof(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast(DoubleType) * planeSign(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact top-k neighbors by cosine for each query row.
+    * Ranking uses the 6-decimal-rounded cosine (ties broken by neighbor
+    * id) so results are stable across engines and partitionings. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    // spread the streamed corpus across all cores — a small parquet file
+    // arrives as ONE split and would otherwise serialize the whole
+    // nested-loop scan onto a single task
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** LSH-bucketed top-k: candidates share the sign bucket, exact rerank
+    * within the bucket. Approximate — recall depends on `planes`. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              k: Int, planes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), planes).as("bkt"))
+    val a = keyed.select(col("bkt"), col("id").as("query_id"), col("v").as("qv"))
+    val b = keyed.select(col("bkt"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val scored = a.join(b, Seq("bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+}

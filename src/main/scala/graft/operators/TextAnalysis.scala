@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis primitives for large-scale document pipelines: token
+  * counting, shingling, canonical fingerprinting, quality scoring and a
+  * marker-word language-ID heuristic.
+  *
+  * Everything here is a pure `Column` expression (whole-stage codegen'd,
+  * no UDFs), so filters composed with these push down and the operators
+  * scale linearly with input splits — no shuffle is introduced by any
+  * function in this object.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; matches DuckDB
+    * `string_split_regex(trim(text), '\s+')`. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** Word n-gram shingles (space-joined), 1-based windows like the SQL
+    * `ws[i] || ' ' || ws[i+1] ...` idiom; distinct set. Documents shorter
+    * than n tokens yield an empty set (guard needed because Spark's
+    * `sequence(1, x)` runs DESCENDING when x < 1, unlike SQL `range`). */
+  def wordShingles(text: Column, n: Int): Column =
+    // let-bind the token array: without it Catalyst inlines the regex
+    // split into every element_at inside the lambda (n+2 evaluations per
+    // shingle — dominates the whole dedup pipeline)
+    graft.functions.bound(tokens(text)) { ws =>
+      val joined = transform(
+        sequence(lit(1), size(ws) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + lit(o))): _*))
+      // CaseWhen evaluates lazily per row, so the descending sequence never
+      // runs for short docs.
+      when(size(ws) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(joined))
+    }
+
+  /** Canonical document fingerprint: lowercase, strip non-alphanumerics to
+    * spaces, collapse whitespace, md5. Two documents with the same
+    * fingerprint are exact duplicates modulo case/punctuation/spacing. */
+  def fingerprint(text: Column): Column =
+    md5(normalize(text))
+
+  /** The normalization underlying [[fingerprint]]. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** 64-bit-ish (60-bit, sign-safe) deterministic string hash via md5 —
+    * identical to DuckDB `('0x' || substr(md5(s), 1, 15))::BIGINT`. */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
+
+  /** 32-bit variant (fits comfortably in bit arithmetic both engines do
+    * exactly): `('0x' || substr(md5(s), 1, 8))::BIGINT`. */
+  def hash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast(LongType)
+
+  /** Ratio of characters in `text` matching `pattern` (a single-char
+    * regex class), in double precision. */
+  private def charClassRatio(text: Column, pattern: String): Column = {
+    val total = length(text).cast(DoubleType)
+    val kept = length(regexp_replace(text, pattern, "")).cast(DoubleType)
+    when(total === 0, 0.0).otherwise((total - kept) / total)
+  }
+
+  def punctRatio(text: Column): Column =
+    charClassRatio(text, "[\\p{Punct}]")
+
+  def alphaRatio(text: Column): Column =
+    charClassRatio(text, "[a-zA-Z]")
+
+  def whitespaceRatio(text: Column): Column =
+    charClassRatio(text, "[ \\t\\n]")
+
+  /** Default English-ish stopword markers used by quality scoring and the
+    * language-ID heuristic (deterministic, dictionary-free). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column =
+    graft.functions.bound(tokens(text))(stopwordRatioOf)
+
+  private def stopwordRatioOf(ts: Column): Column = {
+    val hits = size(filter(ts, t => t.isin(stopwords: _*))).cast(DoubleType)
+    when(size(ts) === 0, 0.0).otherwise(hits / size(ts).cast(DoubleType))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length documents with
+    * high alpha ratio, some stopwords and low punctuation — the classic
+    * cheap pre-filter for web-scale training corpora. Deterministic
+    * arithmetic only (no RNG, no model). */
+  def qualityScore(text: Column): Column =
+    graft.functions.bound(tokens(text)) { ws =>
+      val nTok = size(ws).cast(DoubleType)
+      val lengthTerm = least(nTok / lit(64.0), lit(1.0))
+      val alphaTerm = alphaRatio(text)
+      val stopTerm = least(stopwordRatioOf(ws) * 4.0, lit(1.0))
+      val punctPenalty = least(punctRatio(text) * 4.0, lit(1.0))
+      round((lengthTerm + alphaTerm + stopTerm) / 3.0 * (lit(1.0) - punctPenalty * 0.5), 6)
+    }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic and tiny by design: real deployments swap in
+    * a fastText-style model behind the same column signature. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "es" -> Seq("el", "los", "de", "es"),
+    "fr" -> Seq("le", "les", "des", "est"),
+    "zh" -> Seq("de", "shi", "zai", "he"))
+
+  /** Count of tokens matching a marker list. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers: _*))).cast(LongType)
+
+  private def markerHitsOf(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, t => t.isin(markers: _*))).cast(LongType)
+
+  /** Argmax language guess over [[langMarkers]]; ties break by language
+    * code ascending (deterministic); zero hits => "und" (undetermined). */
+  def langId(text: Column): Column = graft.functions.bound(tokens(text)) { ws =>
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(markerHitsOf(ws, ms).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on struct compares hits first, then lang; we want max hits
+    // with ties -> smallest lang, so compare (hits, negated rank) — simpler:
+    // fold left keeping strictly-greater, which favors the earliest (sorted)
+    // language on ties.
+    val best = scored.reduceLeft { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    }
+    when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
+  }
+}
