@@ -336,6 +336,42 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_cust"))
+    }),
+
+    // ---- RECIPE ENGINE end-to-end (rename → filter-out → precomputed →
+    //      median agg) via the injected-DataFrame seam (E2)
+    "q36_recipe_pipeline" -> ((s, dir) => {
+      val yaml =
+        """aggregation: median
+          |rename:
+          |  l_returnflag: flag
+          |filter-out:
+          |  l_linestatus: [O]
+          |precomputed:
+          |  bucket: "'small' if row['l_quantity'] < 25 else 'large'"
+          |values: [l_extendedprice]
+          |series: [flag]
+          |axis: [bucket]
+          |""".stripMargin
+      graft.recipe.Benchmark.fromString(s, yaml)
+        .getAggregatedData(df0 = Some(t(s, dir, "lineitem")))
+        .select("flag", "bucket", "l_extendedprice")
+    }),
+
+    // ---- RECIPE ENGINE ratio_of (A4/J2): per-series ratio to base
+    //      series aggregate, per axis group
+    "q37_recipe_ratio" -> ((s, dir) => {
+      val yaml =
+        """aggregation: median
+          |precomputed:
+          |  Ratio: "ratio_of('l_extendedprice', l_returnflag='N')"
+          |values: [Ratio]
+          |series: [l_returnflag]
+          |axis: [l_linestatus]
+          |""".stripMargin
+      graft.recipe.Benchmark.fromString(s, yaml)
+        .getAggregatedData(df0 = Some(t(s, dir, "lineitem")))
+        .select("l_returnflag", "l_linestatus", "Ratio")
     })
   )
 
@@ -639,6 +675,21 @@ object SparkEntry {
          FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o
                        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "q36_recipe_pipeline" ->
+      """SELECT l_returnflag AS flag,
+         CASE WHEN l_quantity < 25 THEN 'small' ELSE 'large' END AS bucket,
+         MEDIAN(l_extendedprice) AS l_extendedprice
+         FROM lineitem WHERE l_linestatus NOT IN ('O')
+         GROUP BY 1, 2""",
+    "q37_recipe_ratio" ->
+      """WITH grp AS (
+           SELECT l_returnflag, l_linestatus, MEDIAN(l_extendedprice) AS v
+           FROM lineitem GROUP BY 1, 2),
+         base AS (
+           SELECT l_linestatus, MEDIAN(l_extendedprice) AS b
+           FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1)
+         SELECT grp.l_returnflag, grp.l_linestatus, grp.v / base.b AS Ratio
+         FROM grp JOIN base USING (l_linestatus)"""
   )
 }

@@ -1,0 +1,292 @@
+package graft.recipe
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+import graft.recipe.ExprCompiler.RatioCall
+
+/** The recipe engine: the reference's fixed pipeline (scan -> rename ->
+  * filter-out -> infer -> precomputed -> pack -> unpack -> infer ->
+  * filter-in -> validate -> cast values -> expected checks -> group-agg,
+  * bearysta doc/AGGREGATOR.md:64-105) re-expressed as lazy DataFrame
+  * composition — Catalyst sees the whole recipe as ONE plan and is free
+  * to push filters/prune columns across stages; only child recipes and
+  * schema-dependent decisions materialize.
+  *
+  * Three-level API mirrors the reference seam (aggregate.py:134, 316,
+  * 588): [[getRawData]] -> [[getNormalizedData]] -> [[getAggregatedData]].
+  */
+class Benchmark(val recipe: Recipe, spark: SparkSession) {
+
+  /** Warning side-channel (SURVEY §7.4.4): expected-combination fills and
+    * ordering violations land here instead of a log scrape. */
+  val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  /** Child-recipe frames (S7), normalized (NOT aggregated), File column
+    * stamped with the child recipe name, cached — evaluated once even
+    * when this benchmark is re-run. */
+  lazy val childFrames: Seq[DataFrame] = recipe.input.configs.map { cfgPath =>
+    val resolved = if (new java.io.File(cfgPath).isAbsolute) cfgPath
+      else new java.io.File(recipe.baseDir, cfgPath).getPath
+    val child = new Benchmark(Recipe.load(resolved), spark)
+    val name = new java.io.File(resolved).getName.replaceAll("\\.[^.]*$", "")
+    child.getNormalizedData().withColumn("File", lit(name)).cache()
+  }
+
+  def getRawData(inputs: Option[Seq[String]] = None): DataFrame =
+    CsvSource.scan(spark, recipe, childFrames, inputs)
+
+  // ---------------- normalize ----------------
+
+  def getNormalizedData(df0: Option[DataFrame] = None,
+                        inputs: Option[Seq[String]] = None): DataFrame = {
+    var df = df0.getOrElse(getRawData(inputs))
+
+    // rename (P1)
+    df = recipe.rename.foldLeft(df) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+
+    // filter-out (F1) — before inference, like the reference; CSV schema
+    // inference already typed per-file columns, so YAML `[2, 3]` matches
+    // numeric 2 (typed isin, SURVEY §2.3)
+    df = recipe.filterOut.foldLeft(df) { case (d, (c, vals)) =>
+      d.filter(!col(c).isin(vals: _*))
+    }
+
+    // type inference pass 1 (P5)
+    df = inferTypes(df)
+
+    // precomputed columns (P2/P3/A4/A5, J2/J3)
+    for ((colName, exprStr) <- recipe.precomputed) {
+      val ast = ExprCompiler.parse(exprStr)
+      val ratios = ExprCompiler.ratioCalls(ast)
+      var bindings = Map.empty[RatioCall, Column]
+      var tempCols = Seq.empty[String]
+      for ((rc, i) <- ratios.zipWithIndex) {
+        val tmp = s"__ratio_${colName}_$i"
+        df = joinRatio(df, rc, tmp)
+        bindings += rc -> col(tmp)
+        tempCols :+= tmp
+      }
+      df = df.withColumn(colName, ExprCompiler.compile(ast, bindings))
+      df = df.drop(tempCols: _*)
+    }
+
+    // pack / melt (R1)
+    for (pc <- recipe.pack) {
+      val ids = df.columns.filterNot(pc.columns.contains)
+      val packedNumeric = pc.columns.forall(c =>
+        df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      val valueType = if (packedNumeric) "double" else "string"
+      val cast = pc.columns.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(valueType)))
+      df = cast.unpivot(ids.map(col), pc.columns.map(col).toArray, pc.name, pc.value)
+    }
+
+    // unpack / pivot (R2). Null pivot keys become a 'NaN' column (the
+    // reference's fillna('NaN') hack); Spark keeps null GROUP keys
+    // natively, so only the pivot column needs the fill.
+    for (pc <- recipe.unpack) {
+      val index = df.columns.filterNot(c => c == pc.name || c == pc.value)
+      df = df
+        .groupBy(index.map(col): _*)
+        .pivot(coalesce(col(pc.name).cast(StringType), lit("NaN")))
+        .agg(first(col(pc.value), ignoreNulls = true))
+    }
+
+    // type inference pass 2
+    df = inferTypes(df)
+
+    // filter-in (F2)
+    df = recipe.filterIn.foldLeft(df) { case (d, (c, vals)) =>
+      d.filter(col(c).isin(vals: _*))
+    }
+
+    // F4 empty warning
+    if (recipe.filterIn.nonEmpty || recipe.filterOut.nonEmpty) {
+      if (df.isEmpty)
+        warnings += "Filtering on input data has removed all data. Expect empty output."
+    }
+
+    // required columns
+    for (c <- recipe.axis ++ recipe.series ++ recipe.variants)
+      if (!df.columns.contains(c))
+        throw RecipeError(s"""Column "$c" specified in config but not found""")
+
+    // type inference pass 3
+    df = inferTypes(df)
+
+    // values presence + float64 cast (P6)
+    val missing = recipe.values.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw RecipeError("Missing values columns: " + missing.mkString(", "))
+    for (v <- recipe.values) {
+      if (df.schema(v).dataType == StringType) {
+        val bad = df.filter(col(v).isNotNull && col(v).try_cast(DoubleType).isNull).limit(1).count()
+        if (bad > 0) throw RecipeError("Found non-numerical data in values columns!")
+      }
+      df = df.withColumn(v, col(v).cast(DoubleType))
+    }
+    df
+  }
+
+  /** pandas `to_numeric(errors='ignore')` per string column: promote to
+    * long (no nulls, all integral) or double (all castable), else leave.
+    * One aggregation job checks every candidate column at once. */
+  private def inferTypes(df: DataFrame): DataFrame = {
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    if (stringCols.isEmpty) return df
+    val checks = stringCols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNotNull && col(c).try_cast(DoubleType).isNull, 1L)
+          .otherwise(0L)).as(s"${c}__baddbl"),
+        sum(when(col(c).isNotNull && !trim(col(c)).rlike("^[+-]?\\d+$"), 1L)
+          .otherwise(0L)).as(s"${c}__badlong"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count(col(c)).as(s"${c}__nnz"))
+    }
+    val row = df.select(checks.toIndexedSeq: _*).collect()(0)
+    stringCols.foldLeft(df) { (d, c) =>
+      val badDbl = row.getAs[Long](s"${c}__baddbl")
+      val badLong = row.getAs[Long](s"${c}__badlong")
+      val nulls = row.getAs[Long](s"${c}__nulls")
+      if (badDbl > 0) d
+      else if (badLong == 0 && nulls == 0) d.withColumn(c, col(c).cast("long"))
+      else d.withColumn(c, col(c).cast("double"))
+    }
+  }
+
+  private def aggExpr(fn: String, c: Column): Column = fn match {
+    case "min" => min(c)
+    case "max" => max(c)
+    case "mean" => avg(c)
+    case "median" => median(c) // exact, matches pandas/duckdb MEDIAN
+    case "sum" => sum(c)
+    case "count" => count(c)
+    case "first" => first(c, ignoreNulls = true)
+    case "last" => last(c, ignoreNulls = true)
+    case "std" => stddev_samp(c)
+    case "geomean" => exp(avg(log(c))) // aggregate.py:94-99
+    case other => throw RecipeError(s"unsupported aggregation '$other'")
+  }
+
+  /** ratio_of family (A4/A5): aggregate base and per-series groups by
+    * axis+variants, divide, join back per-row on series+axis+variants
+    * (J2). The base side is always small (post-aggregation) -> broadcast.
+    * Reference: aggregate.py:354-476. */
+  private def joinRatio(df: DataFrame, rc: RatioCall, outCol: String): DataFrame = {
+    val f = aggExpr(recipe.aggregation, col(rc.column).cast(DoubleType))
+    val series = recipe.series
+    val av = recipe.axis ++ recipe.variants
+    if (series.isEmpty) throw RecipeError(s"${rc.func} requires non-empty series")
+    val kwMap = rc.seriesKw.toMap
+    for (s <- series) if (!kwMap.contains(s))
+      throw RecipeError(s"${rc.func} missing series kwarg '$s'")
+
+    val baseCond = series.map(s => col(s) === lit(kwMap(s))).reduce(_ && _)
+    val baseRows = df.filter(baseCond)
+    if (baseRows.isEmpty)
+      throw RecipeError(s"Trying to use series value ${series.map(kwMap)} in ratio_of " +
+        "operation, but that value/combination doesn't exist in the dataframe!")
+    val base =
+      if (av.isEmpty) baseRows.groupBy().agg(f.as("__base"))
+      else baseRows.groupBy(av.map(col): _*).agg(f.as("__base"))
+    val grp = df.groupBy((series ++ av).map(col): _*).agg(f.as("__grp"))
+    val joined =
+      if (av.isEmpty) grp.crossJoin(broadcast(base))
+      else grp.join(broadcast(base), av)
+    val ratio0 = if (rc.invert) col("__base") / col("__grp") else col("__grp") / col("__base")
+    val ratio = rc.func match {
+      case "ratio_of" | "ratio_of_inv" => ratio0
+      case "ratio_diff" | "ratio_diff_inv" => ratio0 - 1
+      case "percent_of" | "percent_of_inv" => ratio0 * 100
+      case "percent_diff" | "percent_diff_inv" => (ratio0 - 1) * 100
+      case other => throw RecipeError(s"unknown ratio function $other")
+    }
+    val ratios = joined.select((series ++ av).map(col) :+ ratio.as(outCol): _*)
+    df.join(broadcast(ratios), series ++ av, "left")
+  }
+
+  // ---------------- aggregate ----------------
+
+  def getAggregatedData(df0: Option[DataFrame] = None,
+                        inputs: Option[Seq[String]] = None): DataFrame = {
+    var df = df0.map(d => getNormalizedData(Some(d))).getOrElse(getNormalizedData(None, inputs))
+
+    val series = recipe.series
+    val av = recipe.axis ++ recipe.variants
+    val values = recipe.values
+
+    // A7: expected-combination fill — missing (axis+variants) × expected
+    // series combos appear as one null row each, with a warning.
+    recipe.expected.foreach { expectedCombos =>
+      if (series.nonEmpty) {
+        import scala.jdk.CollectionConverters._
+        val schema = org.apache.spark.sql.types.StructType(
+          series.map(s => org.apache.spark.sql.types.StructField(s, df.schema(s).dataType)))
+        val rows = expectedCombos.map(c => org.apache.spark.sql.Row(c: _*)).asJava
+        val expectedDf = spark.createDataFrame(rows, schema)
+        val grid =
+          if (av.isEmpty) expectedDf
+          else df.select(av.map(col): _*).distinct().crossJoin(expectedDf)
+        val present = df.select((av ++ series).map(col): _*).distinct()
+        val missing = grid.join(present, av ++ series, "left_anti")
+        val nMissing = missing.count()
+        if (nMissing > 0) {
+          warnings += s"$nMissing expected series combination(s) missing; filled with nulls"
+          df = df.unionByName(missing, allowMissingColumns = true)
+        }
+
+        // A8: expected-ordering check per (axis+variants) group, per value
+        // column, driver-side on the already-aggregated (small) frame.
+        // Reference sorts ascending=higher-is-better, i.e. slowest first
+        // (aggregate.py:674-703), and compares against the config order
+        // after removing combos missing on either side.
+        if (values.nonEmpty) {
+          val aggCols = values.map(v => aggExpr(recipe.aggregation, col(v)).as(v))
+          val aggd = df.groupBy((av ++ series).map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+          val collected = aggd.collect()
+          val grouped = collected.groupBy(r => av.indices.map(r.get))
+          for ((grpKey, rows) <- grouped; v <- values) {
+            val vIdx = av.size + series.size + values.indexOf(v)
+            val ascending = recipe.higherIsBetter
+            val actualAll = rows.toSeq
+              .filter(r => !r.isNullAt(vIdx))
+              .sortBy(r => r.getAs[Double](vIdx))(
+                if (ascending) Ordering[Double] else Ordering[Double].reverse)
+              .map(r => series.indices.map(i => r.get(av.size + i)).toList)
+            val expectedOrd = expectedCombos.map(_.toList).filter(actualAll.contains)
+            val actualOrd = actualAll.filter(expectedOrd.contains)
+            if (actualOrd != expectedOrd)
+              warnings += s"Unexpected performance ordering for value $v in group " +
+                s"[${grpKey.mkString(",")}] (slowest to fastest): " +
+                s"expected $expectedOrd but got $actualOrd"
+          }
+        }
+      }
+    }
+
+    // A1: the core group-aggregate; othercols aggregated with first
+    // (pandas 'first' skips nulls). A9: log aggregated-out cardinality.
+    val keys = series ++ recipe.axis ++ recipe.variants
+    val othercols = df.columns.filterNot(c => keys.contains(c) || values.contains(c))
+    val aggs = values.map(v => aggExpr(recipe.aggregation, col(v)).as(v)) ++
+      othercols.map(c => first(col(c), ignoreNulls = true).as(c))
+    val aggregated =
+      if (keys.isEmpty) df.groupBy().agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+    // P7: hidden-column drop
+    aggregated.drop(aggregated.columns.filter(_.startsWith("_")).toIndexedSeq: _*)
+  }
+}
+
+object Benchmark {
+  def apply(spark: SparkSession, recipePath: String): Benchmark =
+    new Benchmark(Recipe.load(recipePath), spark)
+
+  def fromString(spark: SparkSession, yaml: String, baseDir: String = "."): Benchmark =
+    new Benchmark(Recipe.loadString(yaml, baseDir), spark)
+}

@@ -1,0 +1,111 @@
+package graft.recipe
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+case class RecipeError(msg: String) extends RuntimeException(msg)
+
+/** Recipe input scan: glob expansion, per-file regex line filtering,
+  * CSV parse with header imposition, provenance columns and `.meta`
+  * sidecar constants, unioned by name (missing -> null). Mirrors bearysta
+  * aggregate.py:134-314 with Spark distribution semantics: each file is
+  * one `wholetext` row flat-mapped through [[LineFilter]] (per-file
+  * sequential state, parallel across files), then parsed by the standard
+  * CSV reader with schema inference.
+  */
+object CsvSource {
+
+  /** Hadoop-FS glob expansion (works for local paths and hdfs/s3 alike),
+    * sorted for determinism. */
+  def expandGlobs(spark: SparkSession, patterns: Seq[String], baseDir: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    patterns.flatMap { pat =>
+      val resolved = if (new java.io.File(pat).isAbsolute) pat
+        else new java.io.File(baseDir, pat).getPath
+      val p = new Path(resolved)
+      val fs = p.getFileSystem(conf)
+      Option(fs.globStatus(p)).map(_.toSeq.map(_.getPath.toUri.getPath)).getOrElse(Seq.empty)
+    }.sorted
+  }
+
+  /** Read one file through the recipe's line filter + CSV parse. */
+  def readFile(spark: SparkSession, recipe: Recipe, file: String): DataFrame = {
+    import spark.implicits._
+
+    val lines: org.apache.spark.sql.Dataset[String] =
+      if (recipe.input.filters.nonEmpty) {
+        val rules = recipe.input.filters
+        spark.read.option("wholetext", "true").text(file).as[String]
+          .flatMap(content => LineFilter(LineFilter.compile(rules), content.linesIterator))
+      } else {
+        spark.read.textFile(file)
+      }
+
+    val reader = spark.read
+      .option("ignoreLeadingWhiteSpace", "true") // pandas skipinitialspace
+      .option("inferSchema", "true")
+
+    val df = recipe.input.csvHeader match {
+      case Some(header) =>
+        val first = lines.limit(1).collect().headOption.getOrElse("")
+        val matches = first.replace(" ", "") == header.replace(" ", "")
+        if (matches) reader.option("header", "true").csv(lines)
+        else {
+          val names = header.split(",").map(_.trim)
+          val parsed = reader.option("header", "false").csv(lines)
+          if (parsed.columns.length != names.length)
+            throw RecipeError(
+              s"csv-header has ${names.length} columns but '$file' parsed ${parsed.columns.length}")
+          parsed.toDF(names.toIndexedSeq: _*)
+        }
+      case None => reader.option("header", "true").csv(lines)
+    }
+
+    withProvenance(withMeta(spark, df, file), file)
+  }
+
+  private def withProvenance(df: DataFrame, file: String): DataFrame = {
+    val f = new java.io.File(file)
+    df.withColumn("Path", lit(file))
+      .withColumn("File", lit(f.getName))
+      .withColumn("Directory", lit(Option(f.getParent).getOrElse(".")))
+  }
+
+  /** `.meta` sidecar YAML -> constant columns (overwriting existing ones,
+    * like pandas df.assign). */
+  private def withMeta(spark: SparkSession, df: DataFrame, file: String): DataFrame = {
+    val metaFile = new java.io.File(file + ".meta")
+    if (!metaFile.isFile) df
+    else {
+      val yaml = new org.yaml.snakeyaml.Yaml()
+      val in = new java.io.FileInputStream(metaFile)
+      val meta =
+        try yaml.load[java.util.Map[String, Object]](in)
+        finally in.close()
+      meta.asScala.foldLeft(df) { case (d, (k, v)) =>
+        d.withColumn(k, lit(v match {
+          case n: java.lang.Number => n
+          case b: java.lang.Boolean => b
+          case other => if (other == null) null else other.toString
+        }))
+      }
+    }
+  }
+
+  /** Full scan: expand globs, read every file, union by name. */
+  def scan(spark: SparkSession, recipe: Recipe,
+           extraFrames: Seq[DataFrame] = Seq.empty,
+           inputs: Option[Seq[String]] = None): DataFrame = {
+    val patterns = inputs.getOrElse(recipe.input.paths)
+    val files = expandGlobs(spark, patterns, recipe.baseDir)
+    if (files.isEmpty && patterns.nonEmpty)
+      throw RecipeError(s"No matching files found for $patterns")
+    val frames = extraFrames ++ files.map(f => readFile(spark, recipe, f))
+    if (frames.isEmpty)
+      throw RecipeError("recipe has no inputs (no path matches, no child configs)")
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+}

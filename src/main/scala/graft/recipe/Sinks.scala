@@ -1,0 +1,164 @@
+package graft.recipe
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** Output sinks over the aggregated frame (bearysta aggregate.py
+  * 1022-1054): CSV with %.3f floats, per-variant pivot-table pretty
+  * printing, and HTML. Presentation runs driver-side on the collected
+  * post-aggregation frame — which is small by construction (grouped by
+  * recipe dimensions); the distributed pipeline ends at [[Benchmark]].
+  */
+object Sinks {
+
+  /** K1: CSV with pandas' float_format='%.3f' semantics (floats only). */
+  def toCsvString(df: DataFrame): String = {
+    val cols = df.schema.fields
+    val sb = new StringBuilder
+    sb.append(cols.map(_.name).mkString(",")).append('\n')
+    for (r <- df.collect()) {
+      sb.append(cols.indices.map { i =>
+        if (r.isNullAt(i)) ""
+        else cols(i).dataType match {
+          case DoubleType => "%.3f".format(r.getDouble(i))
+          case FloatType => "%.3f".format(r.getFloat(i))
+          case _ =>
+            val s = r.get(i).toString
+            if (s.contains(",") || s.contains("\"") || s.contains("\n"))
+              "\"" + s.replace("\"", "\"\"") + "\"" else s
+        }
+      }.mkString(",")).append('\n')
+    }
+    sb.toString
+  }
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    if (path == "-") print(toCsvString(df))
+    else java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toCsvString(df))
+
+  // ---------------- pivot presentation (W1/W2) ----------------
+
+  /** One rendered pivot table: rows = axis combos, columns = (value,
+    * series-combo) pairs, pandas pivot_table layout with sorted keys. */
+  case class Pivot(variant: Seq[(String, Any)], rowKeys: Seq[Seq[Any]],
+                   colKeys: Seq[(String, Seq[Any])], cells: Map[(Seq[Any], (String, Seq[Any])), Double],
+                   axisNames: Seq[String])
+
+  private def keyOrdering: Ordering[Seq[Any]] = (a: Seq[Any], b: Seq[Any]) => {
+    a.zip(b).iterator.map {
+      case (x: Number, y: Number) => x.doubleValue.compareTo(y.doubleValue)
+      case (x, y) => String.valueOf(x).compareTo(String.valueOf(y))
+    }.find(_ != 0).getOrElse(a.size.compareTo(b.size))
+  }
+
+  def pivots(df: DataFrame, recipe: Recipe): Seq[Pivot] = {
+    val rows = df.collect()
+    val schema = df.columns.zipWithIndex.toMap
+    def get(r: Row, c: String): Any = r.get(schema(c))
+    def num(r: Row, c: String): Double = r.get(schema(c)) match {
+      case null => Double.NaN
+      case n: Number => n.doubleValue
+      case other => try other.toString.toDouble catch { case _: Throwable => Double.NaN }
+    }
+    val variantCombos: Seq[Seq[Any]] = rows.toSeq
+      .map(r => recipe.variants.map(get(r, _)).toSeq)
+      .distinct.sorted(keyOrdering)
+    val combos: Seq[Seq[Any]] =
+      if (variantCombos.isEmpty) Seq(Seq.empty[Any]) else variantCombos
+    combos.map { vc =>
+      val in = rows.filter(r => recipe.variants.map(get(r, _)).toSeq == vc)
+      val rowKeys = in.map(r => recipe.axis.map(get(r, _)).toSeq).distinct.sorted(keyOrdering)
+      val seriesKeys = in.map(r => recipe.series.map(get(r, _)).toSeq).distinct.sorted(keyOrdering)
+      val colKeys = for (v <- recipe.values; sk <- seriesKeys) yield (v, sk)
+      val cells = (for {
+        r <- in.toSeq; v <- recipe.values
+      } yield (recipe.axis.map(get(r, _)).toSeq, (v, recipe.series.map(get(r, _)).toSeq)) -> num(r, v)).toMap
+      Pivot(recipe.variants.zip(vc), rowKeys, colKeys, cells, recipe.axis)
+    }
+  }
+
+  /** Number formatting per aggregate.py:929-961: a '{:.Nf}'-style format
+    * string, or an integer precision whose decimals derive from each
+    * value's order of magnitude (optionally from the max only). */
+  def formatNumber(x: Double, recipe: Recipe, maxValue: Double): String = {
+    if (x.isNaN) return "NaN"
+    recipe.numberFormat match {
+      case Some(fmt) if fmt.exists(c => !c.isDigit) =>
+        val m = "\\{:\\.(\\d+)f\\}".r.findFirstMatchIn(fmt)
+        m.map(mm => s"%.${mm.group(1)}f".format(x)).getOrElse(x.toString)
+      case Some(digits) =>
+        val precision = digits.toInt
+        def decimals(num: Double): Int =
+          if (num <= 0 || num.isNaN) 0
+          else math.max(precision - math.log10(num).toInt, 0)
+        val d = if (recipe.numberFormatMaxOnly) decimals(maxValue) else decimals(x)
+        s"%.${d}f".format(x)
+      case None => x.toString
+    }
+  }
+
+  /** K2: per-variant pretty-printed pivot tables. */
+  def pivotString(df: DataFrame, recipe: Recipe): String = {
+    val sb = new StringBuilder
+    for ((p, i) <- pivots(df, recipe).zipWithIndex) {
+      sb.append(s"Pivot table for variant ${i + 1}:\n")
+      for ((k, v) <- p.variant) sb.append(s"$k = $v\n")
+      sb.append('\n')
+      val maxVal = if (p.cells.isEmpty) 0.0
+        else p.cells.values.filterNot(_.isNaN).foldLeft(Double.MinValue)(math.max)
+      val header = p.axisNames ++ p.colKeys.map { case (v, sk) =>
+        (v +: sk.map(String.valueOf)).mkString("|")
+      }
+      val body = p.rowKeys.map { rk =>
+        rk.map(String.valueOf) ++ p.colKeys.map { ck =>
+          p.cells.get((rk, ck)).map(formatNumber(_, recipe, maxVal)).getOrElse("NaN")
+        }
+      }
+      val widths = (header +: body).transpose.map(_.map(_.length).max)
+      def fmtRow(cells: Seq[String]): String =
+        cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }.mkString("  ").stripTrailing()
+      sb.append(fmtRow(header)).append('\n')
+      body.foreach(r => sb.append(fmtRow(r)).append('\n'))
+      sb.append("\n\n")
+    }
+    sb.toString
+  }
+
+  /** K3: HTML report (no plots — SURVEY flags them optional). */
+  def toHtml(df: DataFrame, recipe: Recipe, title: String): String = {
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head><meta charset=\"utf-8\"><style>")
+      .append("table{border-collapse:collapse}td,th{border:1px solid #999;padding:4px 8px}")
+      .append("</style></head><body>\n")
+    sb.append(s"<h1><code>$title</code> Performance Results</h1>\n")
+    for ((p, i) <- pivots(df, recipe).zipWithIndex) {
+      sb.append("<hr>")
+      sb.append(s"<h3>Variant ${i + 1}: ${p.variant.map(_._2).mkString(", ")}</h3>\n")
+      for ((k, v) <- p.variant) sb.append(s"<p>$k = <b>$v</b></p>\n")
+      sb.append("<br>\n<table><tr>")
+      val maxVal = if (p.cells.isEmpty) 0.0
+        else p.cells.values.filterNot(_.isNaN).foldLeft(Double.MinValue)(math.max)
+      p.axisNames.foreach(a => sb.append(s"<th>$a</th>"))
+      p.colKeys.foreach { case (v, sk) =>
+        sb.append(s"<th>${(v +: sk.map(String.valueOf)).mkString("|")}</th>")
+      }
+      sb.append("</tr>\n")
+      for (rk <- p.rowKeys) {
+        sb.append("<tr>")
+        rk.foreach(k => sb.append(s"<td>$k</td>"))
+        p.colKeys.foreach { ck =>
+          val cell = p.cells.get((rk, ck)).map(formatNumber(_, recipe, maxVal)).getOrElse("NaN")
+          sb.append(s"<td>$cell</td>")
+        }
+        sb.append("</tr>\n")
+      }
+      sb.append("</table><br>\n")
+    }
+    sb.append("</body></html>\n")
+    sb.toString
+  }
+
+  def writeHtml(df: DataFrame, recipe: Recipe, path: String, title: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toHtml(df, recipe, title))
+}

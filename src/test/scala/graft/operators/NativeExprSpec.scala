@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.{bound, cosine, cosineHof}
+
+/** Native Catalyst expressions must be bit-identical to their reference
+  * higher-order-function formulations (same fold order), and the
+  * mapPartitions multimodal path must match the pure-expression path. */
+class NativeExprSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val emb = graft.Tables(spark, TestSpark.sfDir, "embeddings")
+  private lazy val docs = graft.Tables(spark, TestSpark.sfDir, "documents")
+
+  test("ArrayCosine == HOF cosine, bit-identical") {
+    val pairs = emb.limit(30).select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.limit(30).select(col("embedding").as("b")))
+    val diff = pairs.select(
+      (cosine(col("a"), col("b")) =!= cosineHof(col("a"), col("b"))).as("d"))
+      .filter(col("d")).count()
+    assert(diff == 0)
+  }
+
+  test("SignBucket == HOF signBucket") {
+    val diff = emb.select(
+      (Similarity.signBucket(col("embedding"), 8) =!=
+        Similarity.signBucketHof(col("embedding"), 8)).as("d"))
+      .filter(col("d")).count()
+    assert(diff == 0)
+  }
+
+  test("SimHash32 == shift/mod column formulation") {
+    val hs = transform(TextAnalysis.tokens(col("text")), t => TextAnalysis.hash32(t))
+    val colFormulation = bound(hs) { hsB =>
+      (0 until 32).map { b =>
+        val votes = aggregate(hsB, lit(0L),
+          (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
+        when(votes >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val diff = docs.limit(50)
+      .select((Dedup.simhash(col("text")) =!= colFormulation).as("d"))
+      .filter(col("d")).count()
+    assert(diff == 0)
+  }
+
+  test("AffineMinHash == column affine formulation") {
+    val sh = TextAnalysis.wordShingles(col("text"), 3)
+    val colSig = bound(transform(sh, s => TextAnalysis.hash32(s))) { hs =>
+      transform(sequence(lit(0), lit(11)), j =>
+        array_min(transform(hs, h => ((j * 2 + 1) * h + (j * 7919 + 104729)) % 2147483647L)))
+    }
+    val diff = docs.limit(50)
+      .select((Dedup.minhashSignature(col("text"), 12) =!= colSig).as("d"))
+      .filter(col("d")).count()
+    assert(diff == 0)
+  }
+
+  test("SortedLongJaccard == array_intersect/union jaccard") {
+    val sh = array_sort(array_distinct(transform(
+      TextAnalysis.wordShingles(col("text"), 3), s => TextAnalysis.hash60(s))))
+    val d = docs.limit(30).select(col("doc_id"), sh.as("sh"))
+    val pairs = d.select(col("sh").as("a"))
+      .crossJoin(d.select(col("sh").as("b")))
+    val diff = pairs.select(
+      (Dedup.jaccardSorted(col("a"), col("b")) =!= Dedup.jaccard(col("a"), col("b"))).as("d"))
+      .filter(col("d")).count()
+    assert(diff == 0)
+  }
+
+  test("multimodal mapPartitions decode == expression featurization") {
+    val mm = Multimodal.fromDocuments(docs.limit(100))
+    val viaPartitions = Multimodal.decodeAndFeaturize(mm)
+    val viaExpr = Multimodal.featurizeExpr(mm)
+    assert(viaPartitions.exceptAll(viaExpr).isEmpty &&
+      viaExpr.exceptAll(viaPartitions).isEmpty)
+  }
+
+  test("exact dedup keeps one row per key") {
+    val d = Dedup.exact(docs, Seq("lang"), "doc_id")
+    val langs = d.select("lang").collect().map(_.getString(0))
+    assert(langs.length == langs.distinct.length)
+  }
+}

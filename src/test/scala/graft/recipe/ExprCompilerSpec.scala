@@ -1,0 +1,93 @@
+package graft.recipe
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The precomputed-DSL idiom set from SURVEY §2.2, compiled and evaluated
+  * on a tiny frame. */
+class ExprCompilerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import ExprCompiler._
+
+  private def eval(expr: String, rows: Seq[(String, Long, Double)] =
+      Seq(("native_c/runs/x", 1L, 10.0), ("intelpython/runs/y", 4L, 2.5))): Seq[Any] = {
+    import spark.implicits._
+    val df = rows.toDF("Directory", "Threads", "Time")
+    df.select(compile(parse(expr)).as("r")).collect().map(r => r.get(0)).toSeq
+  }
+
+  test("string literal constant") {
+    assert(eval("'FFT'") == Seq("FFT", "FFT"))
+  }
+
+  test("conditional: 'Serial' if row['Threads'] == 1 else 'Parallel'") {
+    assert(eval("'Serial' if row['Threads'] == 1 else 'Parallel'") ==
+      Seq("Serial", "Parallel"))
+  }
+
+  test("path split + index with negatives") {
+    assert(eval("row['Directory'].split('/')[-1]") == Seq("x", "y"))
+    assert(eval("row['Directory'].split('/')[0]") == Seq("native_c", "intelpython"))
+  }
+
+  test("split + slice + list concat default (blackscholes idiom)") {
+    // slice beyond range -> empty -> concat default gives ['Unknown'][0]
+    assert(eval("(row['Directory'].split('/')[-9:-8]+['Unknown'])[0]") ==
+      Seq("Unknown", "Unknown"))
+    assert(eval("(row['Directory'].split('/')[0:1]+['Unknown'])[0]") ==
+      Seq("native_c", "intelpython"))
+  }
+
+  test("format string (df_clsf idiom)") {
+    assert(eval("'{}x{}'.format(row['Threads'], row['Threads'])") ==
+      Seq("1x1", "4x4"))
+  }
+
+  test("tuple membership and boolean or") {
+    assert(eval("row['Threads'] in (1, 2) or row['Time'] > 5") ==
+      Seq(true, false))
+  }
+
+  test("arithmetic and comparison") {
+    assert(eval("1 / (row['Time'] / 10)") == Seq(1.0, 4.0))
+    assert(eval("row['Threads'] != 1") == Seq(false, true))
+  }
+
+  test("capitalize matches python semantics (not initcap)") {
+    import spark.implicits._
+    val df = Seq("hello WORLD").toDF("s")
+    val out = df.select(compile(parse("row['s'].capitalize()"))).head.getString(0)
+    assert(out == "Hello world")
+  }
+
+  test("fillna -> coalesce") {
+    import spark.implicits._
+    val df = Seq((Some("a"), 1), (None, 2)).toDF("c", "i")
+    val out = df.select(compile(parse("df['c'].fillna('n/a')"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("a", "n/a"))
+  }
+
+  test("int() cast truncates") {
+    assert(eval("int(row['Time'])") == Seq(10L, 2L))
+  }
+
+  test("immediately-invoked lambda (fft idiom)") {
+    assert(eval("(lambda p: 'Native-C' if p == 'native_c' else p)(row['Directory'].split('/')[0])") ==
+      Seq("Native-C", "intelpython"))
+  }
+
+  test("ratio_of family parses into RatioCall with kwargs") {
+    val ast = parse("1 / ratio_of('Time', Prefix='native')")
+    val calls = ratioCalls(ast)
+    assert(calls == Seq(RatioCall("ratio_of", "Time", invert = false, Seq("Prefix" -> "native"))))
+  }
+
+  test("unsupported constructs fail loudly") {
+    assertThrows[ExprError](compile(parse("__import__('os')")))
+    assertThrows[ExprError](compile(parse("row['x'].unknown_method()")))
+    assertThrows[ExprError](compile(parse("open('/etc/passwd')")))
+    assertThrows[ExprError](parse("row['x'; DROP"))
+  }
+}

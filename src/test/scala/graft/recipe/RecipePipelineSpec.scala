@@ -1,0 +1,283 @@
+package graft.recipe
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** End-to-end recipe runs over synthetic log fixtures written to a temp
+  * dir: scan (glob, header imposition, line filter, .meta), normalize
+  * (rename, filters, precomputed incl. ratio_of), aggregate, sinks.
+  * Golden values are computed by hand.
+  */
+class RecipePipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(): Path = Files.createTempDirectory("graft_recipe")
+
+  private def write(dir: Path, name: String, content: String): Path = {
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p
+  }
+
+  test("CSV scan with headered files, rename, filter, mean aggregation") {
+    val dir = tmpDir()
+    write(dir, "a.csv",
+      """impl, size, time
+        |numpy, 100, 2.0
+        |numpy, 200, 4.0
+        |numba, 100, 1.0
+        |""".stripMargin)
+    write(dir, "b.csv",
+      """impl, size, time
+        |numba, 200, 3.0
+        |numba, 200, 5.0
+        |""".stripMargin)
+    val recipe =
+      s"""input:
+         |  path: "${dir}/*.csv"
+         |rename:
+         |  impl: Prefix
+         |aggregation: mean
+         |values: [time]
+         |series: [Prefix]
+         |axis: [size]
+         |""".stripMargin
+    val bench = Benchmark.fromString(spark, recipe)
+    val out = bench.getAggregatedData()
+    val rows = out.collect().map(r =>
+      (r.getAs[Any]("Prefix").toString, r.getAs[Long]("size"), r.getAs[Double]("time"))).toSet
+    assert(rows == Set(("numpy", 100L, 2.0), ("numpy", 200L, 4.0),
+      ("numba", 100L, 1.0), ("numba", 200L, 4.0)))
+    // provenance survived (first-aggregated)
+    assert(out.columns.contains("File"))
+  }
+
+  test("csv-header imposition when the file has no header") {
+    val dir = tmpDir()
+    write(dir, "raw.csv", "numpy, 100, 2.5\nnumba, 100, 1.25\n")
+    val recipe =
+      s"""input:
+         |  path: "${dir}/raw.csv"
+         |  csv-header: "impl, size, time"
+         |aggregation: min
+         |values: [time]
+         |series: [impl]
+         |""".stripMargin
+    val out = Benchmark.fromString(spark, recipe).getAggregatedData()
+    val m = out.collect().map(r => r.getAs[Any]("impl").toString -> r.getAs[Double]("time")).toMap
+    assert(m == Map("numpy" -> 2.5, "numba" -> 1.25))
+  }
+
+  test("regex line filter extracts fields from log lines") {
+    val dir = tmpDir()
+    write(dir, "bench.log",
+      """starting up...
+        |RESULT impl=numpy size=100 time=2.0
+        |some noise line
+        |RESULT impl=numba size=100 time=0.5
+        |done
+        |""".stripMargin)
+    val recipe =
+      s"""input:
+         |  path: "${dir}/bench.log"
+         |  csv-header: "impl, size, time"
+         |  filter:
+         |    'RESULT impl=(\\w+) size=(\\d+) time=([\\d.]+)': '\\1,\\2,\\3'
+         |aggregation: max
+         |values: [time]
+         |series: [impl]
+         |axis: [size]
+         |""".stripMargin
+    val out = Benchmark.fromString(spark, recipe).getAggregatedData()
+    val m = out.collect().map(r => r.getAs[Any]("impl").toString -> r.getAs[Double]("time")).toMap
+    assert(m == Map("numpy" -> 2.0, "numba" -> 0.5))
+  }
+
+  test(".meta sidecar adds constant columns") {
+    val dir = tmpDir()
+    write(dir, "r.csv", "impl, time\nnumpy, 1.0\n")
+    write(dir, "r.csv.meta", "Hostname: node01\nThreads: 8\n")
+    val recipe =
+      s"""input:
+         |  path: "${dir}/r.csv"
+         |aggregation: mean
+         |values: [time]
+         |series: [impl]
+         |""".stripMargin
+    val out = Benchmark.fromString(spark, recipe).getAggregatedData()
+    val r = out.collect()(0)
+    assert(r.getAs[Any]("Hostname") == "node01")
+    assert(r.getAs[Any]("Threads") == 8L)
+  }
+
+  test("precomputed ratio_of: ratio of aggregates joined back per-row") {
+    val dir = tmpDir()
+    write(dir, "perf.csv",
+      """Prefix, size, Time
+        |native, 100, 1.0
+        |native, 100, 3.0
+        |intel, 100, 4.0
+        |native, 200, 10.0
+        |intel, 200, 5.0
+        |""".stripMargin)
+    val recipe =
+      s"""input:
+         |  path: "${dir}/perf.csv"
+         |aggregation: mean
+         |precomputed:
+         |  Ratio: "ratio_of('Time', Prefix='native')"
+         |values: [Ratio]
+         |series: [Prefix]
+         |axis: [size]
+         |""".stripMargin
+    val out = Benchmark.fromString(spark, recipe).getAggregatedData()
+    val m = out.collect().map(r =>
+      (r.getAs[Any]("Prefix").toString, r.getAs[Long]("size")) -> r.getAs[Double]("Ratio")).toMap
+    // base mean(native,100)=2.0; intel/native = 4/2 = 2; native/native = 1
+    assert(m == Map(("native", 100L) -> 1.0, ("intel", 100L) -> 2.0,
+      ("native", 200L) -> 1.0, ("intel", 200L) -> 0.5))
+  }
+
+  test("ratio_of with missing base combination errors (parity)") {
+    val dir = tmpDir()
+    write(dir, "p.csv", "Prefix, Time\nintel, 4.0\n")
+    val recipe =
+      s"""input:
+         |  path: "${dir}/p.csv"
+         |aggregation: mean
+         |precomputed:
+         |  R: "ratio_of('Time', Prefix='native')"
+         |values: [R]
+         |series: [Prefix]
+         |""".stripMargin
+    val e = intercept[RecipeError](Benchmark.fromString(spark, recipe).getAggregatedData())
+    assert(e.msg.contains("doesn't exist"))
+  }
+
+  test("pack + unpack round trip with filter-in") {
+    val dir = tmpDir()
+    write(dir, "wide.csv",
+      """impl, fit, predict
+        |numpy, 2.0, 1.0
+        |numba, 1.0, 0.5
+        |""".stripMargin)
+    val recipe =
+      s"""input:
+         |  path: "${dir}/wide.csv"
+         |pack:
+         |  - columns: [fit, predict]
+         |    name: stage
+         |    value: time
+         |filter-in:
+         |  stage: [fit]
+         |aggregation: mean
+         |values: [time]
+         |series: [impl]
+         |""".stripMargin
+    val out = Benchmark.fromString(spark, recipe).getAggregatedData()
+    val m = out.collect().map(r => r.getAs[Any]("impl").toString -> r.getAs[Double]("time")).toMap
+    assert(m == Map("numpy" -> 2.0, "numba" -> 1.0))
+  }
+
+  test("expected-combination fill emits null row + warning (A7)") {
+    val dir = tmpDir()
+    write(dir, "e.csv", "impl, size, time\nnumpy, 100, 2.0\n")
+    val recipe =
+      s"""input:
+         |  path: "${dir}/e.csv"
+         |aggregation: mean
+         |values: [time]
+         |series: [impl]
+         |axis: [size]
+         |expected:
+         |  - [numpy]
+         |  - [numba]
+         |""".stripMargin
+    val bench = Benchmark.fromString(spark, recipe)
+    val out = bench.getAggregatedData()
+    val rows = out.collect().map(r => (r.getAs[Any]("impl").toString,
+      Option(r.getAs[Any]("time")))).toSet
+    assert(rows == Set(("numpy", Some(2.0)), ("numba", None)))
+    assert(bench.warnings.exists(_.contains("missing")))
+  }
+
+  test("ordering check warns when expected ordering violated (A8)") {
+    val dir = tmpDir()
+    write(dir, "o.csv", "impl, time\nslowlib, 1.0\nfastlib, 9.0\n")
+    val recipe =
+      s"""input:
+         |  path: "${dir}/o.csv"
+         |aggregation: mean
+         |values: [time]
+         |series: [impl]
+         |expected:
+         |  - [slowlib]
+         |  - [fastlib]
+         |""".stripMargin
+    // lower-is-better default: slowest (highest time) first = fastlib,
+    // but expected order says slowlib is slowest -> warning
+    val bench = Benchmark.fromString(spark, recipe)
+    bench.getAggregatedData()
+    assert(bench.warnings.exists(_.contains("ordering")))
+  }
+
+  test("child recipes compose (S7) and sinks render") {
+    val dir = tmpDir()
+    write(dir, "raw.csv", "impl, size, time\nnumpy, 100, 2.0\nnumba, 100, 0.5\n")
+    write(dir, "child.yml",
+      s"""input:
+         |  path: "${dir}/raw.csv"
+         |aggregation: mean
+         |values: [time]
+         |series: [impl]
+         |axis: [size]
+         |""".stripMargin)
+    write(dir, "parent.yml",
+      s"""input:
+         |  config: [child.yml]
+         |aggregation: mean
+         |values: [time]
+         |series: [impl]
+         |axis: [size]
+         |number-format: '{:.2f}'
+         |""".stripMargin)
+    val bench = Benchmark(spark, dir.resolve("parent.yml").toString)
+    val df = bench.getAggregatedData()
+    // File column stamped with child recipe name
+    assert(df.collect().forall(_.getAs[String]("File") == "child"))
+    val pretty = Sinks.pivotString(df, bench.recipe)
+    assert(pretty.contains("time|numpy") && pretty.contains("2.00"))
+    val csv = Sinks.toCsvString(df)
+    assert(csv.contains("0.500")) // %.3f floats
+    val html = Sinks.toHtml(df, bench.recipe, "parent")
+    assert(html.contains("<table>") && html.contains("time|numba"))
+  }
+
+  test("unpack pivots (name, value) rows into columns (R2)") {
+    val dir = tmpDir()
+    write(dir, "l.csv",
+      """impl, metric, v
+        |numpy, fit, 2.0
+        |numpy, predict, 1.0
+        |numba, fit, 0.5
+        |numba, predict, 0.25
+        |""".stripMargin)
+    val recipe =
+      s"""input:
+         |  path: "${dir}/l.csv"
+         |unpack:
+         |  - name: metric
+         |    value: v
+         |aggregation: mean
+         |values: [fit, predict]
+         |series: [impl]
+         |""".stripMargin
+    val out = Benchmark.fromString(spark, recipe).getAggregatedData()
+    val m = out.collect().map(r => r.getAs[Any]("impl").toString ->
+      (r.getAs[Double]("fit"), r.getAs[Double]("predict"))).toMap
+    assert(m == Map("numpy" -> ((2.0, 1.0)), "numba" -> ((0.5, 0.25))))
+  }
+}
