@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.EventWindows
+
+/** Streaming results must converge to the batch ground truth once the
+  * bounded stream drains. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  /** the file-stream source requires a DIRECTORY; stage the single
+    * parquet file into one */
+  private lazy val eventsPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming tumbling window == batch tumbling window") {
+    val stream = Streams.readEvents(spark, eventsPath)
+    val streamed = Streams.drainToMemory(spark,
+      Streams.tumbling(stream, "1 hour", "1 hour", Seq("event_type")),
+      "tumbling_test")
+    val batch = EventWindows.tumbling(
+      graft.Tables(spark, TestSpark.sfDir, "events"), "ts", "1 hour",
+      Seq("event_type"), "value")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() > 0)
+  }
+
+  test("streaming session windows match batch gaps-and-islands sessions") {
+    val stream = Streams.readEvents(spark, eventsPath)
+    val streamed = Streams.drainToMemory(spark,
+      Streams.sessions(stream, "30 minutes", "1 hour", "user_id"),
+      "sessions_test")
+    val batch = EventWindows.sessions(
+      graft.Tables(spark, TestSpark.sfDir, "events"), "ts", "user_id",
+      gapSeconds = 1800, "value")
+    // compare on (user, start, n, sum): session_window's end is
+    // last_ts + gap, while the batch form reports the last event ts
+    val a = streamed.select(col("user_id"), col("session_start"),
+      col("n_events"), col("sum_value"))
+    val b = batch.select(col("user_id"), col("session_start"),
+      col("n_events"), col("sum_value"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() > 0)
+  }
+}
