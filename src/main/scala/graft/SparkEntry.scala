@@ -372,7 +372,24 @@ object SparkEntry {
       graft.recipe.Benchmark.fromString(s, yaml)
         .getAggregatedData(df0 = Some(t(s, dir, "lineitem")))
         .select("l_returnflag", "l_linestatus", "Ratio")
-    })
+    }),
+
+    // ---- TEXT: BPE-ish regex token counting (subword budget estimate)
+    "q38_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang").agg(
+        sum(TextAnalysis.bpeTokenCount(col("text"))).as("sum_bpe"),
+        count(lit(1)).as("n_docs"))),
+
+    // ---- TEXT: order-sensitive polynomial rolling-hash fingerprint
+    "q39_rolling_fp" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("source").agg(
+        countDistinct(TextAnalysis.rollingFingerprint(col("text"))).as("n_uniq"),
+        min(TextAnalysis.rollingFingerprint(col("text"))).as("min_fp"),
+        count(lit(1)).as("n_docs"))),
+
+    // ---- EMBED: per-label centroid components (element-wise exact mean)
+    "q40_centroids" -> ((s, dir) =>
+      Similarity.centroidComponents(t(s, dir, "embeddings"), "label", "embedding"))
   )
 
   // DuckDB-dialect oracle. CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
@@ -690,6 +707,29 @@ object SparkEntry {
            SELECT l_linestatus, MEDIAN(l_extendedprice) AS b
            FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1)
          SELECT grp.l_returnflag, grp.l_linestatus, grp.v / base.b AS Ratio
-         FROM grp JOIN base USING (l_linestatus)"""
+         FROM grp JOIN base USING (l_linestatus)""",
+    "q38_bpe_tokens" ->
+      """SELECT lang,
+         CAST(SUM(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]| ?[^ a-z0-9]+'))) AS BIGINT) AS sum_bpe,
+         COUNT(*) AS n_docs
+         FROM documents GROUP BY 1""",
+    "q39_rolling_fp" -> {
+      val rfp = s"list_reduce(list_prepend(0::BIGINT, list_transform($TOKS, t -> ${H32("t")})), " +
+        "(acc, h) -> (acc * 31 + h) % 1000000007)"
+      s"""SELECT source,
+         COUNT(DISTINCT $rfp) AS n_uniq,
+         MIN($rfp) AS min_fp,
+         COUNT(*) AS n_docs
+         FROM documents GROUP BY 1"""
+    },
+    "q40_centroids" ->
+      """SELECT label, CAST(ord - 1 AS INT) AS dim,
+         ROUND(CAST(SUM(CAST(round(CAST(embedding[ord] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000 / COUNT(*), 6) AS centroid,
+         COUNT(*) AS n_vecs
+         FROM (SELECT label, embedding,
+                      unnest(range(1, len(embedding) + 1)) AS ord
+               FROM embeddings)
+         GROUP BY 1, 2"""
   )
 }

@@ -68,6 +68,22 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Per-label centroid components: element-wise decimal-exact mean of
+    * the embedding column, one output row per (label, dim). posexplode +
+    * groupBy — the shuffle is (n_vectors × dims) rows of (long, double),
+    * fully parallel and skew-free; re-assembly into arrays (when needed)
+    * is an array_agg over dims per label. */
+  def centroidComponents(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      // micro-unit quantized mean: round(x*1e6) summed as exact longs.
+      // Order-independent AND engine-independent (double->decimal casts
+      // round differently across engines; integer sums don't).
+      .agg(round(sum(round(col("x").cast(DoubleType) * 1e6, 0).cast("long"))
+          .cast(DoubleType) / 1e6 / count(lit(1)), 6).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+
   /** LSH-bucketed top-k: candidates share the sign bucket, exact rerank
     * within the bucket. Approximate — recall depends on `planes`. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,

@@ -39,6 +39,25 @@ object TextAnalysis {
         .otherwise(array_distinct(joined))
     }
 
+  /** BPE-ish subword tokens: a GPT-2-style regex over word / digit /
+    * punctuation classes (digits split individually, optional leading
+    * space glued to the token). Deterministic, model-free approximation
+    * for token-count budgeting. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(" ?[a-z]+| ?[0-9]| ?[^ a-z0-9]+"), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast(LongType)
+
+  /** Polynomial rolling hash over the token stream:
+    * h = fold(tokens, 0, (acc, t) -> (acc*31 + hash32(t)) mod 1e9+7).
+    * Order-sensitive (unlike the set-based [[fingerprint]]) — reordered
+    * documents get different fingerprints. All intermediates < 2^63, so
+    * the identical value is reproducible in engines that error on BIGINT
+    * overflow. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(transform(tokens(text), t => hash32(t)), lit(0L),
+      (acc, h) => (acc * 31L + h) % 1000000007L)
+
   /** Canonical document fingerprint: lowercase, strip non-alphanumerics to
     * spaces, collapse whitespace, md5. Two documents with the same
     * fingerprint are exact duplicates modulo case/punctuation/spacing. */

@@ -95,8 +95,11 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
         .agg(first(col(pc.value), ignoreNulls = true))
     }
 
-    // type inference pass 2
-    df = inferTypes(df)
+    // type inference pass 2 — only reshapes can change column contents
+    // (pivoted cells arrive as strings); skipping the no-op pass saves a
+    // full-table inference scan per recipe
+    if (recipe.pack.nonEmpty || recipe.unpack.nonEmpty)
+      df = inferTypes(df)
 
     // filter-in (F2)
     df = recipe.filterIn.foldLeft(df) { case (d, (c, vals)) =>
@@ -114,8 +117,10 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
       if (!df.columns.contains(c))
         throw RecipeError(s"""Column "$c" specified in config but not found""")
 
-    // type inference pass 3
-    df = inferTypes(df)
+    // type inference pass 3 — removing rows (filter-in) can newly make a
+    // string column castable; without a filter the pass is a no-op
+    if (recipe.filterIn.nonEmpty)
+      df = inferTypes(df)
 
     // values presence + float64 cast (P6)
     val missing = recipe.values.filterNot(df.columns.contains)
