@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
-import graft.operators.{Dedup, EventWindows, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventWindows, Joins, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry (+ matching DuckDB `oracleSql`)
   * per implemented operator from SURVEY.md §2.
@@ -389,7 +389,26 @@ object SparkEntry {
 
     // ---- EMBED: per-label centroid components (element-wise exact mean)
     "q40_centroids" -> ((s, dir) =>
-      Similarity.centroidComponents(t(s, dir, "embeddings"), "label", "embedding"))
+      Similarity.centroidComponents(t(s, dir, "embeddings"), "label", "embedding")),
+
+    // ---- DEDUP: exact keep-first dedup (window row_number)
+    "q41_dedup_keep_first" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), Seq("lang", "source"), "doc_id")
+        .select("lang", "source", "doc_id")),
+
+    // ---- J/SKEW: salted equi-join — identical results to the plain
+    //      join, hot keys sharded across reducers
+    "q42_salted_join" -> ((s, dir) =>
+      Joins.saltedEquiJoin(t(s, dir, "lineitem"), t(s, dir, "orders"),
+          "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("sum_price"))),
+
+    // ---- ANN: LSH-bucketed top-k (bucket equi-join + exact rerank)
+    "q43_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, planes = 8))
   )
 
   // DuckDB-dialect oracle. CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
@@ -730,6 +749,23 @@ object SparkEntry {
          FROM (SELECT label, embedding,
                       unnest(range(1, len(embedding) + 1)) AS ord
                FROM embeddings)
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "q41_dedup_keep_first" ->
+      """SELECT lang, source, doc_id FROM documents
+         QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1""",
+    "q42_salted_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         ${DSUM("l_extendedprice")} AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "q43_lsh_topk" ->
+      s"""WITH b AS (
+           SELECT vec_id AS id, embedding AS v, $SIGNBUCKET AS bkt FROM embeddings),
+         s AS (
+           SELECT a.id AS query_id, c.id AS neighbor_id, ${COS("a.v", "c.v")} AS cos
+           FROM b a JOIN b c ON a.bkt = c.bkt AND a.id <> c.id)
+         SELECT query_id, neighbor_id, cos,
+                CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         FROM s QUALIFY rank <= 3"""
   )
 }
