@@ -14,6 +14,6 @@ ADD_OPENS=(
 OPENS=()
 for p in "${ADD_OPENS[@]}"; do OPENS+=(--add-opens "$p=ALL-UNNAMED"); done
 exec java "${OPENS[@]}" \
-  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Xmx"${SPARK_DRIVER_MEM:-24g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"

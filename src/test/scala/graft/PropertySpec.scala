@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+
+/** Algebraic properties from SURVEY §5.3, checked over scalacheck-
+  * generated data (the scalatest-scalacheck bridge isn't in the offline
+  * cache, so generators are sampled directly). */
+class PropertySpec extends AnyFunSuite {
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val smallRows =
+    Gen.listOfN(24, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(1, 4),
+      Gen.choose(1.0, 100.0)))
+
+  test("melt then pivot is the identity on (key, metric) frames") {
+    for (rows <- samples(smallRows, 5)) {
+      if (rows.nonEmpty) {
+        val df = rows.zipWithIndex
+          .map { case ((s, i, d), idx) => (idx.toLong, s, i.toDouble, d) }
+          .toDF("id", "grp", "m1", "m2")
+        val melted = df.unpivot(Array(col("id"), col("grp")),
+          Array(col("m1"), col("m2")), "name", "value")
+        val back = melted.groupBy("id", "grp").pivot("name", Seq("m1", "m2"))
+          .agg(first(col("value")))
+        assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+      }
+    }
+  }
+
+  test("ratio_of the base series is 1 everywhere") {
+    for (rows <- samples(smallRows, 5)) {
+      if (rows.map(_._1).contains("a")) {
+        val df = rows.toDF("Prefix", "size", "Time")
+        val yaml =
+          """aggregation: mean
+            |precomputed:
+            |  R: "ratio_of('Time', Prefix='a')"
+            |values: [R]
+            |series: [Prefix]
+            |axis: [size]
+            |""".stripMargin
+        val out = recipe.Benchmark.fromString(spark, yaml)
+          .getAggregatedData(df0 = Some(df))
+        val baseRatios = out.filter(col("Prefix") === "a")
+          .select("R").collect().map(_.getDouble(0))
+        assert(baseRatios.nonEmpty && baseRatios.forall(r => math.abs(r - 1.0) < 1e-12))
+      }
+    }
+  }
+
+  test("geomean is scale-equivariant: geomean(k*x) == k * geomean(x)") {
+    for ((xs, k) <- samples(Gen.zip(Gen.listOfN(16, Gen.choose(0.5, 50.0)),
+        Gen.choose(2.0, 8.0)), 5)) {
+      if (xs.nonEmpty) {
+        val df = xs.toDF("x")
+        val Array(g1, g2) = df.select(
+          geomean(col("x") * k), geomean(col("x")) * k
+        ).collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+        assert(math.abs(g1 - g2) / math.max(g1, 1e-9) < 1e-9)
+      }
+    }
+  }
+
+  test("filter-in and filter-out partition the frame") {
+    for (rows <- samples(smallRows, 5)) {
+      if (rows.nonEmpty) {
+        val df = rows.toDF("grp", "size", "v")
+        val in = df.filter(col("grp").isin("a", "b"))
+        val out = df.filter(!col("grp").isin("a", "b"))
+        assert(in.count() + out.count() == df.count())
+        assert(in.intersect(out).isEmpty)
+      }
+    }
+  }
+
+  test("union-by-name pads missing columns with nulls and is schema-closed") {
+    val a = Seq((1L, "x")).toDF("id", "s")
+    val b = Seq((2L, 3.5)).toDF("id", "d")
+    val u = a.unionByName(b, allowMissingColumns = true)
+    assert(u.columns.sorted.toSeq == Seq("d", "id", "s"))
+    assert(u.count() == 2)
+    assert(u.filter(col("id") === 2 && col("s").isNull).count() == 1)
+  }
+
+  test("jaccard is symmetric and 1 on identical sets") {
+    val docs = graft.Tables(spark, TestSpark.sfDir, "documents").limit(10)
+    val sh = array_sort(array_distinct(transform(
+      operators.TextAnalysis.wordShingles(col("text"), 3),
+      s => operators.TextAnalysis.hash60(s))))
+    val d = docs.select(col("doc_id"), sh.as("sh"))
+    val self = d.select(operators.Dedup.jaccardSorted(col("sh"), col("sh")).as("j"))
+    assert(self.collect().forall(_.getDouble(0) == 1.0))
+    val pairs = d.select(col("sh").as("a"))
+      .crossJoin(d.select(col("sh").as("b")))
+    val asym = pairs.select(
+      (operators.Dedup.jaccardSorted(col("a"), col("b")) =!=
+        operators.Dedup.jaccardSorted(col("b"), col("a"))).as("x"))
+      .filter(col("x")).count()
+    assert(asym == 0)
+  }
+}
