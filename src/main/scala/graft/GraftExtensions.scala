@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{AffineMinHash, ArrayCosine, SignBucket, SimHash32, SortedLongJaccard}
+import graft.expressions.{AffineMinHash, ArrayCosine, Md5PrefixHashArray, SignBucket, SimHash32, SortedLongJaccard}
 
 /** Registers graft's native Catalyst expressions with a SparkSession via
   * the public extensions mechanism:
@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_jaccard_sorted"),
       new ExpressionInfo(classOf[SortedLongJaccard].getName, "graft_jaccard_sorted"),
       (es: Seq[Expression]) => SortedLongJaccard(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_md5_hash_array"),
+      new ExpressionInfo(classOf[Md5PrefixHashArray].getName, "graft_md5_hash_array"),
+      (es: Seq[Expression]) =>
+        Md5PrefixHashArray(es.head, es(1).eval().asInstanceOf[Int])))
     ext.injectFunction((FunctionIdentifier("graft_signbucket"),
       new ExpressionInfo(classOf[SignBucket].getName, "graft_signbucket"),
       (es: Seq[Expression]) =>

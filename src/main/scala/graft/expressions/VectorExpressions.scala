@@ -220,3 +220,40 @@ case class SignBucket(child: Expression, planes: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** md5-prefix hash of every element of a string array: element i ->
+  * first `nibbles` hex digits of md5(s_i) as a long (== the column
+  * formulation `conv(substring(md5(s),1,nibbles),16,10)::long` per
+  * element). One digest instance per row instead of one interpreted
+  * lambda + hex-string round-trip per element. */
+case class Md5PrefixHashArray(child: Expression, nibbles: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_md5_hash_array"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var v = 0L
+      var k = 0
+      while (k < nibbles) {
+        val b = d(k >> 1) & 0xff
+        val nib = if ((k & 1) == 0) b >> 4 else b & 0xf
+        v = (v << 4) | nib
+        k += 1
+      }
+      out(i) = v
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -45,7 +45,8 @@ object Dedup {
     * lambda-bound value (see [[graft.functions.bound]]) or a materialized
     * column, or the shingle computation is re-inlined per seed. */
   def minhashSignatureOf(sh: Column, k: Int): Column =
-    call_function("graft_minhash", transform(sh, s => hash32(s)), lit(k))
+    call_function("graft_minhash",
+      call_function("graft_md5_hash_array", sh, lit(8)), lit(k))
 
   /** MinHash signature straight from text (evaluates shingles once). */
   def minhashSignature(text: Column, k: Int, shingleN: Int = 3): Column =
@@ -81,7 +82,8 @@ object Dedup {
     // hash identically, yields the same Jaccard value
     val sig = df.select(
       col(idCol).as("id"),
-      array_sort(array_distinct(transform(wordShingles(col(textCol), 3), s => hash60(s)))).as("sh"),
+      array_sort(array_distinct(
+        call_function("graft_md5_hash_array", wordShingles(col(textCol), 3), lit(15)))).as("sh"),
       explode(bandsExpr).as("bk"))
     val a = sig.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bk"))
     val b = sig.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bk"))
@@ -121,7 +123,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
     val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      array_sort(array_distinct(transform(wordShingles(col(textCol), n), s => hash60(s)))).as("sh"))
+      array_sort(array_distinct(
+        call_function("graft_md5_hash_array", wordShingles(col(textCol), n), lit(15)))).as("sh"))
     val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk"))

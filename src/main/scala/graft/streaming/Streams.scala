@@ -71,3 +71,37 @@ object Streams {
     spark.table(name)
   }
 }
+
+/** Custom-state streaming operators (KeyValueGroupedDataset +
+  * flatMapGroupsWithState) — the escape hatch when built-in windows can't
+  * express the state machine. */
+object StatefulStreams {
+  import org.apache.spark.sql.{Dataset, Encoders, Row}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  /** Streaming first-seen filter: emit only the first row per key ever
+    * observed (state = one boolean per key; within a micro-batch the
+    * winner is the smallest tieBreak, so results are deterministic).
+    * The streaming form of Dedup.exact for unbounded ingestion. */
+  def firstSeen(df: DataFrame, keyCol: String, tieBreak: String): Dataset[Row] = {
+    val rowEnc = Encoders.row(df.schema)
+    val tupEnc = Encoders.tuple(Encoders.STRING, rowEnc)
+    val tieIdx = df.schema.fieldIndex(tieBreak)
+    val keyed = df.map(r => (String.valueOf(r.getAs[Any](keyCol)), r))(tupEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+    val tieOrd: Ordering[Any] = {
+      case (x: Number, y: Number) => x.doubleValue.compareTo(y.doubleValue)
+      case (x, y) => String.valueOf(x).compareTo(String.valueOf(y))
+    }
+    val fn = (_: String, rows: Iterator[(String, Row)], state: GroupState[Boolean]) =>
+      if (state.exists) Iterator.empty
+      else {
+        state.update(true)
+        val winner = rows.map(_._2).minBy(r => r.get(tieIdx))(tieOrd)
+        Iterator.single(winner)
+      }
+    keyed.flatMapGroupsWithState[Boolean, Row](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)(
+      Encoders.scalaBoolean, rowEnc)
+  }
+}

@@ -49,4 +49,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     assert(a.count() > 0)
   }
+
+  test("stateful firstSeen dedup emits exactly one row per key") {
+    val stream = Streams.readEvents(spark, eventsPath)
+    val deduped = StatefulStreams.firstSeen(stream, "user_id", "event_id")
+    val out = Streams.drainToMemory(spark, deduped.toDF(), "firstseen_test",
+      complete = false)
+    val batch = graft.Tables(spark, TestSpark.sfDir, "events")
+    val users = batch.select("user_id").distinct().count()
+    assert(out.count() == users)
+    // winner per key is the min event_id of the batch
+    val expected = graft.operators.Dedup.exact(batch, Seq("user_id"), "event_id")
+      .select("user_id", "event_id")
+    val got = out.select("user_id", "event_id")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
 }
