@@ -245,18 +245,11 @@ object SparkEntry {
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
         k = 12, bands = 4)),
 
-    // ---- DEDUP: SimHash (32-bit) + Hamming-distance near-dup histogram
-    "q23_simhash" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          Dedup.simhash(col("text")).as("sh"))
-      val a = d.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = d.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
-        .withColumn("hamming", Dedup.hamming(col("sh_a"), col("sh_b")))
-        .filter(col("hamming") <= 8)
-        .select("source", "id_a", "id_b", "hamming")
-    }),
+    // ---- DEDUP: SimHash (32-bit) + Hamming-distance near-dup pairs
+    "q23_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          "source", maxHamming = 8)
+        .withColumnRenamed("blk", "source")),
 
     // ---- ANN: brute-force cosine top-k (query side broadcast)
     "q24_cosine_topk" -> ((s, dir) => {

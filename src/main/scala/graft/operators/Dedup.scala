@@ -77,14 +77,20 @@ object Dedup {
         lshBandKeysOf(sig, bands, rowsPerBand)
       }
     }
+    // spread the shingle+hash work across all cores (a single input file
+    // arrives as one split), then land the exploded band rows on their
+    // bucket partitioning — the self-join reads BOTH sides from that one
+    // exchange instead of recomputing the hash pipeline twice
+    val par = df.sparkSession.sparkContext.defaultParallelism
     // hashed shingle sets for the verify-jaccard: long-array intersection
     // is far cheaper than string-array intersection and, since both sides
     // hash identically, yields the same Jaccard value
-    val sig = df.select(
+    val sig = df.repartition(par).select(
       col(idCol).as("id"),
       array_sort(array_distinct(
         call_function("graft_md5_hash_array", wordShingles(col(textCol), 3), lit(15)))).as("sh"),
       explode(bandsExpr).as("bk"))
+      .repartition(col("bk"))
     val a = sig.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bk"))
     val b = sig.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bk"))
     a.join(b, Seq("bk"))
@@ -118,13 +124,34 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast(LongType)
 
+  /** SimHash near-dup pairs within a blocking key: pairs with Hamming
+    * distance <= maxHamming. Input spread across cores, block-partitioned
+    * once so the self-join reuses a single exchange. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, maxHamming: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val d = df.repartition(par)
+      .select(col(blockCol).as("blk"), col(idCol).as("id"),
+        simhash(col(textCol)).as("sh"))
+      .repartition(col("blk"))
+    val a = d.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("blk"), col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** N-gram Jaccard near-dup pairs within a blocking key (e.g. source):
     * exact Jaccard >= threshold. Blocked equi-join, then verify. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      array_sort(array_distinct(
-        call_function("graft_md5_hash_array", wordShingles(col(textCol), n), lit(15)))).as("sh"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sh = df.repartition(par)
+      .select(col(blockCol).as("blk"), col(idCol).as("id"),
+        array_sort(array_distinct(
+          call_function("graft_md5_hash_array", wordShingles(col(textCol), n), lit(15)))).as("sh"))
+      .repartition(col("blk"))
     val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk"))
