@@ -89,8 +89,14 @@ object Similarity {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               k: Int, planes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), planes).as("bkt"))
+    // spread bucket computation across cores (single-file inputs arrive
+    // as one split); the bucket-keyed shuffle below is then reused by
+    // both sides of the self-join
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val keyed = df.repartition(par)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        signBucket(col(vecCol), planes).as("bkt"))
+      .repartition(col("bkt"))
     val a = keyed.select(col("bkt"), col("id").as("query_id"), col("v").as("qv"))
     val b = keyed.select(col("bkt"), col("id").as("neighbor_id"), col("v").as("cv"))
     val scored = a.join(b, Seq("bkt"))
