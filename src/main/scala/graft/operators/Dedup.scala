@@ -70,9 +70,9 @@ object Dedup {
     * bucket sizes squared, not corpus². Shingles and signature are
     * let-bound so the md5 work runs exactly once per document. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 12, bands: Int = 4): DataFrame = {
+                        k: Int = 12, bands: Int = 4, shingleN: Int = 3): DataFrame = {
     val rowsPerBand = k / bands
-    val bandsExpr = graft.functions.bound(wordShingles(col(textCol), 3)) { sh =>
+    val bandsExpr = graft.functions.bound(wordShingles(col(textCol), shingleN)) { sh =>
       graft.functions.bound(minhashSignatureOf(sh, k)) { sig =>
         lshBandKeysOf(sig, bands, rowsPerBand)
       }
@@ -88,7 +88,7 @@ object Dedup {
     val sig = df.repartition(par).select(
       col(idCol).as("id"),
       array_sort(array_distinct(
-        call_function("graft_md5_hash_array", wordShingles(col(textCol), 3), lit(15)))).as("sh"),
+        call_function("graft_md5_hash_array", wordShingles(col(textCol), shingleN), lit(15)))).as("sh"),
       explode(bandsExpr).as("bk"))
       .repartition(col("bk"))
     val a = sig.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bk"))
@@ -124,9 +124,63 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast(LongType)
 
+  /** SimHash near-dup pairs via band multi-index (the scale path): the
+    * 32-bit simhash is split into `bands` contiguous bit-slices; candidate
+    * pairs agree exactly on >= 1 band (equi-join per band), then the full
+    * Hamming distance <= maxHamming is verified. Pigeonhole: any pair with
+    * Hamming < `bands` is guaranteed caught; beyond that recall decays
+    * gracefully (pairs this method targets — true near-dups — sit at
+    * Hamming 0-3). Unlike blocking on a data column, the band keys are
+    * content-derived, so bucket population tracks content diversity, not a
+    * fixed attribute domain; at larger corpus scale, widen the hash (64
+    * bit) and bands to keep buckets small. Reference semantics:
+    * SimHash per Charikar'02 / Manku et al. WWW'07 multi-index.
+    */
+  def simhashBandPairs(df: DataFrame, idCol: String, textCol: String,
+                       bands: Int = 4, maxHamming: Int = 8): DataFrame = {
+    require(32 % bands == 0, s"bands must divide 32, got $bands")
+    val bandBits = 32 / bands
+    val mask = (1L << bandBits) - 1
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val bandKeys = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
+    }: _*)
+    val keyed = df.repartition(par)
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .select(col("id"), col("sh"), explode(bandKeys).as("bk"))
+      .repartition(col("bk"))
+    val a = keyed.select(col("bk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = keyed.select(col("bk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+
+  /** N-gram Jaccard near-dup above `threshold`, LSH-accelerated (the scale
+    * path): MinHash band buckets generate candidates (equi-join, cost =
+    * sum of bucket sizes squared), exact shingle-Jaccard verifies. With
+    * rows-per-band r = k/bands, a pair at Jaccard J survives a band with
+    * probability J^r; at the thresholds this operator is for (>= 0.5),
+    * recall across `bands` bands is 1-(1-J^r)^bands ≈ 1 (e.g. J=0.9,
+    * r=2, 8 bands: 1 - (1-0.81)^8 > 0.99999). Low-J pairs almost never
+    * collide, so the candidate set stays near-linear in corpus size. */
+  def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.5,
+                           k: Int = 16, bands: Int = 8): DataFrame =
+    minhashCandidates(df, idCol, textCol, k = k, bands = bands, shingleN = n)
+      .filter(col("jaccard") >= threshold)
+
   /** SimHash near-dup pairs within a blocking key: pairs with Hamming
     * distance <= maxHamming. Input spread across cores, block-partitioned
-    * once so the self-join reuses a single exchange. */
+    * once so the self-join reuses a single exchange.
+    *
+    * ⚠ Scale note: only appropriate when `blockCol` cardinality grows with
+    * the corpus (e.g. a domain/shard key) — with a fixed-domain block key
+    * the within-block pair count grows quadratically. Prefer
+    * [[simhashBandPairs]], whose keys derive from content. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, maxHamming: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
@@ -161,7 +215,47 @@ object Dedup {
       .select("blk", "id_a", "id_b", "jaccard")
   }
 
-  /** Embedding-cosine near-dup pairs above `threshold`.
+  /** Embedding-cosine near-dup via banded sign-LSH with Hamming-1
+    * multi-probe (the scale path). One `bands*bandBits`-plane sign sketch
+    * per vector is sliced into `bands` keys; the probe side additionally
+    * emits every 1-bit flip of each key, so a pair is a candidate iff some
+    * band's keys differ by <= 1 bit. Exact cosine then verifies
+    * `threshold`.
+    *
+    * Recall/cost trade (per-plane agree prob a = 1 - arccos(cos)/π):
+    * P(band candidate) = a^B + B(1-a)a^(B-1) for B=bandBits. Designed for
+    * true near-dups (cos >= 0.9: a=.857, 4x8 bands => ~99% recall) where
+    * random pairs (a=.5) collide at ~3.5% per band — near-linear
+    * candidate volume. At looser thresholds recall decays (cos 0.4-0.5:
+    * ~50%, measured 31/59 on the sf0.01 corpus) — no hash method prunes
+    * at 63° angles; the exact [[embeddingNearDups]] path remains for
+    * broadcast-sized sides. Buckets are content-derived; scale planes
+    * with log2(corpus) to hold bucket sizes constant. */
+  def embeddingNearDupsBanded(df: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, bands: Int = 4,
+                              bandBits: Int = 8): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    def bandKey(b: Int): Column =
+      shiftright(col("sk"), b * bandBits).bitwiseAND(lit(mask))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val keyed = df.repartition(par).select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.signBucket(col(vecCol), bands * bandBits).as("sk"))
+    val exactKeys = array((0 until bands).map(b =>
+      struct(lit(b).as("band"), bandKey(b).as("key"))): _*)
+    val probeKeys = array((for { b <- 0 until bands; p <- -1 until bandBits } yield
+      struct(lit(b).as("band"),
+        (if (p < 0) bandKey(b) else bandKey(b).bitwiseXOR(lit(1L << p))).as("key"))): _*)
+    val an = keyed.select(col("id").as("id_a"), col("v").as("v_a"), explode(exactKeys).as("bk"))
+    val bn = keyed.select(col("id").as("id_b"), col("v").as("v_b"), explode(probeKeys).as("bk"))
+    an.join(bn, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+      .distinct()
+  }
+
+  /** Embedding-cosine near-dup pairs above `threshold` — exact.
     *
     * With `block` set (e.g. [[Similarity.signBucket]]) the pair space is
     * an equi-join on the bucket key — the scale path: cost is the sum of

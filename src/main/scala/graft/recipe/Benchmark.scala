@@ -50,9 +50,12 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
 
     // filter-out (F1) — before inference, like the reference; CSV schema
     // inference already typed per-file columns, so YAML `[2, 3]` matches
-    // numeric 2 (typed isin, SURVEY §2.3)
+    // numeric 2 (typed isin, SURVEY §2.3). Null cells are KEPT: pandas
+    // `~df[col].isin(vals)` is True for NaN, while SQL NOT IN is null —
+    // without the isNull disjunct, union-by-name rows whose filter column
+    // came from another file would be silently dropped.
     df = recipe.filterOut.foldLeft(df) { case (d, (c, vals)) =>
-      d.filter(!col(c).isin(vals: _*))
+      d.filter(col(c).isNull || !col(c).isin(vals: _*))
     }
 
     // type inference pass 1 (P5)
@@ -237,9 +240,17 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
           else df.select(av.map(col): _*).distinct().crossJoin(expectedDf)
         val present = df.select((av ++ series).map(col): _*).distinct()
         val missing = grid.join(present, av ++ series, "left_anti")
-        val nMissing = missing.count()
-        if (nMissing > 0) {
-          warnings += s"$nMissing expected series combination(s) missing; filled with nulls"
+        // collect once (small: bounded by |axis×variants combos| × |expected|):
+        // drives both the fill and the per-group `needed` sets of the
+        // ordering check below (aggregate.py:640-644, 691-693)
+        val missingRows = missing.collect()
+        val neededByGroup: Map[Seq[Any], Set[List[Any]]] = missingRows.toSeq
+          .groupBy(r => av.indices.map(r.get(_): Any))
+          .map { case (k, rs) =>
+            k -> rs.map(r => series.indices.map(i => r.get(av.size + i)).toList).toSet
+          }
+        if (missingRows.nonEmpty) {
+          warnings += s"${missingRows.length} expected series combination(s) missing; filled with nulls"
           df = df.unionByName(missing, allowMissingColumns = true)
         }
 
@@ -262,8 +273,13 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
               .sortBy(r => r.getAs[Double](vIdx))(
                 if (ascending) Ordering[Double] else Ordering[Double].reverse)
               .map(r => series.indices.map(i => r.get(av.size + i)).toList)
-            val expectedOrd = expectedCombos.map(_.toList).filter(actualAll.contains)
-            val actualOrd = actualAll.filter(expectedOrd.contains)
+            // remove only the filled-missing (`needed`) combos from both
+            // orderings (aggregate.py:691-693) — a present combo that is
+            // NOT in `expected` stays in actualAll and warns, like the
+            // reference
+            val needed = neededByGroup.getOrElse(grpKey, Set.empty)
+            val expectedOrd = expectedCombos.map(_.toList).filterNot(needed.contains)
+            val actualOrd = actualAll.filterNot(needed.contains)
             if (actualOrd != expectedOrd)
               warnings += s"Unexpected performance ordering for value $v in group " +
                 s"[${grpKey.mkString(",")}] (slowest to fastest): " +

@@ -99,6 +99,11 @@ object CsvSource {
   def scan(spark: SparkSession, recipe: Recipe,
            extraFrames: Seq[DataFrame] = Seq.empty,
            inputs: Option[Seq[String]] = None): DataFrame = {
+    // S4: no sqlite JDBC driver ships in this build — fail loudly instead
+    // of feeding a SQLite binary through the CSV parser (aggregate.py:295-314)
+    if (recipe.input.format != "csv")
+      throw RecipeError(
+        s"input.format '${recipe.input.format}' is unsupported in this build (only 'csv')")
     val patterns = inputs.getOrElse(recipe.input.paths)
     val files = expandGlobs(spark, patterns, recipe.baseDir)
     if (files.isEmpty && patterns.nonEmpty)

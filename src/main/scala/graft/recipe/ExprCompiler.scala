@@ -432,7 +432,15 @@ object ExprCompiler {
       case FuncCall("float", Seq(a), _) => go(a).cast("double")
       case FuncCall("str", Seq(a), _) => go(a).cast("string")
       case FuncCall("abs", Seq(a), _) => abs(go(a))
-      case FuncCall("len", Seq(a), _) => length(go(a))
+      case FuncCall("len", Seq(a), _) => a match {
+        // Python len() of a list → element count; of a string → chars.
+        // Dispatch on operand shape: split/slice/list-literal/list-concat
+        // receivers are arrays, where Spark length() would fail analysis.
+        case _: SliceOp | _: ListLit | Method(_, "split", _) |
+             Bin("+", _: SliceOp | _: ListLit | Method(_, "split", _), _) =>
+          size(go(a)).cast("long")
+        case _ => length(go(a)).cast("long")
+      }
       case FuncCall(fn, _, _) => throw ExprError(s"unsupported function $fn(...)")
       case LambdaInvoke(param, body, arg) =>
         compile(body, ratioBindings, params + (param -> go(arg)))

@@ -21,8 +21,10 @@ object Sinks {
       sb.append(cols.indices.map { i =>
         if (r.isNullAt(i)) ""
         else cols(i).dataType match {
-          case DoubleType => "%.3f".format(r.getDouble(i))
-          case FloatType => "%.3f".format(r.getFloat(i))
+          // formatLocal(ROOT): pandas float_format is locale-independent;
+          // plain .format would emit "2,000" on comma-decimal locales
+          case DoubleType => "%.3f".formatLocal(java.util.Locale.ROOT, r.getDouble(i))
+          case FloatType => "%.3f".formatLocal(java.util.Locale.ROOT, r.getFloat(i))
           case _ =>
             val s = r.get(i).toString
             if (s.contains(",") || s.contains("\"") || s.contains("\n"))
@@ -86,14 +88,14 @@ object Sinks {
     recipe.numberFormat match {
       case Some(fmt) if fmt.exists(c => !c.isDigit) =>
         val m = "\\{:\\.(\\d+)f\\}".r.findFirstMatchIn(fmt)
-        m.map(mm => s"%.${mm.group(1)}f".format(x)).getOrElse(x.toString)
+        m.map(mm => s"%.${mm.group(1)}f".formatLocal(java.util.Locale.ROOT, x)).getOrElse(x.toString)
       case Some(digits) =>
         val precision = digits.toInt
         def decimals(num: Double): Int =
           if (num <= 0 || num.isNaN) 0
           else math.max(precision - math.log10(num).toInt, 0)
         val d = if (recipe.numberFormatMaxOnly) decimals(maxValue) else decimals(x)
-        s"%.${d}f".format(x)
+        s"%.${d}f".formatLocal(java.util.Locale.ROOT, x)
       case None => x.toString
     }
   }

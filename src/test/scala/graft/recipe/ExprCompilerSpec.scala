@@ -84,6 +84,13 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(calls == Seq(RatioCall("ratio_of", "Time", invert = false, Seq("Prefix" -> "native"))))
   }
 
+  test("len() dispatches on operand shape: list -> size, string -> length") {
+    assert(eval("len(row['Directory'].split('/'))") == Seq(3L, 3L))
+    assert(eval("len(row['Directory'].split('/')[0:2])") == Seq(2L, 2L))
+    assert(eval("len(row['Directory'])") == Seq("native_c/runs/x".length.toLong,
+      "intelpython/runs/y".length.toLong))
+  }
+
   test("unsupported constructs fail loudly") {
     assertThrows[ExprError](compile(parse("__import__('os')")))
     assertThrows[ExprError](compile(parse("row['x'].unknown_method()")))

@@ -280,4 +280,66 @@ class RecipePipelineSpec extends AnyFunSuite {
       (r.getAs[Double]("fit"), r.getAs[Double]("predict"))).toMap
     assert(m == Map("numpy" -> ((2.0, 1.0)), "numba" -> ((0.5, 0.25))))
   }
+
+  test("filter-out keeps null rows (pandas ~isin semantics)") {
+    // multi-file union-by-name: b.csv has no 'mode' column, so its rows
+    // arrive with mode = null; pandas ~df['mode'].isin(['skip']) keeps them
+    val dir = tmpDir()
+    write(dir, "a.csv", "impl, mode, time\nnumpy, skip, 9.0\nnumpy, keep, 2.0\n")
+    write(dir, "b.csv", "impl, time\nnumba, 1.0\n")
+    val recipe =
+      s"""input:
+         |  path: "${dir}/*.csv"
+         |filter-out:
+         |  mode: [skip]
+         |aggregation: mean
+         |values: [time]
+         |series: [impl]
+         |""".stripMargin
+    val out = Benchmark.fromString(spark, recipe).getAggregatedData()
+    val m = out.collect().map(r =>
+      r.getAs[Any]("impl").toString -> r.getAs[Double]("time")).toMap
+    assert(m == Map("numpy" -> 2.0, "numba" -> 1.0))
+  }
+
+  test("input.format: sql fails loudly (S4 unsupported in this build)") {
+    val dir = tmpDir()
+    write(dir, "x.db", "not really sqlite")
+    val recipe =
+      s"""input:
+         |  path: "${dir}/x.db"
+         |  format: sql
+         |  table-name: t
+         |aggregation: mean
+         |values: [v]
+         |""".stripMargin
+    val err = intercept[RecipeError] {
+      Benchmark.fromString(spark, recipe).getRawData()
+    }
+    assert(err.msg.contains("format 'sql' is unsupported"))
+  }
+
+  test("A8 ordering check: extra non-expected combo still warns (parity)") {
+    // expected lists only numpy/numba; dask is present and slower than
+    // numba -> actual ordering [numpy, dask, numba] != expected [numpy,
+    // numba] after removing only the `needed` (missing) combos — the
+    // reference warns here (aggregate.py:691-693), two-way intersection
+    // would not.
+    val dir = tmpDir()
+    write(dir, "a.csv",
+      "impl, time\nnumpy, 4.0\nnumba, 1.0\ndask, 2.0\n")
+    val recipe =
+      s"""input:
+         |  path: "${dir}/a.csv"
+         |aggregation: mean
+         |values: [time]
+         |series: [impl]
+         |expected:
+         |  - [numpy]
+         |  - [numba]
+         |""".stripMargin
+    val bench = Benchmark.fromString(spark, recipe)
+    bench.getAggregatedData().collect()
+    assert(bench.warnings.exists(_.contains("Unexpected performance ordering")))
+  }
 }
