@@ -233,11 +233,12 @@ object SparkEntry {
         min(fp).as("min_fp"))
     }),
 
-    // ---- DEDUP: exact word-3-gram Jaccard near-dup pairs, blocked by
-    //      source (equi-join blocking, then verify — no cross join)
+    // ---- DEDUP: word-3-gram Jaccard near-dup pairs >= 0.5, candidates
+    //      from MinHash-LSH banding (k=16, bands=8) + exact-Jaccard
+    //      verify — content-derived bucket keys, no fixed-domain blocking
     "q21_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-        "doc_id", "text", "source", 3, 0.02)),
+      Dedup.ngramJaccardNearDups(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.5, k = 16, bands = 8)),
 
     // ---- DEDUP: MinHash signature + LSH band-bucket candidate pairs
     //      (k=12, bands=4) with exact-Jaccard verification
@@ -245,11 +246,12 @@ object SparkEntry {
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
         k = 12, bands = 4)),
 
-    // ---- DEDUP: SimHash (32-bit) + Hamming-distance near-dup pairs
+    // ---- DEDUP: SimHash (32-bit) near-dup pairs via band multi-index.
+    //      maxHamming=3 < bands=4 => pigeonhole-complete: the oracle is
+    //      the all-pairs ground truth, so a hash-match PROVES recall=1
     "q23_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-          "source", maxHamming = 8)
-        .withColumnRenamed("blk", "source")),
+      Dedup.simhashBandPairs(t(s, dir, "documents"), "doc_id", "text",
+        bands = 4, maxHamming = 3)),
 
     // ---- ANN: brute-force cosine top-k (query side broadcast)
     "q24_cosine_topk" -> ((s, dir) => {
@@ -258,10 +260,12 @@ object SparkEntry {
         e.filter(col("vec_id") < 8), e, "vec_id", "embedding", 5)
     }),
 
-    // ---- DEDUP: embedding-cosine near-dup pairs above threshold
+    // ---- DEDUP: embedding-cosine near-dup pairs via banded sign-LSH
+    //      (4 bands x 8 bits) with Hamming-1 multi-probe + exact-cosine
+    //      verify — bucket equi-join, no BroadcastNestedLoopJoin
     "q25_embedding_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDups(t(s, dir, "embeddings"),
-        "vec_id", "embedding", 0.4)),
+      Dedup.embeddingNearDupsBanded(t(s, dir, "embeddings"),
+        "vec_id", "embedding", 0.4, bands = 4, bandBits = 8)),
 
     // ---- ANN: deterministic random-hyperplane LSH bucket histogram
     "q26_lsh_buckets" -> ((s, dir) =>
@@ -448,12 +452,13 @@ object SparkEntry {
     s"""ROUND((LEAST($nTok / 64.0, 1.0) + $alpha + LEAST($stop * 4.0, 1.0)) / 3.0
         * (1.0 - LEAST($punct * 4.0, 1.0) * 0.5), 6)"""
   }
-  /** Similarity.signBucket(embedding, 8) replicated */
-  private val SIGNBUCKET = {
+  /** Similarity.signBucket(embedding, planes) replicated */
+  private def SIGNBUCKETN(planes: Int) = {
     val sign = s"CASE WHEN ${H32("p::VARCHAR || ',' || i::VARCHAR")} % 2 = 0 THEN 1.0 ELSE -1.0 END"
     val dot = SUMD(s"list_transform(range(0, len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * $sign)")
-    SUMD(s"list_transform(range(0, 8), p -> CASE WHEN $dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)")
+    SUMD(s"list_transform(range(0, $planes), p -> CASE WHEN $dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)")
   }
+  private val SIGNBUCKET = SIGNBUCKETN(8)
   /** Dedup.simhash replicated: 32-bit sign-vote hash over token hashes */
   private val SIMHASH = {
     val hs = s"list_transform($TOKS, t -> ${H32("t")})"
@@ -602,14 +607,23 @@ object SparkEntry {
          COUNT(DISTINCT $fp) AS n_uniq, MIN($fp) AS min_fp
          FROM documents GROUP BY 1"""
     },
+    // mirrors Dedup.ngramJaccardNearDups: MinHash k=16 / bands=8 (rows
+    // per band = 2) candidate generation, exact-Jaccard verify >= 0.5
     "q21_ngram_jaccard" ->
       s"""WITH sh AS (
-           SELECT source AS blk, doc_id AS id, $HSHINGLES3 AS sh FROM documents)
+           SELECT doc_id AS id, $SHINGLES3 AS strsh, $HSHINGLES3 AS sh FROM documents),
+         sig AS (
+           SELECT id, sh, list_transform(range(0, 16),
+             j -> list_min(list_transform(hs, h -> ((j*2+1) * h + (j*7919+104729)) % 2147483647))) AS sig
+           FROM (SELECT id, sh, list_transform(strsh, s -> ${H32("s")}) AS hs FROM sh)),
+         bands AS (
+           SELECT id, sh, r.b,
+             ${H60("array_to_string(list_transform(sig[r.b*2+1 : r.b*2+2], x -> x::VARCHAR), ',')")} AS bkey
+           FROM sig, range(0, 8) r(b))
          SELECT * FROM (
-           SELECT a.blk, a.id AS id_a, b.id AS id_b,
-                  ${JACC("a.sh", "b.sh")} AS jaccard
-           FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id)
-         WHERE jaccard >= 0.02""",
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b, ${JACC("a.sh", "b.sh")} AS jaccard
+           FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id)
+         WHERE jaccard >= 0.5""",
     "q22_minhash_lsh" ->
       s"""WITH sh AS (
            SELECT doc_id AS id, $SHINGLES3 AS strsh, $HSHINGLES3 AS sh FROM documents),
@@ -623,12 +637,15 @@ object SparkEntry {
            FROM sig, range(0, 4) r(b))
          SELECT DISTINCT a.id AS id_a, b.id AS id_b, ${JACC("a.sh", "b.sh")} AS jaccard
          FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id""",
+    // all-pairs GROUND TRUTH (not the band construction): with
+    // maxHamming=3 < bands=4 the band multi-index is pigeonhole-complete,
+    // so the Spark side must reproduce this exactly — recall proof
     "q23_simhash" ->
-      s"""WITH d AS (SELECT doc_id, source, $SIMHASH AS sh FROM documents)
-         SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+      s"""WITH d AS (SELECT doc_id, $SIMHASH AS sh FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-         FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.sh, b.sh)) <= 8""",
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
     "q24_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -638,11 +655,17 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cos,
                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
          FROM s QUALIFY rank <= 5""",
+    // mirrors Dedup.embeddingNearDupsBanded: candidate iff some 8-bit band
+    // of the 32-plane sign sketch differs by <= 1 bit (Hamming-1
+    // multi-probe), exact-cosine verify >= 0.4
     "q25_embedding_neardup" ->
-      s"""SELECT * FROM (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                  ${COS("a.embedding", "b.embedding")} AS cos
-           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      s"""WITH e AS (
+           SELECT vec_id AS id, embedding AS v, ${SIGNBUCKETN(32)} AS sk FROM embeddings)
+         SELECT * FROM (
+           SELECT a.id AS id_a, b.id AS id_b, ${COS("a.v", "b.v")} AS cos
+           FROM e a JOIN e b ON a.id < b.id
+           WHERE len(list_filter(range(0, 4),
+                 bb -> bit_count(xor((a.sk >> (bb*8)) & 255, (b.sk >> (bb*8)) & 255)) <= 1)) > 0)
          WHERE cos >= 0.4""",
     "q26_lsh_buckets" ->
       s"""SELECT $SIGNBUCKET AS bucket, COUNT(*) AS n_vecs

@@ -47,4 +47,28 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q29_sessions")
     assert("hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty)
   }
+
+  test("embedding near-dup is a bucket equi-join, not a nested loop (q25)") {
+    val p = plan("q25_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // candidate generation joins on the exploded band key
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"))
+    assert("\\[bk".r.findAllIn(p).nonEmpty || p.contains("bk#"))
+  }
+
+  test("simhash near-dup joins on the band key (q23)") {
+    val p = plan("q23_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("no suite query materializes an unbounded pair space") {
+    // suite-wide invariant: the only non-equi join allowed anywhere is a
+    // *broadcast* nested loop whose build side is a bounded query/dim set
+    // (q24 exact ANN baseline) — never a CartesianProduct
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name has a CartesianProduct")
+    }
+  }
 }
