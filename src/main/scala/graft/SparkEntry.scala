@@ -405,7 +405,46 @@ object SparkEntry {
     // ---- ANN: LSH-bucketed top-k (bucket equi-join + exact rerank)
     "q43_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, planes = 8))
+        k = 3, planes = 8)),
+
+    // ---- REFERENCE CORPUS (SURVEY §5): the reference's own recipes run
+    //      verbatim against fixtures derived from the driver tables, so
+    //      the DuckDB oracle can recompute end-to-end from the tables.
+
+    // omnisci-query-times.yml: regex line-carving (S2 append/replace/
+    // drop), header imposition, mean by queryID x logID
+    "q44_corpus_omnisci" -> ((s, dir) => {
+      val root = graft.corpus.ReferenceCorpus.ensure(s, dir)
+      graft.recipe.Benchmark(s, s"$root/omnisci-query-times.yml")
+        .getAggregatedData()
+        .select(col("queryID").cast("long").as("queryID"),
+          col("logID").cast("long").as("logID"),
+          col("execution_time_ms"), col("total_time_ms"))
+    }),
+
+    // raw/df_clsf.yml: header-line regex rename, pack (melt) of
+    // fit/predict, .format precompute, path-derived Arch, filter-out
+    "q45_corpus_df_clsf" -> ((s, dir) => {
+      val root = graft.corpus.ReferenceCorpus.ensure(s, dir)
+      graft.recipe.Benchmark(s, s"$root/raw/df_clsf.yml")
+        .getAggregatedData()
+        .select(col("Size"), col("classes").cast("long").as("classes"),
+          col("Mode"), col("Function"), col("Prefix"), col("Arch"),
+          col("Time"))
+    }),
+
+    // summary_indicators.yml -> indicators.yml -> indicators/{blackscholes,
+    // fft}.yml -> raw/{blackscholes,fft}.yml: the reference's 3-layer
+    // recipe DAG with ratio_of at the indicator layer, union with the
+    // targets.csv side input (dropped by groupby-dropna parity at the
+    // summary), geomean at the top
+    "q46_corpus_summary_dag" -> ((s, dir) => {
+      val root = graft.corpus.ReferenceCorpus.ensure(s, dir)
+      graft.recipe.Benchmark(s, s"$root/summary_indicators.yml")
+        .getAggregatedData()
+        .select(col("Domain"), col("Prefix"), col("Mode"), col("Arch"),
+          round(col("Ratio"), 6).as("Ratio"))
+    })
   )
 
   // DuckDB-dialect oracle. CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
@@ -782,6 +821,90 @@ object SparkEntry {
            FROM b a JOIN b c ON a.bkt = c.bkt AND a.id <> c.id)
          SELECT query_id, neighbor_id, cos,
                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
-         FROM s QUALIFY rank <= 3"""
+         FROM s QUALIFY rank <= 3""",
+    // recomputes the omnisci fixture mapping (ReferenceCorpus: qid=k%25,
+    // logid=k%4, exec=1+(k*7)%997, total=exec+k%97) end-to-end
+    "q44_corpus_omnisci" ->
+      """SELECT event_id % 25 AS queryID, event_id % 4 AS logID,
+         AVG(CAST(1 + (event_id * 7) % 997 AS DOUBLE)) AS execution_time_ms,
+         AVG(CAST(1 + (event_id * 7) % 997 + event_id % 97 AS DOUBLE)) AS total_time_ms
+         FROM events GROUP BY 1, 2""",
+    // recomputes the df_clsf fixture mapping + the recipe's pack/
+    // precompute/filter-out pipeline from orders
+    "q45_corpus_df_clsf" ->
+      """WITH r AS (
+           SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'Native-C-opt' ELSE 'Native-C-base' END AS Prefix,
+             (1000 * (1 + (o_orderkey // 3) % 2))::VARCHAR || 'x' ||
+               (10 * (1 + (o_orderkey // 6) % 2))::VARCHAR AS Size,
+             2 + (o_orderkey // 12) % 4 AS classes,
+             CASE WHEN (o_orderkey // 48) % 2 = 0 THEN 'Serial' ELSE 'Parallel' END AS Mode,
+             CASE WHEN (o_orderkey // 96) % 2 = 0 THEN 'xeon8280' ELSE 'icelake' END AS Arch,
+             CAST(1 + o_orderkey % 97 AS DOUBLE) AS fit,
+             CAST(1 + o_orderkey % 89 AS DOUBLE) AS predict
+           FROM orders
+           WHERE o_orderkey % 3 < 2 AND 2 + (o_orderkey // 12) % 4 NOT IN (2, 3)),
+         p AS (
+           SELECT Prefix, Size, classes, Mode, Arch, 'df_clsf.fit' AS Function, fit AS Time FROM r
+           UNION ALL
+           SELECT Prefix, Size, classes, Mode, Arch, 'df_clsf.predict', predict FROM r)
+         SELECT Size, classes, Mode, Function, Prefix, Arch, AVG(Time) AS Time
+         FROM p GROUP BY 1, 2, 3, 4, 5, 6""",
+    // recomputes the full 3-layer DAG: L1 normalized fixture rows from
+    // part (blackscholes) / customer (fft), L2 ratio_of (grouped mean vs
+    // base mean, joined back per-row), L2 filter-in, L3 filter-out, L4
+    // geomean by Domain x Prefix,Mode x Arch (targets.csv rows fall out
+    // via groupby-dropna: Domain/Arch are null)
+    "q46_corpus_summary_dag" ->
+      """WITH bs_rows AS (
+           SELECT CASE p_partkey % 3 WHEN 0 THEN 'SVML' WHEN 1 THEN 'VML' ELSE 'numba' END AS Implementation,
+                  CASE WHEN (p_partkey // 8) % 2 = 0 THEN 16777216 ELSE 1048576 END AS Size,
+                  1.0 + (p_partkey % 400) * 0.25 AS MOPS,
+                  CASE WHEN p_partkey % 3 < 2 THEN 'Native-C' ELSE 'intelpython3' END AS Prefix,
+                  CASE WHEN p_partkey % 3 < 2 THEN
+                    (CASE WHEN (p_partkey // 4) % 2 = 0 THEN 'ha' ELSE 'ep' END)
+                  ELSE 'ha' END AS Accuracy,
+                  CASE WHEN (p_partkey // 2) % 2 = 0 THEN 'Serial' ELSE 'Parallel' END AS Mode,
+                  CASE WHEN p_partkey % 2 = 0 THEN 'xeon8280' ELSE 'icelake' END AS Arch
+           FROM part),
+         bs_grp AS (
+           SELECT Prefix, Implementation, Accuracy, Mode, Size, Arch, AVG(MOPS) AS g
+           FROM bs_rows GROUP BY ALL),
+         bs_base AS (
+           SELECT Mode, Size, Arch, AVG(MOPS) AS b FROM bs_rows
+           WHERE Prefix = 'Native-C' AND Implementation = 'SVML' AND Accuracy = 'ha'
+           GROUP BY ALL),
+         bs_out AS (
+           SELECT 'Numba' AS Domain, r.Prefix, r.Mode, r.Arch, g.g / b.b AS Ratio
+           FROM bs_rows r
+           JOIN bs_grp g USING (Prefix, Implementation, Accuracy, Mode, Size, Arch)
+           JOIN bs_base b USING (Mode, Size, Arch)
+           WHERE r.Size = 16777216 AND r.Implementation = 'numba' AND r.Accuracy = 'ha'),
+         fft_rows AS (
+           SELECT CASE WHEN c_custkey % 2 = 0 THEN 'fft' ELSE 'rfft' END AS Function,
+                  CASE WHEN (c_custkey // 2) % 2 = 1 THEN 'In-place' ELSE 'Out-of-place' END AS Place,
+                  CASE WHEN (c_custkey // 4) % 2 = 0 THEN 'Serial' ELSE 'Parallel' END AS Mode,
+                  CASE c_custkey % 3 WHEN 0 THEN 'Native-C' WHEN 1 THEN 'intelpython3' ELSE 'stockpython3' END AS Prefix,
+                  CASE WHEN (c_custkey // 8) % 2 = 0 THEN 'xeon8280' ELSE 'icelake' END AS Arch,
+                  0.5 + (c_custkey % 300) * 0.25 AS Median
+           FROM customer),
+         fft_grp AS (
+           SELECT Prefix, Mode, Function, Arch, Place, AVG(Median) AS g
+           FROM fft_rows GROUP BY ALL),
+         fft_base AS (
+           SELECT Mode, Function, Arch, Place, AVG(Median) AS b FROM fft_rows
+           WHERE Prefix = 'Native-C' GROUP BY ALL),
+         fft_out AS (
+           SELECT 'FFT' AS Domain, r.Prefix, r.Mode, r.Arch, 1.0 / (g.g / b.b) AS Ratio
+           FROM fft_rows r
+           JOIN fft_grp g USING (Prefix, Mode, Function, Arch, Place)
+           JOIN fft_base b USING (Mode, Function, Arch, Place)
+           WHERE r.Prefix <> 'Native-C'),
+         u AS (
+           SELECT * FROM bs_out
+           UNION ALL
+           SELECT * FROM fft_out WHERE Prefix <> 'stockpython3')
+         SELECT Domain, Prefix, Mode, Arch, ROUND(EXP(AVG(LN(Ratio))), 6) AS Ratio
+         FROM u GROUP BY 1, 2, 3, 4"""
   )
 }

@@ -1,0 +1,162 @@
+package graft.corpus
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.Locale
+
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic fixture trees for the ported reference recipe corpus
+  * (test scaffolding, not an operator: the driver-side writes here are
+  * bounded file generation that happens once per sf directory).
+  *
+  * Every fixture value is a pure function of a single key column of a
+  * driver parquet table, so the DuckDB oracle can recompute the expected
+  * aggregation end-to-end without reading the fixture files:
+  *
+  *  - omnisci server logs  <- events.event_id   (regex line-carving, S2)
+  *  - df_clsf run logs     <- orders.o_orderkey (pack + path precompute)
+  *  - blackscholes logs    <- part.p_partkey    (rewrite rules + .meta)
+  *  - fft logs             <- customer.c_custkey (3-file-name precompute)
+  *
+  * Layout follows the reference runner's convention
+  * `runs/<run_id>/<suite>/<env>/<ts>.<command>.out` (bearysta
+  * run.py:23-26,101) so the recipes' `Directory`/`File`-derived
+  * precomputes see realistic paths.
+  */
+object ReferenceCorpus {
+
+  private def fmt(x: Double): String = "%.2f".formatLocal(Locale.ROOT, x)
+
+  /** Generates (once) and returns the fixture root for `sfDir`. */
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val tag = new File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = new File(sys.props("java.io.tmpdir"), s"graft_corpus_$tag")
+    val marker = new File(root, ".complete")
+    if (marker.isFile) return root.getPath
+
+    val files = scala.collection.mutable.LinkedHashMap.empty[String, StringBuilder]
+    def line(path: String, s: String): Unit =
+      files.getOrElseUpdate(path, new StringBuilder).append(s).append('\n')
+
+    def keys(table: String, keyCol: String): Array[Long] =
+      spark.read.parquet(s"$sfDir/$table.parquet")
+        .select(keyCol).collect().map(_.getLong(0))
+
+    // ---- omnisci server logs (events.event_id) ----
+    for (k <- keys("events", "event_id")) {
+      val qid = k % 25
+      val lid = k % 4 // single digit: group 1 of the carve regex must not split
+      val exec = 1 + (k * 7) % 997
+      val total = exec + k % 97
+      val f = s"data/mapd_log/omnisci_server.INFO.$lid.log"
+      line(f, s"""aug $lid graft stdlog sql_execute $qid ran omnisci q,"$exec","$total"}""")
+      if (k % 3 == 0) line(f, "omnisci heartbeat ok") // digit-free: append rule
+      if (k % 5 == 0) line(f, "NVMe warn 99 disk") // unmatched-by-carve: drop rule
+    }
+
+    // ---- df_clsf run logs (orders.o_orderkey) ----
+    val clsfHeader = "prefix_ID,rows,features,classes,threads,fit,predict"
+    for (k <- keys("orders", "o_orderkey")) {
+      val prefix = (k % 3).toInt match {
+        case 0 => "Native-C-opt"
+        case 1 => "Native-C-base"
+        case _ => "IntelPython" // matches no filter rule -> dropped line
+      }
+      val rows = 1000 * (1 + (k / 3) % 2)
+      val features = 10 * (1 + (k / 6) % 2)
+      val classes = 2 + (k / 12) % 4
+      val threads = if ((k / 48) % 2 == 0) "Serial" else "16"
+      val arch = if ((k / 96) % 2 == 0) "xeon8280" else "icelake"
+      val f = s"runs/bench_2026_${arch}_r_0/ml/python/17000000${(k / 192) % 4}_df_clsf.out"
+      if (!files.contains(f)) line(f, clsfHeader)
+      if (k % 50 == 0) line(f, "@ checkpoint reached")
+      line(f, s"$prefix,$rows,$features,$classes,$threads,${1 + k % 97},${1 + k % 89}")
+    }
+
+    // ---- blackscholes logs (part.p_partkey) + .meta sidecars ----
+    for (k <- keys("part", "p_partkey")) {
+      val arch = if (k % 2 == 0) "xeon8280" else "icelake"
+      val mode = if ((k / 2) % 2 == 0) "seq" else "par"
+      val v = (k % 3).toInt
+      val acc = if ((k / 4) % 2 == 0) "ha" else "ep"
+      val size = if ((k / 8) % 2 == 0) 16777216L else 1048576L
+      val mops = 1.0 + (k % 400) * 0.25
+      val run = s"runs/bs_2026_${arch}_r_0/bs"
+      if (v < 2) {
+        val ts = 1700000000 + (if (mode == "seq") 0 else 1) * 2 + (if (acc == "ha") 0 else 1)
+        val f = s"$run/native_c/$ts.run_blackscholes_$mode.out"
+        if (!files.contains(f)) files(f + ".meta") = new StringBuilder(s"acc: $acc\n")
+        val impl = if (v == 0) "SVML" else "VML"
+        line(f, s"ERF: Native-C-$impl: Size: $size MOPS: ${fmt(mops)}")
+        if (k % 7 == 0) line(f, "Using native erf implementation")
+      } else {
+        val f = s"$run/intelpython3/1700000010.run_blackscholes_$mode.out"
+        val impl = if (mode == "par") "Numba@jit-loop-par" else "Numba@jit-loop"
+        line(f, s"ERF: $impl: Size: $size MOPS: ${fmt(mops)} intelpython3")
+      }
+    }
+
+    // ---- fft logs (customer.c_custkey) ----
+    for (k <- keys("customer", "c_custkey")) {
+      val func = if (k % 2 == 0) "fft" else "rfft"
+      val inPlace = (k / 2) % 2 == 1
+      val mode = if ((k / 4) % 2 == 0) "seq" else "par"
+      val env = (k % 3).toInt match {
+        case 0 => "native"; case 1 => "intelpython3"; case _ => "stockpython3"
+      }
+      val arch = if ((k / 8) % 2 == 0) "xeon8280" else "icelake"
+      val med = 0.5 + (k % 300) * 0.25
+      val name = s"np_${func}_1000_$mode" + (if (inPlace) "_in" else "")
+      val f = s"runs/fft_2026_${arch}_r_0/fft/$env/1700000020.$name.out"
+      (k % 6).toInt match {
+        case 0 => line(f, "TAG fft-bench v2")
+        case 1 => line(f, "$PREFIX=" + env)
+        case 2 => line(f, "======")
+        case _ => ()
+      }
+      line(f, s"${fmt(med - 0.25)}, ${fmt(med)}, ${fmt(med + 0.5)}")
+    }
+
+    // ---- write everything, then recipes, then the marker ----
+    val tmp = new File(root.getParent, root.getName + ".tmp")
+    if (tmp.exists()) deleteRecursively(tmp)
+    for ((rel, sb) <- files) {
+      val f = new File(tmp, rel)
+      f.getParentFile.mkdirs()
+      Files.write(f.toPath, sb.toString.getBytes(StandardCharsets.UTF_8))
+    }
+    val recipes = Seq(
+      "omnisci-query-times.yml" -> CorpusRecipes.omnisciQueryTimes,
+      "raw/df_clsf.yml" -> CorpusRecipes.dfClsf,
+      "raw/blackscholes.yml" -> CorpusRecipes.rawBlackscholes,
+      "raw/fft.yml" -> CorpusRecipes.rawFft,
+      "indicators/blackscholes.yml" -> CorpusRecipes.indicatorsBlackscholes,
+      "indicators/fft.yml" -> CorpusRecipes.indicatorsFft,
+      "indicators.yml" -> CorpusRecipes.indicators,
+      "summary_indicators.yml" -> CorpusRecipes.summaryIndicators,
+      "config/targets.csv" -> CorpusRecipes.targetsCsv)
+    for ((rel, text) <- recipes) {
+      val f = new File(tmp, rel)
+      f.getParentFile.mkdirs()
+      Files.write(f.toPath, text.getBytes(StandardCharsets.UTF_8))
+    }
+    // reference globs are CWD-relative ('runs/...'), ours are
+    // recipe-dir-relative: a raw/runs -> ../runs symlink keeps the raw
+    // recipes byte-verbatim
+    Files.createSymbolicLink(Paths.get(tmp.getPath, "raw", "runs"),
+      Paths.get("..", "runs"))
+    if (root.exists()) deleteRecursively(root)
+    if (!tmp.renameTo(root))
+      throw new java.io.IOException(s"could not move $tmp to $root")
+    Files.write(marker.toPath, Array.emptyByteArray)
+    root.getPath
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory && !Files.isSymbolicLink(f.toPath))
+      f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+}

@@ -77,14 +77,17 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
       df = df.drop(tempCols: _*)
     }
 
-    // pack / melt (R1)
+    // pack / melt (R1). Column names are backtick-quoted: melted columns
+    // are routinely dotted after rename (e.g. 'df_clsf.fit') and col()
+    // would parse the dot as struct access.
     for (pc <- recipe.pack) {
+      def q(c: String) = col(s"`$c`")
       val ids = df.columns.filterNot(pc.columns.contains)
       val packedNumeric = pc.columns.forall(c =>
         df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       val valueType = if (packedNumeric) "double" else "string"
-      val cast = pc.columns.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(valueType)))
-      df = cast.unpivot(ids.map(col), pc.columns.map(col).toArray, pc.name, pc.value)
+      val cast = pc.columns.foldLeft(df)((d, c) => d.withColumn(c, q(c).cast(valueType)))
+      df = cast.unpivot(ids.map(q), pc.columns.map(q).toArray, pc.name, pc.value)
     }
 
     // unpack / pivot (R2). Null pivot keys become a 'NaN' column (the
@@ -291,13 +294,18 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
 
     // A1: the core group-aggregate; othercols aggregated with first
     // (pandas 'first' skips nulls). A9: log aggregated-out cardinality.
+    // pandas groupby defaults to dropna=True (aggregate.py:727 via
+    // groupby_empty) — rows with a null in ANY group key are dropped,
+    // e.g. side-input rows (targets.csv) that lack an axis column after
+    // union-by-name. Spark groupBy keeps null keys, so filter explicitly.
     val keys = series ++ recipe.axis ++ recipe.variants
     val othercols = df.columns.filterNot(c => keys.contains(c) || values.contains(c))
     val aggs = values.map(v => aggExpr(recipe.aggregation, col(v)).as(v)) ++
       othercols.map(c => first(col(c), ignoreNulls = true).as(c))
     val aggregated =
       if (keys.isEmpty) df.groupBy().agg(aggs.head, aggs.tail: _*)
-      else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      else df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
 
     // P7: hidden-column drop
     aggregated.drop(aggregated.columns.filter(_.startsWith("_")).toIndexedSeq: _*)

@@ -338,6 +338,19 @@ object ExprCompiler {
 
   // ---------- compilation to Column ----------
 
+  /** Python truthiness for non-boolean ternary conditions (the recipe
+    * idiom `row['Prefix'] if row['Prefix'] else 'Native-C'`,
+    * blackscholes.yml): null and '' are falsy. Numeric 0 would be falsy
+    * in Python but is truthy here — no observed recipe tests numeric
+    * truthiness, and the cast would conflate the string '0'. */
+  private def truthy(cond: Ast, go: Ast => Column): Column = cond match {
+    case _: Cmp | _: BoolOp | Un("not", _) | _: InTuple | Lit(_: Boolean) =>
+      go(cond)
+    case other =>
+      val c = go(other)
+      c.isNotNull && c.cast("string") =!= ""
+  }
+
   /** Compile an AST to a Column. `bindings` supplies pre-computed columns
     * for RatioCall nodes (keyed by RatioCall) and lambda params. */
   def compile(ast: Ast,
@@ -347,7 +360,7 @@ object ExprCompiler {
       case Lit(null) => lit(null)
       case Lit(v: Long) => lit(v)
       case Lit(v) => lit(v)
-      case ColRef(c) => col(c)
+      case ColRef(c) => col(s"`$c`") // quoted: column names may contain dots
       case ParamRef(p) =>
         params.getOrElse(p, throw ExprError(s"unknown name '$p' (not a lambda param; use row['$p']?)"))
       case r: RatioCall =>
@@ -371,7 +384,7 @@ object ExprCompiler {
       case Cmp(">=", l, r) => go(l) >= go(r)
       case BoolOp("and", l, r) => go(l) && go(r)
       case BoolOp("or", l, r) => go(l) || go(r)
-      case Ternary(v, c, e) => when(go(c), go(v)).otherwise(go(e))
+      case Ternary(v, c, e) => when(truthy(c, go), go(v)).otherwise(go(e))
       case InTuple(e, items, neg) =>
         val vals = items.map {
           case Lit(v) => v

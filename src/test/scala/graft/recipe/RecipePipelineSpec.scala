@@ -319,6 +319,28 @@ class RecipePipelineSpec extends AnyFunSuite {
     assert(err.msg.contains("format 'sql' is unsupported"))
   }
 
+  test("group-agg drops rows with null group keys (pandas dropna parity)") {
+    // side-input rows lacking an axis column (targets.csv idiom) arrive
+    // with nulls after union-by-name; pandas groupby(dropna=True) drops
+    // them from the aggregation (aggregate.py:727)
+    val dir = tmpDir()
+    write(dir, "a.csv", "impl, domain, time\nnumpy, LA, 2.0\nnumba, LA, 1.0\n")
+    write(dir, "goals.csv", "impl, time\ngoal, 9.0\n")
+    val recipe =
+      s"""input:
+         |  path:
+         |  - "${dir}/a.csv"
+         |  - "${dir}/goals.csv"
+         |aggregation: mean
+         |values: [time]
+         |series: [impl]
+         |axis: [domain]
+         |""".stripMargin
+    val out = Benchmark.fromString(spark, recipe).getAggregatedData()
+    val m = out.collect().map(r => r.getAs[String]("impl")).toSet
+    assert(m == Set("numpy", "numba")) // 'goal' row dropped (null domain)
+  }
+
   test("A8 ordering check: extra non-expected combo still warns (parity)") {
     // expected lists only numpy/numba; dask is present and slower than
     // numba -> actual ordering [numpy, dask, numba] != expected [numpy,
