@@ -28,6 +28,8 @@ case class Recipe(
     higherIsBetter: Boolean,
     numberFormat: Option[String],
     numberFormatMaxOnly: Boolean,
+    /** Excel conditional color bands (aggregate.py:823-825, 730-747) */
+    indicator: Seq[IndicatorConf],
     /** directory of the recipe file — child-recipe paths resolve here */
     baseDir: String)
 
@@ -52,6 +54,17 @@ object LineAction {
 /** One pack/unpack step: fold `columns` into (name, value) rows / widen
   * (name, value) rows into columns. */
 case class PackConf(columns: Seq[String], name: String, value: String)
+
+/** One Excel color-band rule: cells of value column `column` get
+  * `colors(i)` where i = count of `ranges` boundaries strictly below the
+  * cell value; null cells are white (aggregate.py:730-747). */
+case class IndicatorConf(column: String, ranges: Seq[Double], colors: Seq[String]) {
+  require(ranges.size == colors.size - 1,
+    "Number of boundaries must be one less than number of colors!")
+  val sortedRanges: Seq[Double] = ranges.sorted
+  def colorOf(x: Double): String =
+    if (x.isNaN) "#ffffff" else colors(sortedRanges.count(x > _))
+}
 
 object Recipe {
 
@@ -176,6 +189,23 @@ object Recipe {
       numberFormatMaxOnly = m.get("number-format-max-only").exists {
         case b: java.lang.Boolean => b
         case s => s.toString.toBoolean
+      },
+      indicator = m.get("indicator") match {
+        case Some(l: JList[_]) => l.asScala.toSeq.map {
+          case im: JMap[_, _] =>
+            val i = im.asInstanceOf[JMap[String, Object]].asScala
+            IndicatorConf(
+              column = i.getOrElse("column",
+                throw new IllegalArgumentException("indicator needs 'column'")).toString,
+              ranges = i.get("ranges").collect { case rl: JList[_] =>
+                rl.asScala.toSeq.map(_.asInstanceOf[Number].doubleValue)
+              }.getOrElse(Seq.empty),
+              colors = i.get("colors").collect { case cl: JList[_] =>
+                cl.asScala.toSeq.map(_.toString)
+              }.getOrElse(Seq.empty))
+          case other => throw new IllegalArgumentException(s"bad indicator conf: $other")
+        }
+        case _ => Seq.empty
       },
       baseDir = baseDir)
   }

@@ -6,13 +6,16 @@ import graft.GraftSession
   * (aggregate.py:968-1063): run recipes, emit CSV / pretty / HTML.
   *
   * Usage: graft.recipe.RecipeCli [--csv PATH|-] [--pretty PATH|-]
-  *        [--html PATH] [--input GLOB]... recipe.yml [recipe2.yml ...]
+  *        [--html PATH] [--plot] [--excel PATH]
+  *        [--input GLOB]... recipe.yml [recipe2.yml ...]
   */
 object RecipeCli {
   def main(args: Array[String]): Unit = {
     var csv: Option[String] = None
     var pretty: Option[String] = None
     var html: Option[String] = None
+    var excel: Option[String] = None
+    var plot = false
     var inputs: List[String] = Nil
     var recipes: List[String] = Nil
     var i = 0
@@ -21,6 +24,8 @@ object RecipeCli {
         case "--csv" | "-o" => csv = Some(args(i + 1)); i += 2
         case "--pretty" | "-P" => pretty = Some(args(i + 1)); i += 2
         case "--html" | "-H" => html = Some(args(i + 1)); i += 2
+        case "--excel" | "-x" => excel = Some(args(i + 1)); i += 2
+        case "--plot" => plot = true; i += 1
         case "--input" | "-i" => inputs ::= args(i + 1); i += 2
         case other => recipes ::= other; i += 1
       }
@@ -47,8 +52,10 @@ object RecipeCli {
           Sinks.pivotString(df, bench.recipe))
       }
       html.foreach(p =>
-        Sinks.writeHtml(df, bench.recipe, p.replace("{filename}", name), name))
-      if (csv.isEmpty && pretty.isEmpty && html.isEmpty)
+        Sinks.writeHtml(df, bench.recipe, p.replace("{filename}", name), name, plot))
+      excel.foreach(p =>
+        Sinks.writeXlsx(df, bench.recipe, p.replace("{filename}", name)))
+      if (csv.isEmpty && pretty.isEmpty && html.isEmpty && excel.isEmpty)
         print(Sinks.pivotString(df, bench.recipe))
     } catch {
       case e: RecipeError =>

@@ -127,8 +127,11 @@ object Sinks {
     sb.toString
   }
 
-  /** K3: HTML report (no plots — SURVEY flags them optional). */
-  def toHtml(df: DataFrame, recipe: Recipe, title: String): String = {
+  /** K3: HTML report; with `plot`, one inline-SVG grouped bar chart per
+    * variant (the reference embeds a matplotlib PNG, aggregate.py:758-787
+    * — SVG needs no image library and stays diffable). */
+  def toHtml(df: DataFrame, recipe: Recipe, title: String,
+             plot: Boolean = false): String = {
     val sb = new StringBuilder
     sb.append("<!DOCTYPE html><html><head><meta charset=\"utf-8\"><style>")
       .append("table{border-collapse:collapse}td,th{border:1px solid #999;padding:4px 8px}")
@@ -156,11 +159,124 @@ object Sinks {
         sb.append("</tr>\n")
       }
       sb.append("</table><br>\n")
+      if (plot)
+        sb.append(pivotSvg(p, recipe.values.mkString(", "))).append("<br>\n")
     }
     sb.append("</body></html>\n")
     sb.toString
   }
 
-  def writeHtml(df: DataFrame, recipe: Recipe, path: String, title: String): Unit =
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toHtml(df, recipe, title))
+  def writeHtml(df: DataFrame, recipe: Recipe, path: String, title: String,
+                plot: Boolean = false): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      toHtml(df, recipe, title, plot))
+
+  // ---------------- SVG bar charts (K3 --plot) ----------------
+
+  private val palette = Seq("#4e79a7", "#f28e2b", "#e15759", "#76b7b2",
+    "#59a14f", "#edc948", "#b07aa1", "#ff9da7", "#9c755f", "#bab0ac")
+
+  /** Grouped bar chart of one pivot — the dependency-free stand-in for
+    * the reference's matplotlib `pt.plot(kind='bar')` base64-PNG embed
+    * (aggregate.py:758-787): x = axis combos, one bar per (value,
+    * series) column, y linear from 0 to the max cell. */
+  def pivotSvg(p: Pivot, valueLabel: String): String = {
+    val w = 640; val h = 320
+    val mL = 56; val mR = 16; val mT = 12; val mB = 64
+    val plotW = w - mL - mR; val plotH = h - mT - mB
+    val maxVal = p.cells.values.filterNot(_.isNaN).foldLeft(0.0)(math.max) match {
+      case 0.0 => 1.0; case m => m
+    }
+    val nG = math.max(p.rowKeys.size, 1)
+    val nB = math.max(p.colKeys.size, 1)
+    val groupW = plotW.toDouble / nG
+    val barW = groupW * 0.8 / nB
+    val sb = new StringBuilder
+    sb.append(s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h">""")
+    sb.append(s"""<rect width="$w" height="$h" fill="white"/>""")
+    // y axis: 4 gridlines + labels
+    for (i <- 0 to 4) {
+      val v = maxVal * i / 4
+      val y = mT + plotH - plotH * i / 4.0
+      sb.append(s"""<line x1="$mL" y1="$y" x2="${w - mR}" y2="$y" stroke="#ddd"/>""")
+      sb.append(s"""<text x="${mL - 6}" y="${y + 4}" text-anchor="end" font-size="10">${"%.4g".formatLocal(java.util.Locale.ROOT, v)}</text>""")
+    }
+    sb.append(s"""<text x="12" y="${mT + plotH / 2}" font-size="11" transform="rotate(-90 12 ${mT + plotH / 2})" text-anchor="middle">${valueLabel}</text>""")
+    for ((rk, gi) <- p.rowKeys.zipWithIndex) {
+      val gx = mL + gi * groupW
+      for ((ck, bi) <- p.colKeys.zipWithIndex) {
+        val v = p.cells.getOrElse((rk, ck), Double.NaN)
+        if (!v.isNaN) {
+          val bh = plotH * v / maxVal
+          val x = gx + groupW * 0.1 + bi * barW
+          sb.append(s"""<rect class="bar" x="$x" y="${mT + plotH - bh}" width="$barW" height="$bh" fill="${palette(bi % palette.size)}"/>""")
+        }
+      }
+      val label = rk.map(String.valueOf).mkString(", ")
+      sb.append(s"""<text x="${gx + groupW / 2}" y="${mT + plotH + 14}" text-anchor="middle" font-size="10">$label</text>""")
+    }
+    // legend
+    for ((ck, bi) <- p.colKeys.zipWithIndex) {
+      val lx = mL + (bi % 3) * (plotW / 3)
+      val ly = mT + plotH + 28 + (bi / 3) * 14
+      sb.append(s"""<rect x="$lx" y="${ly - 9}" width="10" height="10" fill="${palette(bi % palette.size)}"/>""")
+      sb.append(s"""<text x="${lx + 14}" y="$ly" font-size="10">${(ck._1 +: ck._2.map(String.valueOf)).mkString("|")}</text>""")
+    }
+    sb.append("</svg>")
+    sb.toString
+  }
+
+  // ---------------- XLSX sink (K4) ----------------
+
+  /** pandas-ExcelWriter-shaped workbook (aggregate.py:792-830): a
+    * `summary` sheet of stacked per-variant blocks (variant header
+    * mini-table, then the pivot with indicator color bands) and a `data`
+    * sheet with the full aggregated frame. */
+  def writeXlsx(df: DataFrame, recipe: Recipe, path: String): Unit = {
+    import Xlsx._
+    val colors = recipe.indicator.flatMap(_.colors).distinct :+ "#ffffff"
+    val styleOf: Map[String, Int] = colors.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    val indicatorByValue = recipe.indicator.map(ic => ic.column -> ic).toMap
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Cell]]
+    for (p <- pivots(df, recipe)) {
+      // variant header mini-table (varindex.to_excel, aggregate.py:808)
+      if (p.variant.nonEmpty) {
+        rows += p.variant.map { case (k, _) => Str(k) }
+        rows += p.variant.map { case (_, v) => cellOf(v) }
+      }
+      rows += Seq.empty
+      // pivot: column-header rows (value level + one per series level),
+      // then an axis-names row, then data rows
+      val nAxis = p.axisNames.size
+      rows += (Seq.fill(nAxis)(Blank) ++ p.colKeys.map { case (v, _) => Str(v) })
+      for (lvl <- 0 until (p.colKeys.headOption.map(_._2.size).getOrElse(0)))
+        rows += (Seq.fill(nAxis)(Blank) ++ p.colKeys.map { case (_, sk) => cellOf(sk(lvl)) })
+      rows += p.axisNames.map(Str(_))
+      for (rk <- p.rowKeys) {
+        rows += (rk.map(cellOf) ++ p.colKeys.map { case ck @ (value, _) =>
+          val v = p.cells.getOrElse((rk, ck), Double.NaN)
+          val style = indicatorByValue.get(value)
+            .map(ic => styleOf(ic.colorOf(v))).getOrElse(0)
+          Num(v, style)
+        })
+      }
+      rows += Seq.empty
+      rows += Seq.empty
+    }
+
+    val data = df.collect()
+    val dataRows = Seq(df.columns.toSeq.map(Str(_): Cell)) ++
+      data.map(r => df.columns.indices.map(i =>
+        if (r.isNullAt(i)) Blank else cellOf(r.get(i))))
+
+    Xlsx.write(path,
+      Seq(Sheet("summary", rows.toSeq), Sheet("data", dataRows)), colors)
+  }
+
+  private def cellOf(v: Any): Xlsx.Cell = v match {
+    case null => Xlsx.Blank
+    case n: Number => Xlsx.Num(n.doubleValue)
+    case other => Xlsx.Str(String.valueOf(other))
+  }
 }
