@@ -84,8 +84,31 @@ object Similarity {
           .cast(DoubleType) / 1e6 / count(lit(1)), 6).as("centroid"),
         count(lit(1)).as("n_vecs"))
 
+  /** Planes needed to hold expected bucket population near
+    * `targetBucketSize` at corpus size `n`: buckets double per plane, so
+    * planes = log2(n / target). Bounded to [4, 30] (>= 16 buckets for
+    * parallelism; bucket ids stay in an int range). The within-bucket
+    * rerank cost is then O(n * target) regardless of scale — the knob
+    * that keeps [[lshTopK]] from re-quadratizing at 100x data; recall
+    * falls as planes grow, so pair this with multi-probe or a higher
+    * target when recall matters more than cost. */
+  def planesFor(n: Long, targetBucketSize: Int = 64): Int = {
+    val raw = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt
+    math.max(4, math.min(30, raw))
+  }
+
+  /** [[lshTopK]] with `planes` scaled to the corpus size (one count job;
+    * pass an explicit count via [[lshTopK]]+[[planesFor]] to avoid it). */
+  def lshTopKAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                  targetBucketSize: Int = 64): DataFrame =
+    lshTopK(df, idCol, vecCol, k, planesFor(df.count(), targetBucketSize))
+
   /** LSH-bucketed top-k: candidates share the sign bucket, exact rerank
-    * within the bucket. Approximate — recall depends on `planes`. */
+    * within the bucket. Approximate — recall depends on `planes`: a
+    * neighbor at angle θ lands in the same bucket with probability
+    * (1 - θ/π)^planes. Size `planes` with [[planesFor]] so bucket
+    * population (and thus rerank cost per row) stays constant as the
+    * corpus grows. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               k: Int, planes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window

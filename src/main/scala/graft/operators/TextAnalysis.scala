@@ -143,16 +143,17 @@ object TextAnalysis {
   /** Argmax language guess over [[langMarkers]]; ties break by language
     * code ascending (deterministic); zero hits => "und" (undetermined). */
   def langId(text: Column): Column = graft.functions.bound(tokens(text)) { ws =>
-    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
-      struct(markerHitsOf(ws, ms).as("hits"), lit(lang).as("lang"))
+    // argmax via array_max over (hits, -rank, lang) structs: ties on hits
+    // resolve to the smallest rank = earliest language in sorted order,
+    // identical to a first-wins fold. O(1) expression depth — the fold
+    // form re-referenced both subtrees per level and tripled the codegen
+    // size per language (round-1 verdict perf note).
+    val scored = langMarkers.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((lang, ms), i) =>
+        struct(markerHitsOf(ws, ms).as("hits"), lit(-i).as("negrank"),
+          lit(lang).as("lang"))
     }
-    // array_max on struct compares hits first, then lang; we want max hits
-    // with ties -> smallest lang, so compare (hits, negated rank) — simpler:
-    // fold left keeping strictly-greater, which favors the earliest (sorted)
-    // language on ties.
-    val best = scored.reduceLeft { (a, b) =>
-      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
-    }
+    val best = array_max(array(scored: _*))
     when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
   }
 }

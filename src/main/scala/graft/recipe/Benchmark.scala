@@ -142,11 +142,29 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
     df
   }
 
+  /** Columns the recipe actually computes with: grouping keys, values,
+    * filter columns, pack/unpack columns, and any row['X'] reference in a
+    * precomputed expression. Inference on anything else (provenance
+    * paths, free-text carry-along columns like l_comment) buys nothing
+    * and costs a try_cast+rlike full scan per column — the reference
+    * to_numeric's every column, but only these can change behavior. */
+  private lazy val relevantCols: Set[String] = {
+    val precompRefs = recipe.precomputed.flatMap { case (_, e) =>
+      "row\\['([^']+)'\\]".r.findAllMatchIn(e).map(_.group(1))
+    }
+    (recipe.values ++ recipe.axis ++ recipe.series ++ recipe.variants ++
+      recipe.filterIn.map(_._1) ++ recipe.filterOut.map(_._1) ++
+      recipe.pack.flatMap(p => p.columns :+ p.value) ++
+      recipe.unpack.flatMap(p => Seq(p.name, p.value)) ++
+      precompRefs).toSet
+  }
+
   /** pandas `to_numeric(errors='ignore')` per string column: promote to
     * long (no nulls, all integral) or double (all castable), else leave.
     * One aggregation job checks every candidate column at once. */
   private def inferTypes(df: DataFrame): DataFrame = {
     val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+      .filter(relevantCols.contains)
     if (stringCols.isEmpty) return df
     val checks = stringCols.flatMap { c =>
       Seq(
@@ -197,12 +215,21 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
 
     val baseCond = series.map(s => col(s) === lit(kwMap(s))).reduce(_ && _)
     val baseRows = df.filter(baseCond)
-    if (baseRows.isEmpty)
-      throw RecipeError(s"Trying to use series value ${series.map(kwMap)} in ratio_of " +
-        "operation, but that value/combination doesn't exist in the dataframe!")
-    val base =
+    // one job computes the base aggregate AND the existence check (the
+    // collected frame is small: one row per axis+variants combo), and the
+    // join side below reuses the collected rows instead of re-aggregating
+    val baseAgg =
       if (av.isEmpty) baseRows.groupBy().agg(f.as("__base"))
       else baseRows.groupBy(av.map(col): _*).agg(f.as("__base"))
+    val baseCollected = baseAgg.collect()
+    val baseMissing =
+      if (av.isEmpty) baseCollected.forall(_.isNullAt(0))
+      else baseCollected.isEmpty
+    if (baseMissing)
+      throw RecipeError(s"Trying to use series value ${series.map(kwMap)} in ratio_of " +
+        "operation, but that value/combination doesn't exist in the dataframe!")
+    val base = spark.createDataFrame(
+      java.util.Arrays.asList(baseCollected: _*), baseAgg.schema)
     val grp = df.groupBy((series ++ av).map(col): _*).agg(f.as("__grp"))
     val joined =
       if (av.isEmpty) grp.crossJoin(broadcast(base))

@@ -50,7 +50,7 @@ object CsvSource {
 
     val df = recipe.input.csvHeader match {
       case Some(header) =>
-        val first = lines.limit(1).collect().headOption.getOrElse("")
+        val first = firstFilteredLine(spark, recipe, file)
         val matches = first.replace(" ", "") == header.replace(" ", "")
         if (matches) reader.option("header", "true").csv(lines)
         else {
@@ -65,6 +65,24 @@ object CsvSource {
     }
 
     withProvenance(withMeta(spark, df, file), file)
+  }
+
+  /** First post-filter line of `file`, read driver-side through the
+    * (lazy) line filter — the header-imposition check needs one line, and
+    * a Spark job per file would mean O(files) driver jobs on a 10k-file
+    * glob (aggregate.py:278-283 does the same single-line peek). */
+  private def firstFilteredLine(spark: SparkSession, recipe: Recipe, file: String): String = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      val it =
+        if (recipe.input.filters.nonEmpty)
+          LineFilter(LineFilter.compile(recipe.input.filters), src.getLines())
+        else src.getLines()
+      if (it.hasNext) it.next() else ""
+    } finally in.close()
   }
 
   private def withProvenance(df: DataFrame, file: String): DataFrame = {

@@ -51,34 +51,50 @@ object LineFilter {
     sb.toString
   }
 
-  def apply(rules: Seq[Rule], lines: Iterator[String]): Iterator[String] = {
-    var prev = ""
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (raw <- lines) {
-      var line = raw
-      var dropLine = true
-      var broke = false
-      val it = rules.iterator
-      while (it.hasNext && !broke) {
-        val rule = it.next()
-        if (rule.pattern.matcher(line).find()) {
-          dropLine = false
-          rule.action match {
-            case LineAction.Keep => ()
-            case LineAction.Drop =>
-              dropLine = true; broke = true
-            case LineAction.Append =>
-              line = prev.replaceAll("\\s+$", "") + " " + line.replaceAll("^\\s+", "")
-              dropLine = true
-            case LineAction.Replace(r) =>
-              line = rule.pattern.matcher(line).replaceAll(javaRepl(r))
+  /** Lazy: pulls input lines only as output is consumed, so a first-line
+    * probe reads one line and a multi-GB log never materializes a
+    * filtered copy on the heap. */
+  def apply(rules: Seq[Rule], lines: Iterator[String]): Iterator[String] =
+    new Iterator[String] {
+      private var prev = ""
+      private var nextLine: String = _
+      private var done = false
+
+      private def advance(): Unit = {
+        nextLine = null
+        while (nextLine == null && lines.hasNext) {
+          var line = lines.next()
+          var dropLine = true
+          var broke = false
+          val it = rules.iterator
+          while (it.hasNext && !broke) {
+            val rule = it.next()
+            if (rule.pattern.matcher(line).find()) {
               dropLine = false
+              rule.action match {
+                case LineAction.Keep => ()
+                case LineAction.Drop =>
+                  dropLine = true; broke = true
+                case LineAction.Append =>
+                  line = prev.replaceAll("\\s+$", "") + " " + line.replaceAll("^\\s+", "")
+                  dropLine = true
+                case LineAction.Replace(r) =>
+                  line = rule.pattern.matcher(line).replaceAll(javaRepl(r))
+                  dropLine = false
+              }
+            }
           }
+          prev = line
+          if (!dropLine) nextLine = line
         }
+        if (nextLine == null) done = true
       }
-      if (!dropLine) out += line
-      prev = line
+
+      advance()
+      override def hasNext: Boolean = !done
+      override def next(): String = {
+        if (done) throw new NoSuchElementException
+        val r = nextLine; advance(); r
+      }
     }
-    out.iterator
-  }
 }
