@@ -444,6 +444,35 @@ object SparkEntry {
         .getAggregatedData()
         .select(col("Domain"), col("Prefix"), col("Mode"), col("Arch"),
           round(col("Ratio"), 6).as("Ratio"))
+    }),
+
+    // S4 SQLite scan through the pure-Scala reader of the public SQLite
+    // file format (graft.sources.Sqlite — no JDBC). The fixture DB holds
+    // the fixed 25-row nation table, so the parquet `nation` table is the
+    // oracle (fixture generated once from the same rows).
+    "q47_sqlite_scan" -> ((s, dir) =>
+      graft.sources.Sqlite
+        .scan(s, "/root/repo/src/test/resources/sqlite/nation.db", "nation")
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))),
+
+    // ---- DEDUP: full clustering pipeline — MinHash-LSH candidates
+    //      (Jaccard >= 0.5) contracted to connected components via
+    //      distributed large-star/small-star; every doc -> its cluster's
+    //      min id + keep flag. The oracle recomputes the same pairs and
+    //      closes them transitively with a recursive CTE.
+    "q48_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, k = 12, bands = 4)),
+
+    // ---- ANN: IVF top-k with every cell probed (nprobe = nlist), which
+    //      is exactly the brute-force result — the oracle-checked config;
+    //      partial-probe recall is property-tested in IvfSpec
+    "q49_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 8), e, "vec_id",
+        "embedding", k = 5, nlist = 16, nprobe = 16)
     })
   )
 
@@ -905,6 +934,51 @@ object SparkEntry {
            UNION ALL
            SELECT * FROM fft_out WHERE Prefix <> 'stockpython3')
          SELECT Domain, Prefix, Mode, Arch, ROUND(EXP(AVG(LN(Ratio))), 6) AS Ratio
-         FROM u GROUP BY 1, 2, 3, 4"""
+         FROM u GROUP BY 1, 2, 3, 4""",
+
+    // the sqlite fixture is the fixed nation table (see q47 query comment)
+    "q47_sqlite_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // q22's band construction filtered at Jaccard >= 0.5, transitively
+    // closed by a recursive CTE; rep = min reachable id per component,
+    // singletons map to themselves
+    "q48_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+           SELECT doc_id AS id, $SHINGLES3 AS strsh, $HSHINGLES3 AS sh FROM documents),
+         sig AS (
+           SELECT id, sh, list_transform(range(0, 12),
+             j -> list_min(list_transform(hs, h -> ((j*2+1) * h + (j*7919+104729)) % 2147483647))) AS sig
+           FROM (SELECT id, sh, list_transform(strsh, s -> ${H32("s")}) AS hs FROM sh)),
+         bands AS (
+           SELECT id, sh, r.b,
+             ${H60("array_to_string(list_transform(sig[r.b*3+1 : r.b*3+3], x -> x::VARCHAR), ',')")} AS bkey
+           FROM sig, range(0, 4) r(b)),
+         pairs AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id
+           WHERE ${JACC("a.sh", "b.sh")} >= 0.5),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.id = e.v),
+         cc AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+         SELECT d.doc_id AS id, COALESCE(cc.rep, d.doc_id) AS rep,
+                COALESCE(cc.rep, d.doc_id) = d.doc_id AS keep
+         FROM documents d LEFT JOIN cc ON cc.id = d.doc_id""",
+
+    // probe-all IVF == exact brute force: same ground truth as q24
+    "q49_ivf_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id, ${COS("qv", "cv")} AS cos
+           FROM c CROSS JOIN q WHERE query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, cos,
+                CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         FROM s QUALIFY rank <= 5"""
   )
 }

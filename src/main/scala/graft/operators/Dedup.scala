@@ -255,6 +255,99 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected near-dup edge list — the
+    * step that turns pairwise candidates into dedup clusters (every
+    * document maps to its cluster's minimum id, the canonical
+    * representative to keep).
+    *
+    * Algorithm: alternating large-star / small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the MapReduce-native CC algorithm: O(log² n) rounds worst case,
+    * 2–3 rounds on real dedup graphs (near-clique clusters). Each round
+    * is two shuffles (a groupBy-min and an equi-join) over the edge set,
+    * never a driver-side traversal, so it holds at any corpus scale; the
+    * edge set itself only shrinks toward one star edge per non-root node.
+    * Implemented as joins (min-label per node joined back to the edge
+    * list) rather than collect_list so a high-degree hub node never
+    * materializes its whole neighborhood in one row. Iteration state is
+    * persisted per round and the lineage cut, or 20+ rounds of recursive
+    * plans would blow up codegen.
+    *
+    * Input: (id_a, id_b) pairs, any orientation, duplicates fine.
+    * Output: (id, rep) for every id that appears in some edge; rep = min
+    * id of its component. Callers left-join and coalesce(rep, id) to
+    * cover singleton documents.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v")).distinct()
+
+    /** large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u}) */
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      canon(sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    /** small-star: directed v < u; all smaller neighbors + u link to the
+      * minimum neighbor */
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+      canon(
+        dir.join(mins, "u").filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionAll(mins.select(col("u"), col("m").as("v"))))
+    }
+
+    var e = canon(pairs.select(col(pairs.columns.head).as("u"),
+      col(pairs.columns(1)).as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var signature = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // localCheckpoint cuts the recursive lineage; computation stays
+      // distributed (blocks live on executors)
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSig = next.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      converged = nextSig == signature
+      signature = nextSig
+      e.unpersist()
+      e = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"connectedComponents did not converge in $maxIter rounds")
+    // fixpoint is a star per component: (node -> root) plus the root itself
+    e.select(col("u").as("id"), col("v").as("rep"))
+      .unionAll(e.select(col("v").as("id"), col("v").as("rep")))
+      .distinct()
+  }
+
+  /** Dedup clustering end-to-end: MinHash-LSH candidates above a Jaccard
+    * threshold, contracted to clusters; every document gets its cluster
+    * representative (min id) and a keep flag. The full scale pipeline:
+    * bucket equi-join candidates -> exact verify -> distributed CC. */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
+                    threshold: Double, k: Int = 12, bands: Int = 4,
+                    shingleN: Int = 3): DataFrame = {
+    val pairs = minhashCandidates(df, idCol, textCol, k, bands, shingleN)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(pairs)
+    df.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("rep"), col("id")).as("rep"))
+      .withColumn("keep", col("id") === col("rep"))
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold` — exact.
     *
     * With `block` set (e.g. [[Similarity.signBucket]]) the pair space is

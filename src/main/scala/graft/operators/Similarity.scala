@@ -103,6 +103,69 @@ object Similarity {
                   targetBucketSize: Int = 64): DataFrame =
     lshTopK(df, idCol, vecCol, k, planesFor(df.count(), targetBucketSize))
 
+  /** IVF (inverted-file) top-k — the classic ANN scale path next to LSH:
+    * the corpus is partitioned into `nlist` cells by nearest centroid;
+    * each query probes only its `nprobe` nearest cells and reranks
+    * exactly within them, scanning ~nprobe/nlist of the corpus.
+    *
+    * Centroids are `nlist` corpus vectors chosen deterministically (the
+    * smallest md5-hash of id — a reproducible uniform sample; classic IVF
+    * would k-means-refine them, which changes recall constants, not the
+    * plan shape). The plan is Spark-native IVF: centroids broadcast to
+    * both assignment joins (corpus -> 1 cell via max-cosine, query ->
+    * nprobe cells via top-cosine), then ONE equi-join on cell id and a
+    * per-query top-k window. No shuffle touches the corpus until the
+    * cell-keyed join, and the cell join's cost is sum(cell × probing
+    * queries), not |corpus| × |queries|.
+    *
+    * With nprobe = nlist every cell is probed, so the result is exactly
+    * [[bruteForceTopK]] (the oracle-checked configuration); recall at
+    * nprobe < nlist is property-tested against the brute-force baseline.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    // Deterministic seed centroids: the nlist corpus vectors with the
+    // smallest md5(id). Materialized to the driver (nlist × dim floats —
+    // IVF always trains/holds its centroid table up front) and inlined as
+    // literal arrays, so BOTH assignment joins below are pure expressions:
+    // neither the corpus nor the query side shuffles for assignment.
+    val seedRows = corpus
+      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("centroid"))
+      .orderBy(hash32(col("cell").cast("string")), col("cell"))
+      .limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    require(seedRows.nonEmpty, "ivfTopK: empty corpus")
+    def vecLit(v: Seq[Float]): Column = array(v.map(lit(_)): _*)
+
+    // nearest cell = argmax cosine, ties toward the smaller cell id
+    def cellOptions(vec: Column): Column = array(seedRows.map { case (cid, cv) =>
+      struct((-round(cosine(vec, vecLit(cv)), 6)).as("negCos"), lit(cid).as("cell"))
+    }.toIndexedSeq: _*)
+
+    val assigned = corpus.repartition(par)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        sort_array(cellOptions(col(vecCol)))(0).getField("cell").as("cell"))
+
+    // query -> its nprobe nearest cells, exploded to (query, cell) rows
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(slice(transform(sort_array(cellOptions(col(vecCol))), _.getField("cell")),
+          1, nprobe)).as("cell"))
+
+    // ONE equi-join on cell id (probe side broadcast when small — the
+    // common ANN shape: big corpus, bounded query batch)
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** LSH-bucketed top-k: candidates share the sign bucket, exact rerank
     * within the bucket. Approximate — recall depends on `planes`: a
     * neighbor at angle θ lands in the same bucket with probability

@@ -63,7 +63,8 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
 
     // precomputed columns (P2/P3/A4/A5, J2/J3)
     for ((colName, exprStr) <- recipe.precomputed) {
-      val ast = ExprCompiler.parse(exprStr)
+      val ast = ExprCompiler.resolveSideInputs(
+        ExprCompiler.parse(exprStr), spark, recipe.baseDir)
       val ratios = ExprCompiler.ratioCalls(ast)
       var bindings = Map.empty[RatioCall, Column]
       var tempCols = Seq.empty[String]

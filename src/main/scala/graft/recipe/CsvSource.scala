@@ -117,16 +117,25 @@ object CsvSource {
   def scan(spark: SparkSession, recipe: Recipe,
            extraFrames: Seq[DataFrame] = Seq.empty,
            inputs: Option[Seq[String]] = None): DataFrame = {
-    // S4: no sqlite JDBC driver ships in this build — fail loudly instead
-    // of feeding a SQLite binary through the CSV parser (aggregate.py:295-314)
-    if (recipe.input.format != "csv")
+    // S4 'sql' reads SQLite files through graft.sources.Sqlite (pure-Scala
+    // parser of the public file format — aggregate.py:295-314 semantics);
+    // any other format fails loudly instead of feeding binary through the
+    // CSV parser.
+    if (recipe.input.format != "csv" && recipe.input.format != "sql")
       throw RecipeError(
-        s"input.format '${recipe.input.format}' is unsupported in this build (only 'csv')")
+        s"input.format '${recipe.input.format}' is unsupported in this build (only 'csv', 'sql')")
     val patterns = inputs.getOrElse(recipe.input.paths)
     val files = expandGlobs(spark, patterns, recipe.baseDir)
     if (files.isEmpty && patterns.nonEmpty)
       throw RecipeError(s"No matching files found for $patterns")
-    val frames = extraFrames ++ files.map(f => readFile(spark, recipe, f))
+    val readOne: String => DataFrame =
+      if (recipe.input.format == "sql") {
+        val table = recipe.input.tableName.getOrElse(throw RecipeError(
+          "input.format 'sql' requires input.table-name (aggregate.py:296-297)"))
+        f => try graft.sources.Sqlite.scan(spark, f, table)
+          catch { case e: graft.sources.Sqlite.SqliteError => throw RecipeError(e.msg) }
+      } else { f => readFile(spark, recipe, f) }
+    val frames = extraFrames ++ files.map(readOne)
     if (frames.isEmpty)
       throw RecipeError("recipe has no inputs (no path matches, no child configs)")
     frames.reduce(_.unionByName(_, allowMissingColumns = true))

@@ -200,6 +200,12 @@ object ExprCompiler {
           e = Method(e, name, args)
         case Some(TOp("[")) =>
           pos += 1
+          // string index (column selection on a read_csv_fd frame, S8)
+          if (peek.exists(_.isInstanceOf[TStr]) && toks.lift(pos + 1).contains(TOp("]"))) {
+            val TStr(s) = peek.get: @unchecked
+            pos += 2
+            e = IndexOp(e, Lit(s))
+          } else {
           // index or slice with integer-literal bounds
           def optInt(): Option[Int] = peek match {
             case Some(TOp(":")) | Some(TOp("]")) => None
@@ -218,6 +224,7 @@ object ExprCompiler {
           } else {
             expect("]")
             e = IndexOp(e, lo.map(n => Lit(n.toLong)).getOrElse(throw ExprError(s"empty index in: $src")))
+          }
           }
         case _ => done = true
       }
@@ -329,6 +336,78 @@ object ExprCompiler {
     pf.applyOrElse(walked, identity[Ast])
   }
 
+  // ---------- S8: read_csv_fd side inputs ----------
+
+  /** Marker nodes produced while folding a read_csv_fd subtree into a
+    * literal; any that survive [[resolveSideInputs]] are a usage error. */
+  private case class SideFrame(path: String) extends Ast
+  private case class SideCol(path: String, column: String) extends Ast
+
+  /** Side CSVs are config-sized; cache per absolute path like the
+    * reference's read_csv_cached (aggregate.py:287-293). */
+  private val sideCsvCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[org.apache.spark.sql.Row]]
+
+  private def sideCsvColumn(spark: org.apache.spark.sql.SparkSession,
+                            path: String, column: String): Seq[Any] = {
+    val rows = sideCsvCache.getOrElseUpdate(path,
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .option("ignoreLeadingWhiteSpace", "true").csv(path).collect())
+    rows.toSeq.map { r =>
+      val i = r.schema.fieldIndex(column)
+      if (r.isNullAt(i)) null else r.get(i)
+    }
+  }
+
+  /** S8 (aggregate.py:287-293, 483): `read_csv_fd('path')` inside a
+    * precomputed expression. The reference hands the whole pandas frame
+    * to eval; the closed-grammar equivalents here fold to a literal at
+    * recipe-compile time (the side CSV is a config file, not data):
+    *   read_csv_fd(p)['c'].min()/.max()/.mean()/.sum()/.count()
+    *   read_csv_fd(p)['c'][i]          (i: python-style row index)
+    * Anything else fails loudly naming the supported forms. */
+  def resolveSideInputs(ast: Ast, spark: org.apache.spark.sql.SparkSession,
+                        baseDir: String): Ast = {
+    def resolve(p: String): String =
+      if (new java.io.File(p).isAbsolute) p else new java.io.File(baseDir, p).getPath
+    def num(v: Any): Double = v match {
+      case n: Number => n.doubleValue()
+      case other => throw ExprError(s"read_csv_fd aggregate over non-numeric value $other")
+    }
+    val folded = mapAst(ast) {
+      case FuncCall("read_csv_fd", Seq(Lit(p: String)), _) => SideFrame(resolve(p))
+      case IndexOp(SideFrame(p), Lit(c: String)) => SideCol(p, c)
+      case Method(SideCol(p, c), agg, Seq()) =>
+        val vs = sideCsvColumn(spark, p, c).filter(_ != null) // pandas skipna
+        if (vs.isEmpty && agg != "count")
+          throw ExprError(s"read_csv_fd('$p')['$c'] has no non-null values")
+        Lit(agg match {
+          case "min" => vs.map(num).min
+          case "max" => vs.map(num).max
+          case "mean" => vs.map(num).sum / vs.size
+          case "sum" => vs.map(num).sum
+          case "count" => vs.size.toLong
+          case other =>
+            throw ExprError(s"unsupported read_csv_fd aggregate .$other() " +
+              "(supported: min, max, mean, sum, count)")
+        })
+      case IndexOp(SideCol(p, c), Lit(i: Long)) =>
+        val vs = sideCsvColumn(spark, p, c)
+        val idx = if (i >= 0) i.toInt else vs.size + i.toInt
+        if (idx < 0 || idx >= vs.size)
+          throw ExprError(s"read_csv_fd('$p')['$c'][$i] out of range (${vs.size} rows)")
+        Lit(vs(idx))
+    }
+    mapAst(folded) {
+      case s: SideFrame =>
+        throw ExprError("read_csv_fd(...) must be used as read_csv_fd('path')" +
+          "['col'].min()/.max()/.mean()/.sum()/.count() or ['col'][i]; got bare frame of " + s.path)
+      case s: SideCol =>
+        throw ExprError(s"read_csv_fd('${s.path}')['${s.column}'] must end in an " +
+          "aggregate (.min/.max/.mean/.sum/.count) or a row index [i]")
+    }
+  }
+
   /** Collect ratio calls (pipeline computes them via joins first). */
   def ratioCalls(ast: Ast): Seq[RatioCall] = {
     val buf = Seq.newBuilder[RatioCall]
@@ -396,6 +475,8 @@ object ExprCompiler {
       case IndexOp(recv, Lit(i: Long)) =>
         // python 0-based; negative = from end. element_at: 1-based, negative from end.
         if (i >= 0) element_at(go(recv), i.toInt + 1) else element_at(go(recv), i.toInt)
+      case IndexOp(_, Lit(s: String)) =>
+        throw ExprError(s"string index ['$s'] is only supported on read_csv_fd(...) frames")
       case IndexOp(_, idx) => throw ExprError(s"non-literal index $idx")
       case SliceOp(recv, lo, hi) =>
         val arr = go(recv)

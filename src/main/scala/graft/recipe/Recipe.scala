@@ -41,7 +41,10 @@ case class RecipeInput(
     filters: Seq[(String, LineAction)],
     tableName: Option[String],
     /** child recipes evaluated first (S7 DAG composition) */
-    configs: Seq[String])
+    configs: Seq[String],
+    /** glob of per-env package-list YAMLs (J5 env sheet; only meaningful
+      * in raw child configs — aggregate.py:838-843) */
+    packagesPath: Option[String])
 
 sealed trait LineAction
 object LineAction {
@@ -144,7 +147,8 @@ object Recipe {
       csvHeader = inputM.get("csv-header").map(_.toString),
       filters = filters,
       tableName = inputM.get("table-name").map(_.toString),
-      configs = strList(inputM.getOrElse("config", null)))
+      configs = strList(inputM.getOrElse("config", null)),
+      packagesPath = inputM.get("packages_path").map(_.toString))
 
     val renames: Map[String, String] = m.get("rename") match {
       case Some(rm: JMap[_, _]) =>

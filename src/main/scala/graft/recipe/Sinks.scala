@@ -271,7 +271,63 @@ object Sinks {
         if (r.isNullAt(i)) Blank else cellOf(r.get(i))))
 
     Xlsx.write(path,
-      Seq(Sheet("summary", rows.toSeq), Sheet("data", dataRows)), colors)
+      Seq(Sheet("summary", rows.toSeq), Sheet("data", dataRows)) ++
+        envSheet(df.sparkSession, recipe),
+      colors)
+  }
+
+  /** J5 env sheet (aggregate.py:836-878): child raw configs declare
+    * `input.packages_path` globs of per-env package YAMLs (filename
+    * `<ts>_<suite>_env_<env>_packages.yml`); one table per env, indexed
+    * by package name with (env, field) column pairs, outer-joined across
+    * envs so a package present in only one env leaves the other env's
+    * cells blank. Config-sized data — driver-side like the reference. */
+  def envSheet(spark: org.apache.spark.sql.SparkSession, recipe: Recipe): Option[Xlsx.Sheet] = {
+    import scala.jdk.CollectionConverters._
+    val packageFiles: Seq[String] = recipe.input.configs.flatMap { cfg =>
+      val resolved = if (new java.io.File(cfg).isAbsolute) cfg
+        else new java.io.File(recipe.baseDir, cfg).getPath
+      CsvSource.expandGlobs(spark, Seq(resolved), recipe.baseDir).flatMap { f =>
+        Recipe.load(f).input.packagesPath.toSeq.flatMap(g =>
+          CsvSource.expandGlobs(spark, Seq(g), new java.io.File(f).getParent))
+      }
+    }
+    val envs = packageFiles.flatMap { f =>
+      val parts = new java.io.File(f).getName.split("_")
+      if (parts.length >= 2) Some(parts(parts.length - 2)) else None
+    }.distinct.sorted
+    if (envs.isEmpty) return None
+
+    // env -> (package display name -> field -> value)
+    val perEnv: Seq[(String, Map[String, Map[String, Any]], Seq[String])] = envs.map { env =>
+      val file = packageFiles.find(_.contains(env)).get
+      val yaml = new org.yaml.snakeyaml.Yaml()
+      val in = new java.io.FileInputStream(file)
+      val data =
+        try yaml.load[java.util.Map[String, java.util.Map[String, Object]]](in)
+        finally in.close()
+      val entries = data.asScala.toSeq.map { case (_, v) => v.asScala.toMap }
+      val fields = entries.headOption.map(_.keys.toSeq.filterNot(_ == "name"))
+        .getOrElse(Seq.empty)
+      val byName: Map[String, Map[String, Any]] = entries.map { e =>
+        String.valueOf(e.getOrElse("name", "")) ->
+          (e - "name").map { case (k, v) => k -> (v: Any) }
+      }.toMap
+      (env, byName, fields)
+    }
+
+    val allNames = perEnv.flatMap(_._2.keys).distinct.sorted
+    val header1: Seq[Xlsx.Cell] = Xlsx.Blank +:
+      perEnv.flatMap { case (env, _, fields) => fields.map(_ => Xlsx.Str(env): Xlsx.Cell) }
+    val header2: Seq[Xlsx.Cell] = Xlsx.Str("name") +:
+      perEnv.flatMap { case (_, _, fields) => fields.map(f => Xlsx.Str(f): Xlsx.Cell) }
+    val body = allNames.map { n =>
+      Xlsx.Str(n) +: perEnv.flatMap { case (_, byName, fields) =>
+        fields.map(f =>
+          byName.get(n).flatMap(_.get(f)).map(cellOf).getOrElse(Xlsx.Blank))
+      }
+    }
+    Some(Xlsx.Sheet("env", Seq(header1, header2) ++ body))
   }
 
   private def cellOf(v: Any): Xlsx.Cell = v match {

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Connected-components contraction (large-star/small-star) and the
+  * end-to-end dedup clustering pipeline. */
+class DedupClustersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(pairs: (Long, Long)*): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, clique, and separate components contract to min ids") {
+    // chain 1-2-3-4 (worst case for naive propagation), clique {10,11,12},
+    // pair {20,21}, reversed/duplicate edges
+    val m = cc((2, 1), (2, 3), (4, 3), (10, 11), (11, 12), (12, 10),
+      (21, 20), (20, 21), (3, 2))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path converges within the iteration bound") {
+    val path = (0L until 40L).map(i => (i, i + 1))
+    val m = cc(path: _*)
+    assert(m.size == 41 && m.values.forall(_ == 0L))
+  }
+
+  test("empty edge list yields empty mapping") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
+  test("dedupClusters maps singletons to themselves and flags keepers") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a completely different document about spark query engines"),
+      (4L, "unique text with no duplicate partner in this tiny corpus at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupClusters(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 3L, true), (4L, 4L, true)))
+    // exactly one keeper per cluster
+  }
+}

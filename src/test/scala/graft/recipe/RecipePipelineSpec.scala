@@ -302,10 +302,66 @@ class RecipePipelineSpec extends AnyFunSuite {
     assert(m == Map("numpy" -> 2.0, "numba" -> 1.0))
   }
 
-  test("input.format: sql fails loudly (S4 unsupported in this build)") {
+  test("read_csv_fd side input folds to literals inside precomputed (S8)") {
+    val dir = tmpDir()
+    write(dir, "targets.csv",
+      """name, goal
+        |bs, 2.0
+        |fft, 4.0
+        |dot, 6.0
+        |""".stripMargin)
+    write(dir, "a.csv",
+      """impl, time
+        |numpy, 8.0
+        |numba, 2.0
+        |""".stripMargin)
+    val recipe =
+      s"""input:
+         |  path: "${dir}/a.csv"
+         |precomputed:
+         |  VsMeanGoal: row['time'] / read_csv_fd('targets.csv')['goal'].mean()
+         |  FirstGoal: read_csv_fd('${dir}/targets.csv')['goal'][0]
+         |  LastGoal: read_csv_fd('targets.csv')['goal'][-1]
+         |  NGoals: read_csv_fd('targets.csv')['goal'].count()
+         |aggregation: mean
+         |values: [VsMeanGoal, FirstGoal, LastGoal, NGoals]
+         |series: [impl]
+         |""".stripMargin
+    val out = Benchmark.fromString(spark, recipe, dir.toString).getAggregatedData()
+    val m = out.collect().map(r => r.getAs[Any]("impl").toString -> (
+      r.getAs[Double]("VsMeanGoal"), r.getAs[Double]("FirstGoal"),
+      r.getAs[Double]("LastGoal"), r.getAs[Number]("NGoals").longValue())).toMap
+    assert(m == Map("numpy" -> (2.0, 2.0, 6.0, 3L), "numba" -> (0.5, 2.0, 6.0, 3L)))
+    // bare frame / un-aggregated column fail loudly
+    val bad =
+      s"""input:
+         |  path: "${dir}/a.csv"
+         |precomputed:
+         |  X: read_csv_fd('targets.csv')['goal']
+         |aggregation: mean
+         |values: [X]
+         |""".stripMargin
+    val e = intercept[ExprCompiler.ExprError] {
+      Benchmark.fromString(spark, bad, dir.toString).getAggregatedData()
+    }
+    assert(e.msg.contains("must end in an aggregate"))
+  }
+
+  test("input.format: sql without table-name, or non-sqlite bytes, fail loudly (S4)") {
     val dir = tmpDir()
     write(dir, "x.db", "not really sqlite")
-    val recipe =
+    val noTable =
+      s"""input:
+         |  path: "${dir}/x.db"
+         |  format: sql
+         |aggregation: mean
+         |values: [v]
+         |""".stripMargin
+    val e1 = intercept[RecipeError] {
+      Benchmark.fromString(spark, noTable).getRawData()
+    }
+    assert(e1.msg.contains("requires input.table-name"))
+    val badBytes =
       s"""input:
          |  path: "${dir}/x.db"
          |  format: sql
@@ -313,10 +369,28 @@ class RecipePipelineSpec extends AnyFunSuite {
          |aggregation: mean
          |values: [v]
          |""".stripMargin
-    val err = intercept[RecipeError] {
-      Benchmark.fromString(spark, recipe).getRawData()
+    val e2 = intercept[RecipeError] {
+      Benchmark.fromString(spark, badBytes).getRawData()
     }
-    assert(err.msg.contains("format 'sql' is unsupported"))
+    assert(e2.msg.contains("not a SQLite 3 database"))
+  }
+
+  test("input.format: sql scans a real SQLite file through the recipe (S4)") {
+    val db = getClass.getResource("/sqlite/nation.db").getPath
+    val recipe =
+      s"""input:
+         |  path: "$db"
+         |  format: sql
+         |  table-name: nation
+         |axis: [n_regionkey]
+         |aggregation: count
+         |values: [n_nationkey]
+         |""".stripMargin
+    val out = Benchmark.fromString(spark, recipe).getAggregatedData()
+    val m = out.collect().map(r =>
+      r.getAs[Number]("n_regionkey").longValue() ->
+        r.getAs[Number]("n_nationkey").longValue()).toMap
+    assert(m == Map(0L -> 5L, 1L -> 5L, 2L -> 5L, 3L -> 5L, 4L -> 5L))
   }
 
   test("group-agg drops rows with null group keys (pandas dropna parity)") {

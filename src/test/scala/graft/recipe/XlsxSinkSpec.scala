@@ -104,6 +104,48 @@ class XlsxSinkSpec extends AnyFunSuite {
     assert(ic.colorOf(Double.NaN) == "#ffffff")
   }
 
+  test("env sheet outer-joins per-env package tables (J5)") {
+    val dir = tmpDir()
+    // per-env package YAMLs named <ts>_<suite>_env_<env>_packages.yml
+    Files.writeString(dir.resolve("0001_suite_env_alpha_packages.yml"),
+      """numpy: {name: numpy, version: '1.26', build: py311}
+        |mkl: {name: mkl, version: '2024.0', build: intel}
+        |""".stripMargin)
+    Files.writeString(dir.resolve("0001_suite_env_beta_packages.yml"),
+      """numpy: {name: numpy, version: '1.24', build: py310}
+        |tbb: {name: tbb, version: '2021.9', build: intel}
+        |""".stripMargin)
+    Files.writeString(dir.resolve("raw_child.yml"),
+      s"""input:
+         |  path: "$dir/*.csv"
+         |  packages_path: "$dir/*_packages.yml"
+         |aggregation: mean
+         |values: [Ratio]
+         |""".stripMargin)
+    Files.writeString(dir.resolve("a.csv"),
+      "impl, func, arch, Ratio\nnumpy, fft, x86, 0.5\n")
+    val parent = Benchmark.fromString(spark,
+      s"""input:
+         |  config: ["$dir/raw_child.yml"]
+         |aggregation: mean
+         |values: [Ratio]
+         |series: [impl]
+         |axis: [func]
+         |variants: [arch]
+         |""".stripMargin, dir.toString)
+    val out = tmpDir().resolve("env.xlsx")
+    Sinks.writeXlsx(parent.getAggregatedData(), parent.recipe, out.toString)
+    val parts = entries(out)
+    // env is sheet 3
+    assert(parts("xl/workbook.xml").contains("name=\"env\""))
+    val env = parts("xl/worksheets/sheet3.xml")
+    for (s <- Seq("alpha", "beta", "version", "build", "numpy", "mkl", "tbb",
+                  "1.26", "2021.9"))
+      assert(env.contains(s">$s</t>") || env.contains(s"preserve\">$s</t>"), s"missing $s")
+    // outer join: 2 header rows + 3 package rows (numpy, mkl, tbb)
+    assert("""<row """.r.findAllIn(env).length == 5)
+  }
+
   test("HTML --plot embeds one SVG grouped bar chart per variant") {
     val (bench, df) = makeBench()
     val html = Sinks.toHtml(df, bench.recipe, "t", plot = true)
