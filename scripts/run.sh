@@ -15,6 +15,6 @@ OPENS=()
 for p in "${ADD_OPENS[@]}"; do OPENS+=(--add-opens "$p=ALL-UNNAMED"); done
 exec java "${OPENS[@]}" \
   -Xmx"${SPARK_DRIVER_MEM:-24g}" \
-  -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing \
+  -XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"

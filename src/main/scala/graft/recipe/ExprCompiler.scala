@@ -191,8 +191,15 @@ object ExprCompiler {
           val args = if (accept("(")) {
             val as = Seq.newBuilder[Ast]
             if (!accept(")")) {
-              as += parseExpr()
-              while (accept(",")) as += parseExpr()
+              // `kw=expr` method kwargs (fillna(value='n/a'), sklearn.yml
+              // idiom) fold to positional — the observed methods have one
+              // arg whose kwarg name adds no information
+              def one(): Unit = (peek, toks.lift(pos + 1)) match {
+                case (Some(TName(_)), Some(TOp("="))) => pos += 2; as += parseExpr()
+                case _ => as += parseExpr()
+              }
+              one()
+              while (accept(",")) one()
               expect(")")
             }
             as.result()
@@ -521,6 +528,16 @@ object ExprCompiler {
           case "str" => "string"
           case other => other
         })
+      // numpy namespace calls (sklearn.yml precompute idiom): element-wise
+      // max/min over column-or-scalar operands
+      case Method(ParamRef("np"), "max" | "maximum", args) if args.size >= 2 =>
+        greatest(args.map(go): _*)
+      case Method(ParamRef("np"), "min" | "minimum", args) if args.size >= 2 =>
+        least(args.map(go): _*)
+      case Method(ParamRef("np"), "abs", Seq(a)) => abs(go(a))
+      case Method(ParamRef("np"), "sqrt", Seq(a)) => sqrt(go(a))
+      case Method(ParamRef("np"), "log", Seq(a)) => log(go(a))
+      case Method(ParamRef("np"), "exp", Seq(a)) => exp(go(a))
       case Method(_, m, _) => throw ExprError(s"unsupported method .$m")
       case FuncCall("int", Seq(a), _) => go(a).cast("long")
       case FuncCall("float", Seq(a), _) => go(a).cast("double")

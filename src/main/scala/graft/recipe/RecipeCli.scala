@@ -16,6 +16,7 @@ object RecipeCli {
     var html: Option[String] = None
     var excel: Option[String] = None
     var plot = false
+    var raw = false
     var inputs: List[String] = Nil
     var recipes: List[String] = Nil
     var i = 0
@@ -26,6 +27,7 @@ object RecipeCli {
         case "--html" | "-H" => html = Some(args(i + 1)); i += 2
         case "--excel" | "-x" => excel = Some(args(i + 1)); i += 2
         case "--plot" => plot = true; i += 1
+        case "--raw" => raw = true; i += 1
         case "--input" | "-i" => inputs ::= args(i + 1); i += 2
         case other => recipes ::= other; i += 1
       }
@@ -54,7 +56,9 @@ object RecipeCli {
       html.foreach(p =>
         Sinks.writeHtml(df, bench.recipe, p.replace("{filename}", name), name, plot))
       excel.foreach(p =>
-        Sinks.writeXlsx(df, bench.recipe, p.replace("{filename}", name)))
+        Sinks.writeXlsx(df, bench.recipe, p.replace("{filename}", name),
+          raw = if (raw) Some(bench.getNormalizedData(
+            inputs = if (inputs.isEmpty) None else Some(inputs.reverse))) else None))
       if (csv.isEmpty && pretty.isEmpty && html.isEmpty && excel.isEmpty)
         print(Sinks.pivotString(df, bench.recipe))
     } catch {

@@ -232,7 +232,8 @@ object Sinks {
     * `summary` sheet of stacked per-variant blocks (variant header
     * mini-table, then the pivot with indicator color bands) and a `data`
     * sheet with the full aggregated frame. */
-  def writeXlsx(df: DataFrame, recipe: Recipe, path: String): Unit = {
+  def writeXlsx(df: DataFrame, recipe: Recipe, path: String,
+                raw: Option[DataFrame] = None): Unit = {
     import Xlsx._
     val colors = recipe.indicator.flatMap(_.colors).distinct :+ "#ffffff"
     val styleOf: Map[String, Int] = colors.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
@@ -270,9 +271,18 @@ object Sinks {
       data.map(r => df.columns.indices.map(i =>
         if (r.isNullAt(i)) Blank else cellOf(r.get(i))))
 
+    // --raw: the concatenated normalized input frame on its own sheet
+    // (aggregate.py:831-833, flag at :995)
+    val rawSheet = raw.map { r =>
+      val rdata = r.collect()
+      Sheet("raw", Seq(r.columns.toSeq.map(Str(_): Cell)) ++
+        rdata.map(row => r.columns.indices.map(i =>
+          if (row.isNullAt(i)) Blank else cellOf(row.get(i)))))
+    }
+
     Xlsx.write(path,
       Seq(Sheet("summary", rows.toSeq), Sheet("data", dataRows)) ++
-        envSheet(df.sparkSession, recipe),
+        rawSheet ++ envSheet(df.sparkSession, recipe),
       colors)
   }
 

@@ -62,6 +62,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("IVF probe join broadcasts the probe side; cell assignment is expression-only (q49)") {
+    val p = plan("q49_ivf_topk")
+    // the one join is a broadcast hash join on the cell id — the corpus is
+    // never shuffled for centroid assignment (centroids are literals)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("graft_cosine"))
+  }
+
+  test("SQLite scan lands as a small local/scan relation joinable by Catalyst (q47)") {
+    val p = plan("q47_sqlite_scan")
+    assert(!p.contains("Exchange")) // a projected scan, no shuffle
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set

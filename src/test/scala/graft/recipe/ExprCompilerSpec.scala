@@ -78,6 +78,21 @@ class ExprCompilerSpec extends AnyFunSuite {
       Seq("Native-C", "intelpython"))
   }
 
+  test("method kwargs fold to positional (fillna(value=...), sklearn idiom)") {
+    import spark.implicits._
+    val df = Seq(Some("a"), None).toDF("c")
+    val out = df.select(compile(parse("df['c'].fillna(value='n/a')")))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("a", "n/a"))
+  }
+
+  test("np.max / np.minimum compile to greatest/least (sklearn precompute)") {
+    assert(eval("np.max(row['Time'], 5.0)") == Seq(10.0, 5.0))
+    assert(eval("np.minimum(row['Time'], 5.0)") == Seq(5.0, 2.5))
+    assert(eval("np.sqrt(np.abs(0.0 - row['Threads'] * row['Threads']))") ==
+      Seq(1.0, 4.0))
+  }
+
   test("ratio_of family parses into RatioCall with kwargs") {
     val ast = parse("1 / ratio_of('Time', Prefix='native')")
     val calls = ratioCalls(ast)

@@ -141,6 +141,34 @@ class RecipePipelineSpec extends AnyFunSuite {
       ("native", 200L) -> 1.0, ("intel", 200L) -> 0.5))
   }
 
+  test("reciprocal ratio + boolean drop filter-in (indicators/sklearn.yml idioms)") {
+    val dir = tmpDir()
+    write(dir, "perf.csv",
+      """Prefix, size, Time
+        |native, 100, 2.0
+        |intel, 100, 4.0
+        |stock, 100, 8.0
+        |""".stripMargin)
+    val recipe =
+      s"""input:
+         |  path: "${dir}/perf.csv"
+         |aggregation: mean
+         |precomputed:
+         |  Ratio: "1/ratio_of('Time', Prefix='native')"
+         |  drop: "row['Prefix'] == 'stock' or row['size'] == 999"
+         |filter-in:
+         |  drop: [false]
+         |values: [Ratio]
+         |series: [Prefix]
+         |axis: [size]
+         |""".stripMargin
+    val out = Benchmark.fromString(spark, recipe).getAggregatedData()
+    val m = out.collect().map(r =>
+      r.getAs[Any]("Prefix").toString -> r.getAs[Double]("Ratio")).toMap
+    // 1/(time/base): native 1.0, intel 2/4=0.5; stock dropped by filter-in
+    assert(m == Map("native" -> 1.0, "intel" -> 0.5))
+  }
+
   test("ratio_of with missing base combination errors (parity)") {
     val dir = tmpDir()
     write(dir, "p.csv", "Prefix, Time\nintel, 4.0\n")

@@ -104,6 +104,18 @@ class XlsxSinkSpec extends AnyFunSuite {
     assert(ic.colorOf(Double.NaN) == "#ffffff")
   }
 
+  test("--raw adds a sheet with the full normalized pre-aggregation frame") {
+    val (bench, df) = makeBench()
+    val out = tmpDir().resolve("raw.xlsx")
+    Sinks.writeXlsx(df, bench.recipe, out.toString,
+      raw = Some(bench.getNormalizedData()))
+    val parts = entries(out)
+    assert(parts("xl/workbook.xml").contains("name=\"raw\""))
+    val rawXml = parts("xl/worksheets/sheet3.xml")
+    // header + the 5 input rows
+    assert("""<row """.r.findAllIn(rawXml).length == 6)
+  }
+
   test("env sheet outer-joins per-env package tables (J5)") {
     val dir = tmpDir()
     // per-env package YAMLs named <ts>_<suite>_env_<env>_packages.yml
