@@ -54,14 +54,22 @@ object Bench {
                       errors: collection.mutable.Map[String, String]): Unit = {
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // count Spark jobs per query: eager driver-side jobs (collect/isEmpty
+    // during plan construction) are invisible in wall time alone
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    })
+    val names = selectedNames
     for (name <- names if !errors.contains(name)) {
       val t0 = System.nanoTime()
+      val j0 = jobs.get()
       try {
         SparkEntry.queries(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
-        System.err.println(f"[bench] pass $pass $name%-26s$dt%9.2fs")
+        System.err.println(f"[bench] pass $pass $name%-26s$dt%9.2fs  ${jobs.get() - j0}%4d jobs")
       } catch {
         case e: Throwable =>
           errors(name) = jsonEscape(
@@ -70,6 +78,18 @@ object Bench {
           System.err.println(s"[bench] pass $pass $name FAILED: ${e.getClass.getName}")
       }
       spark.catalog.clearCache() // recipe queries cache child frames
+    }
+  }
+
+  /** Query subset under SPARK_GRAFT_BENCH_ONLY (comma-separated names,
+    * dev-profiling aid); all queries when unset. */
+  private def selectedNames: Seq[String] = {
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(s) if s.trim.nonEmpty =>
+        val want = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        all.filter(n => want.exists(n.contains))
+      case _ => all
     }
   }
 
@@ -137,7 +157,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = selectedNames
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 

@@ -23,6 +23,11 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
     * ordering violations land here instead of a log scrape. */
   val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
 
+  /** col() with the name backtick-quoted: recipe column names are user
+    * data and routinely dotted after rename (e.g. 'df_clsf.fit'), which
+    * bare col() would parse as struct access. */
+  private def qcol(c: String): Column = col(s"`$c`")
+
   /** Child-recipe frames (S7), normalized (NOT aggregated), File column
     * stamped with the child recipe name, cached — evaluated once even
     * when this benchmark is re-run. */
@@ -55,7 +60,7 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
     // without the isNull disjunct, union-by-name rows whose filter column
     // came from another file would be silently dropped.
     df = recipe.filterOut.foldLeft(df) { case (d, (c, vals)) =>
-      d.filter(col(c).isNull || !col(c).isin(vals: _*))
+      d.filter(qcol(c).isNull || !qcol(c).isin(vals: _*))
     }
 
     // type inference pass 1 (P5)
@@ -97,7 +102,7 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
     for (pc <- recipe.unpack) {
       val index = df.columns.filterNot(c => c == pc.name || c == pc.value)
       df = df
-        .groupBy(index.map(col): _*)
+        .groupBy(index.map(qcol): _*)
         .pivot(coalesce(col(pc.name).cast(StringType), lit("NaN")))
         .agg(first(col(pc.value), ignoreNulls = true))
     }
@@ -110,7 +115,7 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
 
     // filter-in (F2)
     df = recipe.filterIn.foldLeft(df) { case (d, (c, vals)) =>
-      d.filter(col(c).isin(vals: _*))
+      d.filter(qcol(c).isin(vals: _*))
     }
 
     // F4 empty warning
@@ -135,10 +140,10 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
       throw RecipeError("Missing values columns: " + missing.mkString(", "))
     for (v <- recipe.values) {
       if (df.schema(v).dataType == StringType) {
-        val bad = df.filter(col(v).isNotNull && col(v).try_cast(DoubleType).isNull).limit(1).count()
+        val bad = df.filter(qcol(v).isNotNull && qcol(v).try_cast(DoubleType).isNull).limit(1).count()
         if (bad > 0) throw RecipeError("Found non-numerical data in values columns!")
       }
-      df = df.withColumn(v, col(v).cast(DoubleType))
+      df = df.withColumn(v, qcol(v).cast(DoubleType))
     }
     df
   }
@@ -169,12 +174,12 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
     if (stringCols.isEmpty) return df
     val checks = stringCols.flatMap { c =>
       Seq(
-        sum(when(col(c).isNotNull && col(c).try_cast(DoubleType).isNull, 1L)
+        sum(when(qcol(c).isNotNull && qcol(c).try_cast(DoubleType).isNull, 1L)
           .otherwise(0L)).as(s"${c}__baddbl"),
-        sum(when(col(c).isNotNull && !trim(col(c)).rlike("^[+-]?\\d+$"), 1L)
+        sum(when(qcol(c).isNotNull && !trim(qcol(c)).rlike("^[+-]?\\d+$"), 1L)
           .otherwise(0L)).as(s"${c}__badlong"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        count(col(c)).as(s"${c}__nnz"))
+        sum(when(qcol(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count(qcol(c)).as(s"${c}__nnz"))
     }
     val row = df.select(checks.toIndexedSeq: _*).collect()(0)
     stringCols.foldLeft(df) { (d, c) =>
@@ -182,8 +187,8 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
       val badLong = row.getAs[Long](s"${c}__badlong")
       val nulls = row.getAs[Long](s"${c}__nulls")
       if (badDbl > 0) d
-      else if (badLong == 0 && nulls == 0) d.withColumn(c, col(c).cast("long"))
-      else d.withColumn(c, col(c).cast("double"))
+      else if (badLong == 0 && nulls == 0) d.withColumn(c, qcol(c).cast("long"))
+      else d.withColumn(c, qcol(c).cast("double"))
     }
   }
 
@@ -206,7 +211,7 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
     * (J2). The base side is always small (post-aggregation) -> broadcast.
     * Reference: aggregate.py:354-476. */
   private def joinRatio(df: DataFrame, rc: RatioCall, outCol: String): DataFrame = {
-    val f = aggExpr(recipe.aggregation, col(rc.column).cast(DoubleType))
+    val f = aggExpr(recipe.aggregation, qcol(rc.column).cast(DoubleType))
     val series = recipe.series
     val av = recipe.axis ++ recipe.variants
     if (series.isEmpty) throw RecipeError(s"${rc.func} requires non-empty series")
@@ -214,14 +219,14 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
     for (s <- series) if (!kwMap.contains(s))
       throw RecipeError(s"${rc.func} missing series kwarg '$s'")
 
-    val baseCond = series.map(s => col(s) === lit(kwMap(s))).reduce(_ && _)
+    val baseCond = series.map(s => qcol(s) === lit(kwMap(s))).reduce(_ && _)
     val baseRows = df.filter(baseCond)
     // one job computes the base aggregate AND the existence check (the
     // collected frame is small: one row per axis+variants combo), and the
     // join side below reuses the collected rows instead of re-aggregating
     val baseAgg =
       if (av.isEmpty) baseRows.groupBy().agg(f.as("__base"))
-      else baseRows.groupBy(av.map(col): _*).agg(f.as("__base"))
+      else baseRows.groupBy(av.map(qcol): _*).agg(f.as("__base"))
     val baseCollected = baseAgg.collect()
     val baseMissing =
       if (av.isEmpty) baseCollected.forall(_.isNullAt(0))
@@ -231,7 +236,7 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
         "operation, but that value/combination doesn't exist in the dataframe!")
     val base = spark.createDataFrame(
       java.util.Arrays.asList(baseCollected: _*), baseAgg.schema)
-    val grp = df.groupBy((series ++ av).map(col): _*).agg(f.as("__grp"))
+    val grp = df.groupBy((series ++ av).map(qcol): _*).agg(f.as("__grp"))
     val joined =
       if (av.isEmpty) grp.crossJoin(broadcast(base))
       else grp.join(broadcast(base), av)
@@ -243,7 +248,7 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
       case "percent_diff" | "percent_diff_inv" => (ratio0 - 1) * 100
       case other => throw RecipeError(s"unknown ratio function $other")
     }
-    val ratios = joined.select((series ++ av).map(col) :+ ratio.as(outCol): _*)
+    val ratios = joined.select((series ++ av).map(qcol) :+ ratio.as(outCol): _*)
     df.join(broadcast(ratios), series ++ av, "left")
   }
 
@@ -268,8 +273,8 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
         val expectedDf = spark.createDataFrame(rows, schema)
         val grid =
           if (av.isEmpty) expectedDf
-          else df.select(av.map(col): _*).distinct().crossJoin(expectedDf)
-        val present = df.select((av ++ series).map(col): _*).distinct()
+          else df.select(av.map(qcol): _*).distinct().crossJoin(expectedDf)
+        val present = df.select((av ++ series).map(qcol): _*).distinct()
         val missing = grid.join(present, av ++ series, "left_anti")
         // collect once (small: bounded by |axis×variants combos| × |expected|):
         // drives both the fill and the per-group `needed` sets of the
@@ -291,8 +296,8 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
         // (aggregate.py:674-703), and compares against the config order
         // after removing combos missing on either side.
         if (values.nonEmpty) {
-          val aggCols = values.map(v => aggExpr(recipe.aggregation, col(v)).as(v))
-          val aggd = df.groupBy((av ++ series).map(col): _*)
+          val aggCols = values.map(v => aggExpr(recipe.aggregation, qcol(v)).as(v))
+          val aggd = df.groupBy((av ++ series).map(qcol): _*)
             .agg(aggCols.head, aggCols.tail: _*)
           val collected = aggd.collect()
           val grouped = collected.groupBy(r => av.indices.map(r.get))
@@ -328,12 +333,12 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
     // union-by-name. Spark groupBy keeps null keys, so filter explicitly.
     val keys = series ++ recipe.axis ++ recipe.variants
     val othercols = df.columns.filterNot(c => keys.contains(c) || values.contains(c))
-    val aggs = values.map(v => aggExpr(recipe.aggregation, col(v)).as(v)) ++
-      othercols.map(c => first(col(c), ignoreNulls = true).as(c))
+    val aggs = values.map(v => aggExpr(recipe.aggregation, qcol(v)).as(v)) ++
+      othercols.map(c => first(qcol(c), ignoreNulls = true).as(c))
     val aggregated =
       if (keys.isEmpty) df.groupBy().agg(aggs.head, aggs.tail: _*)
-      else df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
-        .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      else df.filter(keys.map(qcol(_).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(qcol): _*).agg(aggs.head, aggs.tail: _*)
 
     // P7: hidden-column drop
     aggregated.drop(aggregated.columns.filter(_.startsWith("_")).toIndexedSeq: _*)

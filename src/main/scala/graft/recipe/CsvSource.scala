@@ -31,7 +31,15 @@ object CsvSource {
     }.sorted
   }
 
-  /** Read one file through the recipe's line filter + CSV parse. */
+  /** Read one file through the recipe's line filter + CSV parse.
+    *
+    * The schema is fixed (all-string, names from the driver-side header
+    * peek) so the parse is FULLY LAZY: Spark's `inferSchema` would run one
+    * sampling job per file — O(files) driver jobs on a big glob, the
+    * dominant cost of a multi-file recipe layer. Numeric typing instead
+    * happens once for the whole union in [[Benchmark]]'s inference pass,
+    * which is the reference's own model (pandas `to_numeric` over the
+    * concatenated frame, aggregate.py:316-352). */
   def readFile(spark: SparkSession, recipe: Recipe, file: String): DataFrame = {
     import spark.implicits._
 
@@ -44,27 +52,58 @@ object CsvSource {
         spark.read.textFile(file)
       }
 
-    val reader = spark.read
-      .option("ignoreLeadingWhiteSpace", "true") // pandas skipinitialspace
-      .option("inferSchema", "true")
-
-    val df = recipe.input.csvHeader match {
+    val first = firstFilteredLine(spark, recipe, file)
+    val (names, hasHeaderRow) = recipe.input.csvHeader match {
       case Some(header) =>
-        val first = firstFilteredLine(spark, recipe, file)
-        val matches = first.replace(" ", "") == header.replace(" ", "")
-        if (matches) reader.option("header", "true").csv(lines)
+        val imposed = header.split(",").map(_.trim).toSeq
+        if (first.replace(" ", "") == header.replace(" ", "")) (imposed, true)
         else {
-          val names = header.split(",").map(_.trim)
-          val parsed = reader.option("header", "false").csv(lines)
-          if (parsed.columns.length != names.length)
+          val nFields = if (first.isEmpty) imposed.length else splitCsvLine(first).length
+          if (nFields != imposed.length)
             throw RecipeError(
-              s"csv-header has ${names.length} columns but '$file' parsed ${parsed.columns.length}")
-          parsed.toDF(names.toIndexedSeq: _*)
+              s"csv-header has ${imposed.length} columns but '$file' parsed $nFields")
+          (imposed, false)
         }
-      case None => reader.option("header", "true").csv(lines)
+      case None =>
+        if (first.isEmpty) throw RecipeError(s"'$file' has no data after filtering")
+        (splitCsvLine(first).map(_.trim), true)
     }
 
+    val schema = org.apache.spark.sql.types.StructType(names.map(n =>
+      org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+    val df = spark.read
+      .option("ignoreLeadingWhiteSpace", "true") // pandas skipinitialspace
+      .option("header", hasHeaderRow.toString)
+      .option("enforceSchema", "true")
+      .schema(schema)
+      .csv(lines)
+
     withProvenance(withMeta(spark, df, file), file)
+  }
+
+  /** Split one CSV record into fields (RFC-4180 quoting) — driver-side
+    * header peek only. */
+  private[recipe] def splitCsvLine(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { sb.append('"'); i += 1 }
+          else inQ = false
+        } else sb.append(c)
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += sb.toString; sb.clear()
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.toSeq
   }
 
   /** First post-filter line of `file`, read driver-side through the
