@@ -61,6 +61,15 @@ object Bench {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
     })
+    // unrecorded warmup: JIT-compile the parquet scan / shuffle / codegen
+    // machinery so the chunk's first real query isn't billed for it
+    if (!sys.env.get("SPARK_GRAFT_BENCH_WARMUP").contains("0")) {
+      try {
+        import org.apache.spark.sql.functions.{col, sum => fsum}
+        spark.read.parquet(s"$sfDir/supplier.parquet")
+          .groupBy("s_nationkey").agg(fsum(col("s_acctbal"))).count()
+      } catch { case _: Throwable => () }
+    }
     val names = selectedNames
     for (name <- names if !errors.contains(name)) {
       val t0 = System.nanoTime()
@@ -93,9 +102,9 @@ object Bench {
     }
   }
 
-  /** Fork one fresh-JVM pass; returns its parsed per-query times, or None
-    * if the child could not run. */
-  private def forkPass(pass: Int): Option[(Map[String, Double], Map[String, String])] = {
+  /** Fork one fresh-JVM run over `chunk`; returns its parsed per-query
+    * times, or None if the child could not run. */
+  private def forkPass(pass: Int, chunk: Seq[String]): Option[(Map[String, Double], Map[String, String])] = {
     val javaHome = sys.props.get("java.home").map(h => s"$h/bin/java").getOrElse("java")
     val opens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
@@ -115,6 +124,7 @@ object Bench {
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
       pb.environment().put("SPARK_GRAFT_BENCH_PASS", pass.toString)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", chunk.mkString(","))
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
@@ -172,14 +182,26 @@ object Bench {
       sys.exit(0)
     }
 
+    // fork a fresh JVM per CHUNK of queries: a 49-query codegen-heavy run
+    // in one JVM degrades progressively (JIT code-cache churn) no matter
+    // the flags — measured 5-50x inflation by query ~40. Small chunks keep
+    // every query near fresh-JVM truth; the warmup query absorbs session
+    // spin-up so chunk position doesn't matter; chunk boundaries rotate
+    // between passes so no query is always last-in-chunk.
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "8").toInt
     var forked = true
     for (pass <- 1 to passes if forked) {
-      forkPass(pass) match {
-        case Some((qs, es)) =>
-          for ((k, v) <- qs if v >= 0)
-            best(k) = math.min(best.getOrElse(k, Double.MaxValue), v)
-          for ((k, v) <- es) { errors(k) = v; best(k) = -1d }
-        case None => forked = false
+      val offset = ((pass - 1) * chunkSize / math.max(passes, 1)) % math.max(names.size, 1)
+      val rotated = names.drop(offset) ++ names.take(offset)
+      for (chunk <- rotated.grouped(chunkSize) if forked) {
+        forkPass(pass, chunk) match {
+          case Some((qs, es)) =>
+            // a query that failed in ANY chunk stays reported as failed
+            for ((k, v) <- qs if v >= 0 && !errors.contains(k))
+              best(k) = math.min(best.getOrElse(k, Double.MaxValue), v)
+            for ((k, v) <- es) { errors(k) = v; best(k) = -1d }
+          case None => forked = false
+        }
       }
     }
     if (!forked) {

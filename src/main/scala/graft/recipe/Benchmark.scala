@@ -63,8 +63,16 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
       d.filter(qcol(c).isNull || !qcol(c).isin(vals: _*))
     }
 
-    // type inference pass 1 (P5)
-    df = inferTypes(df)
+    // type inference pass 1 (P5); its aggregate also reports the
+    // post-filter-out row count for the F4 empty-input warning, saving a
+    // separate isEmpty job
+    var lastInferCount: Option[Long] = None
+    def infer(d: DataFrame): DataFrame = {
+      val (typed, n) = inferTypesCounting(d)
+      lastInferCount = n.orElse(lastInferCount)
+      typed
+    }
+    df = infer(df)
 
     // precomputed columns (P2/P3/A4/A5, J2/J3)
     for ((colName, exprStr) <- recipe.precomputed) {
@@ -111,17 +119,11 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
     // (pivoted cells arrive as strings); skipping the no-op pass saves a
     // full-table inference scan per recipe
     if (recipe.pack.nonEmpty || recipe.unpack.nonEmpty)
-      df = inferTypes(df)
+      df = infer(df)
 
     // filter-in (F2)
     df = recipe.filterIn.foldLeft(df) { case (d, (c, vals)) =>
       d.filter(qcol(c).isin(vals: _*))
-    }
-
-    // F4 empty warning
-    if (recipe.filterIn.nonEmpty || recipe.filterOut.nonEmpty) {
-      if (df.isEmpty)
-        warnings += "Filtering on input data has removed all data. Expect empty output."
     }
 
     // required columns
@@ -132,7 +134,15 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
     // type inference pass 3 — removing rows (filter-in) can newly make a
     // string column castable; without a filter the pass is a no-op
     if (recipe.filterIn.nonEmpty)
-      df = inferTypes(df)
+      df = infer(df)
+
+    // F4 empty warning, row count piggybacked on the last inference
+    // aggregate (post-filter-in when one ran, else post-filter-out)
+    if (recipe.filterIn.nonEmpty || recipe.filterOut.nonEmpty) {
+      val empty = lastInferCount.map(_ == 0L).getOrElse(df.isEmpty)
+      if (empty)
+        warnings += "Filtering on input data has removed all data. Expect empty output."
+    }
 
     // values presence + float64 cast (P6)
     val missing = recipe.values.filterNot(df.columns.contains)
@@ -167,11 +177,12 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
 
   /** pandas `to_numeric(errors='ignore')` per string column: promote to
     * long (no nulls, all integral) or double (all castable), else leave.
-    * One aggregation job checks every candidate column at once. */
-  private def inferTypes(df: DataFrame): DataFrame = {
+    * One aggregation job checks every candidate column at once; the same
+    * job also returns the total row count (None when no job ran). */
+  private def inferTypesCounting(df: DataFrame): (DataFrame, Option[Long]) = {
     val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
       .filter(relevantCols.contains)
-    if (stringCols.isEmpty) return df
+    if (stringCols.isEmpty) return (df, None)
     val checks = stringCols.flatMap { c =>
       Seq(
         sum(when(qcol(c).isNotNull && qcol(c).try_cast(DoubleType).isNull, 1L)
@@ -180,9 +191,9 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
           .otherwise(0L)).as(s"${c}__badlong"),
         sum(when(qcol(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
         count(qcol(c)).as(s"${c}__nnz"))
-    }
+    } :+ count(lit(1L)).as("__nrows")
     val row = df.select(checks.toIndexedSeq: _*).collect()(0)
-    stringCols.foldLeft(df) { (d, c) =>
+    val typed = stringCols.foldLeft(df) { (d, c) =>
       val badDbl = row.getAs[Long](s"${c}__baddbl")
       val badLong = row.getAs[Long](s"${c}__badlong")
       val nulls = row.getAs[Long](s"${c}__nulls")
@@ -190,7 +201,10 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
       else if (badLong == 0 && nulls == 0) d.withColumn(c, qcol(c).cast("long"))
       else d.withColumn(c, qcol(c).cast("double"))
     }
+    (typed, Some(row.getAs[Long]("__nrows")))
   }
+
+  private def inferTypes(df: DataFrame): DataFrame = inferTypesCounting(df)._1
 
   private def aggExpr(fn: String, c: Column): Column = fn match {
     case "min" => min(c)

@@ -1,8 +1,9 @@
 package graft.recipe
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import scala.jdk.CollectionConverters._
 
@@ -11,10 +12,21 @@ case class RecipeError(msg: String) extends RuntimeException(msg)
 /** Recipe input scan: glob expansion, per-file regex line filtering,
   * CSV parse with header imposition, provenance columns and `.meta`
   * sidecar constants, unioned by name (missing -> null). Mirrors bearysta
-  * aggregate.py:134-314 with Spark distribution semantics: each file is
-  * one `wholetext` row flat-mapped through [[LineFilter]] (per-file
-  * sequential state, parallel across files), then parsed by the standard
-  * CSV reader with schema inference.
+  * aggregate.py:134-314 with Spark distribution semantics.
+  *
+  * Scale shape: files are grouped by parsed column-name set and each
+  * group becomes ONE distributed relation — a native multi-file CSV scan
+  * (splittable) when the recipe has no line filter, or one wholetext scan
+  * flat-mapped through [[LineFilter]] (per-file sequential state, parallel
+  * across files) when it does. Per-file constants (provenance columns,
+  * `.meta` sidecar values) ride in via a broadcast equi-join on the file
+  * path rather than per-file literal columns, so a 10k-file glob is one
+  * scan + one broadcast join, not 10k union branches. The parse schema is
+  * all-string and fixed up front (from a driver-side one-line peek per
+  * file, the same peek the reference does at aggregate.py:278-283), so no
+  * per-file Spark inference jobs run; numeric typing happens once for the
+  * whole union in [[Benchmark]]'s inference pass — the reference's own
+  * model (pandas `to_numeric`, aggregate.py:316-352).
   */
 object CsvSource {
 
@@ -31,27 +43,11 @@ object CsvSource {
     }.sorted
   }
 
-  /** Read one file through the recipe's line filter + CSV parse.
-    *
-    * The schema is fixed (all-string, names from the driver-side header
-    * peek) so the parse is FULLY LAZY: Spark's `inferSchema` would run one
-    * sampling job per file — O(files) driver jobs on a big glob, the
-    * dominant cost of a multi-file recipe layer. Numeric typing instead
-    * happens once for the whole union in [[Benchmark]]'s inference pass,
-    * which is the reference's own model (pandas `to_numeric` over the
-    * concatenated frame, aggregate.py:316-352). */
-  def readFile(spark: SparkSession, recipe: Recipe, file: String): DataFrame = {
-    import spark.implicits._
+  /** Per-file scan facts decided driver-side from the one-line peek. */
+  private case class FileInfo(path: String, names: Seq[String], hasHeaderRow: Boolean,
+                              meta: Seq[(String, Any)])
 
-    val lines: org.apache.spark.sql.Dataset[String] =
-      if (recipe.input.filters.nonEmpty) {
-        val rules = recipe.input.filters
-        spark.read.option("wholetext", "true").text(file).as[String]
-          .flatMap(content => LineFilter(LineFilter.compile(rules), content.linesIterator))
-      } else {
-        spark.read.textFile(file)
-      }
-
+  private def fileInfo(spark: SparkSession, recipe: Recipe, file: String): FileInfo = {
     val first = firstFilteredLine(spark, recipe, file)
     val (names, hasHeaderRow) = recipe.input.csvHeader match {
       case Some(header) =>
@@ -68,17 +64,7 @@ object CsvSource {
         if (first.isEmpty) throw RecipeError(s"'$file' has no data after filtering")
         (splitCsvLine(first).map(_.trim), true)
     }
-
-    val schema = org.apache.spark.sql.types.StructType(names.map(n =>
-      org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
-    val df = spark.read
-      .option("ignoreLeadingWhiteSpace", "true") // pandas skipinitialspace
-      .option("header", hasHeaderRow.toString)
-      .option("enforceSchema", "true")
-      .schema(schema)
-      .csv(lines)
-
-    withProvenance(withMeta(spark, df, file), file)
+    FileInfo(file, names, hasHeaderRow, readMeta(file))
   }
 
   /** Split one CSV record into fields (RFC-4180 quoting) — driver-side
@@ -124,35 +110,152 @@ object CsvSource {
     } finally in.close()
   }
 
-  private def withProvenance(df: DataFrame, file: String): DataFrame = {
-    val f = new java.io.File(file)
-    df.withColumn("Path", lit(file))
-      .withColumn("File", lit(f.getName))
-      .withColumn("Directory", lit(Option(f.getParent).getOrElse(".")))
-  }
-
-  /** `.meta` sidecar YAML -> constant columns (overwriting existing ones,
-    * like pandas df.assign). */
-  private def withMeta(spark: SparkSession, df: DataFrame, file: String): DataFrame = {
+  /** `.meta` sidecar YAML -> per-file constant columns (overwriting
+    * existing ones, like pandas df.assign). */
+  private def readMeta(file: String): Seq[(String, Any)] = {
     val metaFile = new java.io.File(file + ".meta")
-    if (!metaFile.isFile) df
+    if (!metaFile.isFile) Seq.empty
     else {
       val yaml = new org.yaml.snakeyaml.Yaml()
       val in = new java.io.FileInputStream(metaFile)
       val meta =
         try yaml.load[java.util.Map[String, Object]](in)
         finally in.close()
-      meta.asScala.foldLeft(df) { case (d, (k, v)) =>
-        d.withColumn(k, lit(v match {
+      meta.asScala.toSeq.map { case (k, v) =>
+        k -> (v match {
           case n: java.lang.Number => n
           case b: java.lang.Boolean => b
           case other => if (other == null) null else other.toString
-        }))
+        })
       }
     }
   }
 
-  /** Full scan: expand globs, read every file, union by name. */
+  /** One relation for a group of same-schema files: a single multi-file
+    * scan plus a broadcast side-table join carrying the per-file
+    * constants (Path/File/Directory provenance + `.meta` values). */
+  private def readGroup(spark: SparkSession, recipe: Recipe,
+                        colNames: Seq[String], files: Seq[FileInfo]): DataFrame = {
+    import spark.implicits._
+    val schema = StructType(colNames.map(StructField(_, StringType)))
+    val paths = files.map(_.path)
+
+    // ---- the data scan: one relation for the whole group ----
+    // __gf_path is the plain (scheme-less) file path used as the join key.
+    val parsed: DataFrame =
+      if (recipe.input.filters.nonEmpty) {
+        val rules = recipe.input.filters
+        // header line (when present) must be dropped per file — the skip
+        // decision was made driver-side in fileInfo
+        val skipFirst = files.filter(_.hasHeaderRow).map(_.path).toSet
+        // input_file_name() reports Hadoop's qualified URI; map every
+        // form it may take back to the plain path driver-side
+        val plainOf = uriCandidates(spark, paths)
+        val lines = spark.read.option("wholetext", "true").text(paths: _*)
+          .select(input_file_name().as("f"), col("value"))
+          .as[(String, String)]
+          .flatMap { case (fname, content) =>
+            val plain = plainOf.getOrElse(fname, fname)
+            val it = LineFilter(LineFilter.compile(rules), content.linesIterator)
+            val it2 = if (skipFirst(plain)) it.drop(1) else it
+            it2.map(l => (plain, l))
+          }
+          .toDF("__gf_path", "__gf_line")
+          .filter(col("__gf_line") =!= "") // csv source skips blank lines
+        val opts = Map("ignoreLeadingWhiteSpace" -> "true") // pandas skipinitialspace
+        lines
+          .select(col("__gf_path"),
+            from_csv(col("__gf_line"), schema, opts).as("__gf_r"))
+          .select(col("__gf_path") +: colNames.map(n => col(s"__gf_r.`$n`")): _*)
+      } else {
+        // no line filter: the native (splittable) CSV scan over all files
+        // at once; per-file header skipping is the datasource's own.
+        // __gf_path stays in URI form here — the side table below carries
+        // one row per URI spelling, so the join resolves it.
+        val hasHeaderRow = files.head.hasHeaderRow // uniform within group
+        spark.read
+          .option("ignoreLeadingWhiteSpace", "true")
+          .option("header", hasHeaderRow.toString)
+          .option("enforceSchema", "true")
+          .schema(schema)
+          .csv(paths: _*)
+          .withColumn("__gf_path", input_file_name())
+      }
+
+    // ---- per-file constants: provenance + meta, one broadcast join ----
+    val metaKeys: Seq[String] = files.flatMap(_.meta.map(_._1)).distinct
+    def metaType(k: String): org.apache.spark.sql.types.DataType = {
+      val vs = files.flatMap(_.meta.collect { case (`k`, v) if v != null => v })
+      if (vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Boolean]))
+        org.apache.spark.sql.types.BooleanType
+      else if (vs.nonEmpty && vs.forall(v => v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Integer]))
+        org.apache.spark.sql.types.LongType
+      else if (vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Number]))
+        org.apache.spark.sql.types.DoubleType
+      else StringType
+    }
+    val sideSchema = StructType(
+      StructField("__gf_path", StringType) ::
+      StructField("__gf_ppath", StringType) ::
+      StructField("__gf_pfile", StringType) ::
+      StructField("__gf_pdir", StringType) ::
+      metaKeys.toList.flatMap(k => Seq(
+        StructField(s"__gf_m_$k", metaType(k)),
+        StructField(s"__gf_has_$k", org.apache.spark.sql.types.BooleanType))))
+    // one side row per URI spelling input_file_name()/the flatMap may
+    // report for a file, all carrying that file's constants
+    val plainOf = uriCandidates(spark, paths)
+    val infoOf = files.map(fi => fi.path -> fi).toMap
+    val sideRows = plainOf.toSeq.map { case (key, plain) =>
+      val fi = infoOf(plain)
+      val f = new java.io.File(fi.path)
+      val mm = fi.meta.toMap
+      def norm(k: String): Any = mm.get(k).map {
+        case v: java.lang.Integer => v.longValue(): java.lang.Long
+        case v: java.lang.Number if metaType(k) == StringType => v.toString
+        case v: java.lang.Boolean if metaType(k) == StringType => v.toString
+        case v => v
+      }.orNull
+      Row.fromSeq(
+        key :: fi.path :: f.getName :: Option(f.getParent).getOrElse(".") ::
+        metaKeys.toList.flatMap(k => Seq(norm(k), mm.contains(k): java.lang.Boolean)))
+    }
+    val side = spark.createDataFrame(sideRows.asJava, sideSchema)
+    val joined = parsed.join(broadcast(side), "__gf_path")
+
+    // provenance (overwrite CSV columns of the same name, like the
+    // reference's df.assign); then meta overwrite/extend per file
+    var df = joined
+    for ((out, src) <- Seq("Path" -> "__gf_ppath", "File" -> "__gf_pfile",
+                           "Directory" -> "__gf_pdir"))
+      df = df.withColumn(out, col(src))
+    for (k <- metaKeys) {
+      val v = col(s"`__gf_m_$k`")
+      df =
+        if (df.columns.contains(k))
+          // CSV already has the column (string): keep its type, like the
+          // old per-file frames coerced under unionByName
+          df.withColumn(k, when(col(s"`__gf_has_$k`"), v.cast(StringType)).otherwise(col(s"`$k`")))
+        else df.withColumn(k, v)
+    }
+    df.drop(df.columns.filter(_.startsWith("__gf_")).toIndexedSeq: _*)
+  }
+
+  /** All URI spellings `input_file_name()` may report for each plain
+    * path, mapped back to the plain path. */
+  private def uriCandidates(spark: SparkSession, paths: Seq[String]): Map[String, String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val q = fs.makeQualified(hp)
+      Seq(p -> p, q.toString -> p, q.toUri.toString -> p,
+        hp.toUri.toString -> p, "file:" + p -> p, "file://" + p -> p)
+    }.toMap
+  }
+
+  /** Full scan: expand globs, group files by parsed schema, one relation
+    * per group, union by name. */
   def scan(spark: SparkSession, recipe: Recipe,
            extraFrames: Seq[DataFrame] = Seq.empty,
            inputs: Option[Seq[String]] = None): DataFrame = {
@@ -167,16 +270,23 @@ object CsvSource {
     val files = expandGlobs(spark, patterns, recipe.baseDir)
     if (files.isEmpty && patterns.nonEmpty)
       throw RecipeError(s"No matching files found for $patterns")
-    val readOne: String => DataFrame =
+    val frames: Seq[DataFrame] =
       if (recipe.input.format == "sql") {
         val table = recipe.input.tableName.getOrElse(throw RecipeError(
           "input.format 'sql' requires input.table-name (aggregate.py:296-297)"))
-        f => try graft.sources.Sqlite.scan(spark, f, table)
-          catch { case e: graft.sources.Sqlite.SqliteError => throw RecipeError(e.msg) }
-      } else { f => readFile(spark, recipe, f) }
-    val frames = extraFrames ++ files.map(readOne)
-    if (frames.isEmpty)
+        files.map(f => try graft.sources.Sqlite.scan(spark, f, table)
+          catch { case e: graft.sources.Sqlite.SqliteError => throw RecipeError(e.msg) })
+      } else {
+        val infos = files.map(f => fileInfo(spark, recipe, f))
+        // group by (schema, header-mode); preserve first-file order so the
+        // union's frame order (and thus `first()` carry-alongs) is stable
+        infos.groupBy(fi => (fi.names, fi.hasHeaderRow)).toSeq
+          .sortBy(_._2.head.path)
+          .map { case ((names, _), fis) => readGroup(spark, recipe, names, fis) }
+      }
+    val all = extraFrames ++ frames
+    if (all.isEmpty)
       throw RecipeError("recipe has no inputs (no path matches, no child configs)")
-    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    all.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }
