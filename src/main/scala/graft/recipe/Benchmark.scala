@@ -28,6 +28,11 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
     * bare col() would parse as struct access. */
   private def qcol(c: String): Column = col(s"`$c`")
 
+  /** Frames this benchmark pinned in the cache (raw file scans, child
+    * frames, checked aggregates); released by [[unpersist]]. */
+  private val persistedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val childBenches = scala.collection.mutable.ArrayBuffer.empty[Benchmark]
+
   /** Child-recipe frames (S7), normalized (NOT aggregated), File column
     * stamped with the child recipe name, cached — evaluated once even
     * when this benchmark is re-run. */
@@ -35,12 +40,41 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
     val resolved = if (new java.io.File(cfgPath).isAbsolute) cfgPath
       else new java.io.File(recipe.baseDir, cfgPath).getPath
     val child = new Benchmark(Recipe.load(resolved), spark)
+    childBenches += child
     val name = new java.io.File(resolved).getName.replaceAll("\\.[^.]*$", "")
-    child.getNormalizedData().withColumn("File", lit(name)).cache()
+    val f = child.getNormalizedData().withColumn("File", lit(name)).cache()
+    persistedFrames += f
+    f
   }
 
-  def getRawData(inputs: Option[Seq[String]] = None): DataFrame =
-    CsvSource.scan(spark, recipe, childFrames, inputs)
+  /** Release every frame this benchmark (and its children) pinned. */
+  def unpersist(): Unit = {
+    persistedFrames.foreach(_.unpersist(false))
+    persistedFrames.clear()
+    childBenches.foreach(_.unpersist())
+  }
+
+  /** Raw scan with the parsed FILE portion persisted (MEMORY_AND_DISK):
+    * normalization makes several eager passes over it (type inference,
+    * ratio-base aggregates, pivot key probes) and the regex-carve + CSV
+    * parse is the expensive part of each — the reference materializes
+    * every stage outright (eager pandas, aggregate.py:316-585). Child
+    * frames are cached separately ([[childFrames]]), so nothing is pinned
+    * twice. Spill-safe at scale (disk overflow), released by
+    * [[unpersist]]. */
+  def getRawData(inputs: Option[Seq[String]] = None): DataFrame = {
+    val fileFrames = CsvSource.scanFiles(spark, recipe, inputs)
+    val filePart = if (fileFrames.isEmpty) Nil else {
+      val p = fileFrames.reduce(_.unionByName(_, allowMissingColumns = true))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persistedFrames += p
+      Seq(p)
+    }
+    val all = childFrames ++ filePart
+    if (all.isEmpty)
+      throw RecipeError("recipe has no inputs (no path matches, no child configs)")
+    all.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   // ---------------- normalize ----------------
 
@@ -65,11 +99,14 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
 
     // type inference pass 1 (P5); its aggregate also reports the
     // post-filter-out row count for the F4 empty-input warning, saving a
-    // separate isEmpty job
+    // separate isEmpty job, and per-column non-castable counts reused by
+    // the P6 values check below
     var lastInferCount: Option[Long] = None
+    var inferBad: Map[String, Long] = Map.empty
     def infer(d: DataFrame): DataFrame = {
-      val (typed, n) = inferTypesCounting(d)
+      val (typed, n, bad) = inferTypesCounting(d)
       lastInferCount = n.orElse(lastInferCount)
+      inferBad ++= bad
       typed
     }
     df = infer(df)
@@ -89,6 +126,9 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
       }
       df = df.withColumn(colName, ExprCompiler.compile(ast, bindings))
       df = df.drop(tempCols: _*)
+      // the expression overwrote this column: any castability count from
+      // an earlier inference pass no longer describes its contents
+      inferBad -= colName
     }
 
     // pack / melt (R1). Column names are backtick-quoted: melted columns
@@ -150,8 +190,18 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
       throw RecipeError("Missing values columns: " + missing.mkString(", "))
     for (v <- recipe.values) {
       if (df.schema(v).dataType == StringType) {
-        val bad = df.filter(qcol(v).isNotNull && qcol(v).try_cast(DoubleType).isNull).limit(1).count()
-        if (bad > 0) throw RecipeError("Found non-numerical data in values columns!")
+        // a values column the inference saw and left string necessarily
+        // had non-castable cells (badDbl == 0 would have promoted it), so
+        // the recorded count answers the P6 check with no extra job; only
+        // a string column inference never saw (created by a precomputed
+        // expression with no later reshape/filter pass) needs the probe
+        val bad = inferBad.get(v) match {
+          case Some(n) => n > 0
+          case None =>
+            df.filter(qcol(v).isNotNull && qcol(v).try_cast(DoubleType).isNull)
+              .limit(1).count() > 0
+        }
+        if (bad) throw RecipeError("Found non-numerical data in values columns!")
       }
       df = df.withColumn(v, qcol(v).cast(DoubleType))
     }
@@ -178,11 +228,12 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
   /** pandas `to_numeric(errors='ignore')` per string column: promote to
     * long (no nulls, all integral) or double (all castable), else leave.
     * One aggregation job checks every candidate column at once; the same
-    * job also returns the total row count (None when no job ran). */
-  private def inferTypesCounting(df: DataFrame): (DataFrame, Option[Long]) = {
+    * job also returns the total row count (None when no job ran) and the
+    * per-column non-castable counts (reused by the P6 values check). */
+  private def inferTypesCounting(df: DataFrame): (DataFrame, Option[Long], Map[String, Long]) = {
     val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
       .filter(relevantCols.contains)
-    if (stringCols.isEmpty) return (df, None)
+    if (stringCols.isEmpty) return (df, None, Map.empty)
     val checks = stringCols.flatMap { c =>
       Seq(
         sum(when(qcol(c).isNotNull && qcol(c).try_cast(DoubleType).isNull, 1L)
@@ -193,15 +244,16 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
         count(qcol(c)).as(s"${c}__nnz"))
     } :+ count(lit(1L)).as("__nrows")
     val row = df.select(checks.toIndexedSeq: _*).collect()(0)
+    val badOf = stringCols.map(c => c -> row.getAs[Long](s"${c}__baddbl")).toMap
     val typed = stringCols.foldLeft(df) { (d, c) =>
-      val badDbl = row.getAs[Long](s"${c}__baddbl")
+      val badDbl = badOf(c)
       val badLong = row.getAs[Long](s"${c}__badlong")
       val nulls = row.getAs[Long](s"${c}__nulls")
       if (badDbl > 0) d
       else if (badLong == 0 && nulls == 0) d.withColumn(c, qcol(c).cast("long"))
       else d.withColumn(c, qcol(c).cast("double"))
     }
-    (typed, Some(row.getAs[Long]("__nrows")))
+    (typed, Some(row.getAs[Long]("__nrows")), badOf)
   }
 
   private def inferTypes(df: DataFrame): DataFrame = inferTypesCounting(df)._1
@@ -270,74 +322,11 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
 
   def getAggregatedData(df0: Option[DataFrame] = None,
                         inputs: Option[Seq[String]] = None): DataFrame = {
-    var df = df0.map(d => getNormalizedData(Some(d))).getOrElse(getNormalizedData(None, inputs))
+    val df = df0.map(d => getNormalizedData(Some(d))).getOrElse(getNormalizedData(None, inputs))
 
     val series = recipe.series
     val av = recipe.axis ++ recipe.variants
     val values = recipe.values
-
-    // A7: expected-combination fill — missing (axis+variants) × expected
-    // series combos appear as one null row each, with a warning.
-    recipe.expected.foreach { expectedCombos =>
-      if (series.nonEmpty) {
-        import scala.jdk.CollectionConverters._
-        val schema = org.apache.spark.sql.types.StructType(
-          series.map(s => org.apache.spark.sql.types.StructField(s, df.schema(s).dataType)))
-        val rows = expectedCombos.map(c => org.apache.spark.sql.Row(c: _*)).asJava
-        val expectedDf = spark.createDataFrame(rows, schema)
-        val grid =
-          if (av.isEmpty) expectedDf
-          else df.select(av.map(qcol): _*).distinct().crossJoin(expectedDf)
-        val present = df.select((av ++ series).map(qcol): _*).distinct()
-        val missing = grid.join(present, av ++ series, "left_anti")
-        // collect once (small: bounded by |axis×variants combos| × |expected|):
-        // drives both the fill and the per-group `needed` sets of the
-        // ordering check below (aggregate.py:640-644, 691-693)
-        val missingRows = missing.collect()
-        val neededByGroup: Map[Seq[Any], Set[List[Any]]] = missingRows.toSeq
-          .groupBy(r => av.indices.map(r.get(_): Any))
-          .map { case (k, rs) =>
-            k -> rs.map(r => series.indices.map(i => r.get(av.size + i)).toList).toSet
-          }
-        if (missingRows.nonEmpty) {
-          warnings += s"${missingRows.length} expected series combination(s) missing; filled with nulls"
-          df = df.unionByName(missing, allowMissingColumns = true)
-        }
-
-        // A8: expected-ordering check per (axis+variants) group, per value
-        // column, driver-side on the already-aggregated (small) frame.
-        // Reference sorts ascending=higher-is-better, i.e. slowest first
-        // (aggregate.py:674-703), and compares against the config order
-        // after removing combos missing on either side.
-        if (values.nonEmpty) {
-          val aggCols = values.map(v => aggExpr(recipe.aggregation, qcol(v)).as(v))
-          val aggd = df.groupBy((av ++ series).map(qcol): _*)
-            .agg(aggCols.head, aggCols.tail: _*)
-          val collected = aggd.collect()
-          val grouped = collected.groupBy(r => av.indices.map(r.get))
-          for ((grpKey, rows) <- grouped; v <- values) {
-            val vIdx = av.size + series.size + values.indexOf(v)
-            val ascending = recipe.higherIsBetter
-            val actualAll = rows.toSeq
-              .filter(r => !r.isNullAt(vIdx))
-              .sortBy(r => r.getAs[Double](vIdx))(
-                if (ascending) Ordering[Double] else Ordering[Double].reverse)
-              .map(r => series.indices.map(i => r.get(av.size + i)).toList)
-            // remove only the filled-missing (`needed`) combos from both
-            // orderings (aggregate.py:691-693) — a present combo that is
-            // NOT in `expected` stays in actualAll and warns, like the
-            // reference
-            val needed = neededByGroup.getOrElse(grpKey, Set.empty)
-            val expectedOrd = expectedCombos.map(_.toList).filterNot(needed.contains)
-            val actualOrd = actualAll.filterNot(needed.contains)
-            if (actualOrd != expectedOrd)
-              warnings += s"Unexpected performance ordering for value $v in group " +
-                s"[${grpKey.mkString(",")}] (slowest to fastest): " +
-                s"expected $expectedOrd but got $actualOrd"
-          }
-        }
-      }
-    }
 
     // A1: the core group-aggregate; othercols aggregated with first
     // (pandas 'first' skips nulls). A9: log aggregated-out cardinality.
@@ -345,14 +334,82 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
     // groupby_empty) — rows with a null in ANY group key are dropped,
     // e.g. side-input rows (targets.csv) that lack an axis column after
     // union-by-name. Spark groupBy keeps null keys, so filter explicitly.
+    // This runs FIRST: the expected checks below (A7/A8) are defined over
+    // aggregated values, so they read this one aggregate instead of
+    // making their own passes over the normalized data.
     val keys = series ++ recipe.axis ++ recipe.variants
     val othercols = df.columns.filterNot(c => keys.contains(c) || values.contains(c))
     val aggs = values.map(v => aggExpr(recipe.aggregation, qcol(v)).as(v)) ++
       othercols.map(c => first(qcol(c), ignoreNulls = true).as(c))
-    val aggregated =
+    var aggregated =
       if (keys.isEmpty) df.groupBy().agg(aggs.head, aggs.tail: _*)
       else df.filter(keys.map(qcol(_).isNotNull).reduce(_ && _))
         .groupBy(keys.map(qcol): _*).agg(aggs.head, aggs.tail: _*)
+
+    // A7 + A8, driver-side from ONE pass over the aggregated frame (small
+    // by construction: one row per recipe dimension combo — the reference
+    // collects it wholesale for every sink). The pre-aggregation fill of
+    // the reference (aggregate.py:619-671) is equivalent post-aggregation:
+    // a missing combo has no input rows by definition, so its filled null
+    // row aggregates to exactly the null row appended here.
+    recipe.expected.foreach { expectedCombos =>
+      if (series.nonEmpty) {
+        import scala.jdk.CollectionConverters._
+        val agg = aggregated.persist()
+        persistedFrames += agg
+        val kv = agg.select((av ++ series ++ values).map(qcol): _*).collect()
+        // grid of (axis+variants) combos × expected series combos; av
+        // combos come from the aggregate, i.e. groups with non-null keys
+        // — matching pandas groupby's NaN-key drop (aggregate.py:727)
+        val avCombos: Seq[List[Any]] =
+          if (av.isEmpty) Seq(Nil)
+          else kv.map(r => av.indices.map(r.get(_)).toList).distinct.toSeq
+        val present: Set[List[Any]] =
+          kv.map(r => (0 until av.size + series.size).map(r.get(_)).toList).toSet
+        val missingCombos: Seq[(List[Any], List[Any])] = for {
+          avc <- avCombos
+          e <- expectedCombos.map(_.toList)
+          if !present.contains(avc ++ e)
+        } yield (avc, e)
+        val neededByGroup: Map[List[Any], Set[List[Any]]] = missingCombos
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+
+        if (missingCombos.nonEmpty) {
+          warnings += s"${missingCombos.length} expected series combination(s) missing; filled with nulls"
+          val schema = org.apache.spark.sql.types.StructType(
+            (av ++ series).map(c =>
+              org.apache.spark.sql.types.StructField(c, agg.schema(c).dataType)))
+          val rows = missingCombos
+            .map { case (avc, e) => org.apache.spark.sql.Row.fromSeq(avc ++ e) }.asJava
+          val missingDf = spark.createDataFrame(rows, schema)
+          aggregated = agg.unionByName(missingDf, allowMissingColumns = true)
+        }
+
+        // A8: expected-ordering check per (axis+variants) group, per value
+        // column. Reference sorts ascending=higher-is-better, i.e. slowest
+        // first (aggregate.py:674-703), and compares against the config
+        // order after removing only the filled-missing (`needed`) combos —
+        // a present combo NOT in `expected` stays in actualOrd and warns,
+        // like the reference (aggregate.py:691-693).
+        for ((grpKey, rows) <- kv.groupBy(r => av.indices.map(r.get(_)).toList);
+             v <- values) {
+          val vIdx = av.size + series.size + values.indexOf(v)
+          val ascending = recipe.higherIsBetter
+          val actualAll = rows.toSeq
+            .filter(r => !r.isNullAt(vIdx))
+            .sortBy(r => r.getAs[Double](vIdx))(
+              if (ascending) Ordering[Double] else Ordering[Double].reverse)
+            .map(r => series.indices.map(i => r.get(av.size + i)).toList)
+          val needed = neededByGroup.getOrElse(grpKey, Set.empty)
+          val expectedOrd = expectedCombos.map(_.toList).filterNot(needed.contains)
+          val actualOrd = actualAll.filterNot(needed.contains)
+          if (actualOrd != expectedOrd)
+            warnings += s"Unexpected performance ordering for value $v in group " +
+              s"[${grpKey.mkString(",")}] (slowest to fastest): " +
+              s"expected $expectedOrd but got $actualOrd"
+        }
+      }
+    }
 
     // P7: hidden-column drop
     aggregated.drop(aggregated.columns.filter(_.startsWith("_")).toIndexedSeq: _*)

@@ -254,11 +254,11 @@ object CsvSource {
     }.toMap
   }
 
-  /** Full scan: expand globs, group files by parsed schema, one relation
-    * per group, union by name. */
-  def scan(spark: SparkSession, recipe: Recipe,
-           extraFrames: Seq[DataFrame] = Seq.empty,
-           inputs: Option[Seq[String]] = None): DataFrame = {
+  /** File portion of the scan: expand globs, group files by parsed
+    * schema, one relation per group (possibly none when the recipe only
+    * has child configs). */
+  def scanFiles(spark: SparkSession, recipe: Recipe,
+                inputs: Option[Seq[String]] = None): Seq[DataFrame] = {
     // S4 'sql' reads SQLite files through graft.sources.Sqlite (pure-Scala
     // parser of the public file format — aggregate.py:295-314 semantics);
     // any other format fails loudly instead of feeding binary through the
@@ -270,21 +270,27 @@ object CsvSource {
     val files = expandGlobs(spark, patterns, recipe.baseDir)
     if (files.isEmpty && patterns.nonEmpty)
       throw RecipeError(s"No matching files found for $patterns")
-    val frames: Seq[DataFrame] =
-      if (recipe.input.format == "sql") {
-        val table = recipe.input.tableName.getOrElse(throw RecipeError(
-          "input.format 'sql' requires input.table-name (aggregate.py:296-297)"))
-        files.map(f => try graft.sources.Sqlite.scan(spark, f, table)
-          catch { case e: graft.sources.Sqlite.SqliteError => throw RecipeError(e.msg) })
-      } else {
-        val infos = files.map(f => fileInfo(spark, recipe, f))
-        // group by (schema, header-mode); preserve first-file order so the
-        // union's frame order (and thus `first()` carry-alongs) is stable
-        infos.groupBy(fi => (fi.names, fi.hasHeaderRow)).toSeq
-          .sortBy(_._2.head.path)
-          .map { case ((names, _), fis) => readGroup(spark, recipe, names, fis) }
-      }
-    val all = extraFrames ++ frames
+    if (recipe.input.format == "sql") {
+      val table = recipe.input.tableName.getOrElse(throw RecipeError(
+        "input.format 'sql' requires input.table-name (aggregate.py:296-297)"))
+      files.map(f => try graft.sources.Sqlite.scan(spark, f, table)
+        catch { case e: graft.sources.Sqlite.SqliteError => throw RecipeError(e.msg) })
+    } else {
+      val infos = files.map(f => fileInfo(spark, recipe, f))
+      // group by (schema, header-mode); preserve first-file order so the
+      // union's frame order (and thus `first()` carry-alongs) is stable
+      infos.groupBy(fi => (fi.names, fi.hasHeaderRow)).toSeq
+        .sortBy(_._2.head.path)
+        .map { case ((names, _), fis) => readGroup(spark, recipe, names, fis) }
+    }
+  }
+
+  /** Full scan: child frames first (matching the reference's input
+    * order, aggregate.py:167-173), then file groups, union by name. */
+  def scan(spark: SparkSession, recipe: Recipe,
+           extraFrames: Seq[DataFrame] = Seq.empty,
+           inputs: Option[Seq[String]] = None): DataFrame = {
+    val all = extraFrames ++ scanFiles(spark, recipe, inputs)
     if (all.isEmpty)
       throw RecipeError("recipe has no inputs (no path matches, no child configs)")
     all.reduce(_.unionByName(_, allowMissingColumns = true))

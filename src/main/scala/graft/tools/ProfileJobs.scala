@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+/** Dev profiler: runs one SparkEntry query and prints every Spark job it
+  * launches (id + call site) plus wall time. Eager driver-side jobs
+  * (collects during plan construction, cache fills, pivot-value probes)
+  * are invisible in wall time alone; at cluster scale each is a full
+  * pass over the data, so the per-query job count is a first-class
+  * efficiency metric — the bench prints it, this tool attributes it.
+  *
+  * Usage: scripts/run.sh graft.tools.ProfileJobs q46 [sfDir]
+  */
+object ProfileJobs {
+  def main(args: Array[String]): Unit = {
+    val want = args.headOption.getOrElse("q01")
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val name = graft.SparkEntry.queries.keys.toSeq.sorted
+      .find(_.contains(want))
+      .getOrElse(sys.error(s"no query matching '$want'"))
+    val spark = graft.GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        // the last stage's name carries the action's call site; its
+        // details field holds the full stack — grab the first graft frame
+        val stages = js.stageInfos
+        val site = stages.lastOption.map(_.name).getOrElse("?")
+        val graftFrame = stages.flatMap(_.details.linesIterator)
+          .find(l => l.contains("graft.") && !l.contains("GraftSession"))
+          .map(_.trim).getOrElse("")
+        jobs.add(f"  job ${js.jobId}%3d  ${stages.size}%2d stages  $site  $graftFrame")
+      }
+    })
+    val t0 = System.nanoTime()
+    val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500) // listener events are posted asynchronously
+    println(f"$name: $dt%.2f s, $n rows, ${jobs.size} jobs")
+    jobs.forEach(println)
+    spark.stop()
+  }
+}
