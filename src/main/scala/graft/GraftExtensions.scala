@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{AffineMinHash, ArrayCosine, Md5PrefixHashArray, SignBucket, SimHash32, SortedLongJaccard}
+import graft.expressions.{AffineMinHash, ArrayCosine, ExactMedian, Md5PrefixHashArray, SignBucket, SimHash32, SortedLongJaccard, StringNumClass}
 
 /** Registers graft's native Catalyst expressions with a SparkSession via
   * the public extensions mechanism:
@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5PrefixHashArray].getName, "graft_md5_hash_array"),
       (es: Seq[Expression]) =>
         Md5PrefixHashArray(es.head, es(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_median"),
+      new ExpressionInfo(classOf[ExactMedian].getName, "graft_median"),
+      (es: Seq[Expression]) => ExactMedian(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_numclass"),
+      new ExpressionInfo(classOf[StringNumClass].getName, "graft_numclass"),
+      (es: Seq[Expression]) => StringNumClass(es.head)))
     ext.injectFunction((FunctionIdentifier("graft_signbucket"),
       new ExpressionInfo(classOf[SignBucket].getName, "graft_signbucket"),
       (es: Seq[Expression]) =>

@@ -41,7 +41,7 @@ object SparkEntry {
         .agg(
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"),
-          median(col("o_totalprice")).as("med_price"),
+          graft.functions.exactMedian(col("o_totalprice")).as("med_price"),
           count(lit(1)).as("n_rows"))
     }),
 

@@ -221,6 +221,85 @@ case class SignBucket(child: Expression, planes: Int)
     copy(child = newChild)
 }
 
+/** Numeric-class of a string value, for type inference:
+  * 1 = integral (`[+-]?[0-9]+` after trim), 2 = double-castable but not
+  * integral, 3 = not castable. Double-castability is EXACTLY Spark's
+  * string->double cast (Java `Double.parseDouble` after trim, plus the
+  * case-insensitive special literals inf/infinity/nan) — but WITHOUT
+  * throwing/catching a `NumberFormatException` per non-numeric value,
+  * which is what makes `try_cast(double)` cost ~2 µs on text columns: a
+  * byte sweep classifies pure-text values directly, and only strings that
+  * contain a digit yet still aren't parseable (e.g. "12ab3") ever reach
+  * the exception path. Whole-stage codegen via a static helper call, so
+  * inference aggregates stay in one codegen stage. */
+case class StringNumClass(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_numclass"
+
+  override def nullSafeEval(input: Any): Any =
+    StringNumClass.classify(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.StringNumClass.classify($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StringNumClass {
+  val INTEGRAL = 1
+  val DOUBLE = 2
+  val NONE = 3
+
+  /** Static so generated code can call it without holding the expression.
+    * Trim matches `String.trim`/`parseDouble` (chars <= U+0020); multibyte
+    * UTF-8 units are >= 0x80 and never trimmed. */
+  def classify(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val b = s.getBytes
+    var i = 0
+    var end = b.length
+    while (i < end && (b(i) & 0xff) <= ' ') i += 1
+    while (end > i && (b(end - 1) & 0xff) <= ' ') end -= 1
+    if (i >= end) return NONE // empty/whitespace: parseDouble throws
+    // integral fast path: [+-]?[0-9]+
+    var j = if (b(i) == '+' || b(i) == '-') i + 1 else i
+    if (j < end) {
+      var allDigits = true
+      var k = j
+      while (k < end && allDigits) {
+        val c = b(k)
+        if (c < '0' || c > '9') allDigits = false
+        k += 1
+      }
+      if (allDigits) return INTEGRAL
+    }
+    var hasDigit = false
+    var k = i
+    while (k < end && !hasDigit) {
+      val c = b(k)
+      if (c >= '0' && c <= '9') hasDigit = true
+      k += 1
+    }
+    if (hasDigit) {
+      // digit present but not integral: "1.5", "2e3", "0x1p1", "1.5f" all
+      // parse; only digit-containing garbage pays the exception
+      val str = new String(b, i, end - i, java.nio.charset.StandardCharsets.UTF_8)
+      try { java.lang.Double.parseDouble(str); DOUBLE }
+      catch { case _: NumberFormatException => NONE }
+    } else if (end - i <= 9) {
+      // no digit: castable only as a special literal (longest: +infinity)
+      val str = new String(b, i, end - i, java.nio.charset.StandardCharsets.UTF_8)
+        .toLowerCase(java.util.Locale.ROOT)
+      str match {
+        case "nan" | "inf" | "+inf" | "-inf" | "infinity" | "+infinity" |
+            "-infinity" => DOUBLE
+        case _ => NONE
+      }
+    } else NONE
+  }
+}
+
 /** md5-prefix hash of every element of a string array: element i ->
   * first `nibbles` hex digits of md5(s_i) as a long (== the column
   * formulation `conv(substring(md5(s),1,nibbles),16,10)::long` per

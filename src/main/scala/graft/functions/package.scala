@@ -26,6 +26,13 @@ package object functions {
   /** Order-independent mean built from dsum / count. */
   def davg(c: Column): Column = (dsum(c) / count(c)).cast(DoubleType)
 
+  /** Exact median, value-identical to Spark's built-in `median` (same
+    * interpolation) but ~10× cheaper per row — dispatches to the native
+    * [[graft.expressions.ExactMedian]] (primitive-array buffer instead of
+    * the built-in Percentile's boxed hash map). */
+  def exactMedian(c: Column): Column =
+    call_function("graft_median", c.cast(DoubleType))
+
   /** Geometric mean: exp(mean(ln x)). Matches the reference's geomean
     * (bearysta aggregate.py:94-99 special-cases scipy gmean). Round the
     * result (e.g. 6 decimals) when oracle-compared. */

@@ -48,6 +48,10 @@ object Dedup {
     call_function("graft_minhash",
       call_function("graft_md5_hash_array", sh, lit(8)), lit(k))
 
+  /** MinHash signature from an ALREADY md5-hashed shingle array. */
+  def minhashSignatureOfHashed(hs: Column, k: Int): Column =
+    call_function("graft_minhash", hs, lit(k))
+
   /** MinHash signature straight from text (evaluates shingles once). */
   def minhashSignature(text: Column, k: Int, shingleN: Int = 3): Column =
     graft.functions.bound(wordShingles(text, shingleN))(sh => minhashSignatureOf(sh, k))
@@ -72,24 +76,28 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 12, bands: Int = 4, shingleN: Int = 3): DataFrame = {
     val rowsPerBand = k / bands
-    val bandsExpr = graft.functions.bound(wordShingles(col(textCol), shingleN)) { sh =>
-      graft.functions.bound(minhashSignatureOf(sh, k)) { sig =>
-        lshBandKeysOf(sig, bands, rowsPerBand)
-      }
-    }
     // spread the shingle+hash work across all cores (a single input file
     // arrives as one split), then land the exploded band rows on their
     // bucket partitioning — the self-join reads BOTH sides from that one
     // exchange instead of recomputing the hash pipeline twice
     val par = df.sparkSession.sparkContext.defaultParallelism
-    // hashed shingle sets for the verify-jaccard: long-array intersection
-    // is far cheaper than string-array intersection and, since both sides
-    // hash identically, yields the same Jaccard value
-    val sig = df.repartition(par).select(
+    // ONE md5 pass: the 15-nibble hashed shingle set both feeds the
+    // verify-jaccard (long-array intersection is far cheaper than string
+    // arrays, and both sides hash identically so the Jaccard value is the
+    // same) AND yields the 32-bit minhash base as its top bits — md5
+    // prefixes nest, so hash32(s) == hash60(s) >> 28 exactly, matching
+    // the oracle's independent H32 formulation. `sh` lands as a real
+    // projected column before the band derivation, so the md5 sweep runs
+    // once per document, not once per consumer.
+    val hashed = df.repartition(par).select(
       col(idCol).as("id"),
       array_sort(array_distinct(
-        call_function("graft_md5_hash_array", wordShingles(col(textCol), shingleN), lit(15)))).as("sh"),
-      explode(bandsExpr).as("bk"))
+        call_function("graft_md5_hash_array", wordShingles(col(textCol), shingleN), lit(15)))).as("sh"))
+    val bandsExpr = graft.functions.bound(
+      minhashSignatureOfHashed(transform(col("sh"), x => shiftright(x, 28)), k)) { sig =>
+        lshBandKeysOf(sig, bands, rowsPerBand)
+      }
+    val sig = hashed.select(col("id"), col("sh"), explode(bandsExpr).as("bk"))
       .repartition(col("bk"))
     val a = sig.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bk"))
     val b = sig.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bk"))
@@ -285,12 +293,17 @@ object Dedup {
     def canon(e: DataFrame): DataFrame =
       e.filter(col("u") =!= col("v")).distinct()
 
-    /** large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u}) */
+    /** large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u}).
+      * No per-round distinct here — duplicate edges inflate the next
+      * small-star linearly at worst, while the dedup shuffle they'd save
+      * costs a full exchange every round; small-star's canon dedups once
+      * per round. */
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-      canon(sym.join(mins, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
     }
 
     /** small-star: directed v < u; all smaller neighbors + u link to the
@@ -305,17 +318,25 @@ object Dedup {
           .unionAll(mins.select(col("u"), col("m").as("v"))))
     }
 
+    def sig(e: DataFrame) =
+      e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+
     var e = canon(pairs.select(col(pairs.columns.head).as("u"),
       col(pairs.columns(1)).as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var signature = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+    var signature = sig(e)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      // localCheckpoint cuts the recursive lineage; computation stays
-      // distributed (blocks live on executors)
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nextSig = next.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      // LAZY localCheckpoint: the plan is cut to a LogicalRDD immediately
+      // (mandatory — persist alone leaves a plan that nests two
+      // join+aggregate layers deeper every round, and Catalyst
+      // re-analysis/constraint propagation over that recursion goes
+      // super-linear fast), but materialization is deferred to the
+      // signature aggregate below — ONE driver job per round where the
+      // old eager-checkpoint + signature pair was two.
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val nextSig = sig(next)
       converged = nextSig == signature
       signature = nextSig
       e.unpersist()

@@ -234,12 +234,15 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
     val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
       .filter(relevantCols.contains)
     if (stringCols.isEmpty) return (df, None, Map.empty)
+    // one native exception-free classifier per value replaces
+    // try_cast(double) + an integral regex, each ~2-6 µs on text values
+    // (try_cast pays a caught NumberFormatException per non-numeric cell);
+    // codegen subexpression elimination evaluates the class once per cell
     val checks = stringCols.flatMap { c =>
+      val cls = call_function("graft_numclass", qcol(c))
       Seq(
-        sum(when(qcol(c).isNotNull && qcol(c).try_cast(DoubleType).isNull, 1L)
-          .otherwise(0L)).as(s"${c}__baddbl"),
-        sum(when(qcol(c).isNotNull && !trim(qcol(c)).rlike("^[+-]?\\d+$"), 1L)
-          .otherwise(0L)).as(s"${c}__badlong"),
+        sum(when(cls === lit(3), 1L).otherwise(0L)).as(s"${c}__baddbl"),
+        sum(when(cls > lit(1), 1L).otherwise(0L)).as(s"${c}__badlong"),
         sum(when(qcol(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
         count(qcol(c)).as(s"${c}__nnz"))
     } :+ count(lit(1L)).as("__nrows")
@@ -262,7 +265,7 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
     case "min" => min(c)
     case "max" => max(c)
     case "mean" => avg(c)
-    case "median" => median(c) // exact, matches pandas/duckdb MEDIAN
+    case "median" => graft.functions.exactMedian(c) // exact, matches pandas/duckdb MEDIAN
     case "sum" => sum(c)
     case "count" => count(c)
     case "first" => first(c, ignoreNulls = true)

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 
 /** Dev profiler: runs one SparkEntry query and prints every Spark job it
   * launches (id + call site) plus wall time. Eager driver-side jobs
@@ -20,17 +20,23 @@ object ProfileJobs {
       .getOrElse(sys.error(s"no query matching '$want'"))
     val spark = graft.GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, String]
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         // the last stage's name carries the action's call site; its
         // details field holds the full stack — grab the first graft frame
         val stages = js.stageInfos
-        val site = stages.lastOption.map(_.name).getOrElse("?")
+        val site = stages.map(s => s"${s.name.takeWhile(_ != '$')}(${s.numTasks}t)").mkString("; ")
         val graftFrame = stages.flatMap(_.details.linesIterator)
-          .find(l => l.contains("graft.") && !l.contains("GraftSession"))
+          .find(l => l.contains("graft.") && !l.contains("GraftSession") && !l.contains("graft.tools"))
           .map(_.trim).getOrElse("")
-        jobs.add(f"  job ${js.jobId}%3d  ${stages.size}%2d stages  $site  $graftFrame")
+        starts.put(js.jobId, js.time)
+        jobs.put(js.jobId, f"  job ${js.jobId}%3d  ${stages.size}%2d stages  %%7.2fs  $site  $graftFrame")
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val dt = (je.time - starts.getOrDefault(je.jobId, je.time)) / 1e3
+        jobs.computeIfPresent(je.jobId, (_, s) => s.format(dt))
       }
     })
     val t0 = System.nanoTime()
@@ -38,7 +44,8 @@ object ProfileJobs {
     val dt = (System.nanoTime() - t0) / 1e9
     Thread.sleep(500) // listener events are posted asynchronously
     println(f"$name: $dt%.2f s, $n rows, ${jobs.size} jobs")
-    jobs.forEach(println)
+    import scala.jdk.CollectionConverters._
+    jobs.asScala.toSeq.sortBy(_._1).foreach(e => println(e._2))
     spark.stop()
   }
 }

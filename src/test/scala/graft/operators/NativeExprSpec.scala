@@ -70,6 +70,25 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("StringNumClass == try_cast(double)/integral-regex classification") {
+    import org.apache.spark.sql.types.DoubleType
+    import spark.implicits._
+    val vals = Seq(
+      "5", "+5", "-5", " 42 ", "007", "5.", "5.0", ".5", "1e3", "1E-3",
+      "1.5f", "2d", "0x1.8p1", "inf", "Inf", "INFINITY", "-infinity",
+      "nan", "NaN", "+inf",
+      "", " ", "+", "-", ".", "N", "O", "abc", "12ab3", "1.2.3", "5€",
+      "e3", "--5", "5-", "½", "Infinityy", "in", "\t9\t", "9 9")
+    val df = vals.toDF("s")
+    // reference formulation: Spark's own cast for double-castability, the
+    // integral regex (with parseDouble's trim) for integral
+    val ref = when(trim(col("s"), " \t\n\r\f").rlike("^[+-]?[0-9]+$"), 1)
+      .otherwise(when(col("s").try_cast(DoubleType).isNotNull, 2).otherwise(3))
+    val bad = df.select(col("s"), call_function("graft_numclass", col("s")).as("got"), ref.as("want"))
+      .filter(col("got") =!= col("want")).collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+  }
+
   test("multimodal mapPartitions decode == expression featurization") {
     val mm = Multimodal.fromDocuments(docs.limit(100))
     val viaPartitions = Multimodal.decodeAndFeaturize(mm)
