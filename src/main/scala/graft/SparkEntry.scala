@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
-import graft.operators.{Dedup, EventWindows, Joins, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventWindows, Joins, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry (+ matching DuckDB `oracleSql`)
   * per implemented operator from SURVEY.md §2.
@@ -473,7 +473,30 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e.filter(col("vec_id") < 8), e, "vec_id",
         "embedding", k = 5, nlist = 16, nprobe = 16)
-    })
+    }),
+
+    // ---- SAMPLING: deterministic hash split (80/10/10 train/val/test)
+    //      + 20% subsample of train — membership is a pure function of
+    //      doc_id (stable across runs/cluster layouts, filter pushes to
+    //      the scan); counts per (split, lang) prove the partition
+    "q50_hash_split" -> ((s, dir) => {
+      val split = Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val sampled = Sampling.hashSample(
+        split.filter(col("split") === "train"), "doc_id", 0.2)
+        .select(lit("train_20pct").as("split"), col("lang"))
+      split.select(col("split"), col("lang")).unionByName(sampled)
+        .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // ---- SAMPLING: token-budget sequence packing — contiguous bin ids
+    //      from one exclusive-prefix-sum window pass per lang shard
+    "q51_pack_budget" -> ((s, dir) =>
+      Sampling.packBudget(t(s, dir, "documents"), Seq("lang"), "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 2048)
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("lang"), col("bin"), col("n_docs")))
   )
 
   // DuckDB-dialect oracle. CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
@@ -979,6 +1002,38 @@ object SparkEntry {
            FROM c CROSS JOIN q WHERE query_id <> neighbor_id)
          SELECT query_id, neighbor_id, cos,
                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
-         FROM s QUALIFY rank <= 5"""
+         FROM s QUALIFY rank <= 5""",
+
+    // deterministic hash split + subsample: same md5-prefix bucket
+    "q50_hash_split" ->
+      s"""WITH b AS (
+           SELECT lang,
+             ${H60("'graft' || CAST(doc_id AS VARCHAR)")} % 10000 AS bkt,
+             ${H60("'graft' || CAST(doc_id AS VARCHAR)")} % 1000000 AS sbkt
+           FROM documents),
+         labeled AS (
+           SELECT CASE WHEN bkt < 8000 THEN 'train'
+                       WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split,
+                  lang, sbkt FROM b),
+         unioned AS (
+           SELECT split, lang FROM labeled
+           UNION ALL
+           SELECT 'train_20pct' AS split, lang FROM labeled
+           WHERE split = 'train' AND sbkt < 200000)
+         SELECT split, lang, COUNT(*) AS n_docs
+         FROM unioned GROUP BY 1, 2""",
+
+    // token-budget packing: exclusive prefix sum over doc_id order per lang
+    "q51_pack_budget" ->
+      s"""WITH tc AS (
+           SELECT lang, doc_id, len($TOKS) AS n FROM documents),
+         pre AS (
+           SELECT lang, doc_id, n,
+             COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+           FROM tc)
+         SELECT lang, CAST(FLOOR(prev / 2048) AS BIGINT) AS bin,
+                COUNT(*) AS n_docs
+         FROM pre GROUP BY 1, 2"""
   )
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.operators.TextAnalysis.hash60
+
+/** Deterministic sampling and sharding for training-data pipelines.
+  *
+  * Everything here is keyed on a content/id hash, never on `rand()`:
+  * the same row lands in the same sample/split on every run, on any
+  * cluster layout, and in any engine (the hash is the md5-prefix
+  * [[TextAnalysis.hash60]], reproducible in ANSI SQL for oracle
+  * checks). That determinism is what makes train/validation splits
+  * auditable and incremental reruns consistent — the standard practice
+  * for corpus curation at scale.
+  *
+  * Scale posture: hash-filter sampling is a pure narrow map (pushes into
+  * the scan, no shuffle); budget packing is one window pass partitioned
+  * by the caller's shard key, so state per task is one running sum.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from a key column: md5-prefix hash of
+    * (salt || key). Changing the salt draws an independent sample. */
+  def hashBucket(key: Column, salt: String, buckets: Int): Column =
+    hash60(concat(lit(salt), key.cast(StringType))) % buckets
+
+  /** Deterministic `fraction`-sample: keeps rows whose hash bucket falls
+    * below fraction × buckets. Unlike `df.sample`, membership is a pure
+    * function of the key — stable across runs/partitionings, and the
+    * filter is a scan-level predicate (no shuffle, no RNG state). */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 salt: String = "graft", buckets: Int = 1000000): DataFrame =
+    df.filter(hashBucket(col(keyCol), salt, buckets) <
+      math.round(fraction * buckets))
+
+  /** Deterministic train/validation/test split: adds a `split` column
+    * chosen by hash bucket against cumulative weight thresholds (weights
+    * need not sum to 1; they are normalized). Every row gets exactly one
+    * label; the same key always gets the same label. */
+  def hashSplit(df: DataFrame, keyCol: String, weights: Seq[(String, Double)],
+                salt: String = "graft", buckets: Int = 10000): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val thresholds = weights.scanLeft(0.0)(_ + _._2 / total).tail
+      .map(f => math.round(f * buckets))
+    val b = hashBucket(col(keyCol), salt, buckets)
+    val labeled = weights.map(_._1).zip(thresholds).reverse
+      .foldLeft(lit(weights.last._1)) { case (acc, (name, thr)) =>
+        when(b < thr, name).otherwise(acc)
+      }
+    df.withColumn("split", labeled)
+  }
+
+  /** Token-budget sequence packing: assigns each row a contiguous `bin`
+    * id such that bin i covers the rows whose EXCLUSIVE running token
+    * total (in `orderCol` order within the `groupCols` shard) lies in
+    * [i*budget, (i+1)*budget) — the streaming-concat binning used to
+    * pack documents into fixed-size training sequences. One window pass;
+    * the running sum is the only per-task state, and shards bound the
+    * window partitions at corpus scale. */
+  def packBudget(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                 tokensCol: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("bin",
+      floor(coalesce(sum(tokensCol).over(w), lit(0L)) / budget))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs = graft.Tables(spark, TestSpark.sfDir, "documents")
+
+  test("hashSplit labels every row exactly once, near the weights, deterministically") {
+    val split = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val total = docs.count()
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == total) // partition: every row, no dupes
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train").toDouble / total - 0.8) < 0.05)
+    // determinism: a second evaluation gives the identical assignment
+    val again = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.select("doc_id", "split")
+      .exceptAll(again.select("doc_id", "split")).isEmpty)
+  }
+
+  test("hashSample is a deterministic subset of the right size") {
+    val s = Sampling.hashSample(docs, "doc_id", 0.25)
+    val n = s.count()
+    assert(n > 0 && n < docs.count())
+    assert(math.abs(n.toDouble / docs.count() - 0.25) < 0.08)
+    assert(s.select("doc_id").exceptAll(docs.select("doc_id")).isEmpty)
+    assert(Sampling.hashSample(docs, "doc_id", 0.25).count() == n)
+    // different salt draws a different sample
+    val other = Sampling.hashSample(docs, "doc_id", 0.25, salt = "other")
+    assert(other.select("doc_id").exceptAll(s.select("doc_id")).count() > 0)
+  }
+
+  test("packBudget bins are the exclusive-prefix-sum intervals") {
+    val budget = 512L
+    val binned = Sampling.packBudget(docs, Seq("lang"), "doc_id",
+      TextAnalysis.tokenCount(col("text")), budget)
+      .select(col("lang"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n"), col("bin"))
+      .collect()
+    for ((_, rows) <- binned.groupBy(_.getString(0))) {
+      var prev = 0L
+      for (r <- rows.sortBy(_.getLong(1))) {
+        assert(r.getLong(3) == prev / budget,
+          s"doc ${r.getLong(1)}: bin ${r.getLong(3)} != ${prev / budget}")
+        prev += r.getLong(2)
+      }
+    }
+  }
+}
