@@ -138,12 +138,16 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
     require(seedRows.nonEmpty, "ivfTopK: empty corpus")
-    def vecLit(v: Seq[Float]): Column = array(v.map(lit(_)): _*)
+    // ONE nested-array literal holds the whole centroid table — inlining
+    // each float as its own lit() node builds a nlist × dims expression
+    // tree (thousands of nodes, twice) whose codegen compile dwarfs the
+    // actual query at moderate nlist
+    val cellLit = typedlit(seedRows.toSeq)
 
     // nearest cell = argmax cosine, ties toward the smaller cell id
-    def cellOptions(vec: Column): Column = array(seedRows.map { case (cid, cv) =>
-      struct((-round(cosine(vec, vecLit(cv)), 6)).as("negCos"), lit(cid).as("cell"))
-    }.toIndexedSeq: _*)
+    def cellOptions(vec: Column): Column = transform(cellLit, c =>
+      struct((-round(cosine(vec, c.getField("_2")), 6)).as("negCos"),
+        c.getField("_1").as("cell")))
 
     val assigned = corpus.repartition(par)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
