@@ -289,23 +289,25 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
       throw RecipeError(s"${rc.func} missing series kwarg '$s'")
 
     val baseCond = series.map(s => qcol(s) === lit(kwMap(s))).reduce(_ && _)
-    val baseRows = df.filter(baseCond)
-    // one job computes the base aggregate AND the existence check (the
-    // collected frame is small: one row per axis+variants combo), and the
-    // join side below reuses the collected rows instead of re-aggregating
-    val baseAgg =
-      if (av.isEmpty) baseRows.groupBy().agg(f.as("__base"))
-      else baseRows.groupBy(av.map(qcol): _*).agg(f.as("__base"))
-    val baseCollected = baseAgg.collect()
+    // ONE full-scan aggregation serves both sides: the base values are
+    // exactly the group rows whose series == the ratio kwargs (same rows,
+    // same aggregate), so a filter over the cached grouped frame replaces
+    // the reference's second aggregation pass. The collect of that filter
+    // materializes the cache AND answers the existence check; the
+    // collected rows come back as the broadcast base side.
+    val grp = df.groupBy((series ++ av).map(qcol): _*).agg(f.as("__grp")).persist()
+    persistedFrames += grp
+    val baseSel = grp.filter(baseCond)
+      .select(av.map(qcol) :+ col("__grp").as("__base"): _*)
+    val baseCollected = baseSel.collect()
     val baseMissing =
-      if (av.isEmpty) baseCollected.forall(_.isNullAt(0))
+      if (av.isEmpty) baseCollected.isEmpty || baseCollected.forall(_.isNullAt(0))
       else baseCollected.isEmpty
     if (baseMissing)
       throw RecipeError(s"Trying to use series value ${series.map(kwMap)} in ratio_of " +
         "operation, but that value/combination doesn't exist in the dataframe!")
     val base = spark.createDataFrame(
-      java.util.Arrays.asList(baseCollected: _*), baseAgg.schema)
-    val grp = df.groupBy((series ++ av).map(qcol): _*).agg(f.as("__grp"))
+      java.util.Arrays.asList(baseCollected: _*), baseSel.schema)
     val joined =
       if (av.isEmpty) grp.crossJoin(broadcast(base))
       else grp.join(broadcast(base), av)
