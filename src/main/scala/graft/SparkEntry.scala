@@ -496,7 +496,27 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")), budget = 2048)
         .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_docs"))
-        .select(col("lang"), col("bin"), col("n_docs")))
+        .select(col("lang"), col("bin"), col("n_docs"))),
+
+    // ---- TEXT: Gopher-style repetition signals — count of the most
+    //      frequent word 1-/3-gram per doc as an expression-only fold
+    //      (hash -> sort -> longest equal-run; no explode, no shuffle),
+    //      turned into token-occupancy fractions + a filter flag
+    "q52_repetition" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.topNgramCount(col("text"), 1).as("top1"),
+        TextAnalysis.topNgramCount(col("text"), 3).as("top3"))
+      base
+        .withColumn("top1_frac",
+          round(when(col("n_tokens") === 0, 0.0)
+            .otherwise(col("top1") / col("n_tokens")), 6))
+        .withColumn("top3_frac",
+          round(when(col("n_tokens") === 0, 0.0)
+            .otherwise(col("top3") * lit(3) / col("n_tokens")), 6))
+        .withColumn("repetitive",
+          col("top1_frac") > 0.2 || col("top3_frac") > 0.18)
+    })
   )
 
   // DuckDB-dialect oracle. CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
@@ -1022,6 +1042,35 @@ object SparkEntry {
            WHERE split = 'train' AND sbkt < 200000)
          SELECT split, lang, COUNT(*) AS n_docs
          FROM unioned GROUP BY 1, 2""",
+
+    // repetition signals: top n-gram count via per-doc hash group-count
+    // (same md5-60 hashes as the Spark fold -> identical counts)
+    "q52_repetition" ->
+      s"""WITH base AS (
+           SELECT doc_id, $TOKS AS ws FROM documents),
+         c1 AS (
+           SELECT doc_id, MAX(cnt) AS top1 FROM (
+             SELECT doc_id, u.h, COUNT(*) AS cnt
+             FROM base, unnest(list_transform(ws, s -> ${H60("s")})) u(h)
+             GROUP BY 1, 2) GROUP BY 1),
+         c3 AS (
+           SELECT doc_id, MAX(cnt) AS top3 FROM (
+             SELECT doc_id, u.h, COUNT(*) AS cnt
+             FROM base, unnest(list_transform(
+               list_transform(range(1, len(ws)-1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+               s -> ${H60("s")})) u(h)
+             GROUP BY 1, 2) GROUP BY 1),
+         j AS (
+           SELECT b.doc_id, len(b.ws) AS n_tokens,
+                  COALESCE(c1.top1, 0) AS top1, COALESCE(c3.top3, 0) AS top3
+           FROM base b LEFT JOIN c1 USING (doc_id) LEFT JOIN c3 USING (doc_id))
+         SELECT doc_id, n_tokens, top1, top3,
+           ROUND(CASE WHEN n_tokens = 0 THEN 0.0 ELSE top1 / n_tokens END, 6) AS top1_frac,
+           ROUND(CASE WHEN n_tokens = 0 THEN 0.0 ELSE (top3 * 3) / n_tokens END, 6) AS top3_frac,
+           ROUND(CASE WHEN n_tokens = 0 THEN 0.0 ELSE top1 / n_tokens END, 6) > 0.2 OR
+           ROUND(CASE WHEN n_tokens = 0 THEN 0.0 ELSE (top3 * 3) / n_tokens END, 6) > 0.18 AS repetitive
+         FROM j""",
 
     // token-budget packing: exclusive prefix sum over doc_id order per lang
     "q51_pack_budget" ->

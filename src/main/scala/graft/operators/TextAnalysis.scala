@@ -123,6 +123,41 @@ object TextAnalysis {
       round((lengthTerm + alphaTerm + stopTerm) / 3.0 * (lit(1.0) - punctPenalty * 0.5), 6)
     }
 
+  /** Raw (non-distinct, order-preserving) word n-gram shingles — the
+    * counting variant of [[wordShingles]] for repetition signals. */
+  def wordShinglesAll(text: Column, n: Int): Column =
+    graft.functions.bound(tokens(text)) { ws =>
+      val joined = transform(
+        sequence(lit(1), size(ws) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + lit(o))): _*))
+      when(size(ws) < n, array().cast("array<string>")).otherwise(joined)
+    }
+
+  /** Longest run of equal values in a SORTED long array == the count of
+    * the most frequent value. Pure expression fold (no shuffle, no
+    * explode): the accumulator carries (prev, run, best). */
+  def maxRunLength(sorted: Column): Column =
+    graft.functions.bound(sorted) { s =>
+      aggregate(s,
+        struct(lit(0L).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => graft.functions.bound(
+          when(acc.getField("run") === 0, 1L)
+            .when(acc.getField("prev") === x, acc.getField("run") + 1L)
+            .otherwise(1L)) { run =>
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        }).getField("best")
+    }
+
+  /** Occurrences of the document's most frequent word n-gram — the
+    * Gopher-style repetition signal (Rae et al. 2021 §A1.1 use the
+    * character fraction of the top n-gram; this is the count numerator,
+    * turned into a token-occupancy fraction by the caller). Expression-
+    * only: hash the raw shingles, sort, take the longest equal-run. */
+  def topNgramCount(text: Column, n: Int): Column =
+    maxRunLength(array_sort(call_function("graft_md5_hash_array",
+      wordShinglesAll(text, n), lit(15))))
+
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. Deterministic and tiny by design: real deployments swap in
     * a fastText-style model behind the same column signature. */

@@ -89,6 +89,23 @@ class NativeExprSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString(", "))
   }
 
+  test("topNgramCount fold == explode/group-count formulation") {
+    val viaFold = docs.limit(200).select(col("doc_id"),
+      TextAnalysis.topNgramCount(col("text"), 1).as("top1"),
+      TextAnalysis.topNgramCount(col("text"), 3).as("top3"))
+    def viaGroup(n: Int) = docs.limit(200)
+      .select(col("doc_id"), explode(call_function("graft_md5_hash_array",
+        TextAnalysis.wordShinglesAll(col("text"), n), lit(15))).as("h"))
+      .groupBy("doc_id", "h").count()
+      .groupBy("doc_id").agg(max("count").as(s"top$n"))
+    val expected = docs.limit(200).select(col("doc_id"))
+      .join(viaGroup(1), Seq("doc_id"), "left")
+      .join(viaGroup(3), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("top1"), lit(0L)).as("top1"),
+        coalesce(col("top3"), lit(0L)).as("top3"))
+    assert(viaFold.exceptAll(expected).isEmpty && expected.exceptAll(viaFold).isEmpty)
+  }
+
   test("multimodal mapPartitions decode == expression featurization") {
     val mm = Multimodal.fromDocuments(docs.limit(100))
     val viaPartitions = Multimodal.decodeAndFeaturize(mm)

@@ -50,6 +50,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.count() > 0)
   }
 
+  test("hash split/sample are stateless — streaming == batch row-for-row") {
+    import graft.operators.Sampling
+    val stream = Streams.readEvents(spark, eventsPath)
+    val labeled = Sampling.hashSplit(
+      Sampling.hashSample(stream.toDF(), "event_id", 0.5), "event_id",
+      Seq("train" -> 0.9, "test" -> 0.1))
+      .select(col("event_id"), col("split"))
+    val streamed = Streams.drainToMemory(spark, labeled, "hashsplit_test",
+      complete = false)
+    val batch = Sampling.hashSplit(
+      Sampling.hashSample(graft.Tables(spark, TestSpark.sfDir, "events"),
+        "event_id", 0.5), "event_id",
+      Seq("train" -> 0.9, "test" -> 0.1))
+      .select(col("event_id"), col("split"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stateful firstSeen dedup emits exactly one row per key") {
     val stream = Streams.readEvents(spark, eventsPath)
     val deduped = StatefulStreams.firstSeen(stream, "user_id", "event_id")
