@@ -1,0 +1,51 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-job budgets for representative queries: every driver job is a
+  * full pass over (some of) the data at cluster scale, so a creeping
+  * eager collect / probe / per-file job in an operator is an efficiency
+  * regression even when local wall time barely moves. Ceilings are ~2×
+  * the currently-observed counts (AQE adds data-dependent sub-jobs, so
+  * exact pinning would be flaky) — they catch O(files) or O(columns)
+  * job blowups, not single-job drift. */
+class JobBudgetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def jobsOf(q: String): Long = {
+    val counter = new AtomicLong
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries(q)(spark, dir).count()
+      // job-start events are delivered asynchronously; every job has
+      // COMPLETED by the time count() returns, so a short drain suffices
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    counter.get
+  }
+
+  // (query, ceiling): generous — see scaladoc
+  private val budgets = Seq(
+    "q01_group_agg" -> 6L, // scan + agg (+AQE)
+    "q05_filter_in" -> 6L, // pushed filter, no aux jobs
+    "q22_minhash_lsh" -> 12L, // hash pipeline + one reused exchange join
+    "q24_cosine_topk" -> 10L, // broadcast build + corpus stream
+    "q36_recipe_pipeline" -> 12L, // 1 inference + main plan only
+    "q37_recipe_ratio" -> 16L, // 1 inference + 1 ratio agg + main plan
+    "q50_hash_split" -> 8L // pure narrow ops + one union agg
+  )
+
+  for ((q, budget) <- budgets)
+    test(s"$q stays within $budget Spark jobs") {
+      val n = jobsOf(q)
+      assert(n > 0 && n <= budget, s"$q launched $n jobs (budget $budget)")
+    }
+}
