@@ -90,6 +90,30 @@ class PropertySpec extends AnyFunSuite {
     assert(u.filter(col("id") === 2 && col("s").isNull).count() == 1)
   }
 
+  test("graft_numclass == try_cast/regex reference on generated strings") {
+    import org.apache.spark.sql.types.DoubleType
+    // mix of numeric-shaped and arbitrary printable strings, with
+    // whitespace padding and sign/suffix decorations
+    val numericish = Gen.oneOf(
+      Gen.chooseNum(-1000000L, 1000000L).map(_.toString),
+      Gen.chooseNum(-1e9, 1e9).map(_.toString),
+      Gen.chooseNum(-1e9, 1e9).map(d => f"$d%.3e"),
+      Gen.oneOf("nan", "NaN", "inf", "-inf", "Infinity", "1.5f", "2d",
+        "0x1p3", "5.", ".5", "1e", "e1", "--1", "1-", "+", "", " "))
+    val junk = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(
+      ' ', '.', '+', '-', 'e', 'x', '€', '\t'))).map(_.mkString)
+    val padded = Gen.zip(Gen.oneOf(numericish, junk),
+      Gen.oneOf("", " ", "  ", "\t")).map { case (s, p) => p + s + p }
+    val vals = samples(padded, 400)
+    val df = vals.toDF("s")
+    val ref = when(trim(col("s"), " \t\n\r\f").rlike("^[+-]?[0-9]+$"), 1)
+      .otherwise(when(col("s").try_cast(DoubleType).isNotNull, 2).otherwise(3))
+    val bad = df.select(col("s"),
+        call_function("graft_numclass", col("s")).as("got"), ref.as("want"))
+      .filter(col("got") =!= col("want")).collect()
+    assert(bad.isEmpty, bad.take(10).mkString(", "))
+  }
+
   test("jaccard is symmetric and 1 on identical sets") {
     val docs = graft.Tables(spark, TestSpark.sfDir, "documents").limit(10)
     val sh = array_sort(array_distinct(transform(

@@ -55,6 +55,41 @@ class RecipePipelineSpec extends AnyFunSuite {
     assert(out.columns.contains("File"))
   }
 
+  test("a 120-file glob stays O(1) Spark jobs (one scan, not one per file)") {
+    val dir = tmpDir()
+    for (i <- 0 until 120)
+      write(dir, f"part_$i%03d.csv",
+        s"""impl,size,time
+           |numpy,${100 * (i % 3 + 1)},${1.0 + i % 7}
+           |numba,${100 * (i % 3 + 1)},${2.0 + i % 5}
+           |""".stripMargin)
+    val recipe =
+      s"""input:
+         |  path: "${dir}/*.csv"
+         |aggregation: mean
+         |values: [time]
+         |series: [impl]
+         |axis: [size]
+         |""".stripMargin
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out =
+      try {
+        val o = Benchmark.fromString(spark, recipe).getAggregatedData().collect()
+        Thread.sleep(500)
+        o
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(out.length == 6) // 2 impls x 3 sizes
+    // driver-side header peeks are plain file reads, not Spark jobs; the
+    // data path is ONE multi-file csv scan + inference + aggregate —
+    // far fewer jobs than files
+    assert(jobs.get() <= 12, s"120-file recipe launched ${jobs.get()} jobs")
+  }
+
   test("csv-header imposition when the file has no header") {
     val dir = tmpDir()
     write(dir, "raw.csv", "numpy, 100, 2.5\nnumba, 100, 1.25\n")
