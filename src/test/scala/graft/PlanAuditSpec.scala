@@ -76,6 +76,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange")) // a projected scan, no shuffle
   }
 
+  test("repetition signals are expression-only — zero exchanges (q52)") {
+    // the whole quality signal computes inside the scan's project:
+    // no explode, no shuffle, nothing between the filter and the data
+    assert(!plan("q52_repetition").contains("Exchange"))
+  }
+
+  test("budget packing shuffles once, on the shard key (q51)") {
+    val p = plan("q51_pack_budget")
+    assert("hashpartitioning\\(lang".r.findAllIn(p).nonEmpty)
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set
