@@ -498,6 +498,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .select(col("lang"), col("bin"), col("n_docs"))),
 
+    // raw/rng.yml verbatim: csv-header imposition + a precompute that
+    // overwrites an imposed column (Brng) AFTER another precompute read
+    // its original value (Implementation) — dict-order semantics
+    "q53_corpus_rng" -> ((s, dir) => {
+      val root = graft.corpus.ReferenceCorpus.ensure(s, dir)
+      graft.recipe.Benchmark(s, s"$root/raw/rng.yml")
+        .getAggregatedData()
+        .select(col("Prefix"), col("Implementation"), col("Brng"),
+          col("Dist"), col("Arch"), col("Time"))
+    }),
+
     // ---- TEXT: Gopher-style repetition signals — count of the most
     //      frequent word 1-/3-gram per doc as an expression-only fold
     //      (hash -> sort -> longest equal-run; no explode, no shuffle),
@@ -1042,6 +1053,25 @@ object SparkEntry {
            WHERE split = 'train' AND sbkt < 200000)
          SELECT split, lang, COUNT(*) AS n_docs
          FROM unioned GROUP BY 1, 2""",
+
+    // recomputes the rng fixture mapping + the recipe's precompute
+    // overwrites from supplier
+    "q53_corpus_rng" ->
+      """WITH r AS (
+           SELECT CASE s_suppkey % 3 WHEN 0 THEN 'Native-C'
+                    WHEN 1 THEN 'intelpython3' ELSE 'stockpython3' END AS Prefix,
+                  CASE s_suppkey % 4 WHEN 0 THEN 'numpy'
+                    ELSE 'mkl_random' END AS Implementation,
+                  CASE s_suppkey % 4 WHEN 0 THEN 'MT19937' WHEN 1 THEN 'MCG31'
+                    WHEN 2 THEN 'MT2203' ELSE 'SFMT19937' END AS Brng,
+                  CASE s_suppkey % 5 WHEN 0 THEN 'uniform' WHEN 1 THEN 'normal'
+                    WHEN 2 THEN 'gamma' WHEN 3 THEN 'beta' ELSE 'lognormal' END AS Dist,
+                  CASE WHEN (s_suppkey // 8) % 2 = 0 THEN 'xeon8280'
+                    ELSE 'icelake' END AS Arch,
+                  0.5 + (s_suppkey % 100) * 0.25 AS Time
+           FROM supplier)
+         SELECT Prefix, Implementation, Brng, Dist, Arch, AVG(Time) AS Time
+         FROM r GROUP BY 1, 2, 3, 4, 5""",
 
     // repetition signals: top n-gram count via per-doc hash group-count
     // (same md5-60 hashes as the Spark fold -> identical counts)

@@ -12,6 +12,7 @@ package graft.corpus
   * Sources:
   *  - omnisci-query-times.yml   (examples/aggregations/omnisci-query-times.yml)
   *  - raw/df_clsf.yml           (examples/aggregations/raw/df_clsf.yml)
+  *  - raw/rng.yml               (examples/aggregations/raw/rng.yml)
   *  - raw/blackscholes.yml      (examples/aggregations/raw/blackscholes.yml)
   *  - raw/fft.yml               (examples/aggregations/raw/fft.yml)
   *  - indicators/blackscholes.yml, indicators/fft.yml
@@ -373,6 +374,46 @@ object CorpusRecipes {
       |
       |number-format: 2
       |number-format-max-only: false
+      |""".stripMargin
+
+  /** examples/aggregations/raw/rng.yml, verbatim — exercises csv-header
+    * imposition with a precompute that OVERWRITES one of the imposed
+    * columns from its own prior value (Brng), an idiom no other ported
+    * recipe has: `Implementation` must read the PRE-overwrite Brng
+    * because dict order runs it first. */
+  val rawRng: String =
+    """input:
+      |    path:
+      |        runs/*/*/*/*_rng_*.out
+      |    format: csv
+      |    csv-header: "Prefix, Brng, Dist, Time"
+      |
+      |aggregation: mean
+      |
+      |axis:
+      |- Brng
+      |- Dist
+      |
+      |series:
+      |- Prefix
+      |
+      |variants:
+      |    - Arch
+      |
+      |higher-is-better: true
+      |
+      |values:
+      |    - Time
+      |
+      |precomputed:
+      |    Implementation: "'numpy' if row['Brng'] == 'None' else 'mkl_random'"
+      |    Brng: "'MT19937' if row['Brng'] == 'None' else row['Brng']"
+      |    Mode: "'Serial'"
+      |    Prefix: "(lambda p: 'Native-C' if p == 'native' else p)(row['Directory'].split('/')[-1])"
+      |    Arch: "(row['Directory'].split('/')[-3].split('_')[-3:-2]+['Unknown'])[0]"
+      |
+      |number-format: 2
+      |number-format-max-only: true
       |""".stripMargin
 
   /** Goal rows shaped like examples/aggregations/targets.csv: unioned as

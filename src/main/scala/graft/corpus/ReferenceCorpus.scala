@@ -32,7 +32,9 @@ object ReferenceCorpus {
   /** Generates (once) and returns the fixture root for `sfDir`. */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val tag = new File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-    val root = new File(sys.props("java.io.tmpdir"), s"graft_corpus_$tag")
+    // bump the version suffix whenever fixture content changes — the
+    // marker below caches the tree across JVMs
+    val root = new File(sys.props("java.io.tmpdir"), s"graft_corpus_v2_$tag")
     val marker = new File(root, ".complete")
     if (marker.isFile) return root.getPath
 
@@ -98,6 +100,25 @@ object ReferenceCorpus {
       }
     }
 
+    // ---- rng logs (supplier.s_suppkey): headerless, csv-header imposed;
+    //      the CSV Prefix field is junk the recipe's precompute overwrites ----
+    for (k <- keys("supplier", "s_suppkey")) {
+      val env = (k % 3).toInt match {
+        case 0 => "native"; case 1 => "intelpython3"; case _ => "stockpython3"
+      }
+      val arch = if ((k / 8) % 2 == 0) "xeon8280" else "icelake"
+      val brng = (k % 4).toInt match {
+        case 0 => "None"; case 1 => "MCG31"; case 2 => "MT2203"; case _ => "SFMT19937"
+      }
+      val dist = (k % 5).toInt match {
+        case 0 => "uniform"; case 1 => "normal"; case 2 => "gamma"
+        case 3 => "beta"; case _ => "lognormal"
+      }
+      val time = 0.5 + (k % 100) * 0.25 // dyadic: exact through %.2f + parse
+      val f = s"runs/rng_2026_${arch}_r_0/rng/$env/1700000030.np_rng_bench.out"
+      line(f, s"raw,$brng,$dist,${fmt(time)}")
+    }
+
     // ---- fft logs (customer.c_custkey) ----
     for (k <- keys("customer", "c_custkey")) {
       val func = if (k % 2 == 0) "fft" else "rfft"
@@ -130,6 +151,7 @@ object ReferenceCorpus {
     val recipes = Seq(
       "omnisci-query-times.yml" -> CorpusRecipes.omnisciQueryTimes,
       "raw/df_clsf.yml" -> CorpusRecipes.dfClsf,
+      "raw/rng.yml" -> CorpusRecipes.rawRng,
       "raw/blackscholes.yml" -> CorpusRecipes.rawBlackscholes,
       "raw/fft.yml" -> CorpusRecipes.rawFft,
       "indicators/blackscholes.yml" -> CorpusRecipes.indicatorsBlackscholes,
