@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Scale-growth smoke for the dedup paths: replicates the documents
+  * corpus N× with a shingle-disjoint perturbation (every inter-token gap
+  * gets a replica-unique marker token, so no shingle is shared across
+  * replicas) — cluster structure per replica is preserved while corpus
+  * size grows, which is exactly the regime a 100 TB dedup run lives in
+  * (bounded duplication, growing corpus). A bucketed candidate design
+  * must then scale near-linearly in N; anything quadratic in corpus size
+  * (all-pairs, fixed-cardinality blocking) blows up immediately.
+  *
+  * Usage: scripts/run.sh graft.tools.ScaleSmoke [sfDir] [mults...]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    def replicated(n: Int) =
+      docs.withColumn("rep", explode(sequence(lit(0), lit(n - 1))))
+        .select(
+          (col("doc_id") * n + col("rep")).as("doc_id"),
+          // suffix every token with the replica id: token frequencies
+          // WITHIN a replica are isomorphic to the original document
+          // (near-dup structure preserved), while no token — hence no
+          // shingle, no simhash weight — is shared ACROSS replicas.
+          // (A constant marker token inserted per gap would instead make
+          // the marker dominate every document's simhash and turn the
+          // corpus into one all-pairs near-dup cluster.)
+          array_join(transform(split(trim(col("text")), "\\s+"),
+            t => concat(t, lit("_"), col("rep"))), " ").as("text"))
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"  $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+
+    for (n <- mults) {
+      val d = replicated(n).persist()
+      val total = d.count()
+      println(s"mult=$n  docs=$total")
+      val pairs = time("minhashCandidates") {
+        Dedup.minhashCandidates(d, "doc_id", "text").filter(col("jaccard") >= 0.5).count()
+      }
+      val simhash = time("simhashBandPairs") {
+        Dedup.simhashBandPairs(d, "doc_id", "text", bands = 4, maxHamming = 3).count()
+      }
+      val clusters = time("dedupClusters") {
+        Dedup.dedupClusters(d, "doc_id", "text", threshold = 0.5)
+          .filter(col("keep")).count()
+      }
+      println(s"  pairs=$pairs simhashPairs=$simhash keepers=$clusters")
+      d.unpersist()
+    }
+    spark.stop()
+  }
+}
