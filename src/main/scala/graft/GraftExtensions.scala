@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{AffineMinHash, ArrayCosine, ExactMedian, Md5PrefixHashArray, SignBucket, SimHash32, SortedLongJaccard, StringNumClass}
+import graft.expressions.{AffineMinHash, ArrayCosine, ExactMedian, Md5PrefixHashArray, SignBucket, SimHash32, SimHash60, SortedLongJaccard, StringNumClass}
 
 /** Registers graft's native Catalyst expressions with a SparkSession via
   * the public extensions mechanism:
@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
       (es: Seq[Expression]) => SimHash32(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+      (es: Seq[Expression]) => SimHash60(es.head)))
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[AffineMinHash].getName, "graft_minhash"),
       (es: Seq[Expression]) =>

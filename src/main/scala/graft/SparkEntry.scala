@@ -253,6 +253,13 @@ object SparkEntry {
       Dedup.simhashBandPairs(t(s, dir, "documents"), "doc_id", "text",
         bands = 4, maxHamming = 3)),
 
+    // ---- DEDUP: 60-bit SimHash band pairs (6 bands x 10 bits,
+    //      maxHamming=5 < bands => pigeonhole-complete like q23) — the
+    //      wide-sketch scale path for corpora where 32 bits saturate
+    "q54_simhash60" -> ((s, dir) =>
+      Dedup.simhashBandPairs(t(s, dir, "documents"), "doc_id", "text",
+        bands = 6, maxHamming = 5, bits = 60)),
+
     // ---- ANN: brute-force cosine top-k (query side broadcast)
     "q24_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -588,6 +595,13 @@ object SparkEntry {
     SUMD(s"list_transform(range(0, 32), b -> CASE WHEN $votes >= 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)")
   }
 
+  /** SimHash over 60 bits of the hash60 token hash (mirrors SimHash60). */
+  private val SIMHASH60 = {
+    val hs = s"list_transform($TOKS, t -> ${H60("t")})"
+    val votes = SUMD(s"list_transform($hs, h -> CASE WHEN (h >> b) % 2 = 1 THEN 1::BIGINT ELSE -1::BIGINT END)")
+    SUMD(s"list_transform(range(0, 60), b -> CASE WHEN $votes >= 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_group_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -768,6 +782,12 @@ object SparkEntry {
                 CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
          FROM d a JOIN d b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
+    "q54_simhash60" ->
+      s"""WITH d AS (SELECT doc_id, $SIMHASH60 AS sh FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 5""",
     "q24_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

@@ -107,6 +107,52 @@ case class SimHash32(child: Expression)
     copy(child = newChild)
 }
 
+/** 60-bit SimHash over a token array — the wide variant for large
+  * corpora, where 32-bit simhash saturates (at ~10^5+ documents, chance
+  * Hamming<=3 collisions of 32-bit sketches dominate true near-dups;
+  * P(collision) falls by 2^-28 moving to 60 bits). Per token the hash is
+  * the first 15 md5 hex digits (== [[graft.operators.TextAnalysis.hash60]],
+  * so the ANSI-SQL mirror is exact); 60 bits = 6 bands x 10 bits for the
+  * pigeonhole multi-index. */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](60)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      val d = md.digest(arr.getUTF8String(t).getBytes) // resets digest
+      // first 15 hex chars == top 60 bits of the first 8 bytes
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = h >>> 4
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** k-function affine MinHash over a pre-hashed shingle array
   * (`array<bigint>`): sig_j = min over hashes of (a_j*h + b_j) mod p with
   * a_j = 2j+1, b_j = 7919j + 104729, p = 2^31-1 — identical to the

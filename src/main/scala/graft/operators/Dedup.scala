@@ -128,6 +128,14 @@ object Dedup {
   def simhash(text: Column): Column =
     call_function("graft_simhash32", TextAnalysis.tokens(text))
 
+  /** 60-bit SimHash ([[graft.expressions.SimHash60]]) — the wide sketch
+    * for corpora where the 32-bit space saturates (chance Hamming<=3
+    * collisions overtake true near-dups around 10^5 documents; measured
+    * in tools/ScaleSmoke). Same md5-prefix token hash as hash60, so the
+    * ANSI-SQL mirror is exact. */
+  def simhash60(text: Column): Column =
+    call_function("graft_simhash60", TextAnalysis.tokens(text))
+
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast(LongType)
@@ -145,17 +153,20 @@ object Dedup {
     * SimHash per Charikar'02 / Manku et al. WWW'07 multi-index.
     */
   def simhashBandPairs(df: DataFrame, idCol: String, textCol: String,
-                       bands: Int = 4, maxHamming: Int = 8): DataFrame = {
-    require(32 % bands == 0, s"bands must divide 32, got $bands")
-    val bandBits = 32 / bands
+                       bands: Int = 4, maxHamming: Int = 8,
+                       bits: Int = 32): DataFrame = {
+    require(bits == 32 || bits == 60, s"simhash width must be 32 or 60, got $bits")
+    require(bits % bands == 0, s"bands must divide $bits, got $bands")
+    val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
     val par = df.sparkSession.sparkContext.defaultParallelism
     val bandKeys = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
     }: _*)
+    val shExpr = if (bits == 60) simhash60(col(textCol)) else simhash(col(textCol))
     val keyed = df.repartition(par)
-      .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .select(col(idCol).as("id"), shExpr.as("sh"))
       .select(col("id"), col("sh"), explode(bandKeys).as("bk"))
       .repartition(col("bk"))
     val a = keyed.select(col("bk"), col("id").as("id_a"), col("sh").as("sh_a"))

@@ -46,6 +46,21 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("SimHash60 == shift/mod column formulation over hash60") {
+    val hs = transform(TextAnalysis.tokens(col("text")), t => TextAnalysis.hash60(t))
+    val colFormulation = bound(hs) { hsB =>
+      (0 until 60).map { b =>
+        val votes = aggregate(hsB, lit(0L),
+          (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
+        when(votes >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val diff = docs.limit(20)
+      .select((Dedup.simhash60(col("text")) =!= colFormulation).as("d"))
+      .filter(col("d")).count()
+    assert(diff == 0)
+  }
+
   test("AffineMinHash == column affine formulation") {
     val sh = TextAnalysis.wordShingles(col("text"), 3)
     val colSig = bound(transform(sh, s => TextAnalysis.hash32(s))) { hs =>
