@@ -516,6 +516,29 @@ object SparkEntry {
           col("Dist"), col("Arch"), col("Time"))
     }),
 
+    // ---- CURATION CAPSTONE: the full corpus-curation pipeline in ONE
+    //      lazy plan — quality score + language ID + repetition filter
+    //      (all scan-level expressions), exact dedup keep-first (one
+    //      shuffle), deterministic 90/10 split, per-(split, lang) stats.
+    //      Proves the operators COMPOSE: Catalyst sees one tree and the
+    //      only exchanges are the dedup window and the final aggregate.
+    "q55_curation" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langId(col("text")).as("guess"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.topNgramCount(col("text"), 1).as("top1"))
+      val kept = scored.filter(col("quality") >= 0.3 &&
+        col("guess") =!= "und" &&
+        round(col("top1") / col("n_tokens"), 6) <= 0.2)
+      val deduped = Dedup.exact(
+        kept.withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+        Seq("fp"), "doc_id")
+      Sampling.hashSplit(deduped, "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+        .groupBy("split", "guess")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
     // ---- TEXT: Gopher-style repetition signals — count of the most
     //      frequent word 1-/3-gram per doc as an expression-only fold
     //      (hash -> sort -> longest equal-run; no explode, no shuffle),
@@ -1092,6 +1115,46 @@ object SparkEntry {
            FROM supplier)
          SELECT Prefix, Implementation, Brng, Dist, Arch, AVG(Time) AS Time
          FROM r GROUP BY 1, 2, 3, 4, 5""",
+
+    // end-to-end curation: quality + lang-ID + repetition filter, md5
+    // fingerprint keep-first dedup, hash split, per-(split, lang) stats
+    "q55_curation" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS ws FROM documents),
+         t1 AS (
+           SELECT doc_id, MAX(cnt) AS top1 FROM (
+             SELECT doc_id, u.h, COUNT(*) AS cnt
+             FROM toks, unnest(list_transform(ws, s -> ${H60("s")})) u(h)
+             GROUP BY 1, 2) GROUP BY 1),
+         scored AS (
+           SELECT d.doc_id, d.text, $QUALITY AS quality,
+             list_reduce([
+               {'hits': len(list_filter($TOKS, t -> t IN ('der','und','die','ist'))), 'lang': 'de'},
+               {'hits': len(list_filter($TOKS, t -> t IN ('the','and','of','is'))), 'lang': 'en'},
+               {'hits': len(list_filter($TOKS, t -> t IN ('el','los','de','es'))), 'lang': 'es'},
+               {'hits': len(list_filter($TOKS, t -> t IN ('le','les','des','est'))), 'lang': 'fr'},
+               {'hits': len(list_filter($TOKS, t -> t IN ('de','shi','zai','he'))), 'lang': 'zh'}],
+               (a, b) -> CASE WHEN b.hits > a.hits THEN b ELSE a END) AS best,
+             len($TOKS) AS n_tokens, COALESCE(t1.top1, 0) AS top1
+           FROM documents d LEFT JOIN t1 USING (doc_id)),
+         kept AS (
+           SELECT doc_id, text, n_tokens,
+             CASE WHEN best.hits = 0 THEN 'und' ELSE best.lang END AS guess
+           FROM scored
+           WHERE quality >= 0.3
+             AND (CASE WHEN best.hits = 0 THEN 'und' ELSE best.lang END) <> 'und'
+             AND ROUND(top1 / n_tokens, 6) <= 0.2),
+         deduped AS (
+           SELECT * FROM (
+             SELECT doc_id, guess, n_tokens, MIN(doc_id) OVER (PARTITION BY
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS keep_id
+             FROM kept) WHERE doc_id = keep_id),
+         labeled AS (
+           SELECT CASE WHEN ${H60("'graft' || CAST(doc_id AS VARCHAR)")} % 10000 < 9000
+                  THEN 'train' ELSE 'val' END AS split, guess, n_tokens
+           FROM deduped)
+         SELECT split, guess, COUNT(*) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         FROM labeled GROUP BY 1, 2""",
 
     // repetition signals: top n-gram count via per-doc hash group-count
     // (same md5-60 hashes as the Spark fold -> identical counts)
