@@ -36,8 +36,16 @@ class ReferenceExprClosureSpec extends AnyFunSuite {
             case Some(pm: java.util.Map[_, _]) =>
               for ((k, v) <- pm.asScala.toSeq) {
                 total += 1
-                try ExprCompiler.parse(String.valueOf(v))
-                catch {
+                // parse AND compile: compile is where an unsupported
+                // function/idiom would surface (column resolution is
+                // deferred to analysis, so no schema is needed; ratio
+                // calls get dummy bindings like the engine provides)
+                try {
+                  val ast = ExprCompiler.parse(String.valueOf(v))
+                  val bindings = ExprCompiler.ratioCalls(ast)
+                    .map(_ -> org.apache.spark.sql.functions.lit(1.0)).toMap
+                  ExprCompiler.compile(ast, bindings)
+                } catch {
                   case e: Exception =>
                     failures += s"${f.getName} / $k: ${String.valueOf(v)} -> ${e.getMessage}"
                 }
