@@ -58,4 +58,21 @@ class ReferenceExprClosureSpec extends AnyFunSuite {
     assert(total > 40, s"expected the full corpus, saw only $total expressions")
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("every reference recipe loads as a Recipe and its filter rules compile") {
+    assume(root.isDirectory, "reference corpus not present")
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    var total = 0
+    for (f <- ymlFiles(root)) {
+      total += 1
+      try {
+        val r = Recipe.load(f.getPath)
+        LineFilter.compile(r.input.filters)
+      } catch {
+        case e: Exception => failures += s"${f.getName}: ${e.getMessage}"
+      }
+    }
+    assert(total >= 28, s"expected the full corpus, saw only $total recipes")
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
