@@ -19,6 +19,29 @@ class IvfSpec extends AnyFunSuite {
         col("rank").cast("int"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
+  test("planesFor holds expected bucket size constant as the corpus grows") {
+    // buckets double per plane: planes = ceil(log2(n / target)), clamped
+    assert(Similarity.planesFor(64, 64) == 4) // floor of the clamp
+    assert(Similarity.planesFor(64 << 7, 64) == 7)
+    assert(Similarity.planesFor(64L << 17, 64) == 17)
+    assert(Similarity.planesFor(Long.MaxValue / 2, 64) == 30) // ceiling
+    // expected population n / 2^planes stays <= target for unclamped n
+    for (n <- Seq(10000L, 1000000L, 100000000L)) {
+      val p = Similarity.planesFor(n, 64)
+      assert(n.toDouble / (1L << p) <= 64.0)
+    }
+  }
+
+  test("lshTopKAuto == lshTopK at the derived plane count") {
+    val auto = Similarity.lshTopKAuto(emb, "vec_id", "embedding", k = 3,
+      targetBucketSize = 16)
+    val manual = Similarity.lshTopK(emb, "vec_id", "embedding", k = 3,
+      planes = Similarity.planesFor(emb.count(), 16))
+    val a = auto.collect().map(_.toSeq).toSet
+    val m = manual.collect().map(_.toSeq).toSet
+    assert(a == m && a.nonEmpty)
+  }
+
   test("probe-all IVF is bit-identical to brute force") {
     val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
       k = 5, nlist = 8, nprobe = 8)
