@@ -516,6 +516,17 @@ object SparkEntry {
           col("Dist"), col("Arch"), col("Time"))
     }),
 
+    // ---- TEXT: token-window chunking (size=32, overlap=8) — each doc
+    //      explodes into its sliding chunks with a content fingerprint
+    "q56_chunking" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunkTokens(col("text"), 32, 8))
+            .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          md5(col("chunk")).as("chunk_fp"),
+          size(split(col("chunk"), " ")).cast("long").as("n_chunk_tokens"))),
+
     // ---- CURATION CAPSTONE: the full corpus-curation pipeline in ONE
     //      lazy plan — quality score + language ID + repetition filter
     //      (all scan-level expressions), exact dedup keep-first (one
@@ -1115,6 +1126,18 @@ object SparkEntry {
            FROM supplier)
          SELECT Prefix, Implementation, Brng, Dist, Arch, AVG(Time) AS Time
          FROM r GROUP BY 1, 2, 3, 4, 5""",
+
+    // token-window chunking: same starts (1, 1+stride, ...), inclusive
+    // duckdb list slice ws[i : i+size-1] == Spark slice(ws, i, size)
+    "q56_chunking" ->
+      s"""WITH starts AS (
+           SELECT doc_id, ws,
+                  unnest(range(1, greatest(len(ws) - 8, 1) + 1, 24)) AS i
+           FROM (SELECT doc_id, $TOKS AS ws FROM documents))
+         SELECT doc_id, (i - 1) // 24 AS chunk_id,
+                md5(array_to_string(ws[i : i + 31], ' ')) AS chunk_fp,
+                CAST(len(ws[i : i + 31]) AS BIGINT) AS n_chunk_tokens
+         FROM starts""",
 
     // end-to-end curation: quality + lang-ID + repetition filter, md5
     // fingerprint keep-first dedup, hash split, per-(split, lang) stats

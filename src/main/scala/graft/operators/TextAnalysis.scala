@@ -158,6 +158,23 @@ object TextAnalysis {
     maxRunLength(array_sort(call_function("graft_md5_hash_array",
       wordShinglesAll(text, n), lit(15))))
 
+  /** Token-window chunking — the pretraining/RAG chunker: split the
+    * token stream into windows of `size` tokens advancing by
+    * `size - overlap`, space-rejoined. Expression-only (explode to rows
+    * at the call site); a document shorter than `size` yields one chunk.
+    * Starts are 1, 1+stride, ... up to max(len-overlap, 1), so every
+    * token belongs to >= 1 chunk and no empty tail chunk is emitted. */
+  def chunkTokens(text: Column, size: Int, overlap: Int): Column = {
+    require(size > overlap && overlap >= 0,
+      s"need size > overlap >= 0, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    graft.functions.bound(tokens(text)) { ws =>
+      transform(
+        sequence(lit(1), greatest(org.apache.spark.sql.functions.size(ws) - lit(overlap), lit(1)), lit(stride)),
+        s => concat_ws(" ", slice(ws, s, lit(size))))
+    }
+  }
+
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. Deterministic and tiny by design: real deployments swap in
     * a fastText-style model behind the same column signature. */
