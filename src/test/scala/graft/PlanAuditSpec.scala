@@ -87,6 +87,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("hashpartitioning\\(lang".r.findAllIn(p).nonEmpty)
   }
 
+  test("curation capstone runs in exactly two exchanges (q55)") {
+    // scan-level quality/lang/repetition filters -> dedup window (fp) ->
+    // final aggregate: nothing else may shuffle
+    val p = plan("q55_curation")
+    assert("Exchange".r.findAllIn(p).length == 2, p)
+    assert(p.contains("WindowGroupLimit")) // rank-limit pushdown applied
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set
