@@ -1037,10 +1037,38 @@ object SparkEntry {
            JOIN fft_grp g USING (Prefix, Mode, Function, Arch, Place)
            JOIN fft_base b USING (Mode, Function, Arch, Place)
            WHERE r.Prefix <> 'Native-C'),
+         rng_rows AS (
+           SELECT CASE s_suppkey % 3 WHEN 0 THEN 'Native-C'
+                    WHEN 1 THEN 'intelpython3' ELSE 'stockpython3' END AS Prefix,
+                  CASE s_suppkey % 4 WHEN 0 THEN 'MT19937' WHEN 1 THEN 'MCG31'
+                    WHEN 2 THEN 'MT2203' ELSE 'SFMT19937' END AS Brng,
+                  CASE s_suppkey % 5 WHEN 0 THEN 'uniform' WHEN 1 THEN 'normal'
+                    WHEN 2 THEN 'gamma' WHEN 3 THEN 'beta' ELSE 'lognormal' END AS Function,
+                  CASE WHEN (s_suppkey // 8) % 2 = 0 THEN 'xeon8280'
+                    ELSE 'icelake' END AS Arch,
+                  'Serial' AS Mode,
+                  0.5 + (s_suppkey % 100) * 0.25 AS Time
+           FROM supplier),
+         rng_grp AS (
+           SELECT Prefix, Mode, Function, Arch, AVG(Time) AS g
+           FROM rng_rows GROUP BY ALL),
+         rng_base AS (
+           SELECT Mode, Function, Arch, AVG(Time) AS b FROM rng_rows
+           WHERE Prefix = 'Native-C' GROUP BY ALL),
+         rng_out AS (
+           -- ratio computed pre-filter on all brngs; filter-in then keeps
+           -- Brng=MT19937 and drops the Native-C base series (drop=false)
+           SELECT 'Random' AS Domain, r.Prefix, r.Mode, r.Arch, b.b / g.g AS Ratio
+           FROM rng_rows r
+           JOIN rng_grp g USING (Prefix, Mode, Function, Arch)
+           LEFT JOIN rng_base b USING (Mode, Function, Arch)
+           WHERE r.Brng = 'MT19937' AND r.Prefix <> 'Native-C'),
          u AS (
            SELECT * FROM bs_out
            UNION ALL
-           SELECT * FROM fft_out WHERE Prefix <> 'stockpython3')
+           SELECT * FROM fft_out WHERE Prefix <> 'stockpython3'
+           UNION ALL
+           SELECT * FROM rng_out WHERE Prefix <> 'stockpython3')
          SELECT Domain, Prefix, Mode, Arch, ROUND(EXP(AVG(LN(Ratio))), 6) AS Ratio
          FROM u GROUP BY 1, 2, 3, 4""",
 

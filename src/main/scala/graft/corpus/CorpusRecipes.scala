@@ -316,6 +316,7 @@ object CorpusRecipes {
       |    config:
       |    - indicators/blackscholes.yml
       |    - indicators/fft.yml
+      |    - indicators/rng.yml
       |
       |higher-is-better: true
       |
@@ -374,6 +375,48 @@ object CorpusRecipes {
       |
       |number-format: 2
       |number-format-max-only: false
+      |""".stripMargin
+
+  /** examples/aggregations/indicators/rng.yml, verbatim — the Random
+    * domain indicator: ratio vs the Native-C base (computed BEFORE the
+    * filter-in, on all brngs), then a boolean `drop` precompute filters
+    * the base series itself out. */
+  val indicatorsRng: String =
+    """input:
+      |    config:
+      |    - ../raw/rng.yml
+      |
+      |aggregation: mean
+      |
+      |axis:
+      |    - Mode
+      |    - Function
+      |
+      |series:
+      |    - Prefix
+      |
+      |variants:
+      |    - Arch
+      |
+      |higher-is-better: true
+      |
+      |values:
+      |    - Ratio
+      |
+      |rename:
+      |    Dist: Function
+      |
+      |precomputed:
+      |    Domain: "'Random'"
+      |    Ratio: "1 / ratio_of('Time', Prefix='Native-C')"
+      |    drop: "row['Prefix'] == 'Native-C'"
+      |
+      |filter-in:
+      |    Brng: [MT19937]
+      |    drop: [false]
+      |
+      |number-format: 2
+      |number-format-max-only: true
       |""".stripMargin
 
   /** examples/aggregations/raw/rng.yml, verbatim — exercises csv-header

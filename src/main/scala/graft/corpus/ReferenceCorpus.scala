@@ -34,7 +34,7 @@ object ReferenceCorpus {
     val tag = new File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
     // bump the version suffix whenever fixture content changes — the
     // marker below caches the tree across JVMs
-    val root = new File(sys.props("java.io.tmpdir"), s"graft_corpus_v2_$tag")
+    val root = new File(sys.props("java.io.tmpdir"), s"graft_corpus_v3_$tag")
     val marker = new File(root, ".complete")
     if (marker.isFile) return root.getPath
 
@@ -156,6 +156,7 @@ object ReferenceCorpus {
       "raw/fft.yml" -> CorpusRecipes.rawFft,
       "indicators/blackscholes.yml" -> CorpusRecipes.indicatorsBlackscholes,
       "indicators/fft.yml" -> CorpusRecipes.indicatorsFft,
+      "indicators/rng.yml" -> CorpusRecipes.indicatorsRng,
       "indicators.yml" -> CorpusRecipes.indicators,
       "summary_indicators.yml" -> CorpusRecipes.summaryIndicators,
       "config/targets.csv" -> CorpusRecipes.targetsCsv)
