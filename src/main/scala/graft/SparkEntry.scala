@@ -550,6 +550,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
     }),
 
+    // raw/umath-native.yml verbatim: REPLACE line-filter rule rewrites
+    // the env marker into the Prefix value pre-parse; aggregation: min
+    "q57_corpus_umath" -> ((s, dir) => {
+      val root = graft.corpus.ReferenceCorpus.ensure(s, dir)
+      graft.recipe.Benchmark(s, s"$root/raw/umath-native.yml")
+        .getAggregatedData()
+        .select(col("Prefix"), col("Implementation"), col("Size"),
+          col("Function"), col("Mode"), col("Arch"), col("CPE"))
+    }),
+
     // ---- TEXT: Gopher-style repetition signals — count of the most
     //      frequent word 1-/3-gram per doc as an expression-only fold
     //      (hash -> sort -> longest equal-run; no explode, no shuffle),
@@ -1063,7 +1073,57 @@ object SparkEntry {
            JOIN rng_grp g USING (Prefix, Mode, Function, Arch)
            LEFT JOIN rng_base b USING (Mode, Function, Arch)
            WHERE r.Brng = 'MT19937' AND r.Prefix <> 'Native-C'),
+         umn_rows AS (
+           SELECT 'Native-C' AS Prefix,
+                  CASE WHEN p_partkey % 2 = 0 THEN 'SVML' ELSE 'VML' END AS Implementation,
+                  CASE WHEN (p_partkey // 4) % 2 = 0 THEN 16777216 ELSE 1048576 END AS Size,
+                  CASE p_partkey % 6 WHEN 0 THEN 'array*array' WHEN 1 THEN 'array+array'
+                    WHEN 2 THEN 'array-array' WHEN 3 THEN 'array/array'
+                    WHEN 4 THEN 'erf' ELSE 'exp' END AS Function,
+                  CASE WHEN (p_partkey // 2) % 2 = 0 THEN 'Serial' ELSE 'Parallel' END AS Mode,
+                  CASE WHEN (p_partkey // 8) % 2 = 0 THEN 'xeon8280' ELSE 'icelake' END AS Arch,
+                  1.0 + (p_partkey % 80) * 0.25 AS CPE
+           FROM part),
+         ump_rows AS (
+           SELECT CASE WHEN c_custkey % 2 = 0 THEN 'stockpython3' ELSE 'intelpython3' END AS Prefix,
+                  CASE c_custkey % 3 WHEN 0 THEN 'numpy' WHEN 1 THEN 'numexpr' ELSE 'numba' END AS Implementation,
+                  CASE WHEN (c_custkey // 4) % 2 = 0 THEN 16777216 ELSE 1048576 END AS Size,
+                  CASE c_custkey % 6 WHEN 0 THEN 'array*array' WHEN 1 THEN 'array+array'
+                    WHEN 2 THEN 'array-array' WHEN 3 THEN 'array/array'
+                    WHEN 4 THEN 'erf' ELSE 'exp' END AS Function,
+                  CASE WHEN (c_custkey // 2) % 2 = 0 THEN 'Serial' ELSE 'Parallel' END AS Mode,
+                  CASE WHEN (c_custkey // 8) % 2 = 0 THEN 'xeon8280' ELSE 'icelake' END AS Arch,
+                  2.0 + (c_custkey % 90) * 0.25 AS CPE
+           FROM customer),
+         arith_rows AS (SELECT * FROM umn_rows UNION ALL SELECT * FROM ump_rows),
+         arith_grp AS (
+           SELECT Prefix, Implementation, Mode, Size, Function, Arch, AVG(CPE) AS g
+           FROM arith_rows GROUP BY ALL),
+         arith_base_vml AS (
+           SELECT Mode, Size, Function, Arch, AVG(CPE) AS b FROM arith_rows
+           WHERE Prefix = 'Native-C' AND Implementation = 'VML' GROUP BY ALL),
+         arith_base_svml AS (
+           SELECT Mode, Size, Function, Arch, AVG(CPE) AS b FROM arith_rows
+           WHERE Prefix = 'Native-C' AND Implementation = 'SVML' GROUP BY ALL),
+         mkl_out AS (
+           -- arithmetics-mkl filter-in (numpy, numexpr) composed with
+           -- indicators filter-out numexpr/stockpython3 -> numpy rows
+           SELECT 'Numpy' AS Domain, r.Prefix, r.Mode, r.Arch, b.b / g.g AS Ratio
+           FROM arith_rows r
+           JOIN arith_grp g USING (Prefix, Implementation, Mode, Size, Function, Arch)
+           LEFT JOIN arith_base_vml b USING (Mode, Size, Function, Arch)
+           WHERE r.Implementation = 'numpy' AND r.Prefix <> 'stockpython3'),
+         numba_out AS (
+           SELECT 'Numba' AS Domain, r.Prefix, r.Mode, r.Arch, b.b / g.g AS Ratio
+           FROM arith_rows r
+           JOIN arith_grp g USING (Prefix, Implementation, Mode, Size, Function, Arch)
+           LEFT JOIN arith_base_svml b USING (Mode, Size, Function, Arch)
+           WHERE r.Implementation = 'numba' AND r.Prefix <> 'stockpython3'),
          u AS (
+           SELECT * FROM mkl_out
+           UNION ALL
+           SELECT * FROM numba_out
+           UNION ALL
            SELECT * FROM bs_out
            UNION ALL
            SELECT * FROM fft_out WHERE Prefix <> 'stockpython3'
@@ -1135,6 +1195,23 @@ object SparkEntry {
            WHERE split = 'train' AND sbkt < 200000)
          SELECT split, lang, COUNT(*) AS n_docs
          FROM unioned GROUP BY 1, 2""",
+
+    // recomputes the umath-native fixture mapping; aggregation: min
+    "q57_corpus_umath" ->
+      """WITH r AS (
+           SELECT 'Native-C' AS Prefix,
+                  CASE WHEN p_partkey % 2 = 0 THEN 'SVML' ELSE 'VML' END AS Implementation,
+                  CAST(CASE WHEN (p_partkey // 4) % 2 = 0 THEN 16777216
+                    ELSE 1048576 END AS BIGINT) AS Size,
+                  CASE p_partkey % 6 WHEN 0 THEN 'array*array' WHEN 1 THEN 'array+array'
+                    WHEN 2 THEN 'array-array' WHEN 3 THEN 'array/array'
+                    WHEN 4 THEN 'erf' ELSE 'exp' END AS Function,
+                  CASE WHEN (p_partkey // 2) % 2 = 0 THEN 'Serial' ELSE 'Parallel' END AS Mode,
+                  CASE WHEN (p_partkey // 8) % 2 = 0 THEN 'xeon8280' ELSE 'icelake' END AS Arch,
+                  1.0 + (p_partkey % 80) * 0.25 AS CPE
+           FROM part)
+         SELECT Prefix, Implementation, Size, Function, Mode, Arch, MIN(CPE) AS CPE
+         FROM r GROUP BY 1, 2, 3, 4, 5, 6""",
 
     // recomputes the rng fixture mapping + the recipe's precompute
     // overwrites from supplier

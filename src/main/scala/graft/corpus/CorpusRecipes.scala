@@ -314,6 +314,8 @@ object CorpusRecipes {
       |    # Input configuration files
       |    # (reduced to the ported children; reference lists 8)
       |    config:
+      |    - indicators/arithmetics-mkl.yml
+      |    - indicators/arithmetics-numba.yml
       |    - indicators/blackscholes.yml
       |    - indicators/fft.yml
       |    - indicators/rng.yml
@@ -375,6 +377,162 @@ object CorpusRecipes {
       |
       |number-format: 2
       |number-format-max-only: false
+      |""".stripMargin
+
+  /** examples/aggregations/raw/umath-native.yml, verbatim — a REPLACE
+    * line-filter rule rewrites the native env marker into the Prefix
+    * value before CSV parse; aggregation is `min` (best-of CPE). */
+  val rawUmathNative: String =
+    """input:
+      |    path: 'runs/*/*/*/*_umath_native*.out'
+      |    format: csv
+      |    filter:
+      |        '^native_ha': 'Native-C'
+      |        '^Native-C':
+      |        '^Prefix':
+      |        '^Overhead': drop
+      |
+      |aggregation: min
+      |
+      |axis:
+      |- Size
+      |- Function
+      |
+      |series:
+      |- Prefix
+      |- Implementation
+      |
+      |variants:
+      |    - Mode
+      |    - Arch
+      |
+      |higher-is-better: false
+      |
+      |values:
+      |- "CPE"
+      |
+      |precomputed:
+      |    Mode: "'Serial' if row['File'].split('.')[1].split('_')[-1] == 'seq' else 'Parallel'"
+      |    Arch: "(row['Directory'].split('/')[-3].split('_')[-3:-2]+['Unknown'])[0]"
+      |
+      |number-format: 4
+      |number-format-max-only: true
+      |""".stripMargin
+
+  /** examples/aggregations/raw/umath-python.yml, verbatim — a dotted/
+    * colon column name ('CPE:aligned') renamed to the value column, and
+    * `filter-out Prefix: [Prefix]` removing stray repeated header rows
+    * that the keep-rule let through as data. */
+  val rawUmathPython: String =
+    """input:
+      |    path: 'runs/*/*/*/*_umath_python*.out'
+      |    format: csv
+      |    filter:
+      |        '^(stockpython3|intelpython3|Prefix)':
+      |        '^Overhead': drop
+      |        '^Unaligned': drop
+      |rename:
+      |    'CPE:aligned': 'CPE'
+      |
+      |aggregation: mean
+      |
+      |axis:
+      |- Size
+      |- Function
+      |
+      |series:
+      |- Prefix
+      |- Implementation
+      |
+      |variants:
+      |    - Mode
+      |    - Arch
+      |
+      |higher-is-better: false
+      |
+      |values:
+      |- "CPE"
+      |
+      |precomputed:
+      |    Mode: "'Serial' if row['File'].split('.')[1].split('_')[-1] == 'seq' else 'Parallel'"
+      |    Arch: "(row['Directory'].split('/')[-3].split('_')[-3:-2]+['Unknown'])[0]"
+      |
+      |filter-out:
+      |    Prefix: [Prefix]
+      |
+      |number-format: 4
+      |number-format-max-only: true
+      |""".stripMargin
+
+  /** examples/aggregations/indicators/arithmetics-mkl.yml, verbatim. */
+  val arithmeticsMkl: String =
+    """input:
+      |    config:
+      |    - ../raw/umath-python.yml
+      |    - ../raw/umath-native.yml
+      |
+      |aggregation: mean
+      |
+      |axis:
+      |    - Mode
+      |    - Size
+      |    - Function
+      |
+      |series:
+      |     - Prefix
+      |     - Implementation
+      |
+      |variants:
+      |    - Arch
+      |
+      |higher-is-better: false
+      |
+      |values:
+      |    - Ratio
+      |
+      |precomputed:
+      |    Domain: "'Numpy'"
+      |    Ratio: "1 / ratio_of('CPE', Prefix='Native-C', Implementation='VML')"
+      |
+      |filter-in:
+      |    Implementation:
+      |    - numpy
+      |    - numexpr
+      |""".stripMargin
+
+  /** examples/aggregations/indicators/arithmetics-numba.yml, verbatim. */
+  val arithmeticsNumba: String =
+    """input:
+      |    config:
+      |    - ../raw/umath-python.yml
+      |    - ../raw/umath-native.yml
+      |
+      |aggregation: mean
+      |
+      |axis:
+      |    - Mode
+      |    - Size
+      |    - Function
+      |
+      |series:
+      |     - Prefix
+      |     - Implementation
+      |
+      |variants:
+      |    - Arch
+      |
+      |higher-is-better: false
+      |
+      |values:
+      |    - Ratio
+      |
+      |precomputed:
+      |    Domain: "'Numba'"
+      |    Ratio: 1 / ratio_of('CPE', Prefix='Native-C', Implementation='SVML')
+      |
+      |filter-in:
+      |    Implementation:
+      |    - numba
       |""".stripMargin
 
   /** examples/aggregations/indicators/rng.yml, verbatim — the Random

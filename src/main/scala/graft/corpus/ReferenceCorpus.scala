@@ -34,7 +34,7 @@ object ReferenceCorpus {
     val tag = new File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
     // bump the version suffix whenever fixture content changes — the
     // marker below caches the tree across JVMs
-    val root = new File(sys.props("java.io.tmpdir"), s"graft_corpus_v3_$tag")
+    val root = new File(sys.props("java.io.tmpdir"), s"graft_corpus_v4_$tag")
     val marker = new File(root, ".complete")
     if (marker.isFile) return root.getPath
 
@@ -119,6 +119,48 @@ object ReferenceCorpus {
       line(f, s"raw,$brng,$dist,${fmt(time)}")
     }
 
+    // ---- umath logs: native (part.p_partkey) + python (customer.
+    //      c_custkey). Native lines carry the env marker the recipe's
+    //      REPLACE rule rewrites to the Prefix; python files hold both
+    //      CPE:aligned/:unaligned plus stray repeated headers and drop
+    //      lines exercising the filter-out / drop rules. ----
+    for (k <- keys("part", "p_partkey")) {
+      val impl = if (k % 2 == 0) "SVML" else "VML"
+      val func = (k % 6).toInt match {
+        case 0 => "array*array"; case 1 => "array+array"; case 2 => "array-array"
+        case 3 => "array/array"; case 4 => "erf"; case _ => "exp"
+      }
+      val size = if ((k / 4) % 2 == 0) 16777216L else 1048576L
+      val mode = if ((k / 2) % 2 == 0) "seq" else "par"
+      val arch = if ((k / 8) % 2 == 0) "xeon8280" else "icelake"
+      val cpe = 1.0 + (k % 80) * 0.25
+      val f = s"runs/um_2026_${arch}_r_0/umath/native_c/1700000040.run_umath_native_$mode.out"
+      if (!files.contains(f)) line(f, "Prefix,Implementation,Function,Size,CPE")
+      line(f, s"native_ha,$impl,$func,$size,${fmt(cpe)}")
+      if (k % 11 == 0) line(f, "Overhead 12 cycles") // explicit drop rule
+      if (k % 13 == 0) line(f, "warmup note") // matches no rule -> dropped
+    }
+    for (k <- keys("customer", "c_custkey")) {
+      val prefix = if (k % 2 == 0) "stockpython3" else "intelpython3"
+      val impl = (k % 3).toInt match {
+        case 0 => "numpy"; case 1 => "numexpr"; case _ => "numba"
+      }
+      val func = (k % 6).toInt match {
+        case 0 => "array*array"; case 1 => "array+array"; case 2 => "array-array"
+        case 3 => "array/array"; case 4 => "erf"; case _ => "exp"
+      }
+      val size = if ((k / 4) % 2 == 0) 16777216L else 1048576L
+      val mode = if ((k / 2) % 2 == 0) "seq" else "par"
+      val arch = if ((k / 8) % 2 == 0) "xeon8280" else "icelake"
+      val al = 2.0 + (k % 90) * 0.25
+      val f = s"runs/um_2026_${arch}_r_0/umath/python/1700000041.run_umath_python_$mode.out"
+      val hdr = "Prefix,Implementation,Function,Size,CPE:aligned,CPE:unaligned"
+      if (!files.contains(f)) line(f, hdr)
+      line(f, s"$prefix,$impl,$func,$size,${fmt(al)},${fmt(al + 0.5)}")
+      if (k % 17 == 0) line(f, hdr) // stray header row -> filter-out Prefix
+      if (k % 19 == 0) line(f, "Unaligned run detected") // drop rule
+    }
+
     // ---- fft logs (customer.c_custkey) ----
     for (k <- keys("customer", "c_custkey")) {
       val func = if (k % 2 == 0) "fft" else "rfft"
@@ -152,6 +194,10 @@ object ReferenceCorpus {
       "omnisci-query-times.yml" -> CorpusRecipes.omnisciQueryTimes,
       "raw/df_clsf.yml" -> CorpusRecipes.dfClsf,
       "raw/rng.yml" -> CorpusRecipes.rawRng,
+      "raw/umath-native.yml" -> CorpusRecipes.rawUmathNative,
+      "raw/umath-python.yml" -> CorpusRecipes.rawUmathPython,
+      "indicators/arithmetics-mkl.yml" -> CorpusRecipes.arithmeticsMkl,
+      "indicators/arithmetics-numba.yml" -> CorpusRecipes.arithmeticsNumba,
       "raw/blackscholes.yml" -> CorpusRecipes.rawBlackscholes,
       "raw/fft.yml" -> CorpusRecipes.rawFft,
       "indicators/blackscholes.yml" -> CorpusRecipes.indicatorsBlackscholes,
