@@ -1119,6 +1119,37 @@ object SparkEntry {
            JOIN arith_grp g USING (Prefix, Implementation, Mode, Size, Function, Arch)
            LEFT JOIN arith_base_svml b USING (Mode, Size, Function, Arch)
            WHERE r.Implementation = 'numba' AND r.Prefix <> 'stockpython3'),
+         la_funcs(i, fn) AS (VALUES (0, 'Dot'), (1, 'Det'), (2, 'Inv'),
+           (3, 'Cholesky'), (4, 'Eig'), (5, 'Lu'), (6, 'Qr'), (7, 'Svd')),
+         lap_rows AS (
+           SELECT CASE WHEN (event_id // 3) % 2 = 0 THEN 'intelpython3'
+                    ELSE 'stockpython3' END AS Prefix,
+                  f.fn AS Function,
+                  CASE WHEN (event_id // 4) % 2 = 0 THEN 1000 ELSE 2000 END AS Size,
+                  CASE WHEN (event_id // 2) % 2 = 0 THEN 'Serial' ELSE 'Parallel' END AS Mode,
+                  CASE WHEN (event_id // 8) % 2 = 0 THEN 'xeon8280' ELSE 'icelake' END AS Arch,
+                  0.5 + (event_id % 120) * 0.25 AS Time
+           FROM events JOIN la_funcs f ON f.i = event_id % 8),
+         lan_rows AS (
+           SELECT 'Native-C' AS Prefix, f.fn AS Function,
+                  CASE WHEN (p_partkey // 4) % 2 = 0 THEN 1000 ELSE 2000 END AS Size,
+                  CASE WHEN (p_partkey // 2) % 2 = 0 THEN 'Serial' ELSE 'Parallel' END AS Mode,
+                  CASE WHEN (p_partkey // 8) % 2 = 0 THEN 'xeon8280' ELSE 'icelake' END AS Arch,
+                  0.25 + (p_partkey % 100) * 0.25 AS Time
+           FROM part JOIN la_funcs f ON f.i = p_partkey % 8),
+         la_rows AS (SELECT * FROM lap_rows UNION ALL SELECT * FROM lan_rows),
+         la_grp AS (
+           SELECT Prefix, Function, Size, Mode, Arch, AVG(Time) AS g
+           FROM la_rows GROUP BY ALL),
+         la_base AS (
+           SELECT Function, Size, Mode, Arch, AVG(Time) AS b FROM la_rows
+           WHERE Prefix = 'Native-C' GROUP BY ALL),
+         la_out AS (
+           SELECT 'Linear Algebra' AS Domain, r.Prefix, r.Mode, r.Arch, b.b / g.g AS Ratio
+           FROM la_rows r
+           JOIN la_grp g USING (Prefix, Function, Size, Mode, Arch)
+           LEFT JOIN la_base b USING (Function, Size, Mode, Arch)
+           WHERE r.Prefix <> 'Native-C'),
          u AS (
            SELECT * FROM mkl_out
            UNION ALL
@@ -1128,7 +1159,9 @@ object SparkEntry {
            UNION ALL
            SELECT * FROM fft_out WHERE Prefix <> 'stockpython3'
            UNION ALL
-           SELECT * FROM rng_out WHERE Prefix <> 'stockpython3')
+           SELECT * FROM rng_out WHERE Prefix <> 'stockpython3'
+           UNION ALL
+           SELECT * FROM la_out WHERE Prefix <> 'stockpython3')
          SELECT Domain, Prefix, Mode, Arch, ROUND(EXP(AVG(LN(Ratio))), 6) AS Ratio
          FROM u GROUP BY 1, 2, 3, 4""",
 

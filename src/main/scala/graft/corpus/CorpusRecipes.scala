@@ -319,6 +319,7 @@ object CorpusRecipes {
       |    - indicators/blackscholes.yml
       |    - indicators/fft.yml
       |    - indicators/rng.yml
+      |    - indicators/linalg.yml
       |
       |higher-is-better: true
       |
@@ -533,6 +534,132 @@ object CorpusRecipes {
       |filter-in:
       |    Implementation:
       |    - numba
+      |""".stripMargin
+
+  /** examples/aggregations/raw/linalg.yml, verbatim — the python ibench
+    * scan: an EMPTY filter pattern keeps every line ('@'-prefixed lines
+    * dropped), Prefix derives from the env directory. */
+  val rawLinalg: String =
+    """input:
+      |    path: 'runs/*/*/*/*_ibench*.out'
+      |    format: csv
+      |    filter:
+      |        '^@': drop
+      |        '':
+      |
+      |aggregation: min
+      |
+      |axis:
+      |- Function
+      |- Size
+      |
+      |series:
+      |- Prefix
+      |
+      |variants:
+      |- Arch
+      |- Mode
+      |
+      |higher-is-better: false
+      |
+      |values:
+      |- Time
+      |
+      |precomputed:
+      |    Mode: "'Serial' if row['File'].split('.')[1].split('_')[2] == 'seq' else 'Parallel'"
+      |    Arch: "(row['Directory'].split('/')[-3].split('_')[-3:-2]+['Unknown'])[0]"
+      |    Prefix: "(lambda p: 'Native-C' if p == 'native' else p)(row['Directory'].split('/')[-1])"
+      |    Implementation: "'numpy' if row['Function'] in ('Dot', 'Det', 'Inv') else 'scipy'"
+      |
+      |number-format: 2
+      |number-format-max-only: false
+      |""".stripMargin
+
+  /** examples/aggregations/raw/linalg-native.yml, verbatim — per-function
+    * file globs; Function self-overwrites through capitalize() and the
+    * LATER Implementation precompute reads the capitalized value. */
+  val rawLinalgNative: String =
+    """input:
+      |    path:
+      |        - 'runs/*/*/*/*cholesky_native*.out'
+      |        - 'runs/*/*/*/*det_native*.out'
+      |        - 'runs/*/*/*/*dot_native*.out'
+      |        - 'runs/*/*/*/*inv_native*.out'
+      |        - 'runs/*/*/*/*eig_native*.out'
+      |        - 'runs/*/*/*/*lu_native*.out'
+      |        - 'runs/*/*/*/*qr_native*.out'
+      |        - 'runs/*/*/*/*svd_native*.out'
+      |    format: csv
+      |
+      |aggregation: min
+      |
+      |axis:
+      |- Function
+      |- Size
+      |
+      |series:
+      |- Prefix
+      |
+      |variants:
+      |- Arch
+      |- Mode
+      |
+      |higher-is-better: false
+      |
+      |values:
+      |- Time
+      |
+      |precomputed:
+      |    Function: "row['Function'].capitalize()"
+      |    Mode: "'Serial' if row['File'].split('.')[1].split('_')[-1] == 'seq' else 'Parallel'"
+      |    Arch: "(row['Directory'].split('/')[-3].split('_')[-3:-2]+['Unknown'])[0]"
+      |    Implementation: "'numpy' if row['Function'] in ('Dot', 'Det', 'Inv') else 'scipy'"
+      |
+      |number-format: 2
+      |number-format-max-only: false
+      |""".stripMargin
+
+  /** examples/aggregations/indicators/linalg.yml, verbatim — TWO value
+    * columns (Ratio and Time) and a vestigial Name->Function rename that
+    * no-ops on these children. */
+  val indicatorsLinalg: String =
+    """input:
+      |    config:
+      |        - ../raw/linalg.yml
+      |        - ../raw/linalg-native.yml
+      |
+      |aggregation: mean
+      |
+      |axis:
+      |    - Function
+      |    - Size
+      |
+      |series:
+      |    - Prefix
+      |
+      |variants:
+      |    - Mode
+      |    - Arch
+      |
+      |higher-is-better: true
+      |
+      |values:
+      |    - Ratio
+      |    - Time
+      |
+      |rename:
+      |    Name: Function
+      |
+      |precomputed:
+      |    Domain: "'Linear Algebra'"
+      |    Ratio: "1 / ratio_of('Time', Prefix='Native-C')"
+      |    drop: "row['Prefix'] == 'Native-C'"
+      |
+      |filter-in:
+      |    drop: [false]
+      |
+      |number-format: 2
+      |number-format-max-only: false
       |""".stripMargin
 
   /** examples/aggregations/indicators/rng.yml, verbatim — the Random

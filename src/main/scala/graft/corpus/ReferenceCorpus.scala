@@ -34,7 +34,7 @@ object ReferenceCorpus {
     val tag = new File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
     // bump the version suffix whenever fixture content changes — the
     // marker below caches the tree across JVMs
-    val root = new File(sys.props("java.io.tmpdir"), s"graft_corpus_v4_$tag")
+    val root = new File(sys.props("java.io.tmpdir"), s"graft_corpus_v5_$tag")
     val marker = new File(root, ".complete")
     if (marker.isFile) return root.getPath
 
@@ -161,6 +161,33 @@ object ReferenceCorpus {
       if (k % 19 == 0) line(f, "Unaligned run detected") // drop rule
     }
 
+    // ---- linalg ibench logs: python (events.event_id, header kept by
+    //      the empty-pattern rule) + native (part.p_partkey, per-function
+    //      file names, lowercase Function the recipe capitalizes) ----
+    val laFuncs = Seq("dot", "det", "inv", "cholesky", "eig", "lu", "qr", "svd")
+    for (k <- keys("events", "event_id")) {
+      val func = laFuncs((k % 8).toInt).capitalize
+      val size = if ((k / 4) % 2 == 0) 1000 else 2000
+      val mode = if ((k / 2) % 2 == 0) "seq" else "par"
+      val env = if ((k / 3) % 2 == 0) "intelpython3" else "stockpython3"
+      val arch = if ((k / 8) % 2 == 0) "xeon8280" else "icelake"
+      val t = 0.5 + (k % 120) * 0.25
+      val f = s"runs/la_2026_${arch}_r_0/linalg/$env/1700000050.run_ibench_$mode.out"
+      if (!files.contains(f)) line(f, "Function,Size,Time")
+      line(f, s"$func,$size,${fmt(t)}")
+      if (k % 9 == 0) line(f, "@ ibench checkpoint") // '^@' drop rule
+    }
+    for (k <- keys("part", "p_partkey")) {
+      val func = laFuncs((k % 8).toInt)
+      val size = if ((k / 4) % 2 == 0) 1000 else 2000
+      val mode = if ((k / 2) % 2 == 0) "seq" else "par"
+      val arch = if ((k / 8) % 2 == 0) "xeon8280" else "icelake"
+      val t = 0.25 + (k % 100) * 0.25
+      val f = s"runs/la_2026_${arch}_r_0/linalg/native/1700000051.run_${func}_native_$mode.out"
+      if (!files.contains(f)) line(f, "Prefix,Function,Size,Time")
+      line(f, s"Native-C,$func,$size,${fmt(t)}")
+    }
+
     // ---- fft logs (customer.c_custkey) ----
     for (k <- keys("customer", "c_custkey")) {
       val func = if (k % 2 == 0) "fft" else "rfft"
@@ -198,6 +225,9 @@ object ReferenceCorpus {
       "raw/umath-python.yml" -> CorpusRecipes.rawUmathPython,
       "indicators/arithmetics-mkl.yml" -> CorpusRecipes.arithmeticsMkl,
       "indicators/arithmetics-numba.yml" -> CorpusRecipes.arithmeticsNumba,
+      "raw/linalg.yml" -> CorpusRecipes.rawLinalg,
+      "raw/linalg-native.yml" -> CorpusRecipes.rawLinalgNative,
+      "indicators/linalg.yml" -> CorpusRecipes.indicatorsLinalg,
       "raw/blackscholes.yml" -> CorpusRecipes.rawBlackscholes,
       "raw/fft.yml" -> CorpusRecipes.rawFft,
       "indicators/blackscholes.yml" -> CorpusRecipes.indicatorsBlackscholes,
