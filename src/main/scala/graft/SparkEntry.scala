@@ -560,6 +560,17 @@ object SparkEntry {
           col("Function"), col("Mode"), col("Arch"), col("CPE"))
     }),
 
+    // raw/sklearn.yml verbatim: df-mode column copies, fillna on
+    // classes, filter-out over nullable solver/svd_solver columns,
+    // median aggregation
+    "q58_corpus_sklearn" -> ((s, dir) => {
+      val root = graft.corpus.ReferenceCorpus.ensure(s, dir)
+      graft.recipe.Benchmark(s, s"$root/raw/sklearn.yml")
+        .getAggregatedData()
+        .select(col("Prefix"), col("Function"), col("Size"), col("Classes"),
+          col("Mode"), col("Arch"), col("Time"))
+    }),
+
     // ---- TEXT: Gopher-style repetition signals — count of the most
     //      frequent word 1-/3-gram per doc as an expression-only fold
     //      (hash -> sort -> longest equal-run; no explode, no shuffle),
@@ -1150,6 +1161,55 @@ object SparkEntry {
            JOIN la_grp g USING (Prefix, Function, Size, Mode, Arch)
            LEFT JOIN la_base b USING (Function, Size, Mode, Arch)
            WHERE r.Prefix <> 'Native-C'),
+         skp AS (
+           SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'intelpython3'
+                    ELSE 'stockpython3' END AS Prefix,
+                  CASE o_orderkey % 4 WHEN 0 THEN 'kmeans' WHEN 1 THEN 'ridge'
+                    WHEN 2 THEN 'linear' ELSE 'distances' END AS Function,
+                  CAST(2 + (o_orderkey // 5) % 3 AS VARCHAR) AS Classes,
+                  CASE WHEN (o_orderkey // 2) % 3 = 0 THEN 'Serial'
+                    ELSE 'Parallel' END AS Mode,
+                  CASE WHEN (o_orderkey // 8) % 2 = 0 THEN 'xeon8280'
+                    ELSE 'icelake' END AS Arch,
+                  CAST(0.5 + (o_orderkey % 110) * 0.25 AS DOUBLE) AS Time
+           FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0),
+         skn AS (
+           SELECT 'Native-C' AS Prefix,
+                  CASE s_suppkey % 4 WHEN 0 THEN 'kmeans' WHEN 1 THEN 'ridge'
+                    WHEN 2 THEN 'linear' ELSE 'distances' END AS Function,
+                  CAST(NULL AS VARCHAR) AS Classes,
+                  CASE WHEN (s_suppkey // 2) % 3 = 0 THEN 'Serial'
+                    ELSE 'Parallel' END AS Mode,
+                  CASE WHEN (s_suppkey // 8) % 2 = 0 THEN 'xeon8280'
+                    ELSE 'icelake' END AS Arch,
+                  CAST(0.25 + (s_suppkey % 90) * 0.25 AS DOUBLE) AS Time
+           FROM supplier),
+         -- rows entering the indicator ratio: sklearn child (daal4py rows
+         -- filtered out BEFORE the ratio), the stock child duplicate
+         -- (Mode=Threaded), and the native child
+         sk_rows AS (
+           SELECT * FROM skp
+           UNION ALL
+           SELECT Prefix, Function, Classes, 'Threaded' AS Mode, Arch, Time
+           FROM skp WHERE Prefix = 'stockpython3'
+           UNION ALL
+           SELECT * FROM skn),
+         sk_grp AS (
+           SELECT Prefix, Function, Mode, Arch, MEDIAN(Time) AS g
+           FROM sk_rows GROUP BY ALL),
+         sk_base AS (
+           SELECT Function, Mode, Arch, MEDIAN(Time) AS b FROM sk_rows
+           WHERE Prefix = 'Native-C' GROUP BY ALL),
+         sk_out AS (
+           -- drop = Prefix=='Native-C' or Classes==2 (pandas ==: null
+           -- Classes -> False); filter-in drop:[false]
+           SELECT 'Scikit-Learn' AS Domain, r.Prefix, r.Mode, r.Arch,
+                  b.b / g.g AS Ratio
+           FROM sk_rows r
+           JOIN sk_grp g USING (Prefix, Function, Mode, Arch)
+           LEFT JOIN sk_base b USING (Function, Mode, Arch)
+           WHERE r.Prefix <> 'Native-C'
+             AND (r.Classes IS NULL OR r.Classes <> '2')),
          u AS (
            SELECT * FROM mkl_out
            UNION ALL
@@ -1161,7 +1221,9 @@ object SparkEntry {
            UNION ALL
            SELECT * FROM rng_out WHERE Prefix <> 'stockpython3'
            UNION ALL
-           SELECT * FROM la_out WHERE Prefix <> 'stockpython3')
+           SELECT * FROM la_out WHERE Prefix <> 'stockpython3'
+           UNION ALL
+           SELECT * FROM sk_out WHERE Prefix <> 'stockpython3')
          SELECT Domain, Prefix, Mode, Arch, ROUND(EXP(AVG(LN(Ratio))), 6) AS Ratio
          FROM u GROUP BY 1, 2, 3, 4""",
 
@@ -1228,6 +1290,36 @@ object SparkEntry {
            WHERE split = 'train' AND sbkt < 200000)
          SELECT split, lang, COUNT(*) AS n_docs
          FROM unioned GROUP BY 1, 2""",
+
+    // recomputes the sklearn_python+daal4py fixture mapping (drop-rule
+    // rows removed, Classes as the engine's coalesce-promoted string)
+    "q58_corpus_sklearn" ->
+      """WITH p AS (
+           SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'intelpython3'
+                    ELSE 'stockpython3' END AS Prefix,
+                  CASE o_orderkey % 4 WHEN 0 THEN 'kmeans' WHEN 1 THEN 'ridge'
+                    WHEN 2 THEN 'linear' ELSE 'distances' END AS Function,
+                  CAST(CASE WHEN (o_orderkey // 4) % 2 = 0 THEN 10000
+                    ELSE 20000 END AS BIGINT) AS Size,
+                  CAST(2 + (o_orderkey // 5) % 3 AS VARCHAR) AS Classes,
+                  CASE WHEN (o_orderkey // 2) % 3 = 0 THEN 'Serial'
+                    ELSE 'Parallel' END AS Mode,
+                  CASE WHEN (o_orderkey // 8) % 2 = 0 THEN 'xeon8280'
+                    ELSE 'icelake' END AS Arch,
+                  -- DOUBLE, not decimal: DuckDB MEDIAN(DECIMAL) picks the
+                  -- lower middle instead of interpolating
+                  CAST(0.5 + (o_orderkey % 110) * 0.25 AS DOUBLE) AS Time,
+                  o_orderkey AS k
+           FROM orders),
+         r AS (
+           SELECT Prefix, Function, Size, Classes, Mode, Arch, Time
+           FROM p WHERE k % 7 <> 0 AND k % 11 <> 0
+           UNION ALL
+           SELECT 'daal4py', Function, Size, Classes, Mode, Arch, Time
+           FROM p WHERE k % 3 = 0)
+         SELECT Prefix, Function, Size, Classes, Mode, Arch,
+                MEDIAN(Time) AS Time
+         FROM r GROUP BY 1, 2, 3, 4, 5, 6""",
 
     // recomputes the umath-native fixture mapping; aggregation: min
     "q57_corpus_umath" ->

@@ -320,6 +320,7 @@ object CorpusRecipes {
       |    - indicators/fft.yml
       |    - indicators/rng.yml
       |    - indicators/linalg.yml
+      |    - indicators/sklearn.yml
       |
       |higher-is-better: true
       |
@@ -654,6 +655,195 @@ object CorpusRecipes {
       |    Domain: "'Linear Algebra'"
       |    Ratio: "1 / ratio_of('Time', Prefix='Native-C')"
       |    drop: "row['Prefix'] == 'Native-C'"
+      |
+      |filter-in:
+      |    drop: [false]
+      |
+      |number-format: 2
+      |number-format-max-only: false
+      |""".stripMargin
+
+  /** examples/aggregations/raw/sklearn.yml, verbatim — DataFrame-mode
+    * precomputes copying lowercase CSV columns to capitalized names,
+    * fillna on the classes column, and filter-out over nullable
+    * solver/svd_solver columns (null rows kept, pandas ~isin parity). */
+  val rawSklearn: String =
+    """input:
+      |    path:
+      |       - 'runs/*/sklearn_python/*/*.out'
+      |       - 'runs/*/sklearn_daal4py/*/*.out'
+      |    format: csv
+      |    filter:
+      |        "@ Package 'daal4py' was not found. Number of threads is being ignored": drop
+      |        "WARNING: Number of actual iterations.*": drop
+      |        "Tolerance: .*": drop
+      |        '':
+      |
+      |aggregation: median
+      |
+      |axis:
+      |    - Function
+      |    - Size
+      |    - Classes
+      |
+      |series:
+      |    - Prefix
+      |
+      |variants:
+      |    - Arch
+      |    - Mode
+      |
+      |values:
+      |    - Time
+      |
+      |higher-is-better: false
+      |
+      |precomputed:
+      |    Prefix: "df['prefix']"
+      |    Time: "df['time']"
+      |    Size: "df['size']"
+      |    Function: "df['function']"
+      |    Classes: "df['classes'].fillna(value='n/a')"
+      |    Mode: "'Serial' if row['threads'] == 1 or row['threads'] == '1' else 'Parallel'"
+      |    Arch: "(row['Directory'].split('/')[-3].split('_')[-3:-2]+['Unknown'])[0]"
+      |
+      |filter-out:
+      |    solver: [newton-cg]
+      |    svd_solver: [daal]
+      |
+      |number-format: 2
+      |number-format-max-only: false
+      |""".stripMargin
+
+  /** examples/aggregations/raw/sklearn-stock.yml, verbatim — same files
+    * as raw/sklearn minus the daal4py tree, constant Mode, and a
+    * filter-in on the LOWERCASE pre-copy prefix column. */
+  val rawSklearnStock: String =
+    """input:
+      |    path:
+      |       - 'runs/*/sklearn_python/*/*.out'
+      |    format: csv
+      |    filter:
+      |        "@ Package 'daal4py' was not found. Number of threads is being ignored": drop
+      |        "WARNING: Number of actual iterations.*": drop
+      |        "Tolerance: .*": drop
+      |        '':
+      |
+      |aggregation: median
+      |
+      |axis:
+      |    - Function
+      |    - Size
+      |    - Classes
+      |
+      |series:
+      |    - Prefix
+      |
+      |variants:
+      |    - Arch
+      |    - Mode
+      |
+      |values:
+      |    - Time
+      |
+      |higher-is-better: false
+      |
+      |precomputed:
+      |    Prefix: "df['prefix']"
+      |    Time: "df['time']"
+      |    Size: "df['size']"
+      |    Function: "df['function']"
+      |    Classes: "df['classes'].fillna(value='n/a')"
+      |    Mode: "'Threaded'"
+      |    Arch: "(row['Directory'].split('/')[-3].split('_')[-3:-2]+['Unknown'])[0]"
+      |
+      |filter-in:
+      |    prefix: [stockpython3]
+      |
+      |filter-out:
+      |    solver: [newton-cg]
+      |    svd_solver: [daal]
+      |
+      |number-format: 2
+      |number-format-max-only: false
+      |""".stripMargin
+
+  /** examples/aggregations/raw/sklearn-native.yml, verbatim — headerless
+    * per-function files with an imposed csv-header whose Arch column the
+    * Directory-derived precompute then overwrites. */
+  val rawSklearnNative: String =
+    """input:
+      |    path:
+      |        - 'runs/*/sklearn_native/*/*_distances*'
+      |        - 'runs/*/sklearn_native/*/*_ridge*'
+      |        - 'runs/*/sklearn_native/*/*_linear*'
+      |        - 'runs/*/sklearn_native/*/*_kmeans*'
+      |    format: csv
+      |    csv-header: 'Batch,Arch,Prefix,Threads,Size,Function,Time'
+      |
+      |aggregation: median
+      |
+      |axis:
+      |    - Function
+      |    - Size
+      |
+      |series:
+      |    - Prefix
+      |
+      |variants:
+      |    - Arch
+      |    - Mode
+      |
+      |values:
+      |    - Time
+      |
+      |higher-is-better: false
+      |
+      |precomputed:
+      |    Mode: "'Serial' if row['Threads'] == 1 else 'Parallel'"
+      |    Arch: "(row['Directory'].split('/')[-3].split('_')[-3:-2]+['Unknown'])[0]"
+      |
+      |number-format: 2
+      |number-format-max-only: false
+      |""".stripMargin
+
+  /** examples/aggregations/indicators/sklearn.yml with the child list
+    * reduced to the three ported sklearn raws (reference lists 8,
+    * including pca/svm/logreg/df_regr — same reduction precedent as
+    * indicators.yml). Exercises a reciprocal ratio at aggregation:
+    * median, a drop precompute with an `or` over a union-padded column,
+    * and filter-out of the daal4py series. */
+  val indicatorsSklearn: String =
+    """input:
+      |    config:
+      |    - ../raw/sklearn.yml
+      |    - ../raw/sklearn-stock.yml
+      |    - ../raw/sklearn-native.yml
+      |
+      |aggregation: median
+      |
+      |axis:
+      |- Function
+      |- Mode
+      |series:
+      |- Prefix
+      |
+      |variants:
+      |- Arch
+      |
+      |higher-is-better: false
+      |
+      |values:
+      |    - Ratio
+      |
+      |precomputed:
+      |    Ratio: "1/ratio_of('Time', Prefix='Native-C')"
+      |    Implementation: "'scikit-learn'"
+      |    Domain: "'Scikit-Learn'"
+      |    drop: "row['Prefix'] == 'Native-C' or row['Classes'] == 2"
+      |
+      |filter-out:
+      |    Prefix: ['daal4py']
       |
       |filter-in:
       |    drop: [false]

@@ -34,7 +34,7 @@ object ReferenceCorpus {
     val tag = new File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
     // bump the version suffix whenever fixture content changes — the
     // marker below caches the tree across JVMs
-    val root = new File(sys.props("java.io.tmpdir"), s"graft_corpus_v5_$tag")
+    val root = new File(sys.props("java.io.tmpdir"), s"graft_corpus_v6_$tag")
     val marker = new File(root, ".complete")
     if (marker.isFile) return root.getPath
 
@@ -188,6 +188,46 @@ object ReferenceCorpus {
       line(f, s"Native-C,$func,$size,${fmt(t)}")
     }
 
+    // ---- sklearn logs: python + daal4py trees (orders.o_orderkey,
+    //      lowercase headers, noise lines for every drop rule, nullable
+    //      solver/svd_solver filter-out columns) and native headerless
+    //      per-function files (supplier.s_suppkey, csv-header imposed,
+    //      junk Arch column the precompute overwrites) ----
+    val skFuncs = Seq("kmeans", "ridge", "linear", "distances")
+    for (k <- keys("orders", "o_orderkey")) {
+      val prefix = if (k % 2 == 0) "intelpython3" else "stockpython3"
+      val func = skFuncs((k % 4).toInt)
+      val size = if ((k / 4) % 2 == 0) 10000 else 20000
+      val classes = 2 + (k / 5) % 3
+      val threads = Seq(1, 2, 4)(((k / 2) % 3).toInt)
+      val arch = if ((k / 8) % 2 == 0) "xeon8280" else "icelake"
+      val t = 0.5 + (k % 110) * 0.25
+      val solver = if (k % 7 == 0) "newton-cg" else "lbfgs"
+      val svd = if (k % 11 == 0) "daal" else "full"
+      val hdr = "prefix,function,size,classes,threads,time,solver,svd_solver"
+      val f = s"runs/sk_2026_${arch}_r_0/sklearn_python/py/1700000060.run_sklearn_bench.out"
+      if (!files.contains(f)) line(f, hdr)
+      line(f, s"$prefix,$func,$size,$classes,$threads,${fmt(t)},$solver,$svd")
+      if (k % 13 == 0) line(f, "Tolerance: 0.001")
+      if (k % 17 == 0) line(f, "WARNING: Number of actual iterations reached limit")
+      if (k % 19 == 0)
+        line(f, "@ Package 'daal4py' was not found. Number of threads is being ignored")
+      if (k % 3 == 0) {
+        val fd = s"runs/sk_2026_${arch}_r_0/sklearn_daal4py/py/1700000061.run_sklearn_daal.out"
+        if (!files.contains(fd)) line(fd, hdr)
+        line(fd, s"daal4py,$func,$size,$classes,$threads,${fmt(t)},lbfgs,full")
+      }
+    }
+    for (k <- keys("supplier", "s_suppkey")) {
+      val func = skFuncs((k % 4).toInt)
+      val size = if ((k / 4) % 2 == 0) 10000 else 20000
+      val threads = Seq(1, 2, 4)(((k / 2) % 3).toInt)
+      val arch = if ((k / 8) % 2 == 0) "xeon8280" else "icelake"
+      val t = 0.25 + (k % 90) * 0.25
+      val f = s"runs/sk_2026_${arch}_r_0/sklearn_native/native/1700000062.run_${func}_bench.csv"
+      line(f, s"b1,a0,Native-C,$threads,$size,$func,${fmt(t)}")
+    }
+
     // ---- fft logs (customer.c_custkey) ----
     for (k <- keys("customer", "c_custkey")) {
       val func = if (k % 2 == 0) "fft" else "rfft"
@@ -228,6 +268,10 @@ object ReferenceCorpus {
       "raw/linalg.yml" -> CorpusRecipes.rawLinalg,
       "raw/linalg-native.yml" -> CorpusRecipes.rawLinalgNative,
       "indicators/linalg.yml" -> CorpusRecipes.indicatorsLinalg,
+      "raw/sklearn.yml" -> CorpusRecipes.rawSklearn,
+      "raw/sklearn-stock.yml" -> CorpusRecipes.rawSklearnStock,
+      "raw/sklearn-native.yml" -> CorpusRecipes.rawSklearnNative,
+      "indicators/sklearn.yml" -> CorpusRecipes.indicatorsSklearn,
       "raw/blackscholes.yml" -> CorpusRecipes.rawBlackscholes,
       "raw/fft.yml" -> CorpusRecipes.rawFft,
       "indicators/blackscholes.yml" -> CorpusRecipes.indicatorsBlackscholes,

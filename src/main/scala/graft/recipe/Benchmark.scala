@@ -216,7 +216,9 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
     * to_numeric's every column, but only these can change behavior. */
   private lazy val relevantCols: Set[String] = {
     val precompRefs = recipe.precomputed.flatMap { case (_, e) =>
-      "row\\['([^']+)'\\]".r.findAllMatchIn(e).map(_.group(1))
+      // both row-mode and df-mode references: a df['size'] column copy
+      // must carry the INFERRED type, or the copy degrades to string
+      "(?:row|df)\\['([^']+)'\\]".r.findAllMatchIn(e).map(_.group(1))
     }
     (recipe.values ++ recipe.axis ++ recipe.series ++ recipe.variants ++
       recipe.filterIn.map(_._1) ++ recipe.filterOut.map(_._1) ++

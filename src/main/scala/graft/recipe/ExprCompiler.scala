@@ -462,8 +462,14 @@ object ExprCompiler {
       case Bin("//", l, r) => floor(go(l) / go(r)).cast("long")
       case Un("-", e) => -go(e)
       case Un("not", e) => !go(e)
-      case Cmp("==", l, r) => go(l) === go(r)
-      case Cmp("!=", l, r) => go(l) =!= go(r)
+      // Python comparison semantics on missing data: NaN == x is False
+      // and NaN != x is True (never null/NaN). SQL's null-propagating
+      // =/<> diverges wherever the result is STORED (e.g. the corpus's
+      // boolean `drop` precomputes over union-padded columns) — a null
+      // drop value would fail `filter-in drop: [false]` that pandas
+      // passes.
+      case Cmp("==", l, r) => coalesce(go(l) === go(r), lit(false))
+      case Cmp("!=", l, r) => coalesce(go(l) =!= go(r), lit(true))
       case Cmp("<", l, r) => go(l) < go(r)
       case Cmp("<=", l, r) => go(l) <= go(r)
       case Cmp(">", l, r) => go(l) > go(r)
@@ -509,7 +515,15 @@ object ExprCompiler {
       case Method(recv, "upper", Seq()) => upper(go(recv))
       case Method(recv, "lower", Seq()) => lower(go(recv))
       case Method(recv, "strip", Seq()) => trim(go(recv))
-      case Method(recv, "fillna", Seq(arg)) => coalesce(go(recv), go(arg))
+      case Method(recv, "fillna", Seq(arg)) => arg match {
+        // pandas fillna(str) on a numeric column yields a mixed object
+        // column (numbers render via str()); Spark's coalesce would
+        // instead coerce the STRING FILL to the numeric type (-> null,
+        // silently losing the fill). Cast the receiver to string so the
+        // fill survives and numbers render like pandas str().
+        case Lit(_: String) => coalesce(go(recv).cast("string"), go(arg))
+        case _ => coalesce(go(recv), go(arg))
+      }
       case Method(Lit(fmt: String), "format", args) =>
         val parts = fmt.split("\\{\\}", -1)
         if (parts.length != args.length + 1)

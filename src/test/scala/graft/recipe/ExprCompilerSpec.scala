@@ -106,6 +106,18 @@ class ExprCompilerSpec extends AnyFunSuite {
       "intelpython/runs/y".length.toLong))
   }
 
+  test("== / != on missing data follow Python, not SQL: never null") {
+    import spark.implicits._
+    val df = Seq((Some(2L), "a"), (None, "b")).toDF("Classes", "Prefix")
+    val out = df.select(
+      compile(parse("row['Classes'] == 2")).as("eq"),
+      compile(parse("row['Classes'] != 2")).as("ne"),
+      compile(parse("row['Prefix'] == 'daal4py' or row['Classes'] == 2")).as("orcase"))
+      .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSeq
+    // pandas: NaN == 2 -> False, NaN != 2 -> True (no null booleans)
+    assert(out == Seq((true, false, true), (false, true, false)))
+  }
+
   test("unsupported constructs fail loudly") {
     assertThrows[ExprError](compile(parse("__import__('os')")))
     assertThrows[ExprError](compile(parse("row['x'].unknown_method()")))
