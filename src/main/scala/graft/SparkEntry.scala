@@ -1210,6 +1210,25 @@ object SparkEntry {
            LEFT JOIN sk_base b USING (Function, Mode, Arch)
            WHERE r.Prefix <> 'Native-C'
              AND (r.Classes IS NULL OR r.Classes <> '2')),
+         skd AS (
+           SELECT CASE o_orderkey % 4 WHEN 0 THEN 'kmeans' WHEN 1 THEN 'ridge'
+                    WHEN 2 THEN 'linear' ELSE 'distances' END AS Function,
+                  CASE WHEN (o_orderkey // 2) % 3 = 0 THEN 'Serial'
+                    ELSE 'Parallel' END AS Mode,
+                  CASE WHEN (o_orderkey // 8) % 2 = 0 THEN 'xeon8280'
+                    ELSE 'icelake' END AS Arch,
+                  CAST(0.5 + (o_orderkey % 110) * 0.25 AS DOUBLE) AS Time
+           FROM orders WHERE o_orderkey % 3 = 0),
+         skd_grp AS (
+           SELECT Function, Mode, Arch, MEDIAN(Time) AS g FROM skd GROUP BY ALL),
+         daal_out AS (
+           -- drop = Prefix != 'daal4py' keeps only the daal rows; Prefix
+           -- is then overwritten to the constant 'intelpython3'
+           SELECT 'daal4py' AS Domain, 'intelpython3' AS Prefix, r.Mode, r.Arch,
+                  b.b / g.g AS Ratio
+           FROM skd r
+           JOIN skd_grp g USING (Function, Mode, Arch)
+           LEFT JOIN sk_base b USING (Function, Mode, Arch)),
          u AS (
            SELECT * FROM mkl_out
            UNION ALL
@@ -1223,7 +1242,9 @@ object SparkEntry {
            UNION ALL
            SELECT * FROM la_out WHERE Prefix <> 'stockpython3'
            UNION ALL
-           SELECT * FROM sk_out WHERE Prefix <> 'stockpython3')
+           SELECT * FROM sk_out WHERE Prefix <> 'stockpython3'
+           UNION ALL
+           SELECT * FROM daal_out)
          SELECT Domain, Prefix, Mode, Arch, ROUND(EXP(AVG(LN(Ratio))), 6) AS Ratio
          FROM u GROUP BY 1, 2, 3, 4""",
 

@@ -321,6 +321,7 @@ object CorpusRecipes {
       |    - indicators/rng.yml
       |    - indicators/linalg.yml
       |    - indicators/sklearn.yml
+      |    - indicators/daal4py.yml
       |
       |higher-is-better: true
       |
@@ -844,6 +845,50 @@ object CorpusRecipes {
       |
       |filter-out:
       |    Prefix: ['daal4py']
+      |
+      |filter-in:
+      |    drop: [false]
+      |
+      |number-format: 2
+      |number-format-max-only: false
+      |""".stripMargin
+
+  /** examples/aggregations/indicators/daal4py.yml with the child list
+    * reduced to the ported raws that matter for it (the daal4py rows
+    * come from raw/sklearn, the Native-C ratio base from
+    * raw/sklearn-native; reference also lists pca/svm/logreg/df_clsf/
+    * df_regr). Exercises dict-order dependence THREE deep: `drop` reads
+    * the ORIGINAL Prefix, then Prefix itself is overwritten to the
+    * constant 'intelpython3' — and != on union-padded data follows
+    * Python (never null). */
+  val indicatorsDaal4py: String =
+    """input:
+      |    config:
+      |    - ../raw/sklearn.yml
+      |    - ../raw/sklearn-native.yml
+      |
+      |aggregation: median
+      |
+      |axis:
+      |- Function
+      |- Mode
+      |series:
+      |- Prefix
+      |
+      |variants:
+      |- Arch
+      |
+      |higher-is-better: false
+      |
+      |values:
+      |    - Ratio
+      |
+      |precomputed:
+      |    Ratio: "1/ratio_of('Time', Prefix='Native-C')"
+      |    Implementation: "'daal4py'"
+      |    Domain: "'daal4py'"
+      |    drop: "row['Prefix'] != 'daal4py'"
+      |    Prefix: "'intelpython3'"
       |
       |filter-in:
       |    drop: [false]

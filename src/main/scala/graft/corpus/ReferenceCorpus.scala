@@ -34,7 +34,7 @@ object ReferenceCorpus {
     val tag = new File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
     // bump the version suffix whenever fixture content changes — the
     // marker below caches the tree across JVMs
-    val root = new File(sys.props("java.io.tmpdir"), s"graft_corpus_v6_$tag")
+    val root = new File(sys.props("java.io.tmpdir"), s"graft_corpus_v7_$tag")
     val marker = new File(root, ".complete")
     if (marker.isFile) return root.getPath
 
@@ -272,6 +272,7 @@ object ReferenceCorpus {
       "raw/sklearn-stock.yml" -> CorpusRecipes.rawSklearnStock,
       "raw/sklearn-native.yml" -> CorpusRecipes.rawSklearnNative,
       "indicators/sklearn.yml" -> CorpusRecipes.indicatorsSklearn,
+      "indicators/daal4py.yml" -> CorpusRecipes.indicatorsDaal4py,
       "raw/blackscholes.yml" -> CorpusRecipes.rawBlackscholes,
       "raw/fft.yml" -> CorpusRecipes.rawFft,
       "indicators/blackscholes.yml" -> CorpusRecipes.indicatorsBlackscholes,
