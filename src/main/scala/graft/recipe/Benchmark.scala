@@ -17,7 +17,9 @@ import graft.recipe.ExprCompiler.RatioCall
   * Three-level API mirrors the reference seam (aggregate.py:134, 316,
   * 588): [[getRawData]] -> [[getNormalizedData]] -> [[getAggregatedData]].
   */
-class Benchmark(val recipe: Recipe, spark: SparkSession) {
+class Benchmark(val recipe: Recipe, spark: SparkSession,
+                sharedChildren: scala.collection.mutable.Map[String, scala.concurrent.Future[DataFrame]] =
+                  scala.collection.mutable.Map.empty) {
 
   /** Warning side-channel (SURVEY §7.4.4): expected-combination fills and
     * ordering violations land here instead of a log scrape. */
@@ -35,16 +37,42 @@ class Benchmark(val recipe: Recipe, spark: SparkSession) {
 
   /** Child-recipe frames (S7), normalized (NOT aggregated), File column
     * stamped with the child recipe name, cached — evaluated once even
-    * when this benchmark is re-run. */
-  lazy val childFrames: Seq[DataFrame] = recipe.input.configs.map { cfgPath =>
-    val resolved = if (new java.io.File(cfgPath).isAbsolute) cfgPath
-      else new java.io.File(recipe.baseDir, cfgPath).getPath
-    val child = new Benchmark(Recipe.load(resolved), spark)
-    childBenches += child
-    val name = new java.io.File(resolved).getName.replaceAll("\\.[^.]*$", "")
-    val f = child.getNormalizedData().withColumn("File", lit(name)).cache()
-    persistedFrames += f
-    f
+    * when this benchmark is re-run.
+    *
+    * Two DAG-level properties:
+    *  - the memo is SHARED across the whole DAG by canonical path:
+    *    sibling indicators that list the same raw child (both
+    *    arithmetics indicators read both umath raws; daal4py re-reads
+    *    the sklearn raws) reuse one evaluation instead of re-scanning
+    *    and re-normalizing per parent;
+    *  - independent subtrees evaluate CONCURRENTLY: a recipe
+    *    normalization issues several small eager driver jobs (type
+    *    inference, ratio-base collects, cache fills), and running
+    *    sibling subtrees' jobs in parallel collapses DAG wall time the
+    *    same way concurrent Spark jobs share a cluster. `blocking`
+    *    marks the recursive awaits so the pool grows past nested DAG
+    *    levels instead of deadlocking.
+    */
+  lazy val childFrames: Seq[DataFrame] = {
+    import scala.concurrent.{blocking, Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = recipe.input.configs.map { cfgPath =>
+      val resolved = if (new java.io.File(cfgPath).isAbsolute) cfgPath
+        else new java.io.File(recipe.baseDir, cfgPath).getPath
+      val canonical = new java.io.File(resolved).getCanonicalPath
+      sharedChildren.synchronized {
+        sharedChildren.getOrElseUpdate(canonical, Future {
+          val child = new Benchmark(Recipe.load(resolved), spark, sharedChildren)
+          childBenches.synchronized { childBenches += child }
+          val name = new java.io.File(resolved).getName.replaceAll("\\.[^.]*$", "")
+          val f = child.getNormalizedData().withColumn("File", lit(name)).cache()
+          persistedFrames.synchronized { persistedFrames += f }
+          f
+        })
+      }
+    }
+    futures.map(f => blocking { Await.result(f, Duration.Inf) })
   }
 
   /** Release every frame this benchmark (and its children) pinned. */
