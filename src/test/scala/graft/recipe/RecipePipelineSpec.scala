@@ -90,6 +90,52 @@ class RecipePipelineSpec extends AnyFunSuite {
     assert(jobs.get() <= 12, s"120-file recipe launched ${jobs.get()} jobs")
   }
 
+  test("the reference's 'precompute:' typo key is silently ignored (quirk parity)") {
+    // examples/aggregations/sklearn.yml writes `precompute:` (no 'd');
+    // the reference treats unknown keys as no-ops (aggregate.py:123-131)
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("Prefix", "Ratio")
+    val recipe =
+      """aggregation: median
+        |precompute:
+        |  Ratio: "np.max(df['Ratio'], 0.01)"
+        |values: [Ratio]
+        |series: [Prefix]
+        |""".stripMargin
+    val out = Benchmark.fromString(spark, recipe).getAggregatedData(df0 = Some(df))
+      .orderBy("Prefix").collect()
+    // values untouched: the typo'd precompute never ran
+    assert(out.map(_.getAs[Double]("Ratio")).toSeq == Seq(1.0, 2.0))
+  }
+
+  test("a child recipe listed twice evaluates once (shared DAG memo)") {
+    val dir = tmpDir()
+    write(dir, "data.csv", "impl,time\nnumpy,2.0\nnumba,4.0\n")
+    write(dir, "child.yml",
+      s"""input:
+         |  path: "${dir}/data.csv"
+         |aggregation: mean
+         |values: [time]
+         |series: [impl]
+         |""".stripMargin)
+    val parent =
+      s"""input:
+         |  config:
+         |  - ${dir}/child.yml
+         |  - ${dir}/./child.yml
+         |aggregation: mean
+         |values: [time]
+         |series: [impl]
+         |""".stripMargin
+    val bench = Benchmark.fromString(spark, parent, baseDir = dir.toString)
+    val frames = bench.childFrames
+    assert(frames.size == 2)
+    // same canonical path -> same memoized frame instance, one evaluation
+    assert(frames(0) eq frames(1))
+    // the doubled child doubles the rows, like the reference's concat
+    assert(bench.getRawData().count() == 4)
+  }
+
   test("csv-header imposition when the file has no header") {
     val dir = tmpDir()
     write(dir, "raw.csv", "numpy, 100, 2.5\nnumba, 100, 1.25\n")
