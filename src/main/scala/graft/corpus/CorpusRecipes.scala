@@ -6,8 +6,7 @@ package graft.corpus
   * `/root/reference/examples/aggregations/` (the reference's de-facto
   * test suite, SURVEY §5): the recipe text IS the query — porting the
   * corpus means running these exact recipes against fixtures shaped like
-  * their input declarations. Only `indicators.yml` differs: its `config`
-  * list is reduced to the two ported children (commented inline).
+  * their input declarations.
   *
   * Sources:
   *  - omnisci-query-times.yml   (examples/aggregations/omnisci-query-times.yml)
@@ -16,7 +15,7 @@ package graft.corpus
   *  - raw/blackscholes.yml      (examples/aggregations/raw/blackscholes.yml)
   *  - raw/fft.yml               (examples/aggregations/raw/fft.yml)
   *  - indicators/blackscholes.yml, indicators/fft.yml
-  *  - indicators.yml (reduced), summary_indicators.yml
+  *  - indicators.yml, summary_indicators.yml
   */
 object CorpusRecipes {
 
@@ -303,16 +302,14 @@ object CorpusRecipes {
       |number-format-max-only: false
       |""".stripMargin
 
-  /** indicators.yml with the `config` list reduced to the two ported
-    * children (the other six reference children need fixture families
-    | not yet generated); everything else verbatim. */
+  /** indicators.yml, verbatim — all 8 reference children listed
+    * (examples/aggregations/indicators.yml:13-21). */
   val indicators: String =
     """input:
       |    path: config/targets.csv
       |    format: csv
       |
       |    # Input configuration files
-      |    # (reduced to the ported children; reference lists 8)
       |    config:
       |    - indicators/arithmetics-mkl.yml
       |    - indicators/arithmetics-numba.yml
@@ -501,6 +498,8 @@ object CorpusRecipes {
       |    Implementation:
       |    - numpy
       |    - numexpr
+      |
+      |number-format: 3
       |""".stripMargin
 
   /** examples/aggregations/indicators/arithmetics-numba.yml, verbatim. */
@@ -536,6 +535,8 @@ object CorpusRecipes {
       |filter-in:
       |    Implementation:
       |    - numba
+      |
+      |number-format: 3
       |""".stripMargin
 
   /** examples/aggregations/raw/linalg.yml, verbatim — the python ibench
@@ -781,6 +782,11 @@ object CorpusRecipes {
       |        - 'runs/*/sklearn_native/*/*_kmeans*'
       |    format: csv
       |    csv-header: 'Batch,Arch,Prefix,Threads,Size,Function,Time'
+      |    filter:
+      |        "@ Package 'daal4py' was not found. Number of threads is being ignored": drop
+      |        "WARNING: Number of actual iterations.*": drop
+      |        "Tolerance: .*": drop
+      |        '':
       |
       |aggregation: median
       |

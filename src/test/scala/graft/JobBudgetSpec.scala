@@ -26,8 +26,19 @@ class JobBudgetSpec extends AnyFunSuite {
     try {
       SparkEntry.queries(q)(spark, dir).count()
       // job-start events are delivered asynchronously; every job has
-      // COMPLETED by the time count() returns, so a short drain suffices
-      Thread.sleep(500)
+      // completed by the time count() returns, but on a loaded machine
+      // the bus can drain late — poll until the count is stable instead
+      // of trusting a fixed sleep (listenerBus.waitUntilEmpty is
+      // private[spark], so stability is the observable proxy)
+      var prev = -1L
+      var stable = 0
+      var rounds = 0
+      while (stable < 3 && rounds < 100) {
+        Thread.sleep(100)
+        val c = counter.get
+        if (c == prev) stable += 1 else { stable = 0; prev = c }
+        rounds += 1
+      }
     } finally spark.sparkContext.removeSparkListener(listener)
     counter.get
   }
