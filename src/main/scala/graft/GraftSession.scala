@@ -22,6 +22,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // pandas column resolution is case-sensitive: the reference corpus
+      // carries 'Classes' (raw/sklearn) and 'classes' (svm/logreg/df_clsf)
+      // as DISTINCT union-padded columns and indicator recipes reference
+      // one of them exactly — case-insensitive resolution would merge
+      // them (wrong drop semantics) or go ambiguous
+      .config("spark.sql.caseSensitive", "true")
       // testdata events.parquet stores ts as TIMESTAMP(NANOS) which the
       // vectorized reader rejects; read as long nanos, Tables converts.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -571,6 +571,73 @@ object SparkEntry {
           col("Mode"), col("Arch"), col("Time"))
     }),
 
+    // blackscholes.yml top-level verbatim: the corpus's only THREE-kwarg
+    // ratio_of (Prefix + Implementation + Accuracy pinned), computed over
+    // the raw/blackscholes child and then sliced to Parallel/2097152/ha
+    "q59_corpus_bs_summary" -> ((s, dir) => {
+      val root = graft.corpus.ReferenceCorpus.ensure(s, dir)
+      graft.recipe.Benchmark(s, s"$root/blackscholes.yml")
+        .getAggregatedData()
+        .select(col("Size").cast("long").as("Size"), col("Prefix"),
+          col("Implementation"), col("Accuracy"), col("Mode"), col("Arch"),
+          round(col("Efficiency"), 6).as("Efficiency"))
+    }),
+
+    // raw/svm.yml verbatim: prefix_ID header REPLACE + '^(Native-C)'
+    // keep-only filter, rename -> pack fit/predict, numeric-threads Mode
+    "q60_corpus_svm" -> ((s, dir) => {
+      val root = graft.corpus.ReferenceCorpus.ensure(s, dir)
+      graft.recipe.Benchmark(s, s"$root/raw/svm.yml")
+        .getAggregatedData()
+        .select(col("Size"), col("classes").cast("long").as("classes"),
+          col("features").cast("long").as("features"), col("Mode"),
+          col("Function"), col("Prefix"), col("Arch"), col("Time"))
+    }),
+
+    // raw/logreg.yml verbatim: '^@' drop rule, int() cast idiom, numeric
+    // classes filter-out + solver filter-in on an axis column
+    "q61_corpus_logreg" -> ((s, dir) => {
+      val root = graft.corpus.ReferenceCorpus.ensure(s, dir)
+      graft.recipe.Benchmark(s, s"$root/raw/logreg.yml")
+        .getAggregatedData()
+        .select(col("Size"), col("classes").cast("long").as("classes"),
+          col("Mode"), col("Function"), col("solver"), col("Prefix"),
+          col("Arch"), col("Time"))
+    }),
+
+    // raw/df_regr.yml verbatim: the df_clsf sibling without classes;
+    // threads mixes 'Serial' strings with numbers in one column
+    "q62_corpus_df_regr" -> ((s, dir) => {
+      val root = graft.corpus.ReferenceCorpus.ensure(s, dir)
+      graft.recipe.Benchmark(s, s"$root/raw/df_regr.yml")
+        .getAggregatedData()
+        .select(col("Size"), col("Mode"), col("Function"), col("Prefix"),
+          col("Arch"), col("Time"))
+    }),
+
+    // raw/pca-native.yml verbatim: 8-col imposed csv-header, three noise
+    // drop rules + '' keep-all, and a filter-out on `svd_solver` — a
+    // column that exists ONLY via the .meta sidecar join (S6)
+    "q63_corpus_pca" -> ((s, dir) => {
+      val root = graft.corpus.ReferenceCorpus.ensure(s, dir)
+      graft.recipe.Benchmark(s, s"$root/raw/pca-native.yml")
+        .getAggregatedData()
+        .select(col("Function"), col("Size").cast("long").as("Size"),
+          col("Prefix"), col("Arch"), col("Mode"), col("Time"))
+    }),
+
+    // sklearn.yml top-level verbatim: median summary over the RESTORED
+    // 8-child indicators/sklearn.yml; carries the reference's
+    // `precompute:` typo key (ignored, like the reference) and filter-in
+    // Arch=Xeon / Mode=Parallel
+    "q64_corpus_sklearn_summary" -> ((s, dir) => {
+      val root = graft.corpus.ReferenceCorpus.ensure(s, dir)
+      graft.recipe.Benchmark(s, s"$root/sklearn.yml")
+        .getAggregatedData()
+        .select(col("Function"), col("Prefix"), col("Arch"), col("Mode"),
+          round(col("Ratio"), 6).as("Ratio"))
+    }),
+
     // ---- TEXT: Gopher-style repetition signals — count of the most
     //      frequent word 1-/3-gram per doc as an expression-only fold
     //      (hash -> sort -> longest equal-run; no explode, no shuffle),
@@ -1016,7 +1083,7 @@ object SparkEntry {
     "q46_corpus_summary_dag" ->
       """WITH bs_rows AS (
            SELECT CASE p_partkey % 3 WHEN 0 THEN 'SVML' WHEN 1 THEN 'VML' ELSE 'numba' END AS Implementation,
-                  CASE WHEN (p_partkey // 8) % 2 = 0 THEN 16777216 ELSE 1048576 END AS Size,
+                  CASE (p_partkey // 8) % 3 WHEN 0 THEN 16777216 WHEN 1 THEN 1048576 ELSE 2097152 END AS Size,
                   1.0 + (p_partkey % 400) * 0.25 AS MOPS,
                   CASE WHEN p_partkey % 3 < 2 THEN 'Native-C' ELSE 'intelpython3' END AS Prefix,
                   CASE WHEN p_partkey % 3 < 2 THEN
@@ -1169,7 +1236,7 @@ object SparkEntry {
                   CAST(2 + (o_orderkey // 5) % 3 AS VARCHAR) AS Classes,
                   CASE WHEN (o_orderkey // 2) % 3 = 0 THEN 'Serial'
                     ELSE 'Parallel' END AS Mode,
-                  CASE WHEN (o_orderkey // 8) % 2 = 0 THEN 'xeon8280'
+                  CASE WHEN (o_orderkey // 8) % 2 = 0 THEN 'Xeon'
                     ELSE 'icelake' END AS Arch,
                   CAST(0.5 + (o_orderkey % 110) * 0.25 AS DOUBLE) AS Time
            FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0),
@@ -1180,7 +1247,7 @@ object SparkEntry {
                   CAST(NULL AS VARCHAR) AS Classes,
                   CASE WHEN (s_suppkey // 2) % 3 = 0 THEN 'Serial'
                     ELSE 'Parallel' END AS Mode,
-                  CASE WHEN (s_suppkey // 8) % 2 = 0 THEN 'xeon8280'
+                  CASE WHEN (s_suppkey // 8) % 2 = 0 THEN 'Xeon'
                     ELSE 'icelake' END AS Arch,
                   CAST(0.25 + (s_suppkey % 90) * 0.25 AS DOUBLE) AS Time
            FROM supplier),
@@ -1215,7 +1282,7 @@ object SparkEntry {
                     WHEN 2 THEN 'linear' ELSE 'distances' END AS Function,
                   CASE WHEN (o_orderkey // 2) % 3 = 0 THEN 'Serial'
                     ELSE 'Parallel' END AS Mode,
-                  CASE WHEN (o_orderkey // 8) % 2 = 0 THEN 'xeon8280'
+                  CASE WHEN (o_orderkey // 8) % 2 = 0 THEN 'Xeon'
                     ELSE 'icelake' END AS Arch,
                   CAST(0.5 + (o_orderkey % 110) * 0.25 AS DOUBLE) AS Time
            FROM orders WHERE o_orderkey % 3 = 0),
@@ -1229,6 +1296,24 @@ object SparkEntry {
            FROM skd r
            JOIN skd_grp g USING (Function, Mode, Arch)
            LEFT JOIN sk_base b USING (Function, Mode, Arch)),
+         clsf_out AS (
+           -- the restored sklearn indicator also lists raw/df_clsf: its
+           -- 'Native-C-opt'/'-base' prefixes have no exact 'Native-C'
+           -- base rows for df_clsf.* functions -> Ratio is null (pandas
+           -- aligned-division NaN), and the rows survive the drop filter
+           -- (Classes is null there). The other restored children
+           -- (pca/svm/logreg/df_regr) are pure 'Native-C' series and die
+           -- on drop = Prefix=='Native-C'.
+           SELECT DISTINCT 'Scikit-Learn' AS Domain,
+                  CASE WHEN o_orderkey % 3 = 0 THEN 'Native-C-opt'
+                    ELSE 'Native-C-base' END AS Prefix,
+                  CASE WHEN (o_orderkey // 48) % 2 = 0 THEN 'Serial'
+                    ELSE 'Parallel' END AS Mode,
+                  CASE WHEN (o_orderkey // 96) % 2 = 0 THEN 'xeon8280'
+                    ELSE 'icelake' END AS Arch,
+                  CAST(NULL AS DOUBLE) AS Ratio
+           FROM orders
+           WHERE o_orderkey % 3 < 2 AND 2 + (o_orderkey // 12) % 4 NOT IN (2, 3)),
          u AS (
            SELECT * FROM mkl_out
            UNION ALL
@@ -1244,7 +1329,9 @@ object SparkEntry {
            UNION ALL
            SELECT * FROM sk_out WHERE Prefix <> 'stockpython3'
            UNION ALL
-           SELECT * FROM daal_out)
+           SELECT * FROM daal_out
+           UNION ALL
+           SELECT * FROM clsf_out)
          SELECT Domain, Prefix, Mode, Arch, ROUND(EXP(AVG(LN(Ratio))), 6) AS Ratio
          FROM u GROUP BY 1, 2, 3, 4""",
 
@@ -1325,7 +1412,7 @@ object SparkEntry {
                   CAST(2 + (o_orderkey // 5) % 3 AS VARCHAR) AS Classes,
                   CASE WHEN (o_orderkey // 2) % 3 = 0 THEN 'Serial'
                     ELSE 'Parallel' END AS Mode,
-                  CASE WHEN (o_orderkey // 8) % 2 = 0 THEN 'xeon8280'
+                  CASE WHEN (o_orderkey // 8) % 2 = 0 THEN 'Xeon'
                     ELSE 'icelake' END AS Arch,
                   -- DOUBLE, not decimal: DuckDB MEDIAN(DECIMAL) picks the
                   -- lower middle instead of interpolating
@@ -1341,6 +1428,150 @@ object SparkEntry {
          SELECT Prefix, Function, Size, Classes, Mode, Arch,
                 MEDIAN(Time) AS Time
          FROM r GROUP BY 1, 2, 3, 4, 5, 6""",
+
+    // blackscholes.yml top-level: the 3-kwarg ratio (grp mean / base mean
+    // where base = Native-C+SVML+ha), then the Parallel/2097152/ha slice;
+    // mean over identical per-row ratios == the ratio itself
+    "q59_corpus_bs_summary" ->
+      """WITH r AS (
+           SELECT CASE p_partkey % 3 WHEN 0 THEN 'SVML' WHEN 1 THEN 'VML' ELSE 'numba' END AS Implementation,
+                  CAST(CASE (p_partkey // 8) % 3 WHEN 0 THEN 16777216 WHEN 1 THEN 1048576 ELSE 2097152 END AS BIGINT) AS Size,
+                  1.0 + (p_partkey % 400) * 0.25 AS MOPS,
+                  CASE WHEN p_partkey % 3 < 2 THEN 'Native-C' ELSE 'intelpython3' END AS Prefix,
+                  CASE WHEN p_partkey % 3 < 2 THEN
+                    (CASE WHEN (p_partkey // 4) % 2 = 0 THEN 'ha' ELSE 'ep' END)
+                  ELSE 'ha' END AS Accuracy,
+                  CASE WHEN (p_partkey // 2) % 2 = 0 THEN 'Serial' ELSE 'Parallel' END AS Mode,
+                  CASE WHEN p_partkey % 2 = 0 THEN 'xeon8280' ELSE 'icelake' END AS Arch
+           FROM part),
+         grp AS (
+           SELECT Prefix, Implementation, Accuracy, Size, Mode, Arch, AVG(MOPS) AS g
+           FROM r GROUP BY ALL),
+         base AS (
+           SELECT Size, Mode, Arch, AVG(MOPS) AS b FROM r
+           WHERE Prefix = 'Native-C' AND Implementation = 'SVML' AND Accuracy = 'ha'
+           GROUP BY ALL)
+         SELECT g.Size, g.Prefix, g.Implementation, g.Accuracy, g.Mode, g.Arch,
+                ROUND(g.g / b.b, 6) AS Efficiency
+         FROM grp g LEFT JOIN base b USING (Size, Mode, Arch)
+         WHERE g.Mode = 'Parallel' AND g.Size = 2097152 AND g.Accuracy = 'ha'""",
+
+    // recomputes the svm fixture mapping (Native-C lines kept, IntelPython
+    // lines match no filter rule) + rename -> pack -> mean
+    "q60_corpus_svm" ->
+      """WITH r AS (
+           SELECT (1000 * (1 + (c_custkey // 3) % 2))::VARCHAR || 'x' ||
+                    (10 * (1 + (c_custkey // 6) % 2))::VARCHAR AS Size,
+                  2 + (c_custkey // 12) % 4 AS classes,
+                  10 * (1 + (c_custkey // 6) % 2) AS features,
+                  CASE WHEN (c_custkey // 24) % 2 = 0 THEN 'Serial' ELSE 'Parallel' END AS Mode,
+                  'Native-C' AS Prefix,
+                  CASE WHEN (c_custkey // 48) % 2 = 0 THEN 'xeon8280' ELSE 'icelake' END AS Arch,
+                  CAST(1 + c_custkey % 97 AS DOUBLE) AS fit,
+                  CAST(1 + c_custkey % 89 AS DOUBLE) AS predict
+           FROM customer WHERE c_custkey % 3 < 2),
+         p AS (
+           SELECT Size, classes, features, Mode, 'SVM.fit' AS Function, Prefix, Arch, fit AS Time FROM r
+           UNION ALL
+           SELECT Size, classes, features, Mode, 'SVM.predict', Prefix, Arch, predict FROM r)
+         SELECT Size, classes, features, Mode, Function, Prefix, Arch, AVG(Time) AS Time
+         FROM p GROUP BY 1, 2, 3, 4, 5, 6, 7""",
+
+    // recomputes the logreg fixture mapping: '@' lines dropped, junk-
+    // prefix lines match no rule, newton-cg filtered in, classes 2/3 out
+    "q61_corpus_logreg" ->
+      """WITH r AS (
+           SELECT (1000 * (1 + (o_orderkey // 3) % 2))::VARCHAR || 'x' ||
+                    (10 * (1 + (o_orderkey // 6) % 2))::VARCHAR AS Size,
+                  2 + (o_orderkey // 12) % 4 AS classes,
+                  CASE WHEN (o_orderkey // 24) % 2 = 0 THEN 'Serial' ELSE 'Parallel' END AS Mode,
+                  'lbfgs' AS solver,
+                  'Native-C' AS Prefix,
+                  CASE WHEN (o_orderkey // 96) % 2 = 0 THEN 'xeon8280' ELSE 'icelake' END AS Arch,
+                  CAST(1 + o_orderkey % 101 AS DOUBLE) AS fit,
+                  CAST(1 + o_orderkey % 83 AS DOUBLE) AS predict
+           FROM orders
+           WHERE o_orderkey % 4 < 3 AND o_orderkey % 5 <> 0
+             AND 2 + (o_orderkey // 12) % 4 NOT IN (2, 3)),
+         p AS (
+           SELECT Size, classes, Mode, 'LogReg.fit' AS Function, solver, Prefix, Arch, fit AS Time FROM r
+           UNION ALL
+           SELECT Size, classes, Mode, 'LogReg.predict', solver, Prefix, Arch, predict FROM r)
+         SELECT Size, classes, Mode, Function, solver, Prefix, Arch, AVG(Time) AS Time
+         FROM p GROUP BY 1, 2, 3, 4, 5, 6, 7""",
+
+    // recomputes the df_regr fixture mapping; threads mixes 'Serial' and
+    // '16' so Mode keys off the string disjunct
+    "q62_corpus_df_regr" ->
+      """WITH r AS (
+           SELECT (1000 * (1 + (p_partkey // 3) % 2))::VARCHAR || 'x' ||
+                    (10 * (1 + (p_partkey // 6) % 2))::VARCHAR AS Size,
+                  CASE WHEN (p_partkey // 24) % 2 = 0 THEN 'Serial' ELSE 'Parallel' END AS Mode,
+                  'Native-C' AS Prefix,
+                  CASE WHEN (p_partkey // 48) % 2 = 0 THEN 'xeon8280' ELSE 'icelake' END AS Arch,
+                  CAST(1 + p_partkey % 91 AS DOUBLE) AS fit,
+                  CAST(1 + p_partkey % 79 AS DOUBLE) AS predict
+           FROM part WHERE p_partkey % 3 < 2),
+         p AS (
+           SELECT Size, Mode, 'df_regr.fit' AS Function, Prefix, Arch, fit AS Time FROM r
+           UNION ALL
+           SELECT Size, Mode, 'df_regr.predict', Prefix, Arch, predict FROM r)
+         SELECT Size, Mode, Function, Prefix, Arch, AVG(Time) AS Time
+         FROM p GROUP BY 1, 2, 3, 4, 5""",
+
+    // recomputes the pca fixture: the whole svd_solver='daal' FILE (even
+    // keys) drops via its .meta sidecar + filter-out; median per combo
+    "q63_corpus_pca" ->
+      """WITH r AS (
+           SELECT CASE WHEN (s_suppkey // 16) % 2 = 0 THEN 'pca.fit' ELSE 'pca.transform' END AS Function,
+                  CAST(CASE WHEN (s_suppkey // 4) % 2 = 0 THEN 10000 ELSE 20000 END AS BIGINT) AS Size,
+                  'Native-C' AS Prefix,
+                  CASE WHEN (s_suppkey // 8) % 2 = 0 THEN 'Xeon' ELSE 'icelake' END AS Arch,
+                  CASE WHEN (s_suppkey // 2) % 2 = 0 THEN 'Serial' ELSE 'Parallel' END AS Mode,
+                  CAST(0.25 + (s_suppkey % 90) * 0.25 AS DOUBLE) AS Time
+           FROM supplier WHERE s_suppkey % 2 = 1)
+         SELECT Function, Size, Prefix, Arch, Mode, MEDIAN(Time) AS Time
+         FROM r GROUP BY 1, 2, 3, 4, 5""",
+
+    // sklearn.yml top-level: per-row Ratio from the restored sklearn
+    // indicator (base median over the native child / group median),
+    // sliced to Parallel/Xeon; a group survives iff it has a row with
+    // Classes <> '2' (the drop filter is row-level, the ratio isn't)
+    "q64_corpus_sklearn_summary" ->
+      """WITH skp AS (
+           SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'intelpython3'
+                    ELSE 'stockpython3' END AS Prefix,
+                  CASE o_orderkey % 4 WHEN 0 THEN 'kmeans' WHEN 1 THEN 'ridge'
+                    WHEN 2 THEN 'linear' ELSE 'distances' END AS Function,
+                  CAST(2 + (o_orderkey // 5) % 3 AS VARCHAR) AS Classes,
+                  CASE WHEN (o_orderkey // 2) % 3 = 0 THEN 'Serial'
+                    ELSE 'Parallel' END AS Mode,
+                  CASE WHEN (o_orderkey // 8) % 2 = 0 THEN 'Xeon'
+                    ELSE 'icelake' END AS Arch,
+                  CAST(0.5 + (o_orderkey % 110) * 0.25 AS DOUBLE) AS Time
+           FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0),
+         skn AS (
+           SELECT CASE s_suppkey % 4 WHEN 0 THEN 'kmeans' WHEN 1 THEN 'ridge'
+                    WHEN 2 THEN 'linear' ELSE 'distances' END AS Function,
+                  CASE WHEN (s_suppkey // 2) % 3 = 0 THEN 'Serial'
+                    ELSE 'Parallel' END AS Mode,
+                  CASE WHEN (s_suppkey // 8) % 2 = 0 THEN 'Xeon'
+                    ELSE 'icelake' END AS Arch,
+                  CAST(0.25 + (s_suppkey % 90) * 0.25 AS DOUBLE) AS Time
+           FROM supplier),
+         grp AS (
+           SELECT Prefix, Function, MEDIAN(Time) AS g FROM skp
+           WHERE Mode = 'Parallel' AND Arch = 'Xeon' GROUP BY ALL),
+         base AS (
+           SELECT Function, MEDIAN(Time) AS b FROM skn
+           WHERE Mode = 'Parallel' AND Arch = 'Xeon' GROUP BY ALL),
+         sel AS (
+           SELECT DISTINCT Prefix, Function FROM skp
+           WHERE Mode = 'Parallel' AND Arch = 'Xeon' AND Classes <> '2')
+         SELECT g.Function, g.Prefix, 'Xeon' AS Arch, 'Parallel' AS Mode,
+                ROUND(b.b / g.g, 6) AS Ratio
+         FROM grp g JOIN sel USING (Prefix, Function)
+         LEFT JOIN base b USING (Function)""",
 
     // recomputes the umath-native fixture mapping; aggregation: min
     "q57_corpus_umath" ->

@@ -257,6 +257,8 @@ object CorpusRecipes {
       |    - numba
       |    Accuracy: [ha]
       |
+      |filter-out:
+      |
       |number-format: 2
       |number-format-max-only: false
       |""".stripMargin
@@ -297,6 +299,8 @@ object CorpusRecipes {
       |# Filter: require certain values for columns (after precompute and rename)
       |filter-in:
       |    drop: [false]
+      |
+      |filter-out:
       |
       |number-format: 2
       |number-format-max-only: false
@@ -574,6 +578,10 @@ object CorpusRecipes {
       |    Prefix: "(lambda p: 'Native-C' if p == 'native' else p)(row['Directory'].split('/')[-1])"
       |    Implementation: "'numpy' if row['Function'] in ('Dot', 'Det', 'Inv') else 'scipy'"
       |
+      |filter-in:
+      |
+      |filter-out:
+      |
       |number-format: 2
       |number-format-max-only: false
       |""".stripMargin
@@ -814,18 +822,25 @@ object CorpusRecipes {
       |number-format-max-only: false
       |""".stripMargin
 
-  /** examples/aggregations/indicators/sklearn.yml with the child list
-    * reduced to the three ported sklearn raws (reference lists 8,
-    * including pca/svm/logreg/df_regr — same reduction precedent as
-    * indicators.yml). Exercises a reciprocal ratio at aggregation:
+  /** examples/aggregations/indicators/sklearn.yml, verbatim — all 8
+    * reference children. Exercises a reciprocal ratio at aggregation:
     * median, a drop precompute with an `or` over a union-padded column,
-    * and filter-out of the daal4py series. */
+    * and filter-out of the daal4py series. The df_clsf child's
+    * 'Native-C-opt'/'Native-C-base' prefixes have no exact 'Native-C'
+    * base rows for their functions, so their Ratio is null (pandas
+    * aligned-division NaN), and they survive the drop filter — null
+    * Ratio rows are part of the reference output. */
   val indicatorsSklearn: String =
     """input:
       |    config:
       |    - ../raw/sklearn.yml
       |    - ../raw/sklearn-stock.yml
       |    - ../raw/sklearn-native.yml
+      |    - ../raw/pca-native.yml
+      |    - ../raw/svm.yml
+      |    - ../raw/logreg.yml
+      |    - ../raw/df_clsf.yml
+      |    - ../raw/df_regr.yml
       |
       |aggregation: median
       |
@@ -859,19 +874,25 @@ object CorpusRecipes {
       |number-format-max-only: false
       |""".stripMargin
 
-  /** examples/aggregations/indicators/daal4py.yml with the child list
-    * reduced to the ported raws that matter for it (the daal4py rows
-    * come from raw/sklearn, the Native-C ratio base from
-    * raw/sklearn-native; reference also lists pca/svm/logreg/df_clsf/
-    * df_regr). Exercises dict-order dependence THREE deep: `drop` reads
-    * the ORIGINAL Prefix, then Prefix itself is overwritten to the
-    * constant 'intelpython3' — and != on union-padded data follows
-    * Python (never null). */
+  /** examples/aggregations/indicators/daal4py.yml, verbatim — all 7
+    * reference children (the daal4py rows come from raw/sklearn, the
+    * Native-C ratio base from raw/sklearn-native; the other children's
+    * rows are removed by the `drop != 'daal4py'` filter and only
+    * contribute ratio-base groups for functions that die with them).
+    * Exercises dict-order dependence THREE deep: `drop` reads the
+    * ORIGINAL Prefix, then Prefix itself is overwritten to the constant
+    * 'intelpython3' — and != on union-padded data follows Python (never
+    * null). */
   val indicatorsDaal4py: String =
     """input:
       |    config:
       |    - ../raw/sklearn.yml
       |    - ../raw/sklearn-native.yml
+      |    - ../raw/pca-native.yml
+      |    - ../raw/svm.yml
+      |    - ../raw/logreg.yml
+      |    - ../raw/df_clsf.yml
+      |    - ../raw/df_regr.yml
       |
       |aggregation: median
       |
@@ -941,6 +962,8 @@ object CorpusRecipes {
       |    Brng: [MT19937]
       |    drop: [false]
       |
+      |filter-out:
+      |
       |number-format: 2
       |number-format-max-only: true
       |""".stripMargin
@@ -983,6 +1006,288 @@ object CorpusRecipes {
       |
       |number-format: 2
       |number-format-max-only: true
+      |""".stripMargin
+
+  /** examples/aggregations/raw/svm.yml, verbatim — the prefix_ID REPLACE
+    * rule carries the header through while '^(Native-C)' keeps only the
+    * native rows; rename -> pack melts fit/predict into Function/Time;
+    * Mode uses the bare `threads == 1` idiom (numeric threads). */
+  val rawSvm: String =
+    """input:
+      |    path: 'runs/*/*/*/*_svm.out'
+      |    format: csv
+      |    filter:
+      |        'prefix_ID': 'Prefix'
+      |        '^(Native-C)':
+      |aggregation: mean
+      |
+      |axis:
+      |    - Size
+      |    - classes
+      |    - features
+      |    - Mode
+      |    - Function
+      |
+      |series:
+      |    - Prefix
+      |
+      |rename:
+      |    fit: SVM.fit
+      |    predict: SVM.predict
+      |
+      |pack:
+      |    - columns: [SVM.fit, SVM.predict]
+      |      name: Function
+      |      value: Time
+      |
+      |values:
+      |    - Time
+      |
+      |variants:
+      |    - Arch
+      |
+      |higher-is-better: false
+      |
+      |precomputed:
+      |    Size: "'{}x{}'.format(row['rows'], row['features'])"
+      |    Arch: "(row['Directory'].split('/')[-3].split('_')[-3:-2]+['Unknown'])[0]"
+      |    Mode: "'Serial' if row['threads'] == 1 else 'Parallel'"
+      |number-format: 2
+      |number-format-max-only: false
+      |""".stripMargin
+
+  /** examples/aggregations/raw/logreg.yml, verbatim — '^@' drop rule,
+    * the int() cast idiom inside .format, filter-out over numeric
+    * classes, and a filter-in pinning the solver axis column. */
+  val rawLogreg: String =
+    """input:
+      |    path: 'runs/*/*/*/*_log_reg.out'
+      |    format: csv
+      |    filter:
+      |        'prefix_ID': 'Prefix'
+      |        '^@': drop
+      |        '^Native-C':
+      |aggregation: mean
+      |
+      |axis:
+      |    - Size
+      |    - classes
+      |    - Mode
+      |    - Function
+      |    - solver
+      |
+      |series:
+      |    - Prefix
+      |
+      |values:
+      |    - Time
+      |
+      |rename:
+      |    fit: LogReg.fit
+      |    predict: LogReg.predict
+      |
+      |pack:
+      |    - columns: [LogReg.fit, LogReg.predict]
+      |      name: Function
+      |      value: Time
+      |
+      |variants:
+      |    - Arch
+      |
+      |higher-is-better: false
+      |
+      |precomputed:
+      |    Size: "'{}x{}'.format(int(row['rows']), int(row['features']))"
+      |    Arch: "(row['Directory'].split('/')[-3].split('_')[-3:-2]+['Unknown'])[0]"
+      |    Mode: "'Serial' if row['threads'] == 'Serial' or row['threads'] == 1 else 'Parallel'"
+      |
+      |filter-out:
+      |    classes: [2, 3]
+      |
+      |filter-in:
+      |    solver: [lbfgs]
+      |
+      |number-format: 2
+      |number-format-max-only: false
+      |""".stripMargin
+
+  /** examples/aggregations/raw/df_regr.yml, verbatim — the df_clsf
+    * sibling without classes; threads mixes 'Serial' strings with
+    * numbers, exercising the `== 'Serial' or == 1` disjunct. */
+  val rawDfRegr: String =
+    """input:
+      |    path: 'runs/*/*/*/*_df_regr.out'
+      |    format: csv
+      |    filter:
+      |        'prefix_ID': 'Prefix'
+      |        '^@': drop
+      |        '^Native-C':
+      |aggregation: mean
+      |
+      |axis:
+      |    - Size
+      |    - Mode
+      |    - Function
+      |
+      |series:
+      |    - Prefix
+      |
+      |rename:
+      |    fit: df_regr.fit
+      |    predict: df_regr.predict
+      |
+      |pack:
+      |    - columns: [df_regr.fit, df_regr.predict]
+      |      name: Function
+      |      value: Time
+      |
+      |values:
+      |    - Time
+      |
+      |variants:
+      |    - Arch
+      |
+      |higher-is-better: false
+      |
+      |precomputed:
+      |    Size: "'{}x{}'.format(row['rows'], row['features'])"
+      |    Arch: "(row['Directory'].split('/')[-3].split('_')[-3:-2]+['Unknown'])[0]"
+      |    Mode: "'Serial' if row['threads'] == 'Serial' or row['threads'] == 1 else 'Parallel'"
+      |
+      |number-format: 2
+      |number-format-max-only: false
+      |""".stripMargin
+
+  /** examples/aggregations/raw/pca-native.yml, verbatim — an 8-column
+    * imposed csv-header plus the sklearn noise-drop filter block; the
+    * filter-out column `svd_solver` is NOT in the header — it can only
+    * exist via a .meta sidecar (S6), which is how the fixture ships it
+    * (pandas raises KeyError otherwise). */
+  val rawPcaNative: String =
+    """input:
+      |    path:
+      |       - 'runs/*/sklearn_native/*/*_pca*'
+      |    format: csv
+      |    csv-header: 'Batch,Arch,Prefix,Threads,Size,n_components,Function,Time'
+      |    filter:
+      |        "@ Package 'daal4py' was not found. Number of threads is being ignored": drop
+      |        "WARNING: Number of actual iterations.*": drop
+      |        "Tolerance: .*": drop
+      |        '':
+      |
+      |aggregation: median
+      |
+      |axis:
+      |    - Function
+      |    - Size
+      |
+      |series:
+      |    - Prefix
+      |
+      |variants:
+      |    - Arch
+      |    - Mode
+      |
+      |values:
+      |    - Time
+      |
+      |higher-is-better: false
+      |
+      |precomputed:
+      |    Mode: "'Serial' if row['Threads'] == 1 else 'Parallel'"
+      |    Arch: "(row['Directory'].split('/')[-3].split('_')[-3:-2]+['Unknown'])[0]"
+      |
+      |filter-out:
+      |    svd_solver: [daal]
+      |
+      |number-format: 2
+      |number-format-max-only: false
+      |""".stripMargin
+
+  /** examples/aggregations/blackscholes.yml, verbatim — the top-level
+    * summary over raw/blackscholes.yml and the corpus's only THREE-kwarg
+    * ratio_of: Efficiency pins Prefix, Implementation AND Accuracy; the
+    * filter-in then keeps the single Parallel/2097152/ha slice. */
+  val blackscholesSummary: String =
+    """input:
+      |    config:
+      |    - raw/blackscholes.yml
+      |
+      |aggregation: mean
+      |
+      |axis:
+      |    - Size
+      |
+      |series:
+      |    - Prefix
+      |    - Implementation
+      |    - Accuracy
+      |
+      |variants:
+      |    - Mode
+      |    - Arch
+      |
+      |higher-is-better: true
+      |
+      |values:
+      |    - Efficiency
+      |
+      |precomputed:
+      |    Efficiency: "ratio_of('MOPS', Prefix='Native-C', Implementation='SVML', Accuracy='ha')"
+      |
+      |filter-in:
+      |    Mode:
+      |    - Parallel
+      |    Size:
+      |    - 2097152
+      |    Accuracy: [ha]
+      |
+      |filter-out:
+      |
+      |number-format: 2
+      |number-format-max-only: false
+      |""".stripMargin
+
+  /** examples/aggregations/sklearn.yml, verbatim — the top-level summary
+    * over indicators/sklearn.yml. Carries the reference's `precompute:`
+    * TYPO key (not `precomputed:`) — an unknown key the engine ignores
+    * exactly like the reference does, so np.max is never evaluated —
+    * plus filter-ins on Arch/Mode and a case-mismatched Function
+    * filter-out that no-ops on the actual data. */
+  val sklearnSummary: String =
+    """input:
+      |    config:
+      |    - indicators/sklearn.yml
+      |
+      |aggregation: median
+      |
+      |axis:
+      |- Function
+      |
+      |series:
+      |- Prefix
+      |
+      |variants:
+      |- Arch
+      |- Mode
+      |
+      |higher-is-better: false
+      |
+      |values:
+      |    - Ratio
+      |
+      |precompute:
+      |    Ratio: "np.max(df['Ratio'], 0.01)"
+      |
+      |filter-in:
+      |    Arch: [Xeon]
+      |    Mode: [Parallel]
+      |
+      |filter-out:
+      |    Function: [logreg.fit, logreg.predict]
+      |
+      |number-format: 2
+      |number-format-max-only: false
       |""".stripMargin
 
   /** Goal rows shaped like examples/aggregations/targets.csv: unioned as

@@ -27,6 +27,44 @@ import org.apache.spark.sql.SparkSession
   */
 object ReferenceCorpus {
 
+  /** The complete recipe tree written into every fixture root: all 28
+    * recipes of the reference's examples/aggregations corpus (15 raw, 8
+    * indicators, 5 top-level) plus the targets side-input. Key = path
+    * relative to the corpus root, mirroring the reference layout, so
+    * `../raw/x.yml` child references resolve identically.
+    * CorpusParitySpec asserts each yml is semantically identical
+    * (YAML-parse equality) to its reference counterpart. */
+  val recipeFiles: Seq[(String, String)] = Seq(
+    "omnisci-query-times.yml" -> CorpusRecipes.omnisciQueryTimes,
+    "raw/df_clsf.yml" -> CorpusRecipes.dfClsf,
+    "raw/rng.yml" -> CorpusRecipes.rawRng,
+    "raw/umath-native.yml" -> CorpusRecipes.rawUmathNative,
+    "raw/umath-python.yml" -> CorpusRecipes.rawUmathPython,
+    "indicators/arithmetics-mkl.yml" -> CorpusRecipes.arithmeticsMkl,
+    "indicators/arithmetics-numba.yml" -> CorpusRecipes.arithmeticsNumba,
+    "raw/linalg.yml" -> CorpusRecipes.rawLinalg,
+    "raw/linalg-native.yml" -> CorpusRecipes.rawLinalgNative,
+    "indicators/linalg.yml" -> CorpusRecipes.indicatorsLinalg,
+    "raw/sklearn.yml" -> CorpusRecipes.rawSklearn,
+    "raw/sklearn-stock.yml" -> CorpusRecipes.rawSklearnStock,
+    "raw/sklearn-native.yml" -> CorpusRecipes.rawSklearnNative,
+    "raw/pca-native.yml" -> CorpusRecipes.rawPcaNative,
+    "raw/svm.yml" -> CorpusRecipes.rawSvm,
+    "raw/logreg.yml" -> CorpusRecipes.rawLogreg,
+    "raw/df_regr.yml" -> CorpusRecipes.rawDfRegr,
+    "indicators/sklearn.yml" -> CorpusRecipes.indicatorsSklearn,
+    "indicators/daal4py.yml" -> CorpusRecipes.indicatorsDaal4py,
+    "blackscholes.yml" -> CorpusRecipes.blackscholesSummary,
+    "sklearn.yml" -> CorpusRecipes.sklearnSummary,
+    "raw/blackscholes.yml" -> CorpusRecipes.rawBlackscholes,
+    "raw/fft.yml" -> CorpusRecipes.rawFft,
+    "indicators/blackscholes.yml" -> CorpusRecipes.indicatorsBlackscholes,
+    "indicators/fft.yml" -> CorpusRecipes.indicatorsFft,
+    "indicators/rng.yml" -> CorpusRecipes.indicatorsRng,
+    "indicators.yml" -> CorpusRecipes.indicators,
+    "summary_indicators.yml" -> CorpusRecipes.summaryIndicators,
+    "config/targets.csv" -> CorpusRecipes.targetsCsv)
+
   private def fmt(x: Double): String = "%.2f".formatLocal(Locale.ROOT, x)
 
   /** Generates (once) and returns the fixture root for `sfDir`. */
@@ -34,7 +72,7 @@ object ReferenceCorpus {
     val tag = new File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
     // bump the version suffix whenever fixture content changes — the
     // marker below caches the tree across JVMs
-    val root = new File(sys.props("java.io.tmpdir"), s"graft_corpus_v7_$tag")
+    val root = new File(sys.props("java.io.tmpdir"), s"graft_corpus_v9_$tag")
     val marker = new File(root, ".complete")
     if (marker.isFile) return root.getPath
 
@@ -83,7 +121,11 @@ object ReferenceCorpus {
       val mode = if ((k / 2) % 2 == 0) "seq" else "par"
       val v = (k % 3).toInt
       val acc = if ((k / 4) % 2 == 0) "ha" else "ep"
-      val size = if ((k / 8) % 2 == 0) 16777216L else 1048576L
+      // three sizes: 16777216 (indicators/blackscholes.yml filter-in) and
+      // 2097152 (top-level blackscholes.yml filter-in) must both exist
+      val size = ((k / 8) % 3).toInt match {
+        case 0 => 16777216L; case 1 => 1048576L; case _ => 2097152L
+      }
       val mops = 1.0 + (k % 400) * 0.25
       val run = s"runs/bs_2026_${arch}_r_0/bs"
       if (v < 2) {
@@ -193,6 +235,9 @@ object ReferenceCorpus {
     //      solver/svd_solver filter-out columns) and native headerless
     //      per-function files (supplier.s_suppkey, csv-header imposed,
     //      junk Arch column the precompute overwrites) ----
+    // the sklearn run-dir arch token is 'Xeon' (not 'xeon8280'): the
+    // top-level sklearn.yml filters `Arch: [Xeon]`, and Arch derives
+    // from the directory name — reference run dirs encoded it this way
     val skFuncs = Seq("kmeans", "ridge", "linear", "distances")
     for (k <- keys("orders", "o_orderkey")) {
       val prefix = if (k % 2 == 0) "intelpython3" else "stockpython3"
@@ -200,7 +245,7 @@ object ReferenceCorpus {
       val size = if ((k / 4) % 2 == 0) 10000 else 20000
       val classes = 2 + (k / 5) % 3
       val threads = Seq(1, 2, 4)(((k / 2) % 3).toInt)
-      val arch = if ((k / 8) % 2 == 0) "xeon8280" else "icelake"
+      val arch = if ((k / 8) % 2 == 0) "Xeon" else "icelake"
       val t = 0.5 + (k % 110) * 0.25
       val solver = if (k % 7 == 0) "newton-cg" else "lbfgs"
       val svd = if (k % 11 == 0) "daal" else "full"
@@ -222,10 +267,81 @@ object ReferenceCorpus {
       val func = skFuncs((k % 4).toInt)
       val size = if ((k / 4) % 2 == 0) 10000 else 20000
       val threads = Seq(1, 2, 4)(((k / 2) % 3).toInt)
-      val arch = if ((k / 8) % 2 == 0) "xeon8280" else "icelake"
+      val arch = if ((k / 8) % 2 == 0) "Xeon" else "icelake"
       val t = 0.25 + (k % 90) * 0.25
       val f = s"runs/sk_2026_${arch}_r_0/sklearn_native/native/1700000062.run_${func}_bench.csv"
       line(f, s"b1,a0,Native-C,$threads,$size,$func,${fmt(t)}")
+      if (k % 13 == 0) line(f, "Tolerance: 0.001") // native filter drop rule
+    }
+
+    // ---- pca-native logs (supplier.s_suppkey): headerless 8-col files
+    //      under the sklearn_native tree; the `svd_solver` column the
+    //      recipe filters out does NOT exist in the imposed csv-header —
+    //      it arrives via the .meta sidecar (S6), so a whole file is
+    //      'daal' (all rows dropped) or 'full' (kept) ----
+    for (k <- keys("supplier", "s_suppkey")) {
+      val svd = if (k % 2 == 0) "daal" else "full"
+      val arch = if ((k / 8) % 2 == 0) "Xeon" else "icelake"
+      val threads = if ((k / 2) % 2 == 0) 1 else 16
+      val size = if ((k / 4) % 2 == 0) 10000 else 20000
+      val ncomp = 3 + k % 5
+      val func = if ((k / 16) % 2 == 0) "pca.fit" else "pca.transform"
+      val t = 0.25 + (k % 90) * 0.25
+      val f = s"runs/sk_2026_${arch}_r_0/sklearn_native/native/1700000063.np_pca_$svd.csv"
+      if (!files.contains(f))
+        files(f + ".meta") = new StringBuilder(s"svd_solver: $svd\n")
+      line(f, s"b1,a0,Native-C,$threads,$size,$ncomp,$func,${fmt(t)}")
+      if (k % 13 == 0) line(f, "Tolerance: 0.001")
+      if (k % 17 == 0) line(f, "WARNING: Number of actual iterations reached limit")
+      if (k % 19 == 0)
+        line(f, "@ Package 'daal4py' was not found. Number of threads is being ignored")
+    }
+
+    // ---- svm run logs (customer.c_custkey): only '^(Native-C)' lines
+    //      kept; header carried by the prefix_ID->Prefix REPLACE rule ----
+    val svmHeader = "prefix_ID,rows,features,classes,threads,fit,predict"
+    for (k <- keys("customer", "c_custkey")) {
+      val prefix = if (k % 3 < 2) "Native-C" else "IntelPython" // latter: no rule -> dropped
+      val rows = 1000 * (1 + (k / 3) % 2)
+      val features = 10 * (1 + (k / 6) % 2)
+      val classes = 2 + (k / 12) % 4
+      val threads = if ((k / 24) % 2 == 0) 1 else 16 // all-numeric: `threads == 1` idiom
+      val arch = if ((k / 48) % 2 == 0) "xeon8280" else "icelake"
+      val f = s"runs/svm_2026_${arch}_r_0/ml/python/170000007${(k / 96) % 4}_svm.out"
+      if (!files.contains(f)) line(f, svmHeader)
+      line(f, s"$prefix,$rows,$features,$classes,$threads,${1 + k % 97},${1 + k % 89}")
+    }
+
+    // ---- logreg run logs (orders.o_orderkey): '^@' drop rule, solver
+    //      column for the filter-in, numeric threads ----
+    val lrHeader = "prefix_ID,rows,features,classes,threads,solver,fit,predict"
+    for (k <- keys("orders", "o_orderkey")) {
+      val prefix = if (k % 4 < 3) "Native-C" else "IntelPython"
+      val rows = 1000 * (1 + (k / 3) % 2)
+      val features = 10 * (1 + (k / 6) % 2)
+      val classes = 2 + (k / 12) % 4 // 2 and 3 filtered out by the recipe
+      val threads = if ((k / 24) % 2 == 0) 1 else 16
+      val solver = if (k % 5 == 0) "newton-cg" else "lbfgs"
+      val arch = if ((k / 96) % 2 == 0) "xeon8280" else "icelake"
+      val f = s"runs/lr_2026_${arch}_r_0/ml/python/170000009${(k / 192) % 4}_log_reg.out"
+      if (!files.contains(f)) line(f, lrHeader)
+      if (k % 50 == 0) line(f, "@ lbfgs converged")
+      line(f, s"$prefix,$rows,$features,$classes,$threads,$solver,${1 + k % 101},${1 + k % 83}")
+    }
+
+    // ---- df_regr run logs (part.p_partkey): mixed string/numeric
+    //      threads exercising the `== 'Serial' or == 1` disjunct ----
+    val drHeader = "prefix_ID,rows,features,threads,fit,predict"
+    for (k <- keys("part", "p_partkey")) {
+      val prefix = if (k % 3 < 2) "Native-C" else "IntelPython"
+      val rows = 1000 * (1 + (k / 3) % 2)
+      val features = 10 * (1 + (k / 6) % 2)
+      val threads = if ((k / 24) % 2 == 0) "Serial" else "16"
+      val arch = if ((k / 48) % 2 == 0) "xeon8280" else "icelake"
+      val f = s"runs/dr_2026_${arch}_r_0/ml/python/17000001${(k / 96) % 4}0_df_regr.out"
+      if (!files.contains(f)) line(f, drHeader)
+      if (k % 50 == 0) line(f, "@ checkpoint reached")
+      line(f, s"$prefix,$rows,$features,$threads,${1 + k % 91},${1 + k % 79}")
     }
 
     // ---- fft logs (customer.c_custkey) ----
@@ -257,31 +373,7 @@ object ReferenceCorpus {
       f.getParentFile.mkdirs()
       Files.write(f.toPath, sb.toString.getBytes(StandardCharsets.UTF_8))
     }
-    val recipes = Seq(
-      "omnisci-query-times.yml" -> CorpusRecipes.omnisciQueryTimes,
-      "raw/df_clsf.yml" -> CorpusRecipes.dfClsf,
-      "raw/rng.yml" -> CorpusRecipes.rawRng,
-      "raw/umath-native.yml" -> CorpusRecipes.rawUmathNative,
-      "raw/umath-python.yml" -> CorpusRecipes.rawUmathPython,
-      "indicators/arithmetics-mkl.yml" -> CorpusRecipes.arithmeticsMkl,
-      "indicators/arithmetics-numba.yml" -> CorpusRecipes.arithmeticsNumba,
-      "raw/linalg.yml" -> CorpusRecipes.rawLinalg,
-      "raw/linalg-native.yml" -> CorpusRecipes.rawLinalgNative,
-      "indicators/linalg.yml" -> CorpusRecipes.indicatorsLinalg,
-      "raw/sklearn.yml" -> CorpusRecipes.rawSklearn,
-      "raw/sklearn-stock.yml" -> CorpusRecipes.rawSklearnStock,
-      "raw/sklearn-native.yml" -> CorpusRecipes.rawSklearnNative,
-      "indicators/sklearn.yml" -> CorpusRecipes.indicatorsSklearn,
-      "indicators/daal4py.yml" -> CorpusRecipes.indicatorsDaal4py,
-      "raw/blackscholes.yml" -> CorpusRecipes.rawBlackscholes,
-      "raw/fft.yml" -> CorpusRecipes.rawFft,
-      "indicators/blackscholes.yml" -> CorpusRecipes.indicatorsBlackscholes,
-      "indicators/fft.yml" -> CorpusRecipes.indicatorsFft,
-      "indicators/rng.yml" -> CorpusRecipes.indicatorsRng,
-      "indicators.yml" -> CorpusRecipes.indicators,
-      "summary_indicators.yml" -> CorpusRecipes.summaryIndicators,
-      "config/targets.csv" -> CorpusRecipes.targetsCsv)
-    for ((rel, text) <- recipes) {
+    for ((rel, text) <- recipeFiles) {
       val f = new File(tmp, rel)
       f.getParentFile.mkdirs()
       Files.write(f.toPath, text.getBytes(StandardCharsets.UTF_8))

@@ -21,6 +21,14 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
                 sharedChildren: scala.collection.mutable.Map[String, scala.concurrent.Future[DataFrame]] =
                   scala.collection.mutable.Map.empty) {
 
+  // The recipe engine REQUIRES pandas-style case-sensitive resolution:
+  // the corpus unions 'Classes' (raw/sklearn) with 'classes' (svm/logreg/
+  // df_clsf) as distinct padded columns, and indicator precomputes
+  // reference one spelling exactly. Set eagerly so plans built below
+  // (analysis happens at DataFrame construction) resolve pandas-style
+  // even under a caller session that left the Spark default.
+  spark.conf.set("spark.sql.caseSensitive", "true")
+
   /** Warning side-channel (SURVEY §7.4.4): expected-combination fills and
     * ordering violations land here instead of a log scrape. */
   val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -93,7 +101,7 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
   def getRawData(inputs: Option[Seq[String]] = None): DataFrame = {
     val fileFrames = CsvSource.scanFiles(spark, recipe, inputs)
     val filePart = if (fileFrames.isEmpty) Nil else {
-      val p = fileFrames.reduce(_.unionByName(_, allowMissingColumns = true))
+      val p = unionPandas(fileFrames)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       persistedFrames += p
       Seq(p)
@@ -101,7 +109,41 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
     val all = childFrames ++ filePart
     if (all.isEmpty)
       throw RecipeError("recipe has no inputs (no path matches, no child configs)")
-    all.reduce(_.unionByName(_, allowMissingColumns = true))
+    unionPandas(all)
+  }
+
+  /** Union-by-name with pandas-concat dtype parity: a column appearing
+    * with DIFFERENT types across inputs becomes object in `pd.concat`
+    * (values keep their own types; nothing is re-parsed) — widen to
+    * double when every occurrence is numeric (pandas int64+float64 ->
+    * float64), else to string. Spark's own union coercion would instead
+    * pick the numeric side under ANSI and fail at runtime on values like
+    * the svm child's Size '1000x10' meeting the sklearn child's integer
+    * Size. Conflicted columns are never recipe group keys in the corpus
+    * (they are first()-carried othercols), so stringification does not
+    * change any aggregation key space. */
+  private def unionPandas(frames: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, NumericType}
+    val seen = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashSet[DataType]]
+    for (f <- frames; fld <- f.schema.fields)
+      seen.getOrElseUpdate(fld.name,
+        scala.collection.mutable.LinkedHashSet.empty) += fld.dataType
+    val widened: Map[String, DataType] = seen.collect {
+      case (c, ts) if ts.size > 1 =>
+        c -> (if (ts.forall(_.isInstanceOf[NumericType])) DoubleType: DataType
+              else StringType: DataType)
+    }.toMap
+    val adjusted =
+      if (widened.isEmpty) frames
+      else frames.map { f =>
+        widened.foldLeft(f) { case (d, (c, t)) =>
+          if (d.columns.contains(c) && d.schema(c).dataType != t)
+            d.withColumn(c, qcol(c).cast(t))
+          else d
+        }
+      }
+    adjusted.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   // ---------------- normalize ----------------

@@ -270,13 +270,21 @@ object CsvSource {
     val files = expandGlobs(spark, patterns, recipe.baseDir)
     if (files.isEmpty && patterns.nonEmpty)
       throw RecipeError(s"No matching files found for $patterns")
+    // A suffix-less glob (pca-native's 'runs/.../*_pca*') also matches the
+    // `.meta` sidecars themselves. The reference ingests those as CSV:
+    // pandas pads the short line to the imposed header with NaN, the row's
+    // axis keys are all NaN, and the groupby drops NaN keys — so sidecar-
+    // as-data rows never reach any output. Skipping them at the scan is
+    // behaviorally identical (no corpus recipe combines a sidecar-matching
+    // glob with an empty axis) and avoids parsing YAML as CSV.
+    val dataFiles = files.filterNot(_.endsWith(".meta"))
     if (recipe.input.format == "sql") {
       val table = recipe.input.tableName.getOrElse(throw RecipeError(
         "input.format 'sql' requires input.table-name (aggregate.py:296-297)"))
-      files.map(f => try graft.sources.Sqlite.scan(spark, f, table)
+      dataFiles.map(f => try graft.sources.Sqlite.scan(spark, f, table)
         catch { case e: graft.sources.Sqlite.SqliteError => throw RecipeError(e.msg) })
     } else {
-      val infos = files.map(f => fileInfo(spark, recipe, f))
+      val infos = dataFiles.map(f => fileInfo(spark, recipe, f))
       // group by (schema, header-mode); preserve first-file order so the
       // union's frame order (and thus `first()` carry-alongs) is stable
       infos.groupBy(fi => (fi.names, fi.hasHeaderRow)).toSeq

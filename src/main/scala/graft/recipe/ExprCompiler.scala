@@ -437,6 +437,19 @@ object ExprCompiler {
       c.isNotNull && c.cast("string") =!= ""
   }
 
+  /** Cross-type-safe equality (see Cmp("==") note): numeric equality
+    * when both sides try_cast to double, string equality otherwise. Null
+    * on either side stays null (callers coalesce to the Python
+    * missing-data answer). */
+  private def pyEq(l: Column, r: Column): Column = {
+    import org.apache.spark.sql.types.{DoubleType, StringType}
+    val ln = l.try_cast(DoubleType)
+    val rn = r.try_cast(DoubleType)
+    when(l.isNull || r.isNull, lit(null).cast("boolean"))
+      .when(ln.isNotNull && rn.isNotNull, ln === rn)
+      .otherwise(l.cast(StringType) === r.cast(StringType))
+  }
+
   /** Compile an AST to a Column. `bindings` supplies pre-computed columns
     * for RatioCall nodes (keyed by RatioCall) and lambda params. */
   def compile(ast: Ast,
@@ -468,8 +481,17 @@ object ExprCompiler {
       // boolean `drop` precomputes over union-padded columns) — a null
       // drop value would fail `filter-in drop: [false]` that pandas
       // passes.
-      case Cmp("==", l, r) => coalesce(go(l) === go(r), lit(false))
-      case Cmp("!=", l, r) => coalesce(go(l) =!= go(r), lit(true))
+      //
+      // Cross-TYPE equality must also never error: `threads == 'Serial'`
+      // over an inference-promoted LONG column would make Spark's ANSI
+      // coercion cast 'Serial' to bigint and throw at runtime, where
+      // Python just says False. Equality is therefore numeric when both
+      // sides parse as numbers (keeping the engine's inference-parity
+      // semantics: string '2' == 2 is true, because the reference's
+      // to_numeric would have made that column numeric), else a plain
+      // string comparison (never a failing cast).
+      case Cmp("==", l, r) => coalesce(pyEq(go(l), go(r)), lit(false))
+      case Cmp("!=", l, r) => coalesce(!pyEq(go(l), go(r)), lit(true))
       case Cmp("<", l, r) => go(l) < go(r)
       case Cmp("<=", l, r) => go(l) <= go(r)
       case Cmp(">", l, r) => go(l) > go(r)
