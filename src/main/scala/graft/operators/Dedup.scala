@@ -178,6 +178,82 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash near-dup pairs via Manku-style block-combination tables —
+    * the 10^9+-document scale path where [[simhashBandPairs]]' key space
+    * (2^(bits/bands)) saturates. The fingerprint is split into `blocks`
+    * contiguous bit-blocks; each of the C(blocks, keyBlocks) block
+    * combinations becomes one table whose bucket key concatenates the
+    * chosen blocks' bits — a key space of 2^(keyBlocks*bits/blocks)
+    * (2^30 for 60-bit/6/3 vs 2^10 for the 6-band slice index), so
+    * buckets stay near-singleton into the billions of documents.
+    *
+    * Exactness (pigeonhole): a pair at Hamming distance h <= blocks -
+    * keyBlocks touches at most h blocks, so at least blocks - h >=
+    * keyBlocks blocks are untouched and SOME combination is drawn
+    * entirely from them — the pair collides exactly in that table. With
+    * the post-join Hamming verify, the output is therefore IDENTICAL to
+    * the all-pairs O(n²) filter, at index cost C(blocks,keyBlocks) * n
+    * rows (20n for 6/3) — linear in the corpus, the trade Manku et al.
+    * (WWW'07, "Detecting Near-Duplicates for Web Crawling") make for
+    * exact Hamming-k retrieval at scale. Tables ride ONE exchange: the
+    * exploded (table, key) struct is the shuffle key of a single
+    * self-equi-join, never a cartesian.
+    */
+  def simhashMankuPairs(df: DataFrame, idCol: String, textCol: String,
+                        blocks: Int = 6, keyBlocks: Int = 3,
+                        maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+    require(bits == 32 || bits == 60, s"simhash width must be 32 or 60, got $bits")
+    require(bits % blocks == 0, s"blocks must divide $bits, got $blocks")
+    require(keyBlocks > 0 && keyBlocks < blocks, "need 0 < keyBlocks < blocks")
+    require(maxHamming <= blocks - keyBlocks,
+      s"exactness needs maxHamming <= blocks - keyBlocks (= ${blocks - keyBlocks})")
+    val blockBits = bits / blocks
+    val mask = (1L << blockBits) - 1
+    val combos = (0 until blocks).combinations(keyBlocks).toSeq
+    def keyOf(c: Seq[Int]): Column =
+      c.zipWithIndex.map { case (blk, i) =>
+        shiftleft(
+          shiftright(col("sh"), blk * blockBits).bitwiseAND(lit(mask)),
+          i * blockBits)
+      }.reduce(_.bitwiseOR(_))
+    val tableKeys = array(combos.zipWithIndex.map { case (c, t) =>
+      struct(lit(t).as("tbl"), keyOf(c).as("key"))
+    }: _*)
+    val shExpr = if (bits == 60) simhash60(col(textCol)) else simhash(col(textCol))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val keyed = df.repartition(par)
+      .select(col(idCol).as("id"), shExpr.as("sh"))
+      .select(col("id"), col("sh"), explode(tableKeys).as("bk"))
+      .repartition(col("bk"))
+    val a = keyed.select(col("bk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = keyed.select(col("bk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+
+  /** Sign-LSH band width for a corpus of `n` vectors: the VERDICT-grade
+    * knob made self-tuning. Buckets per band number 2^bandBits; holding
+    * expected bucket size near 2^5 = 32 as the corpus grows means
+    * bandBits ≈ log2(n) - 5, floored at the 8-bit width whose recall
+    * the operator's scaladoc quantifies (and which every corpus <= ~8k
+    * vectors resolves to — small-SF oracle determinism for free). */
+  def lshBandBitsFor(n: Long, targetBucketLog: Int = 5): Int =
+    math.max(8, (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) - targetBucketLog)
+
+  /** [[embeddingNearDupsBanded]] with the band width derived from the
+    * corpus size via [[lshBandBitsFor]] — callers that know their row
+    * count (every curation pipeline does) get scale-correct buckets
+    * without hand-tuning; at <= ~8k vectors this is bit-identical to the
+    * pinned 4x8 configuration. */
+  def embeddingNearDupsAuto(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, corpusSize: Long,
+                            bands: Int = 4): DataFrame =
+    embeddingNearDupsBanded(df, idCol, vecCol, threshold,
+      bands = bands, bandBits = lshBandBitsFor(corpusSize))
+
   /** N-gram Jaccard near-dup above `threshold`, LSH-accelerated (the scale
     * path): MinHash band buckets generate candidates (equi-join, cost =
     * sum of bucket sizes squared), exact shingle-Jaccard verifies. With

@@ -18,7 +18,7 @@ import graft.recipe.ExprCompiler.RatioCall
   * 588): [[getRawData]] -> [[getNormalizedData]] -> [[getAggregatedData]].
   */
 class Benchmark(val recipe: Recipe, spark: SparkSession,
-                sharedChildren: scala.collection.mutable.Map[String, scala.concurrent.Future[DataFrame]] =
+                sharedChildren: scala.collection.mutable.Map[String, scala.concurrent.Future[(DataFrame, Map[String, Boolean])]] =
                   scala.collection.mutable.Map.empty) {
 
   // The recipe engine REQUIRES pandas-style case-sensitive resolution:
@@ -32,6 +32,14 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
   /** Warning side-channel (SURVEY §7.4.4): expected-combination fills and
     * ordering violations land here instead of a log scrape. */
   val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  /** Inference verdicts of this recipe's NORMALIZED output: column ->
+    * "had non-numeric cells at its last inference scan" for every column
+    * that is still string in the output and was either scanned or is a
+    * known literal. Parents use these to prove their own pass-1
+    * re-inference is a no-op (see getNormalizedData). Populated by
+    * [[getNormalizedData]]. */
+  @volatile var stringVerdicts: Map[String, Boolean] = Map.empty
 
   /** col() with the name backtick-quoted: recipe column names are user
     * data and routinely dotted after rename (e.g. 'df_clsf.fit'), which
@@ -61,7 +69,7 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
     *    marks the recursive awaits so the pool grows past nested DAG
     *    levels instead of deadlocking.
     */
-  lazy val childFrames: Seq[DataFrame] = {
+  lazy val childEvals: Seq[(DataFrame, Map[String, Boolean])] = {
     import scala.concurrent.{blocking, Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -76,12 +84,16 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
           val name = new java.io.File(resolved).getName.replaceAll("\\.[^.]*$", "")
           val f = child.getNormalizedData().withColumn("File", lit(name)).cache()
           persistedFrames.synchronized { persistedFrames += f }
-          f
+          // File was just overwritten with a non-numeric literal: its
+          // to_numeric outcome is known without a scan
+          (f, child.stringVerdicts + ("File" -> true))
         })
       }
     }
     futures.map(f => blocking { Await.result(f, Duration.Inf) })
   }
+
+  lazy val childFrames: Seq[DataFrame] = childEvals.map(_._1)
 
   /** Release every frame this benchmark (and its children) pinned. */
   def unpersist(): Unit = {
@@ -179,7 +191,27 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
       inferBad ++= bad
       typed
     }
-    df = infer(df)
+
+    // Pass 1 is PROVABLY a no-op for a pure child-config union with no
+    // filter-out, when every candidate is covered by a child verdict
+    // saying "still had non-numeric cells at the child's own last scan":
+    // the union contains those very cells (nothing was filtered in
+    // between; unionPandas null-padding adds no numeric-parse failures,
+    // and a column numeric in every child never reaches the candidate
+    // set), so to_numeric would leave every candidate string again. The
+    // reference re-runs the scan anyway (eager pandas, aggregate.py:
+    // 346-348); skipping it here removes one full-union aggregate job
+    // from every indicator/summary level of a recipe DAG.
+    val pass1Candidates = df.schema.fields
+      .filter(_.dataType == StringType).map(_.name).filter(relevantCols.contains)
+    val skipPass1 = df0.isEmpty && inputs.isEmpty &&
+      recipe.input.paths.isEmpty && recipe.input.configs.nonEmpty &&
+      recipe.filterOut.isEmpty &&
+      pass1Candidates.forall(c => childEvals.exists(_._2.getOrElse(c, false)))
+    if (skipPass1)
+      inferBad ++= pass1Candidates.map(_ -> 1L) // known non-castable
+    else
+      df = infer(df)
 
     // precomputed columns (P2/P3/A4/A5, J2/J3)
     for ((colName, exprStr) <- recipe.precomputed) {
@@ -199,6 +231,14 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
       // the expression overwrote this column: any castability count from
       // an earlier inference pass no longer describes its contents
       inferBad -= colName
+      // ...unless it is a bare string literal ('FFT', 'scikit-learn'):
+      // its to_numeric outcome is decidable here, which both answers P6
+      // without a probe and lets PARENT recipes prove their pass-1 away
+      ast match {
+        case ExprCompiler.Lit(s: String) =>
+          inferBad += colName -> (if (scala.util.Try(s.trim.toDouble).isSuccess) 0L else 1L)
+        case _ => ()
+      }
     }
 
     // pack / melt (R1). Column names are backtick-quoted: melted columns
@@ -275,6 +315,11 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
       }
       df = df.withColumn(v, qcol(v).cast(DoubleType))
     }
+    // export inference verdicts for parent recipes (see skipPass1): only
+    // columns still string in the output whose last scan (or literal
+    // analysis) this run recorded
+    stringVerdicts = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+      .flatMap(c => inferBad.get(c).map(n => c -> (n > 0L))).toMap
     df
   }
 

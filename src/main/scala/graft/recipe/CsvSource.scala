@@ -163,10 +163,36 @@ object CsvSource {
           .toDF("__gf_path", "__gf_line")
           .filter(col("__gf_line") =!= "") // csv source skips blank lines
         val opts = Map("ignoreLeadingWhiteSpace" -> "true") // pandas skipinitialspace
-        lines
+        // wholetext gives ONE partition per file; a 500-small-log glob
+        // would otherwise drag 500 near-empty tasks through every later
+        // pass over the (persisted) parse. Coalesce to a size-derived
+        // count (128 MB targets, like the native scan's maxPartitionBytes
+        // packing) — no shuffle, and at 100 TB the same formula yields
+        // thousands of partitions.
+        val totalBytes = files.map { fi =>
+          val p = new Path(fi.path)
+          try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getFileStatus(p).getLen
+          catch { case _: java.io.IOException => 1L << 20 }
+        }.sum
+        // Partition count = bytes/2MB, capped at the file count:
+        // wholetext cannot split a file, so more partitions than files is
+        // meaningless; fewer than bytes/2MB serializes the one-time
+        // regex+from_csv parse, which is CPU-bound at ~1s per 2MB task —
+        // an IO-oriented 128MB target would single-thread it (measured:
+        // +3s on the sklearn group). A 500-tiny-log glob still coalesces
+        // to a handful of partitions, so later passes over the persisted
+        // parse don't schedule 500 near-empty tasks each.
+        val nParts = math.min(files.size.toLong,
+          math.max(1L, totalBytes / (2L << 20) + 1)).toInt
+        val parsed0 = lines
           .select(col("__gf_path"),
             from_csv(col("__gf_line"), schema, opts).as("__gf_r"))
           .select(col("__gf_path") +: colNames.map(n => col(s"__gf_r.`$n`")): _*)
+        // only coalesce when it actually collapses a many-small-files
+        // glob (>=4 files per target partition); near the natural
+        // per-file layout the relayout just costs parse locality
+        if (nParts * 4 < files.size) parsed0.coalesce(nParts) else parsed0
       } else {
         // no line filter: the native (splittable) CSV scan over all files
         // at once; per-file header skipping is the datasource's own.

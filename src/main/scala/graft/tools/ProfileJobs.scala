@@ -39,9 +39,48 @@ object ProfileJobs {
         jobs.computeIfPresent(je.jobId, (_, s) => s.format(dt))
       }
     })
+    // in-process sampling profiler (PROFILE_SAMPLES=1): every 50ms,
+    // histogram the top graft/catalyst frame of every runnable thread —
+    // attributes driver-side wall (analysis, codegen, scheduling) that
+    // job times can't see
+    val hist = new java.util.concurrent.ConcurrentHashMap[String, Integer]
+    @volatile var sampling = sys.env.contains("PROFILE_SAMPLES")
+    val sampler = new Thread(() => {
+      while (sampling) {
+        val all = Thread.getAllStackTraces
+        all.forEach { (t, st) =>
+          if (t.getState == Thread.State.RUNNABLE && st.nonEmpty) {
+            val interesting = st.find { f =>
+              val c = f.getClassName
+              c.startsWith("graft.") ||
+                c.startsWith("org.apache.spark.sql.catalyst.analysis") ||
+                c.startsWith("org.apache.spark.sql.catalyst.optimizer") ||
+                c.startsWith("org.apache.spark.sql.catalyst.plans") ||
+                c.startsWith("org.apache.spark.sql.catalyst.trees") ||
+                c.startsWith("org.apache.spark.sql.execution") ||
+                c.startsWith("org.codehaus.janino")
+            }
+            interesting.foreach { f =>
+              val key = s"${f.getClassName.split('.').takeRight(2).mkString(".")}.${f.getMethodName}"
+              hist.merge(key, 1, (a, b) => a + b)
+            }
+          }
+        }
+        Thread.sleep(50)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
     val t0 = System.nanoTime()
     val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
     val dt = (System.nanoTime() - t0) / 1e9
+    sampling = false
+    if (sys.env.contains("PROFILE_SAMPLES")) {
+      import scala.jdk.CollectionConverters._
+      println("--- driver/executor RUNNABLE samples (50ms) ---")
+      hist.asScala.toSeq.sortBy(-_._2.intValue).take(25)
+        .foreach { case (k, v) => println(f"  $v%5d  $k") }
+    }
     Thread.sleep(500) // listener events are posted asynchronously
     println(f"$name: $dt%.2f s, $n rows, ${jobs.size} jobs")
     import scala.jdk.CollectionConverters._
