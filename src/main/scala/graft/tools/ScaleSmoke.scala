@@ -53,11 +53,15 @@ object ScaleSmoke {
       val simhash = time("simhashBandPairs") {
         Dedup.simhashBandPairs(d, "doc_id", "text", bands = 4, maxHamming = 3).count()
       }
+      val manku = time("simhashMankuPairs") {
+        Dedup.simhashMankuPairs(d, "doc_id", "text",
+          blocks = 6, keyBlocks = 3, maxHamming = 3, bits = 60).count()
+      }
       val clusters = time("dedupClusters") {
         Dedup.dedupClusters(d, "doc_id", "text", threshold = 0.5)
           .filter(col("keep")).count()
       }
-      println(s"  pairs=$pairs simhashPairs=$simhash keepers=$clusters")
+      println(s"  pairs=$pairs simhashPairs=$simhash mankuPairs=$manku keepers=$clusters")
       d.unpersist()
     }
     spark.stop()

@@ -51,7 +51,13 @@ class JobBudgetSpec extends AnyFunSuite {
     "q24_cosine_topk" -> 10L, // broadcast build + corpus stream
     "q36_recipe_pipeline" -> 12L, // 1 inference + main plan only
     "q37_recipe_ratio" -> 16L, // 1 inference + 1 ratio agg + main plan
-    "q50_hash_split" -> 8L // pure narrow ops + one union agg
+    "q50_hash_split" -> 8L, // pure narrow ops + one union agg
+    // 2-level sklearn DAG (sklearn.yml -> 8-child indicator): 64 jobs
+    // measured after the round-4 pass-skip work; the ceiling guards the
+    // two structural wins (skipped pass-1 re-inference at child-only
+    // levels, no per-file task storms) without pinning planner noise
+    "q64_corpus_sklearn_summary" -> 90L,
+    "q59_corpus_bs_summary" -> 25L // 1-child summary chain, 11 measured
   )
 
   for ((q, budget) <- budgets)
