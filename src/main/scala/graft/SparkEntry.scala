@@ -319,6 +319,17 @@ object SparkEntry {
       Multimodal.featurizeExpr(
         Multimodal.fromDocuments(t(s, dir, "documents")))),
 
+    // ---- MM: frame sampling — one row fans out to <=4 byte-range
+    //      frames (the video keyframe-sampler shape), narrow, no shuffle
+    "q66_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.fromDocuments(t(s, dir, "documents")), 4)),
+
+    // ---- MM: aspect-fit resize over the stub-decoded dims
+    "q67_resize" -> ((s, dir) =>
+      Multimodal.resizeStub(
+        Multimodal.fromDocuments(t(s, dir, "documents")), 128, 96)),
+
     // ---- O1-style: top-k rows per group (window rank)
     "q32_topk_per_group" -> ((s, dir) =>
       EventWindows.topKPerGroup(t(s, dir, "orders"),
@@ -990,6 +1001,45 @@ object SparkEntry {
          ('0x' || substr(md5(text), 1, 2))::INT AS width,
          ('0x' || substr(md5(text), 3, 2))::INT AS height
          FROM documents""",
+    // frames = equal-stride byte ranges; frame_hash = md5 of the slice's
+    // lowercase hex (DuckDB has no blob substring, hex-slicing is exact)
+    "q66_frame_sample" ->
+      """WITH d AS (
+           SELECT doc_id AS asset_id,
+                  octet_length(encode(text)) AS len,
+                  lower(to_hex(encode(text))) AS hx
+           FROM documents),
+         s AS (SELECT asset_id, len, hx,
+                      CAST(ceil(len / 4.0) AS BIGINT) AS stride FROM d),
+         f AS (
+           SELECT asset_id, len, hx, stride,
+                  unnest(range(CAST(ceil(len / CAST(stride AS DOUBLE)) AS BIGINT))) AS frame_idx
+           FROM s WHERE len > 0)
+         SELECT asset_id,
+                CAST(frame_idx AS INT) AS frame_idx,
+                frame_idx * stride AS frame_off,
+                CAST(least(stride, len - frame_idx * stride) AS BIGINT) AS frame_bytes,
+                md5(substr(hx, CAST(frame_idx * stride * 2 + 1 AS BIGINT), CAST(stride * 2 AS BIGINT))) AS frame_hash
+         FROM f""",
+    "q67_resize" ->
+      """WITH feat AS (
+           SELECT doc_id AS asset_id, 'text' AS modality,
+                  md5(text) AS content_hash,
+                  ('0x' || substr(md5(text), 1, 2))::INT AS width,
+                  ('0x' || substr(md5(text), 3, 2))::INT AS height
+           FROM documents),
+         cl AS (
+           SELECT asset_id, modality, content_hash,
+                  greatest(width, 1) AS width, greatest(height, 1) AS height
+           FROM feat),
+         sc AS (
+           SELECT *, least(128.0 / width, 96.0 / height, 1.0) AS scale FROM cl)
+         SELECT asset_id, modality, width, height,
+                128 AS target_w, 96 AS target_h,
+                CAST(greatest(floor(width * scale), 1) AS INT) AS out_w,
+                CAST(greatest(floor(height * scale), 1) AS INT) AS out_h,
+                md5(content_hash || 'x' || '128' || 'x' || '96') AS resized_hash
+         FROM sc""",
     "q32_topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
          CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank

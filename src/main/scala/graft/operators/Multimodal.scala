@@ -73,6 +73,72 @@ object Multimodal {
     mm.select(col("asset_id"), col("modality"), col("payload"))
       .mapPartitions(decodeBatch)(org.apache.spark.sql.Encoders.row(featureSchema))
 
+  /** Frame sampling (the video path): emit up to `nFrames` equal-stride
+    * byte ranges per asset — the partitioning/shape contract of a real
+    * ffmpeg keyframe sampler (one input row fans out to N frame rows,
+    * narrow, no shuffle; downstream dedup/embedding operators consume
+    * frames exactly like documents). The frame payload is the real byte
+    * slice (Spark substring is binary-safe); `frame_hash` is the md5 of
+    * the slice's lowercase hex so an engine without blob slicing (the
+    * DuckDB oracle) can mirror it exactly. A production build swaps the
+    * stride slicing for codec-aware keyframe offsets; everything else —
+    * schema, explode shape, hash contract — stays.
+    *
+    * Frames are byte ranges [i*stride, i*stride+stride) for
+    * stride = ceil(byte_len / nFrames); short/empty payloads produce
+    * fewer (or zero) frames, never empty slices. */
+  def sampleFrames(mm: DataFrame, nFrames: Int): DataFrame = {
+    require(nFrames > 0)
+    val len = length(col("payload")).cast(LongType)
+    val stride = ceil(len.cast(DoubleType) / nFrames).cast(LongType)
+    val nf = when(len === 0, 0L)
+      .otherwise(ceil(len.cast(DoubleType) / stride.cast(DoubleType)).cast(LongType))
+    val hexStr = lower(hex(col("payload")))
+    mm.select(col("asset_id"), col("modality"), col("payload"),
+        stride.as("__stride"), nf.as("__nf"), hexStr.as("__hex"))
+      .filter(col("__nf") > 0)
+      .select(col("asset_id"), col("modality"), col("payload"),
+        col("__stride"), col("__hex"),
+        posexplode(sequence(lit(0L), col("__nf") - 1)).as(Seq("__p", "frame_idx")))
+      .select(
+        col("asset_id"),
+        col("frame_idx").cast(IntegerType).as("frame_idx"),
+        (col("frame_idx") * col("__stride")).as("frame_off"),
+        length(col("payload").substr(
+            (col("frame_idx") * col("__stride") + 1).cast(IntegerType),
+            col("__stride").cast(IntegerType)))
+          .cast(LongType).as("frame_bytes"),
+        md5(col("__hex").substr(
+            (col("frame_idx") * col("__stride") * 2 + 1).cast(IntegerType),
+            (col("__stride") * 2).cast(IntegerType)))
+          .as("frame_hash"))
+  }
+
+  /** Resize (the image path): aspect-fit each asset's (stub-decoded)
+    * dimensions into a `targetW`x`targetH` box and bind a deterministic
+    * output-content hash to (content, target box) — the schema/contract
+    * of a real resampler, with the pixel work behind the same stub seam
+    * as [[decodeBatch]]. Scale factor min(tw/w, th/h) capped at 1 (never
+    * upscale), output dims floored but >= 1. */
+  def resizeStub(mm: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0)
+    val feat = featurizeExpr(mm)
+    // stub dims can be 0 (hash byte 0x00); a real decoder never emits a
+    // zero dimension, and ANSI division would throw — clamp to >= 1
+    val w = greatest(col("width"), lit(1)).cast(DoubleType)
+    val h = greatest(col("height"), lit(1)).cast(DoubleType)
+    val scale = least(lit(targetW) / w, lit(targetH) / h, lit(1.0))
+    feat.select(
+      col("asset_id"), col("modality"),
+      greatest(col("width"), lit(1)).as("width"),
+      greatest(col("height"), lit(1)).as("height"),
+      lit(targetW).as("target_w"), lit(targetH).as("target_h"),
+      greatest(floor(w * scale), lit(1L)).cast(IntegerType).as("out_w"),
+      greatest(floor(h * scale), lit(1L)).cast(IntegerType).as("out_h"),
+      md5(concat_ws("x", col("content_hash"), lit(targetW), lit(targetH)))
+        .as("resized_hash"))
+  }
+
   /** Pure-expression variant of the stub featurization (md5/length are
     * native codegen'd functions) — used for oracle checks and as the
     * fast path when features are expressible as columns. */
