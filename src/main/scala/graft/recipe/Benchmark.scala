@@ -134,7 +134,7 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
     * Size. Conflicted columns are never recipe group keys in the corpus
     * (they are first()-carried othercols), so stringification does not
     * change any aggregation key space. */
-  private def unionPandas(frames: Seq[DataFrame]): DataFrame = {
+  private[recipe] def unionPandas(frames: Seq[DataFrame]): DataFrame = {
     import org.apache.spark.sql.types.{DataType, NumericType}
     val seen = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashSet[DataType]]
