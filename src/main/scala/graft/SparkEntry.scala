@@ -246,6 +246,19 @@ object SparkEntry {
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
         k = 12, bands = 4)),
 
+    // ---- DEDUP: incremental near-dup — 20% of docs (doc_id%5=0) arrive
+    //      as a "new batch" probed against the pre-built index of the
+    //      other 80%; result == full-corpus candidates restricted to
+    //      pairs touching the batch (the daily-increment shape: the
+    //      historical corpus is never re-hashed)
+    "q68_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpusIdx = Dedup.minhashIndex(
+        d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", k = 12, bands = 4)
+      Dedup.incrementalMinhashCandidates(corpusIdx,
+        d.filter(col("doc_id") % 5 === 0), "doc_id", "text", k = 12, bands = 4)
+    }),
+
     // ---- DEDUP: SimHash (32-bit) near-dup pairs via band multi-index.
     //      maxHamming=3 < bands=4 => pigeonhole-complete: the oracle is
     //      the all-pairs ground truth, so a hash-match PROVES recall=1
@@ -918,6 +931,22 @@ object SparkEntry {
            FROM sig, range(0, 4) r(b))
          SELECT DISTINCT a.id AS id_a, b.id AS id_b, ${JACC("a.sh", "b.sh")} AS jaccard
          FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id""",
+    // incremental == full-corpus LSH candidates restricted to pairs
+    // touching the new batch (doc_id % 5 = 0) — same band construction
+    "q68_incremental_dedup" ->
+      s"""WITH sh AS (
+           SELECT doc_id AS id, $SHINGLES3 AS strsh, $HSHINGLES3 AS sh FROM documents),
+         sig AS (
+           SELECT id, sh, list_transform(range(0, 12),
+             j -> list_min(list_transform(hs, h -> ((j*2+1) * h + (j*7919+104729)) % 2147483647))) AS sig
+           FROM (SELECT id, sh, list_transform(strsh, s -> ${H32("s")}) AS hs FROM sh)),
+         bands AS (
+           SELECT id, sh, r.b,
+             ${H60("array_to_string(list_transform(sig[r.b*3+1 : r.b*3+3], x -> x::VARCHAR), ',')")} AS bkey
+           FROM sig, range(0, 4) r(b))
+         SELECT DISTINCT a.id AS id_a, b.id AS id_b, ${JACC("a.sh", "b.sh")} AS jaccard
+         FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id
+         WHERE a.id % 5 = 0 OR b.id % 5 = 0""",
     // all-pairs GROUND TRUTH (not the band construction): with
     // maxHamming=3 < bands=4 the band multi-index is pigeonhole-complete,
     // so the Spark side must reproduce this exactly — recall proof

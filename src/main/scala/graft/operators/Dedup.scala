@@ -75,20 +75,36 @@ object Dedup {
     * let-bound so the md5 work runs exactly once per document. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 12, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    // ONE md5 pass inside minhashIndex: the 15-nibble hashed shingle set
+    // both feeds the verify-jaccard (long-array intersection is far
+    // cheaper than string arrays, and both sides hash identically so the
+    // Jaccard value is the same) AND yields the 32-bit minhash base as
+    // its top bits — md5 prefixes nest, so hash32(s) == hash60(s) >> 28
+    // exactly, matching the oracle's independent H32 formulation. The
+    // exploded band rows land on their bucket partitioning so the
+    // self-join reads BOTH sides from that one exchange instead of
+    // recomputing the hash pipeline twice.
+    val sig = minhashIndex(df, idCol, textCol, k, bands, shingleN)
+      .repartition(col("bk"))
+    val a = sig.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bk"))
+    val b = sig.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bk"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct()
+  }
+
+  /** The persistable MinHash-LSH index of a corpus: one row per
+    * (document, band) carrying the hashed shingle set (for exact verify)
+    * and the band bucket key (for candidate equi-joins). In production
+    * this is written once to parquet partitioned/bucketed by `bk` and
+    * appended per increment — [[incrementalMinhashCandidates]] consumes
+    * it so a daily batch never re-hashes the historical corpus. */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 12, bands: Int = 4, shingleN: Int = 3): DataFrame = {
     val rowsPerBand = k / bands
-    // spread the shingle+hash work across all cores (a single input file
-    // arrives as one split), then land the exploded band rows on their
-    // bucket partitioning — the self-join reads BOTH sides from that one
-    // exchange instead of recomputing the hash pipeline twice
     val par = df.sparkSession.sparkContext.defaultParallelism
-    // ONE md5 pass: the 15-nibble hashed shingle set both feeds the
-    // verify-jaccard (long-array intersection is far cheaper than string
-    // arrays, and both sides hash identically so the Jaccard value is the
-    // same) AND yields the 32-bit minhash base as its top bits — md5
-    // prefixes nest, so hash32(s) == hash60(s) >> 28 exactly, matching
-    // the oracle's independent H32 formulation. `sh` lands as a real
-    // projected column before the band derivation, so the md5 sweep runs
-    // once per document, not once per consumer.
     val hashed = df.repartition(par).select(
       col(idCol).as("id"),
       array_sort(array_distinct(
@@ -97,14 +113,33 @@ object Dedup {
       minhashSignatureOfHashed(transform(col("sh"), x => shiftright(x, 28)), k)) { sig =>
         lshBandKeysOf(sig, bands, rowsPerBand)
       }
-    val sig = hashed.select(col("id"), col("sh"), explode(bandsExpr).as("bk"))
-      .repartition(col("bk"))
-    val a = sig.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bk"))
-    val b = sig.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bk"))
-    a.join(b, Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+    hashed.select(col("id"), col("sh"), explode(bandsExpr).as("bk"))
+  }
+
+  /** Incremental near-dup candidates: every pair that TOUCHES the new
+    * batch — (new, old) via a probe of the pre-built corpus index, plus
+    * (new, new) within the batch. Identical hash construction to
+    * [[minhashCandidates]], so the result equals the full-corpus
+    * candidate set restricted to new-touching pairs — the production
+    * shape where a 100 TB historical corpus is indexed ONCE and each
+    * increment only hashes itself (index cost O(batch), join cost
+    * bounded by the batch's bucket occupancy, never a corpus re-scan).
+    * `corpusIndex` is [[minhashIndex]] output (fresh or read back from
+    * its parquet home); parameters must match the index build. */
+  def incrementalMinhashCandidates(corpusIndex: DataFrame, batch: DataFrame,
+                                   idCol: String, textCol: String,
+                                   k: Int = 12, bands: Int = 4,
+                                   shingleN: Int = 3): DataFrame = {
+    val newIdx = minhashIndex(batch, idCol, textCol, k, bands, shingleN)
+      .withColumn("__new", lit(true))
+    val all = corpusIndex.withColumn("__new", lit(false)).unionByName(newIdx)
+    val probe = newIdx.select(col("bk"), col("id").as("__pid"), col("sh").as("__psh"))
+    probe.join(all, Seq("bk"))
+      .filter(col("__pid") =!= col("id"))
+      .select(
+        least(col("__pid"), col("id")).as("id_a"),
+        greatest(col("__pid"), col("id")).as("id_b"),
+        jaccardSorted(col("__psh"), col("sh")).as("jaccard"))
       .distinct()
   }
 
