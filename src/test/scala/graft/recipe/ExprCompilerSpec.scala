@@ -118,6 +118,34 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(out == Seq((true, false, true), (false, true, false)))
   }
 
+  test("== / != across types never throw and follow inference-parity semantics") {
+    import spark.implicits._
+    // a LONG column compared against a string: Python says False, ANSI
+    // Spark would throw CAST_INVALID_INPUT casting 'Serial' to bigint
+    val longs = Seq(1L, 16L).toDF("threads")
+    val a = longs.select(
+      compile(parse("row['threads'] == 'Serial'")).as("eqs"),
+      compile(parse("row['threads'] != 'Serial'")).as("nes"),
+      compile(parse("row['threads'] == 1")).as("eq1"))
+      .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSeq
+    assert(a == Seq((false, true, true), (false, true, false)))
+    // a STRING column with mixed values against a number: numeric
+    // equality where both sides parse (inference parity: the reference's
+    // to_numeric would have promoted an all-numeric column, so '2' == 2),
+    // plain False where the cell is non-numeric
+    val strs = Seq("Serial", "16", "2").toDF("threads")
+    val b = strs.select(
+      compile(parse("row['threads'] == 16")).as("eq16"),
+      compile(parse("row['threads'] == 'Serial'")).as("eqser"))
+      .collect().map(r => (r.get(0), r.get(1))).toSeq
+    assert(b == Seq((false, true), (true, false), (false, false)))
+    // the df_regr Mode idiom end-to-end: string-or-numeric disjunct
+    val c = strs.select(compile(parse(
+      "'Serial' if row['threads'] == 'Serial' or row['threads'] == 1 else 'Parallel'")).as("m"))
+      .collect().map(_.getString(0)).toSeq
+    assert(c == Seq("Serial", "Parallel", "Parallel"))
+  }
+
   test("unsupported constructs fail loudly") {
     assertThrows[ExprError](compile(parse("__import__('os')")))
     assertThrows[ExprError](compile(parse("row['x'].unknown_method()")))
