@@ -130,9 +130,14 @@ object Dedup {
                                    idCol: String, textCol: String,
                                    k: Int = 12, bands: Int = 4,
                                    shingleN: Int = 3): DataFrame = {
+    // the batch index feeds BOTH the union side and the probe side of
+    // the join below; localCheckpoint (lazy) materializes its md5 +
+    // shingle + minhash pipeline once instead of twice per run — the
+    // whole point of the incremental shape is that only the batch is
+    // hashed, so hashing it twice would double the increment's cost
     val newIdx = minhashIndex(batch, idCol, textCol, k, bands, shingleN)
-      .withColumn("__new", lit(true))
-    val all = corpusIndex.withColumn("__new", lit(false)).unionByName(newIdx)
+      .localCheckpoint(false)
+    val all = corpusIndex.unionByName(newIdx)
     val probe = newIdx.select(col("bk"), col("id").as("__pid"), col("sh").as("__psh"))
     probe.join(all, Seq("bk"))
       .filter(col("__pid") =!= col("id"))

@@ -135,7 +135,10 @@ object Multimodal {
       lit(targetW).as("target_w"), lit(targetH).as("target_h"),
       greatest(floor(w * scale), lit(1L)).cast(IntegerType).as("out_w"),
       greatest(floor(h * scale), lit(1L)).cast(IntegerType).as("out_h"),
-      md5(concat_ws("x", col("content_hash"), lit(targetW), lit(targetH)))
+      // concat (not concat_ws): a null content_hash must yield a null
+      // resized_hash — concat_ws would SKIP the null and fabricate a
+      // real-looking hash bound to no content for a contentless asset
+      md5(concat(col("content_hash"), lit(s"x${targetW}x$targetH")))
         .as("resized_hash"))
   }
 

@@ -32,22 +32,36 @@ object CsvSource {
 
   /** Hadoop-FS glob expansion (works for local paths and hdfs/s3 alike),
     * sorted for determinism. */
-  def expandGlobs(spark: SparkSession, patterns: Seq[String], baseDir: String): Seq[String] = {
+  def expandGlobs(spark: SparkSession, patterns: Seq[String], baseDir: String): Seq[String] =
+    expandGlobStatuses(spark, patterns, baseDir).map(_._1)
+
+  /** Like [[expandGlobs]] but keeps each file's length from the same
+    * globStatus listing — the scan's partition-count math needs the
+    * sizes, and re-fetching them with per-file getFileStatus calls would
+    * pay one extra driver RPC per file (linear in glob size, exactly the
+    * many-small-files case the partition coalescing targets). */
+  private[recipe] def expandGlobStatuses(spark: SparkSession, patterns: Seq[String],
+                                         baseDir: String): Seq[(String, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     patterns.flatMap { pat =>
       val resolved = if (new java.io.File(pat).isAbsolute) pat
         else new java.io.File(baseDir, pat).getPath
       val p = new Path(resolved)
       val fs = p.getFileSystem(conf)
-      Option(fs.globStatus(p)).map(_.toSeq.map(_.getPath.toUri.getPath)).getOrElse(Seq.empty)
-    }.sorted
+      Option(fs.globStatus(p))
+        .map(_.toSeq.map(s => (s.getPath.toUri.getPath, s.getLen)))
+        .getOrElse(Seq.empty)
+    }.sortBy(_._1)
   }
 
-  /** Per-file scan facts decided driver-side from the one-line peek. */
+  /** Per-file scan facts decided driver-side from the one-line peek;
+    * `len` carried from the glob listing so partition math never
+    * re-stats the file. */
   private case class FileInfo(path: String, names: Seq[String], hasHeaderRow: Boolean,
-                              meta: Seq[(String, Any)])
+                              meta: Seq[(String, Any)], len: Long)
 
-  private def fileInfo(spark: SparkSession, recipe: Recipe, file: String): FileInfo = {
+  private def fileInfo(spark: SparkSession, recipe: Recipe, file: String,
+                       len: Long): FileInfo = {
     val first = firstFilteredLine(spark, recipe, file)
     val (names, hasHeaderRow) = recipe.input.csvHeader match {
       case Some(header) =>
@@ -64,7 +78,7 @@ object CsvSource {
         if (first.isEmpty) throw RecipeError(s"'$file' has no data after filtering")
         (splitCsvLine(first).map(_.trim), true)
     }
-    FileInfo(file, names, hasHeaderRow, readMeta(file))
+    FileInfo(file, names, hasHeaderRow, readMeta(file), len)
   }
 
   /** Split one CSV record into fields (RFC-4180 quoting) — driver-side
@@ -166,15 +180,11 @@ object CsvSource {
         // wholetext gives ONE partition per file; a 500-small-log glob
         // would otherwise drag 500 near-empty tasks through every later
         // pass over the (persisted) parse. Coalesce to a size-derived
-        // count (128 MB targets, like the native scan's maxPartitionBytes
-        // packing) — no shuffle, and at 100 TB the same formula yields
-        // thousands of partitions.
-        val totalBytes = files.map { fi =>
-          val p = new Path(fi.path)
-          try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .getFileStatus(p).getLen
-          catch { case _: java.io.IOException => 1L << 20 }
-        }.sum
+        // count (2 MB CPU-bound parse targets — see below) — no shuffle,
+        // and at 100 TB the same formula yields thousands of partitions.
+        // Lengths come from the glob listing (FileInfo.len), not a
+        // second per-file stat pass.
+        val totalBytes = files.map(_.len).sum
         // Partition count = bytes/2MB, capped at the file count:
         // wholetext cannot split a file, so more partitions than files is
         // meaningless; fewer than bytes/2MB serializes the one-time
@@ -293,7 +303,7 @@ object CsvSource {
       throw RecipeError(
         s"input.format '${recipe.input.format}' is unsupported in this build (only 'csv', 'sql')")
     val patterns = inputs.getOrElse(recipe.input.paths)
-    val files = expandGlobs(spark, patterns, recipe.baseDir)
+    val files = expandGlobStatuses(spark, patterns, recipe.baseDir)
     if (files.isEmpty && patterns.nonEmpty)
       throw RecipeError(s"No matching files found for $patterns")
     // A suffix-less glob (pca-native's 'runs/.../*_pca*') also matches the
@@ -303,14 +313,14 @@ object CsvSource {
     // as-data rows never reach any output. Skipping them at the scan is
     // behaviorally identical (no corpus recipe combines a sidecar-matching
     // glob with an empty axis) and avoids parsing YAML as CSV.
-    val dataFiles = files.filterNot(_.endsWith(".meta"))
+    val dataFiles = files.filterNot(_._1.endsWith(".meta"))
     if (recipe.input.format == "sql") {
       val table = recipe.input.tableName.getOrElse(throw RecipeError(
         "input.format 'sql' requires input.table-name (aggregate.py:296-297)"))
-      dataFiles.map(f => try graft.sources.Sqlite.scan(spark, f, table)
-        catch { case e: graft.sources.Sqlite.SqliteError => throw RecipeError(e.msg) })
+      dataFiles.map { case (f, _) => try graft.sources.Sqlite.scan(spark, f, table)
+        catch { case e: graft.sources.Sqlite.SqliteError => throw RecipeError(e.msg) } }
     } else {
-      val infos = dataFiles.map(f => fileInfo(spark, recipe, f))
+      val infos = dataFiles.map { case (f, len) => fileInfo(spark, recipe, f, len) }
       // group by (schema, header-mode); preserve first-file order so the
       // union's frame order (and thus `first()` carry-alongs) is stable
       infos.groupBy(fi => (fi.names, fi.hasHeaderRow)).toSeq

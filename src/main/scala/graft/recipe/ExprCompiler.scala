@@ -440,12 +440,25 @@ object ExprCompiler {
   /** Cross-type-safe equality (see Cmp("==") note): numeric equality
     * when both sides try_cast to double, string equality otherwise. Null
     * on either side stays null (callers coalesce to the Python
-    * missing-data answer). */
+    * missing-data answer).
+    *
+    * Integral values compare on an exact long path first: a plain
+    * double compare would conflate distinct ints beyond 2^53 (Python's
+    * int == int is arbitrary-precision). The long path is gated on the
+    * long round-tripping through double — try_cast(1.5 as long)
+    * TRUNCATES to 1, so without the round-trip guard 1.5 == 1 would be
+    * true; with it, any fractional side falls through to the double
+    * compare (which is Python's float semantics anyway). */
   private def pyEq(l: Column, r: Column): Column = {
-    import org.apache.spark.sql.types.{DoubleType, StringType}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
     val ln = l.try_cast(DoubleType)
     val rn = r.try_cast(DoubleType)
+    val li = l.try_cast(LongType)
+    val ri = r.try_cast(LongType)
+    val bothIntegral = li.isNotNull && ri.isNotNull &&
+      li.cast(DoubleType) === ln && ri.cast(DoubleType) === rn
     when(l.isNull || r.isNull, lit(null).cast("boolean"))
+      .when(bothIntegral, li === ri)
       .when(ln.isNotNull && rn.isNotNull, ln === rn)
       .otherwise(l.cast(StringType) === r.cast(StringType))
   }

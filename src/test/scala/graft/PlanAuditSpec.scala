@@ -94,6 +94,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // implementation detail) must not fail the suite — only a NEW shuffle
     val p = plan("q55_curation")
     assert("Exchange".r.findAllIn(p).length <= 2, p)
+    // the dedup window's rank<=1 must stay pushed into WindowGroupLimit
+    // (top-1-per-key before full window materialization); losing it
+    // would silently re-materialize every duplicate group at scale
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("no suite query materializes an unbounded pair space") {

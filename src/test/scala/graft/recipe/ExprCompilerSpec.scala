@@ -146,6 +146,25 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(c == Seq("Serial", "Parallel", "Parallel"))
   }
 
+  test("== on integers is exact beyond 2^53 (no double conflation)") {
+    import spark.implicits._
+    // 2^53 and 2^53+1 round to the SAME double; Python int == int is
+    // arbitrary-precision, so they must compare unequal — and a
+    // fractional side must NOT ride the exact-long path (try_cast
+    // truncates 1.5 -> 1, which would make 1.5 == 1 true)
+    val big = Seq(9007199254740992L, 9007199254740993L).toDF("id")
+    val a = big.select(
+      compile(parse("row['id'] == 9007199254740993")).as("eq"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(a == Seq(false, true))
+    val fracs = Seq(1.5, 1.0).toDF("x")
+    val b = fracs.select(
+      compile(parse("row['x'] == 1")).as("eq1"),
+      compile(parse("row['x'] == 1.5")).as("eqh"))
+      .collect().map(r => (r.get(0), r.get(1))).toSeq
+    assert(b == Seq((false, true), (true, false)))
+  }
+
   test("unsupported constructs fail loudly") {
     assertThrows[ExprError](compile(parse("__import__('os')")))
     assertThrows[ExprError](compile(parse("row['x'].unknown_method()")))
