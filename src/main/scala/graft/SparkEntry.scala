@@ -290,14 +290,15 @@ object SparkEntry {
     // ---- DEDUP: embedding-cosine near-dup pairs via banded sign-LSH
     //      (4 bands x 8 bits) with Hamming-1 multi-probe + exact-cosine
     //      verify — bucket equi-join, no BroadcastNestedLoopJoin
-    // band width self-tunes from the corpus row count (parquet metadata
-    // count — no data scan); <= ~8k vectors resolves to the documented
-    // 4x8 configuration, so the oracle mirror stays exact at test SF
-    "q25_embedding_neardup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      Dedup.embeddingNearDupsAuto(e, "vec_id", "embedding", 0.4,
-        corpusSize = e.count(), bands = 4)
-    }),
+    // bandBits pinned to 8 here because the DuckDB oracle mirrors that
+    // exact construction (same reason q43 pins planes=8): a self-tuned
+    // width would silently desync the gate the day the test corpus
+    // crosses the next power of two. The scale path is
+    // Dedup.embeddingNearDupsAuto (bandBits = lshBandBitsFor(n)),
+    // equivalence-tested at the 8-bit point in MankuSpec.
+    "q25_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupsBanded(t(s, dir, "embeddings"),
+        "vec_id", "embedding", 0.4, bands = 4, bandBits = 8)),
 
     // ---- ANN: deterministic random-hyperplane LSH bucket histogram
     "q26_lsh_buckets" -> ((s, dir) =>
@@ -669,6 +670,21 @@ object SparkEntry {
     "q64_corpus_sklearn_summary" -> ((s, dir) => {
       val root = graft.corpus.ReferenceCorpus.ensure(s, dir)
       graft.recipe.Benchmark(s, s"$root/sklearn.yml")
+        .getAggregatedData()
+        .select(col("Function"), col("Prefix"), col("Arch"), col("Mode"),
+          round(col("Ratio"), 6).as("Ratio"))
+    }),
+
+    // ---- A7/A8 end-to-end on the corpus: sklearn.yml with the
+    //      reference's commented-out `expected:` block RESTORED
+    //      (sklearn.yml:17-21). None of the three expected prefixes
+    //      occur in the indicator output, so every (Function ×
+    //      expected-prefix) combo is filled with a null row (A7), and
+    //      the ordering check (A8) fires a warning per group — the only
+    //      corpus-shaped path through both machines.
+    "q69_corpus_expected_fill" -> ((s, dir) => {
+      val path = graft.corpus.ReferenceCorpus.ensureExpected(s, dir)
+      graft.recipe.Benchmark(s, path)
         .getAggregatedData()
         .select(col("Function"), col("Prefix"), col("Arch"), col("Mode"),
           round(col("Ratio"), 6).as("Ratio"))
@@ -1671,6 +1687,55 @@ object SparkEntry {
                 ROUND(b.b / g.g, 6) AS Ratio
          FROM grp g JOIN sel USING (Prefix, Function)
          LEFT JOIN base b USING (Function)""",
+
+    // q64's result plus the A7 fill: expected combos absent from the
+    // aggregate become null-Ratio rows, one per observed (Function,
+    // Arch, Mode) combo x expected prefix (anti-join mirrors the
+    // engine's grid-minus-present construction)
+    "q69_corpus_expected_fill" ->
+      """WITH skp AS (
+           SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'intelpython3'
+                    ELSE 'stockpython3' END AS Prefix,
+                  CASE o_orderkey % 4 WHEN 0 THEN 'kmeans' WHEN 1 THEN 'ridge'
+                    WHEN 2 THEN 'linear' ELSE 'distances' END AS Function,
+                  CAST(2 + (o_orderkey // 5) % 3 AS VARCHAR) AS Classes,
+                  CASE WHEN (o_orderkey // 2) % 3 = 0 THEN 'Serial'
+                    ELSE 'Parallel' END AS Mode,
+                  CASE WHEN (o_orderkey // 8) % 2 = 0 THEN 'Xeon'
+                    ELSE 'icelake' END AS Arch,
+                  CAST(0.5 + (o_orderkey % 110) * 0.25 AS DOUBLE) AS Time
+           FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0),
+         skn AS (
+           SELECT CASE s_suppkey % 4 WHEN 0 THEN 'kmeans' WHEN 1 THEN 'ridge'
+                    WHEN 2 THEN 'linear' ELSE 'distances' END AS Function,
+                  CASE WHEN (s_suppkey // 2) % 3 = 0 THEN 'Serial'
+                    ELSE 'Parallel' END AS Mode,
+                  CASE WHEN (s_suppkey // 8) % 2 = 0 THEN 'Xeon'
+                    ELSE 'icelake' END AS Arch,
+                  CAST(0.25 + (s_suppkey % 90) * 0.25 AS DOUBLE) AS Time
+           FROM supplier),
+         grp AS (
+           SELECT Prefix, Function, MEDIAN(Time) AS g FROM skp
+           WHERE Mode = 'Parallel' AND Arch = 'Xeon' GROUP BY ALL),
+         base AS (
+           SELECT Function, MEDIAN(Time) AS b FROM skn
+           WHERE Mode = 'Parallel' AND Arch = 'Xeon' GROUP BY ALL),
+         sel AS (
+           SELECT DISTINCT Prefix, Function FROM skp
+           WHERE Mode = 'Parallel' AND Arch = 'Xeon' AND Classes <> '2'),
+         res AS (
+           SELECT g.Function, g.Prefix, 'Xeon' AS Arch, 'Parallel' AS Mode,
+                  ROUND(b.b / g.g, 6) AS Ratio
+           FROM grp g JOIN sel USING (Prefix, Function)
+           LEFT JOIN base b USING (Function)),
+         fills AS (
+           SELECT c.Function, e.Prefix, c.Arch, c.Mode,
+                  CAST(NULL AS DOUBLE) AS Ratio
+           FROM (SELECT DISTINCT Function, Arch, Mode FROM res) c
+           CROSS JOIN (VALUES ('StockPython'),('IntelPython'),('Native-C')) e(Prefix)
+           ANTI JOIN res r ON c.Function = r.Function AND c.Arch = r.Arch
+             AND c.Mode = r.Mode AND e.Prefix = r.Prefix)
+         SELECT * FROM res UNION ALL SELECT * FROM fills""",
 
     // recomputes the umath-native fixture mapping; aggregation: min
     "q57_corpus_umath" ->

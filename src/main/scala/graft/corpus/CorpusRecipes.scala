@@ -1290,6 +1290,30 @@ object CorpusRecipes {
       |number-format-max-only: false
       |""".stripMargin
 
+  /** NOT one of the 28 verbatim recipes: sklearn.yml with the
+    * reference's commented-out `expected:` block (sklearn.yml:17-21)
+    * RESTORED. The reference ships the block only as a comment, so no
+    * verbatim recipe can exercise the expected-fill (A7) and
+    * expected-ordering (A8) paths end-to-end; this derived recipe is
+    * exactly what the reference would run with the comment removed.
+    * None of the three listed prefixes occur in the sklearn indicator
+    * output (fixtures emit intelpython3/stockpython3), so every
+    * (Function × expected-prefix) combo is filled with a null row —
+    * oracle-checked by q69. Written OUTSIDE [[ReferenceCorpus
+    * .recipeFiles]] so CorpusParitySpec's 28-recipe verbatim gate is
+    * untouched. */
+  val sklearnSummaryExpected: String =
+    sklearnSummary.replace(
+      "series:\n- Prefix\n",
+      """series:
+        |- Prefix
+        |
+        |expected:
+        |- [StockPython]
+        |- [IntelPython]
+        |- [Native-C]
+        |""".stripMargin)
+
   /** Goal rows shaped like examples/aggregations/targets.csv: unioned as
     * a side input by indicators.yml. The scalar*array row exercises the
     | Function filter-out; the rest lack Domain/Arch and are dropped by

@@ -67,9 +67,17 @@ object ReferenceCorpus {
 
   private def fmt(x: Double): String = "%.2f".formatLocal(Locale.ROOT, x)
 
-  /** Generates (once) and returns the fixture root for `sfDir`. */
-  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
-    val tag = new File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+  /** Generates (once) and returns the fixture root for `sfDir`.
+    *
+    * `mult` replicates every driving key `mult`× (k -> k*mult+i), which
+    * multiplies fixture LINE counts while keeping the file/recipe layout
+    * — the growth regime of real benchmark-log corpora (logs get longer,
+    * the recipe tree doesn't). Used by [[graft.tools.DagScale]] for
+    * wall-vs-data curves; the oracle suite always runs at mult=1. */
+  def ensure(spark: SparkSession, sfDir: String, mult: Int = 1): String = synchronized {
+    require(mult >= 1)
+    val tag = new File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_") +
+      (if (mult > 1) s"_x$mult" else "")
     // bump the version suffix whenever fixture content changes — the
     // marker below caches the tree across JVMs
     val root = new File(sys.props("java.io.tmpdir"), s"graft_corpus_v9_$tag")
@@ -80,9 +88,12 @@ object ReferenceCorpus {
     def line(path: String, s: String): Unit =
       files.getOrElseUpdate(path, new StringBuilder).append(s).append('\n')
 
-    def keys(table: String, keyCol: String): Array[Long] =
-      spark.read.parquet(s"$sfDir/$table.parquet")
+    def keys(table: String, keyCol: String): Array[Long] = {
+      val base = spark.read.parquet(s"$sfDir/$table.parquet")
         .select(keyCol).collect().map(_.getLong(0))
+      if (mult == 1) base
+      else base.flatMap(k => Array.tabulate(mult)(i => k * mult + i))
+    }
 
     // ---- omnisci server logs (events.event_id) ----
     for (k <- keys("events", "event_id")) {
@@ -388,6 +399,22 @@ object ReferenceCorpus {
       throw new java.io.IOException(s"could not move $tmp to $root")
     Files.write(marker.toPath, Array.emptyByteArray)
     root.getPath
+  }
+
+  /** Ensures the fixture tree, then writes the derived
+    * `sklearn_expected.yml` (sklearn.yml with the reference's
+    * commented-out `expected:` block restored — see
+    * [[CorpusRecipes.sklearnSummaryExpected]]) next to the 28 verbatim
+    * recipes and returns its path. Kept out of [[recipeFiles]] so the
+    * verbatim-parity gate stays a pure 28/28 check. */
+  def ensureExpected(spark: SparkSession, sfDir: String): String = synchronized {
+    val root = ensure(spark, sfDir)
+    val text = CorpusRecipes.sklearnSummaryExpected
+    require(text.contains("expected:"), "derived recipe lost its expected block")
+    val f = new File(root, "sklearn_expected.yml")
+    if (!f.isFile)
+      Files.write(f.toPath, text.getBytes(StandardCharsets.UTF_8))
+    f.getPath
   }
 
   private def deleteRecursively(f: File): Unit = {

@@ -26,7 +26,10 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
   // df_clsf) as distinct padded columns, and indicator precomputes
   // reference one spelling exactly. Set eagerly so plans built below
   // (analysis happens at DataFrame construction) resolve pandas-style
-  // even under a caller session that left the Spark default.
+  // even under a caller session that left the Spark default. The
+  // Benchmark owns the session's resolution mode from construction
+  // until [[unpersist]], which restores the caller's prior setting.
+  private val priorCaseSensitive = spark.conf.get("spark.sql.caseSensitive", "false")
   spark.conf.set("spark.sql.caseSensitive", "true")
 
   /** Warning side-channel (SURVEY §7.4.4): expected-combination fills and
@@ -84,9 +87,13 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
           val name = new java.io.File(resolved).getName.replaceAll("\\.[^.]*$", "")
           val f = child.getNormalizedData().withColumn("File", lit(name)).cache()
           persistedFrames.synchronized { persistedFrames += f }
-          // File was just overwritten with a non-numeric literal: its
-          // to_numeric outcome is known without a scan
-          (f, child.stringVerdicts + ("File" -> true))
+          // File was just overwritten with a constant literal: its
+          // to_numeric outcome is known without a scan. Almost always
+          // the basename is non-numeric ('sklearn', 'umath'), but a
+          // child named e.g. 2024.yml would stamp a castable "2024" —
+          // the verdict must reflect the actual literal or the parent's
+          // skip-pass-1 proof is unsound for that column.
+          (f, child.stringVerdicts + ("File" -> name.toDoubleOption.isEmpty))
         })
       }
     }
@@ -95,11 +102,15 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
 
   lazy val childFrames: Seq[DataFrame] = childEvals.map(_._1)
 
-  /** Release every frame this benchmark (and its children) pinned. */
+  /** Release every frame this benchmark (and its children) pinned, and
+    * restore the caller's `spark.sql.caseSensitive` (the constructor
+    * forces it true; every plan this benchmark builds is analyzed before
+    * release, so the restore cannot affect them). */
   def unpersist(): Unit = {
     persistedFrames.foreach(_.unpersist(false))
     persistedFrames.clear()
     childBenches.foreach(_.unpersist())
+    spark.conf.set("spark.sql.caseSensitive", priorCaseSensitive)
   }
 
   /** Raw scan with the parsed FILE portion persisted (MEMORY_AND_DISK):
@@ -109,13 +120,25 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
     * every stage outright (eager pandas, aggregate.py:316-585). Child
     * frames are cached separately ([[childFrames]]), so nothing is pinned
     * twice. Spill-safe at scale (disk overflow), released by
-    * [[unpersist]]. */
+    * [[unpersist]].
+    *
+    * The pin is conditional on the recipe actually re-reading the scan:
+    * the CSV parse is all-string, so the P5 inference pass runs (one
+    * eager aggregate over the parse) whenever ANY relevant column
+    * exists, and the final aggregation is a second pass — i.e. every
+    * computing recipe is multi-pass. Only a degenerate pass-through
+    * recipe (no values/axis/filters/reshapes/precomputes) reads the
+    * parse exactly once, and then the cache write is pure overhead. */
   def getRawData(inputs: Option[Seq[String]] = None): DataFrame = {
     val fileFrames = CsvSource.scanFiles(spark, recipe, inputs)
+    val multiPass = relevantCols.nonEmpty || recipe.precomputed.nonEmpty
     val filePart = if (fileFrames.isEmpty) Nil else {
-      val p = unionPandas(fileFrames)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persistedFrames += p
+      val u = unionPandas(fileFrames)
+      val p = if (multiPass) {
+        val c = u.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persistedFrames += c
+        c
+      } else u
       Seq(p)
     }
     val all = childFrames ++ filePart

@@ -333,6 +333,26 @@ class RecipePipelineSpec extends AnyFunSuite {
     assert(bench.warnings.exists(_.contains("ordering")))
   }
 
+  test("corpus-shaped expected block: A7 fill + A8 warnings end-to-end (q69 recipe)") {
+    // the derived sklearn_expected.yml = reference sklearn.yml with its
+    // commented-out expected block restored; none of the three expected
+    // prefixes occur in the fixture output, so every (Function x prefix)
+    // combo fills AND every group's ordering check warns
+    val path = graft.corpus.ReferenceCorpus.ensureExpected(spark, "/root/testdata/sf0.001")
+    val bench = Benchmark(spark, path)
+    val out = bench.getAggregatedData()
+      .select("Function", "Prefix", "Ratio").collect()
+    val filled = out.filter(_.isNullAt(2)).map(r => (r.getString(0), r.getString(1)))
+    val functions = out.map(_.getString(0)).distinct
+    // one filled row per observed Function x each of the 3 expected prefixes
+    assert(filled.length == functions.length * 3, filled.mkString(", "))
+    assert(filled.map(_._2).toSet ==
+      Set("StockPython", "IntelPython", "Native-C"))
+    assert(bench.warnings.exists(_.contains("missing")))
+    assert(bench.warnings.exists(_.contains("ordering")))
+    bench.unpersist()
+  }
+
   test("child recipes compose (S7) and sinks render") {
     val dir = tmpDir()
     write(dir, "raw.csv", "impl, size, time\nnumpy, 100, 2.0\nnumba, 100, 0.5\n")
