@@ -259,6 +259,39 @@ object SparkEntry {
         d.filter(col("doc_id") % 5 === 0), "doc_id", "text", k = 12, bands = 4)
     }),
 
+    // ---- DECONTAMINATION: corpus docs sharing >= 5 distinct 3-gram
+    //      shingle hashes with a benchmark/eval sample (doc_id % 97 == 0)
+    //      (threshold pinned at 3: max cross-doc overlap in the synthetic
+    //      corpus is 4, so the gate has nonzero rows to hash-match)
+    //      — benchmark shingle set broadcast, join map-side at the scan,
+    //      one shuffle for the per-doc overlap count
+    "q71_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.contamination(
+        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", shingleN = 3, minOverlap = 3L)
+    }),
+
+    // ---- PII SCRUB: deterministic synthetic PII (email/phone/IPv4
+    //      derived from doc_id — the testdata text itself is clean)
+    //      appended to each doc, then counted and redacted; the md5 of
+    //      the redacted text pins the exact output string
+    "q70_pii_redact" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").withColumn("t",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or call 555-"),
+          lpad(((col("doc_id") * 7) % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((col("doc_id") * 13) % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), ((col("doc_id") * 3) % 256).cast("string")))
+      aug.select(col("doc_id"),
+        TextAnalysis.piiCount(col("t"), TextAnalysis.EmailRe).as("n_email"),
+        TextAnalysis.piiCount(col("t"), TextAnalysis.PhoneRe).as("n_phone"),
+        TextAnalysis.piiCount(col("t"), TextAnalysis.Ipv4Re).as("n_ip"),
+        md5(TextAnalysis.redactPii(col("t"))).as("redacted_md5"))
+    }),
+
     // ---- DEDUP: SimHash (32-bit) near-dup pairs via band multi-index.
     //      maxHamming=3 < bands=4 => pigeonhole-complete: the oracle is
     //      the all-pairs ground truth, so a hash-match PROVES recall=1
@@ -963,6 +996,38 @@ object SparkEntry {
          SELECT DISTINCT a.id AS id_a, b.id AS id_b, ${JACC("a.sh", "b.sh")} AS jaccard
          FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id
          WHERE a.id % 5 = 0 OR b.id % 5 = 0""",
+    // distinct-shingle-hash overlap of corpus docs vs the benchmark
+    // sample's shingle set (same md5/hash60 family as the dedup oracles)
+    "q71_contamination" ->
+      s"""WITH sh AS (
+           SELECT doc_id AS id, $HSHINGLES3 AS sh FROM documents),
+         bench AS (
+           SELECT DISTINCT h FROM (SELECT unnest(sh) AS h FROM sh WHERE id % 97 = 0)),
+         corp AS (
+           SELECT id, unnest(sh) AS h FROM sh WHERE id % 97 <> 0)
+         SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS overlap
+         FROM corp JOIN bench USING (h)
+         GROUP BY id HAVING count(*) >= 3""",
+    // same augmentation + same RE2-safe patterns, same redaction order
+    "q70_pii_redact" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                  '@mail.example.com or call 555-' ||
+                  lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+                  lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0') ||
+                  ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+                  '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR) AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+         FROM aug""",
     // all-pairs GROUND TRUTH (not the band construction): with
     // maxHamming=3 < bands=4 the band multi-index is pigeonhole-complete,
     // so the Spark side must reproduce this exactly — recall proof

@@ -116,6 +116,29 @@ object Dedup {
     hashed.select(col("id"), col("sh"), explode(bandsExpr).as("bk"))
   }
 
+  /** Benchmark-contamination detection (training-data decontamination):
+    * corpus docs sharing >= `minOverlap` DISTINCT n-gram shingle hashes
+    * with the benchmark/eval set, with the overlap count. The benchmark
+    * side (an eval suite — thousands of docs, vs a 100 TB corpus) is
+    * reduced to its distinct shingle-hash set and BROADCAST, so the
+    * join is map-side at the corpus scan: the only shuffle is the
+    * per-doc overlap count. Same md5 shingle hashing as the minhash
+    * index — one hash family across the whole dedup surface. (At
+    * extreme benchmark sizes a Bloom filter over the same hashes is
+    * the drop-in lossy variant; the exact broadcast set is preferred
+    * while it fits, since false positives here delete training data.) */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleN: Int = 3, minOverlap: Long = 5L): DataFrame = {
+    def hs(c: Column) = array_distinct(
+      call_function("graft_md5_hash_array", wordShingles(c, shingleN), lit(15)))
+    val bench = benchmark.select(explode(hs(col(textCol))).as("h")).distinct()
+    corpus.select(col(idCol).as("doc_id"), explode(hs(col(textCol))).as("h"))
+      .join(broadcast(bench), Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** Incremental near-dup candidates: every pair that TOUCHES the new
     * batch — (new, old) via a probe of the pre-built corpus index, plus
     * (new, new) within the batch. Identical hash construction to

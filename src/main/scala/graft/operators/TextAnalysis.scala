@@ -208,4 +208,27 @@ object TextAnalysis {
     val best = array_max(array(scored: _*))
     when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
   }
+
+  // ---- PII scrubbing (training-data redaction) ----
+  // Patterns restricted to the RE2-compatible subset (no backrefs, no
+  // lookaround) so the same literal strings run in any engine an oracle
+  // or downstream consumer might use. ASCII word boundaries only.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Occurrence count of one PII pattern (codegen'd regexp, no UDF). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast(LongType)
+
+  /** Redact emails, then phone numbers, then IPv4s (fixed order — the
+    * stages see each other's output, so order is part of the
+    * contract). Pure expression chain: stays inside whole-stage
+    * codegen at the scan, the shape a 100 TB scrub pass needs. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")),
+      lit(Ipv4Re), lit("<IP>"))
 }

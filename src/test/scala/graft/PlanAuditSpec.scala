@@ -57,6 +57,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("\\[bk".r.findAllIn(p).nonEmpty || p.contains("bk#"))
   }
 
+  test("decontamination broadcasts the benchmark shingle set (q71)") {
+    // the eval-suite side must reach the corpus scan as a broadcast —
+    // a shuffled join here would re-shuffle the 100 TB corpus by
+    // shingle hash instead of streaming it once
+    val p = plan("q71_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("PII scrub is expression-only at the scan — zero exchanges (q70)") {
+    val p = plan("q70_pii_redact")
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("simhash near-dup joins on the band key (q23)") {
     val p = plan("q23_simhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
