@@ -57,6 +57,36 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
         col(keyCol), col("n_events"), col("sum_value"))
 
+  /** Streaming near-dup triage against a pre-built static corpus
+    * index ([[graft.operators.Dedup.minhashIndex]] output, read back
+    * from its parquet home in production): each micro-batch hashes
+    * ONLY its own documents — the identical minhash/band construction
+    * as the batch path — and equi-joins the static index on the band
+    * key, so the 100 TB history is never re-scanned; the join reads
+    * only the buckets the batch touches. Emits (new_id, corpus_id,
+    * jaccard) pairs at/above `threshold`.
+    *
+    * Within-batch pairs are deliberately out of scope here (they are
+    * the batch `incrementalMinhashCandidates`' second term, and a
+    * stream-stream self-join would buffer unbounded state); streaming
+    * triage against HISTORY + a periodic batch pass over each day's
+    * increment is the production split. The dropDuplicates state is
+    * bounded by the stream's distinct pair volume — swap in
+    * dropDuplicatesWithinWatermark when the source carries event time. */
+  def nearDupCandidates(newDocs: DataFrame, corpusIndex: DataFrame,
+                        idCol: String, textCol: String, threshold: Double,
+                        k: Int = 12, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    import graft.operators.Dedup
+    val newIdx = Dedup.minhashIndex(newDocs, idCol, textCol, k, bands, shingleN)
+      .select(col("bk"), col("id").as("new_id"), col("sh").as("new_sh"))
+    newIdx.join(corpusIndex, Seq("bk"))
+      .filter(col("new_id") =!= col("id"))
+      .select(col("new_id"), col("id").as("corpus_id"),
+        Dedup.jaccardSorted(col("new_sh"), col("sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicates("new_id", "corpus_id")
+  }
+
   /** Drain a bounded stream into an in-memory table and return it.
     * Complete mode: every window in the result (test-scale). */
   def drainToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -68,6 +68,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming near-dup triage == batch incremental candidates (new-vs-old)") {
+    import graft.operators.Dedup
+    val docs = graft.Tables(spark, TestSpark.sfDir, "documents")
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val batchDocs = docs.filter(col("doc_id") % 5 === 0)
+    val corpusIdx = Dedup.minhashIndex(hist, "doc_id", "text", k = 12, bands = 4)
+
+    // stage the "new batch" as a parquet directory and stream it
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+    batchDocs.select("doc_id", "text").write.mode("overwrite").parquet(dir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+
+    val streamed = Streams.drainToMemory(spark,
+      Streams.nearDupCandidates(stream, corpusIdx, "doc_id", "text", 0.5),
+      "neardup_test", complete = false)
+      .select(least(col("new_id"), col("corpus_id")).as("a"),
+        greatest(col("new_id"), col("corpus_id")).as("b"),
+        round(col("jaccard"), 9).as("j"))
+
+    // ground truth: the batch incremental path, restricted to pairs with
+    // exactly ONE new side (the streaming op triages against history only)
+    val batch = Dedup.incrementalMinhashCandidates(
+      corpusIdx, batchDocs, "doc_id", "text", k = 12, bands = 4)
+      .filter(col("jaccard") >= 0.5)
+      .filter((col("id_a") % 5 === 0) =!= (col("id_b") % 5 === 0))
+      .select(col("id_a").as("a"), col("id_b").as("b"),
+        round(col("jaccard"), 9).as("j"))
+
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stateful firstSeen dedup emits exactly one row per key") {
     val stream = Streams.readEvents(spark, eventsPath)
     val deduped = StatefulStreams.firstSeen(stream, "user_id", "event_id")
