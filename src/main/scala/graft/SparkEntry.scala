@@ -272,6 +272,15 @@ object SparkEntry {
         "doc_id", "text", shingleN = 3, minOverlap = 3L)
     }),
 
+    // ---- DEDUP: SemDeDup — centroid-clustered semantic dedup over
+    //      embeddings (cluster = literal-table assignment at the scan;
+    //      pairwise cosine only WITHIN cells; keep = not dominated by a
+    //      lower-id cell-mate at cos >= 0.4). First oracle coverage of
+    //      the md5-seeded cell assignment q49 sidesteps via nprobe=nlist
+    "q72_semdedup" -> ((s, dir) =>
+      Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, nlist = 16)),
+
     // ---- PII SCRUB: deterministic synthetic PII (email/phone/IPv4
     //      derived from doc_id — the testdata text itself is clean)
     //      appended to each doc, then counted and redacted; the md5 of
@@ -1008,6 +1017,25 @@ object SparkEntry {
          SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS overlap
          FROM corp JOIN bench USING (h)
          GROUP BY id HAVING count(*) >= 3""",
+    // mirrors semDedup exactly: md5-seeded centroid table, argmax-cosine
+    // cell assignment (ties to smaller cell id), within-cell dominance
+    "q72_semdedup" ->
+      s"""WITH seeds AS (
+           SELECT vec_id AS cell, embedding AS c FROM embeddings
+           ORDER BY ${H32("CAST(vec_id AS VARCHAR)")}, vec_id
+           LIMIT 16),
+         assigned AS (
+           SELECT e.vec_id, e.embedding AS v,
+                  (SELECT s.cell FROM seeds s
+                   ORDER BY -${COS("e.embedding", "s.c")}, s.cell LIMIT 1) AS cell
+           FROM embeddings e),
+         dropped AS (
+           SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id
+             AND ${COS("a.v", "b.v")} >= 0.4)
+         SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+         FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id""",
+
     // same augmentation + same RE2-safe patterns, same redaction order
     "q70_pii_redact" ->
       """WITH aug AS (

@@ -116,6 +116,44 @@ object Dedup {
     hashed.select(col("id"), col("sh"), explode(bandsExpr).as("bk"))
   }
 
+  /** SemDeDup (semantic dedup over embeddings, the LAION/DataComp
+    * curation shape, Abbas et al. 2023 "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): cluster
+    * vectors to `nlist` centroids, then WITHIN each cell drop every
+    * vector dominated by a lower-id cell-mate at cosine >= `threshold`.
+    * The clustering bounds the pair space — pairwise cosine runs
+    * per-cell (avg n/nlist members), never globally; size nlist ~
+    * n / targetCellSize so per-cell work stays constant as the corpus
+    * grows. Centroid assignment is a pure expression (shared
+    * [[Similarity.cellsNearestFirst]] literal table) evaluated once
+    * per vector ahead of a single cell-keyed exchange that BOTH sides
+    * of the self-join read (the minhashCandidates pattern); the only
+    * other shuffle is the keep-flag join back on id.
+    *
+    * Keep rule: pair-dominance by id (dropped iff SOME lower-id
+    * cell-mate is within threshold) — deterministic and
+    * oracle-expressible. The transitive-closure variant (only KEPT
+    * vectors dominate) is [[dedupClusters]]' connected-components
+    * semantics; near-dup thresholds make the two nearly identical and
+    * the paper itself keeps a random representative per group. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nlist: Int): DataFrame = {
+    val cellsOf = Similarity.cellsNearestFirst(df, idCol, vecCol, nlist)
+    val assigned = df.select(
+        col(idCol).cast(LongType).as("vec_id"), col(vecCol).as("v"),
+        element_at(cellsOf(col(vecCol)), 1).as("cell"))
+      .repartition(col("cell"))
+    val dropped = assigned.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"))
+      .join(assigned.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va")),
+        Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        round(cosine(col("va"), col("vb")), 6) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.select("vec_id", "cell")
+      .join(dropped.withColumn("__dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("__dropped").isNull.as("keep"))
+  }
+
   /** Benchmark-contamination detection (training-data decontamination):
     * corpus docs sharing >= `minOverlap` DISTINCT n-gram shingle hashes
     * with the benchmark/eval set, with the overlap count. The benchmark

@@ -122,42 +122,45 @@ object Similarity {
     * [[bruteForceTopK]] (the oracle-checked configuration); recall at
     * nprobe < nlist is property-tested against the brute-force baseline.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    // Deterministic seed centroids: the nlist corpus vectors with the
-    // smallest md5(id). Materialized to the driver (nlist × dim floats —
-    // IVF always trains/holds its centroid table up front) and inlined as
-    // literal arrays, so BOTH assignment joins below are pure expressions:
-    // neither the corpus nor the query side shuffles for assignment.
+  /** Deterministic seed centroids + nearest-cell ordering, shared by
+    * [[ivfTopK]] and [[Dedup.semDedup]]: the `nlist` corpus vectors
+    * with the smallest md5(id) become the centroid table, materialized
+    * to the driver (nlist × dim floats — IVF always trains/holds its
+    * centroid table up front) and inlined as ONE nested-array
+    * `typedlit` (per-float `lit()` nodes would build a nlist × dims
+    * expression tree whose codegen compile dwarfs the query). The
+    * returned function maps a vector column to its cells ordered
+    * nearest-first (argmax cosine, ties toward the smaller cell id) —
+    * a pure expression: assignment never shuffles. */
+  private[operators] def cellsNearestFirst(corpus: DataFrame, idCol: String,
+                                           vecCol: String, nlist: Int): Column => Column = {
     val seedRows = corpus
       .select(col(idCol).cast("long").as("cell"), col(vecCol).as("centroid"))
       .orderBy(hash32(col("cell").cast("string")), col("cell"))
       .limit(nlist)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    require(seedRows.nonEmpty, "ivfTopK: empty corpus")
-    // ONE nested-array literal holds the whole centroid table — inlining
-    // each float as its own lit() node builds a nlist × dims expression
-    // tree (thousands of nodes, twice) whose codegen compile dwarfs the
-    // actual query at moderate nlist
+    require(seedRows.nonEmpty, "cellsNearestFirst: empty corpus")
     val cellLit = typedlit(seedRows.toSeq)
-
-    // nearest cell = argmax cosine, ties toward the smaller cell id
-    def cellOptions(vec: Column): Column = transform(cellLit, c =>
+    vec => transform(sort_array(transform(cellLit, c =>
       struct((-round(cosine(vec, c.getField("_2")), 6)).as("negCos"),
-        c.getField("_1").as("cell")))
+        c.getField("_1").as("cell")))), _.getField("cell"))
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val cellsOf = cellsNearestFirst(corpus, idCol, vecCol, nlist)
 
     val assigned = corpus.repartition(par)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        sort_array(cellOptions(col(vecCol)))(0).getField("cell").as("cell"))
+        element_at(cellsOf(col(vecCol)), 1).as("cell"))
 
     // query -> its nprobe nearest cells, exploded to (query, cell) rows
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(slice(transform(sort_array(cellOptions(col(vecCol))), _.getField("cell")),
-          1, nprobe)).as("cell"))
+        explode(slice(cellsOf(col(vecCol)), 1, nprobe)).as("cell"))
 
     // ONE equi-join on cell id (probe side broadcast when small — the
     // common ANN shape: big corpus, bounded query batch)

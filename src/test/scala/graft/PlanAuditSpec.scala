@@ -57,6 +57,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("\\[bk".r.findAllIn(p).nonEmpty || p.contains("bk#"))
   }
 
+  test("semDedup pairs only within cells, off one cell-keyed exchange (q72)") {
+    val p = plan("q72_semdedup")
+    // assignment is a literal-table expression; the pair space is the
+    // within-cell self-join — an equi-join on the cell key, never a
+    // nested loop over the corpus
+    assert("hashpartitioning\\(cell".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("decontamination broadcasts the benchmark shingle set (q71)") {
     // the eval-suite side must reach the corpus scan as a broadcast —
     // a shuffled join here would re-shuffle the 100 TB corpus by
