@@ -122,13 +122,27 @@ object Dedup {
     * vectors to `nlist` centroids, then WITHIN each cell drop every
     * vector dominated by a lower-id cell-mate at cosine >= `threshold`.
     * The clustering bounds the pair space — pairwise cosine runs
-    * per-cell (avg n/nlist members), never globally; size nlist ~
-    * n / targetCellSize so per-cell work stays constant as the corpus
-    * grows. Centroid assignment is a pure expression (shared
-    * [[Similarity.cellsNearestFirst]] literal table) evaluated once
-    * per vector ahead of a single cell-keyed exchange that BOTH sides
-    * of the self-join read (the minhashCandidates pattern); the only
-    * other shuffle is the keep-flag join back on id.
+    * per-cell (avg n/nlist members), never globally. Size nlist ~
+    * sqrt(n) (the FAISS rule): assignment costs n × nlist and
+    * within-cell pairs n²/nlist, so sqrt balances both at O(n^1.5) —
+    * the true cost profile of centroid SemDeDup (the paper runs its
+    * k-means on GPUs). For corpora where n^1.5 is already too much,
+    * the constant-per-row semantic near-dup path in this library is
+    * the banded sign-LSH ([[embeddingNearDupsBanded]]).
+    *
+    * Centroid assignment is a broadcast join against the seed table +
+    * a min-struct aggregate over (vec_id, score) rows that shed both
+    * vector arrays in the join projection: the n × nlist scores
+    * collapse map-side (partial min per vector before any exchange)
+    * and the cosine runs CODEGEN'd. The literal-table expression form
+    * ([[Similarity.cellsNearestFirst]], what ivfTopK uses at its small
+    * nlist) evaluates per-cell cosines inside a `transform` lambda,
+    * which Spark interprets row-at-a-time — at sqrt(n) cells the
+    * interpreted loop dominated the whole operator (measured 90 s vs
+    * 7 s end-to-end on a 32 k × 1000-cell assignment). After
+    * assignment: one cell-keyed exchange that BOTH sides of the
+    * self-join read (the minhashCandidates pattern), plus the
+    * keep-flag join back on id.
     *
     * Keep rule: pair-dominance by id (dropped iff SOME lower-id
     * cell-mate is within threshold) — deterministic and
@@ -138,11 +152,19 @@ object Dedup {
     * the paper itself keeps a random representative per group. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nlist: Int): DataFrame = {
-    val cellsOf = Similarity.cellsNearestFirst(df, idCol, vecCol, nlist)
-    val assigned = df.select(
-        col(idCol).cast(LongType).as("vec_id"), col(vecCol).as("v"),
-        element_at(cellsOf(col(vecCol)), 1).as("cell"))
-      .repartition(col("cell"))
+    val seeds = broadcast(Similarity.seedCentroids(df, idCol, vecCol, nlist))
+    val vecs = df.select(col(idCol).cast(LongType).as("vec_id"), col(vecCol).as("v"))
+    // score rows shed BOTH vector arrays in the join projection — the
+    // aggregate sees (vec_id, 16-byte struct), not n × nlist wide rows
+    val best = vecs
+      .join(seeds)
+      .select(col("vec_id"),
+        struct((-round(cosine(col("v"), col("centroid")), 6)).as("negCos"),
+          col("cell").as("cell")).as("s"))
+      .groupBy("vec_id")
+      .agg(min(col("s")).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"))
+    val assigned = vecs.join(best, Seq("vec_id")).repartition(col("cell"))
     val dropped = assigned.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"))
       .join(assigned.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va")),
         Seq("cell"))

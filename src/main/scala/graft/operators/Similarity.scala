@@ -132,20 +132,43 @@ object Similarity {
     * returned function maps a vector column to its cells ordered
     * nearest-first (argmax cosine, ties toward the smaller cell id) —
     * a pure expression: assignment never shuffles. */
-  private[operators] def cellsNearestFirst(corpus: DataFrame, idCol: String,
-                                           vecCol: String, nlist: Int): Column => Column = {
+  private def seedCentroidLit(corpus: DataFrame, idCol: String,
+                              vecCol: String, nlist: Int): Column = {
     val seedRows = corpus
       .select(col(idCol).cast("long").as("cell"), col(vecCol).as("centroid"))
       .orderBy(hash32(col("cell").cast("string")), col("cell"))
       .limit(nlist)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    require(seedRows.nonEmpty, "cellsNearestFirst: empty corpus")
-    val cellLit = typedlit(seedRows.toSeq)
-    vec => transform(sort_array(transform(cellLit, c =>
-      struct((-round(cosine(vec, c.getField("_2")), 6)).as("negCos"),
-        c.getField("_1").as("cell")))), _.getField("cell"))
+    require(seedRows.nonEmpty, "seedCentroidLit: empty corpus")
+    typedlit(seedRows.toSeq)
   }
+
+  private def cellScores(cellLit: Column, vec: Column): Column =
+    transform(cellLit, c =>
+      struct((-round(cosine(vec, c.getField("_2")), 6)).as("negCos"),
+        c.getField("_1").as("cell")))
+
+  private[operators] def cellsNearestFirst(corpus: DataFrame, idCol: String,
+                                           vecCol: String, nlist: Int): Column => Column = {
+    val cellLit = seedCentroidLit(corpus, idCol, vecCol, nlist)
+    vec => transform(sort_array(cellScores(cellLit, vec)), _.getField("cell"))
+  }
+
+  /** The same deterministic seed-centroid table as a broadcastable
+    * DataFrame (cell, centroid) — the join-shaped assignment path for
+    * large nlist ([[Dedup.semDedup]]): scoring in a join projection
+    * runs the cosine CODEGEN'd, where the literal-table form pays
+    * Spark's interpreted `transform`-lambda evaluation per cell per
+    * row (prohibitive past a few dozen cells; ivfTopK keeps the
+    * expression form because its nlist is small and its probes need
+    * the top-nprobe order). */
+  private[operators] def seedCentroids(corpus: DataFrame, idCol: String,
+                                       vecCol: String, nlist: Int): DataFrame =
+    corpus
+      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("centroid"))
+      .orderBy(hash32(col("cell").cast("string")), col("cell"))
+      .limit(nlist)
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {

@@ -64,6 +64,38 @@ object ScaleSmoke {
       println(s"  pairs=$pairs simhashPairs=$simhash mankuPairs=$manku keepers=$clusters")
       d.unpersist()
     }
+
+    // ---- SemDeDup leg: embeddings replicated with a replica-unique
+    // SIGN FLIP per dimension (s_i ∈ {±1} from hash(rep, dim)). Within a
+    // replica cos(s⊙x, s⊙y) = cos(x, y) EXACTLY (s_i² = 1) — near-dup
+    // structure preserved — while cross-replica vectors decorrelate
+    // (random sign agreement ⇒ cos ≈ 0): the embedding analog of the
+    // shingle-disjoint document perturbation above. nlist scales as
+    // sqrt(n) (the FAISS rule): centroid assignment costs n × nlist and
+    // within-cell pairs cost n × (n/nlist) — sqrt balances both at
+    // O(n^1.5), the true cost profile of centroid-based SemDeDup (the
+    // paper runs its k-means on GPUs; OUR constant-per-row scale path
+    // for semantic near-dup is the banded sign-LSH of q25). Keepers
+    // must still grow linearly.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def embReplicated(n: Int) =
+      emb.withColumn("rep", explode(sequence(lit(0), lit(n - 1))))
+        .select(
+          (col("vec_id") * n + col("rep")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(pmod(hash(col("rep"), i), lit(2)) === 0, x).otherwise(-x))
+            .as("embedding"))
+    for (n <- mults) {
+      val e = embReplicated(n).persist()
+      val total = e.count()
+      val nlist = math.max(16, math.sqrt(total.toDouble).toInt)
+      val keepers = time(s"semDedup(nlist=$nlist)") {
+        Dedup.semDedup(e, "vec_id", "embedding", threshold = 0.4, nlist = nlist)
+          .filter(col("keep")).count()
+      }
+      println(s"mult=$n  vecs=$total  semKeepers=$keepers")
+      e.unpersist()
+    }
     spark.stop()
   }
 }
