@@ -259,7 +259,7 @@ object SparkEntry {
         d.filter(col("doc_id") % 5 === 0), "doc_id", "text", k = 12, bands = 4)
     }),
 
-    // ---- DECONTAMINATION: corpus docs sharing >= 5 distinct 3-gram
+    // ---- DECONTAMINATION: corpus docs sharing >= 3 distinct 3-gram
     //      shingle hashes with a benchmark/eval sample (doc_id % 97 == 0)
     //      (threshold pinned at 3: max cross-doc overlap in the synthetic
     //      corpus is 4, so the gate has nonzero rows to hash-match)

@@ -134,10 +134,9 @@ object Similarity {
     * a pure expression: assignment never shuffles. */
   private def seedCentroidLit(corpus: DataFrame, idCol: String,
                               vecCol: String, nlist: Int): Column = {
-    val seedRows = corpus
-      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("centroid"))
-      .orderBy(hash32(col("cell").cast("string")), col("cell"))
-      .limit(nlist)
+    // derives from seedCentroids so the md5-ordered seed CONTRACT (the
+    // thing the q49/q72 oracles mirror) lives in exactly one place
+    val seedRows = seedCentroids(corpus, idCol, vecCol, nlist)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
     require(seedRows.nonEmpty, "seedCentroidLit: empty corpus")

@@ -26,11 +26,13 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
   // df_clsf) as distinct padded columns, and indicator precomputes
   // reference one spelling exactly. Set eagerly so plans built below
   // (analysis happens at DataFrame construction) resolve pandas-style
-  // even under a caller session that left the Spark default. The
-  // Benchmark owns the session's resolution mode from construction
-  // until [[unpersist]], which restores the caller's prior setting.
-  private val priorCaseSensitive = spark.conf.get("spark.sql.caseSensitive", "false")
-  spark.conf.set("spark.sql.caseSensitive", "true")
+  // even under a caller session that left the Spark default. Ownership
+  // is REF-COUNTED session-wide (see [[Benchmark.acquireCaseSensitive]]):
+  // overlapping instances (a DAG's children, or two independent recipes)
+  // each acquire on construction and release in [[unpersist]]; the
+  // caller's prior value is restored only when the last one releases.
+  Benchmark.acquireCaseSensitive(spark)
+  @volatile private var caseSensitiveReleased = false
 
   /** Warning side-channel (SURVEY §7.4.4): expected-combination fills and
     * ordering violations land here instead of a log scrape. */
@@ -91,9 +93,14 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
           // to_numeric outcome is known without a scan. Almost always
           // the basename is non-numeric ('sklearn', 'umath'), but a
           // child named e.g. 2024.yml would stamp a castable "2024" —
-          // the verdict must reflect the actual literal or the parent's
-          // skip-pass-1 proof is unsound for that column.
-          (f, child.stringVerdicts + ("File" -> name.toDoubleOption.isEmpty))
+          // the verdict must reflect the actual literal THROUGH THE
+          // ENGINE'S OWN classifier (graft_numclass), or it diverges on
+          // special literals: "inf".toDoubleOption is None while the
+          // inference pass (like pandas) accepts inf/nan case-insensitively.
+          (f, child.stringVerdicts + ("File" ->
+            (graft.expressions.StringNumClass.classify(
+              org.apache.spark.unsafe.types.UTF8String.fromString(name))
+              == graft.expressions.StringNumClass.NONE)))
         })
       }
     }
@@ -103,14 +110,19 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
   lazy val childFrames: Seq[DataFrame] = childEvals.map(_._1)
 
   /** Release every frame this benchmark (and its children) pinned, and
-    * restore the caller's `spark.sql.caseSensitive` (the constructor
-    * forces it true; every plan this benchmark builds is analyzed before
-    * release, so the restore cannot affect them). */
+    * release this instance's hold on `spark.sql.caseSensitive` — the
+    * caller's prior value is restored when the LAST live Benchmark on
+    * the session releases (every plan built under any of them is
+    * analyzed before its release, so the restore cannot affect them).
+    * Idempotent per instance. */
   def unpersist(): Unit = {
     persistedFrames.foreach(_.unpersist(false))
     persistedFrames.clear()
     childBenches.foreach(_.unpersist())
-    spark.conf.set("spark.sql.caseSensitive", priorCaseSensitive)
+    if (!caseSensitiveReleased) {
+      caseSensitiveReleased = true
+      Benchmark.releaseCaseSensitive(spark)
+    }
   }
 
   /** Raw scan with the parsed FILE portion persisted (MEMORY_AND_DISK):
@@ -567,4 +579,38 @@ object Benchmark {
 
   def fromString(spark: SparkSession, yaml: String, baseDir: String = "."): Benchmark =
     new Benchmark(Recipe.loadString(yaml, baseDir), spark)
+
+  /** Session-wide ref-counted ownership of `spark.sql.caseSensitive`:
+    * the FIRST acquire on a session saves the caller's value and forces
+    * true; the LAST release restores it. Without the count, one
+    * instance's release would flip resolution under a sibling that is
+    * still building plans (a DAG's concurrently-evaluated children, or
+    * two independent recipes on one session). WeakHashMap so a session
+    * whose benchmarks are never released doesn't pin the entry. */
+  private val csHolds =
+    new java.util.WeakHashMap[SparkSession, Array[Any]]()
+
+  private[recipe] def acquireCaseSensitive(spark: SparkSession): Unit =
+    csHolds.synchronized {
+      val st = csHolds.get(spark)
+      if (st == null)
+        csHolds.put(spark,
+          Array[Any](1, spark.conf.get("spark.sql.caseSensitive", "false")))
+      else st(0) = st(0).asInstanceOf[Int] + 1
+      // force on EVERY acquire (not just the first): a caller may have
+      // flipped the conf between constructions, and each new instance
+      // needs case-sensitive analysis from its first plan
+      spark.conf.set("spark.sql.caseSensitive", "true")
+    }
+
+  private[recipe] def releaseCaseSensitive(spark: SparkSession): Unit =
+    csHolds.synchronized {
+      val st = csHolds.get(spark)
+      if (st == null) return
+      val n = st(0).asInstanceOf[Int] - 1
+      if (n <= 0) {
+        csHolds.remove(spark)
+        spark.conf.set("spark.sql.caseSensitive", st(1).asInstanceOf[String])
+      } else st(0) = n
+    }
 }

@@ -40,8 +40,13 @@ object RecipeCli {
     try for (path <- recipes.reverse) {
       val name = new java.io.File(path).getName.replaceAll("\\.[^.]*$", "")
       val bench = Benchmark(spark, path)
-      val df = bench.getAggregatedData(
+      val df0 = bench.getAggregatedData(
         inputs = if (inputs.isEmpty) None else Some(inputs.reverse))
+      // every sink collects the aggregated frame independently; with
+      // more than one, pin it so the pipeline executes once regardless
+      // of which upstream frames the Benchmark chose to cache
+      val nSinks = Seq(csv, pretty, html, excel).flatten.size
+      val df = if (nSinks > 1) df0.persist() else df0
       bench.warnings.foreach(w => System.err.println(s"[WARNING] $w"))
       csv.foreach {
         case "-" => print(Sinks.toCsvString(df))
@@ -61,6 +66,8 @@ object RecipeCli {
             inputs = if (inputs.isEmpty) None else Some(inputs.reverse))) else None))
       if (csv.isEmpty && pretty.isEmpty && html.isEmpty && excel.isEmpty)
         print(Sinks.pivotString(df, bench.recipe))
+      if (nSinks > 1) df.unpersist(false)
+      bench.unpersist() // release caches + the caseSensitive hold per recipe
     } catch {
       case e: RecipeError =>
         System.err.println(s"[ERROR] ${e.msg}")

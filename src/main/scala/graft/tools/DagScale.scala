@@ -37,13 +37,29 @@ object DagScale {
       walk(new java.io.File(root))
     }
 
+    // the listener bus is asynchronous: poll until the count is stable
+    // before reading/resetting, or late job-start events under-count a
+    // row and bleed into the next (JobBudgetSpec's stability pattern)
+    def drainedJobs(): Int = {
+      var prev = -1
+      var stable = 0
+      var rounds = 0
+      while (stable < 3 && rounds < 100) {
+        Thread.sleep(100)
+        val c = jobs.get()
+        if (c == prev) stable += 1 else { stable = 0; prev = c }
+        rounds += 1
+      }
+      jobs.get()
+    }
+
     def runDag(root: String): (Double, Long, Int) = {
       val bench = graft.recipe.Benchmark(spark, s"$root/summary_indicators.yml")
       val t0 = System.nanoTime()
       val rows = bench.getAggregatedData().count()
       val wall = (System.nanoTime() - t0) / 1e9
       bench.unpersist()
-      (wall, rows, jobs.get())
+      (wall, rows, drainedJobs())
     }
 
     // unrecorded warmup: first DAG execution pays whole-stage-codegen
@@ -55,6 +71,7 @@ object DagScale {
     for (m <- mults) {
       val root = graft.corpus.ReferenceCorpus.ensure(spark, sfDir, m)
       val mb = fixtureBytes(root) / 1e6
+      drainedJobs() // settle any still-queued events before the reset
       jobs.set(0)
       val (wall, rows, nJobs) = runDag(root)
       println(f"$m%-6d$mb%-11.1f$rows%-7d$nJobs%-6d$wall%-8.2f")

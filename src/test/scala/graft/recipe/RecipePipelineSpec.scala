@@ -333,6 +333,24 @@ class RecipePipelineSpec extends AnyFunSuite {
     assert(bench.warnings.exists(_.contains("ordering")))
   }
 
+  test("caseSensitive ownership is ref-counted across overlapping benchmarks") {
+    // a fresh cloned session: its OWN SQLConf, so holds leaked by other
+    // tests' never-released benchmarks on the shared session can't mask
+    // the last-release restore
+    val s = spark.newSession()
+    s.conf.set("spark.sql.caseSensitive", "false")
+    val recipe = "input:\n  path: \"/nonexistent\"\naggregation: mean\nvalues: [x]\n"
+    val a = Benchmark.fromString(s, recipe) // acquires: saves "false", forces true
+    val b = Benchmark.fromString(s, recipe) // nested acquire
+    assert(s.conf.get("spark.sql.caseSensitive") == "true")
+    a.unpersist() // b still holds — must NOT flip resolution under it
+    assert(s.conf.get("spark.sql.caseSensitive") == "true")
+    a.unpersist() // idempotent: no double-release
+    assert(s.conf.get("spark.sql.caseSensitive") == "true")
+    b.unpersist() // last hold released -> caller's value restored
+    assert(s.conf.get("spark.sql.caseSensitive") == "false")
+  }
+
   test("corpus-shaped expected block: A7 fill + A8 warnings end-to-end (q69 recipe)") {
     // the derived sklearn_expected.yml = reference sklearn.yml with its
     // commented-out expected block restored; none of the three expected
