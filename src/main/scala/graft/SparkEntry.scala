@@ -209,6 +209,23 @@ object SparkEntry {
         sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // ---- PROFILE: per-group corpus profile — the pre-flight stats pass
+    //      of a curation pipeline (distribution shape per language).
+    //      Exact interpolated quantiles (percentile ≡ quantile_cont);
+    //      one shuffle, everything else scan-level
+    "q73_profile" -> ((s, dir) => {
+      val tc = TextAnalysis.tokenCount(col("text"))
+      t(s, dir, "documents").groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(tc).as("min_tokens"),
+        round(percentile(tc, lit(0.1)), 6).as("p10_tokens"),
+        round(percentile(tc, lit(0.5)), 6).as("p50_tokens"),
+        round(percentile(tc, lit(0.9)), 6).as("p90_tokens"),
+        max(tc).as("max_tokens"),
+        round(avg(length(col("text"))), 6).as("avg_chars"))
+    }),
+
     // ---- TEXT: quality scoring (length/alpha/stopword/punct components)
     "q18_quality_score" -> ((s, dir) => {
       t(s, dir, "documents").groupBy("source").agg(
@@ -935,6 +952,20 @@ object SparkEntry {
          CAST(SUM(len($TOKS)) AS DOUBLE) / COUNT(*) AS avg_tokens,
          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY 1""",
+    // percentile (Spark) and quantile_cont (DuckDB) are both the exact
+    // linear-interpolated quantile — same definition, hash-matchable
+    "q73_profile" ->
+      s"""WITH d AS (SELECT lang, source, len($TOKS)::BIGINT AS tc, length(text) AS nc
+           FROM documents)
+         SELECT lang, COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(tc) AS min_tokens,
+           ROUND(quantile_cont(tc, 0.1), 6) AS p10_tokens,
+           ROUND(quantile_cont(tc, 0.5), 6) AS p50_tokens,
+           ROUND(quantile_cont(tc, 0.9), 6) AS p90_tokens,
+           MAX(tc) AS max_tokens,
+           ROUND(AVG(CAST(nc AS DOUBLE)), 6) AS avg_chars
+         FROM d GROUP BY 1""",
     "q18_quality_score" ->
       s"""WITH q AS (SELECT source, $QUALITY AS q FROM documents)
          SELECT source, COUNT(*) AS n_docs,
