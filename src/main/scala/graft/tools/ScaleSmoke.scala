@@ -75,8 +75,12 @@ object ScaleSmoke {
     // within-cell pairs cost n × (n/nlist) — sqrt balances both at
     // O(n^1.5), the true cost profile of centroid-based SemDeDup (the
     // paper runs its k-means on GPUs; OUR constant-per-row scale path
-    // for semantic near-dup is the banded sign-LSH of q25). Keepers
-    // must still grow linearly.
+    // for semantic near-dup is the banded sign-LSH of q25). Caveat on
+    // keeper counts: the sign flip decorrelates replicas only to
+    // cos ~ N(0, ~1/sqrt(d)) with tails fattened by uneven feature
+    // weights, so at thresholds near the noise floor some CROSS-replica
+    // pairs leak into the dominance set — the wall/plan scaling is the
+    // claim here, not exact keeper linearity.
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     def embReplicated(n: Int) =
       emb.withColumn("rep", explode(sequence(lit(0), lit(n - 1))))
