@@ -290,10 +290,11 @@ object SparkEntry {
     }),
 
     // ---- DEDUP: SemDeDup — centroid-clustered semantic dedup over
-    //      embeddings (cluster = literal-table assignment at the scan;
-    //      pairwise cosine only WITHIN cells; keep = not dominated by a
-    //      lower-id cell-mate at cos >= 0.4). First oracle coverage of
-    //      the md5-seeded cell assignment q49 sidesteps via nprobe=nlist
+    //      embeddings (assignment = broadcast seed-table join + narrow
+    //      min-struct aggregate, cosine codegen'd; pairwise cosine only
+    //      WITHIN cells; keep = not dominated by a lower-id cell-mate at
+    //      cos >= 0.4). First oracle coverage of the md5-seeded cell
+    //      assignment q49 sidesteps via nprobe=nlist
     "q72_semdedup" -> ((s, dir) =>
       Dedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, nlist = 16)),

@@ -152,8 +152,12 @@ object Dedup {
     * the paper itself keeps a random representative per group. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nlist: Int): DataFrame = {
-    val seeds = broadcast(Similarity.seedCentroids(df, idCol, vecCol, nlist))
+    // the input feeds the seed TakeOrdered, the cross-score side, and
+    // the assignment rejoin — localCheckpoint (lazy) materializes an
+    // uncached upstream pipeline once instead of three times
     val vecs = df.select(col(idCol).cast(LongType).as("vec_id"), col(vecCol).as("v"))
+      .localCheckpoint(false)
+    val seeds = broadcast(Similarity.seedCentroids(vecs, "vec_id", "v", nlist))
     // score rows shed BOTH vector arrays in the join projection — the
     // aggregate sees (vec_id, 16-byte struct), not n × nlist wide rows
     val best = vecs

@@ -32,7 +32,7 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
   // each acquire on construction and release in [[unpersist]]; the
   // caller's prior value is restored only when the last one releases.
   Benchmark.acquireCaseSensitive(spark)
-  @volatile private var caseSensitiveReleased = false
+  private val caseSensitiveReleased = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Warning side-channel (SURVEY §7.4.4): expected-combination fills and
     * ordering violations land here instead of a log scrape. */
@@ -119,10 +119,11 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
     persistedFrames.foreach(_.unpersist(false))
     persistedFrames.clear()
     childBenches.foreach(_.unpersist())
-    if (!caseSensitiveReleased) {
-      caseSensitiveReleased = true
+    // compareAndSet: concurrent unpersist() calls must release exactly
+    // once or the session ref count double-decrements and a still-live
+    // sibling loses case-sensitive resolution
+    if (caseSensitiveReleased.compareAndSet(false, true))
       Benchmark.releaseCaseSensitive(spark)
-    }
   }
 
   /** Raw scan with the parsed FILE portion persisted (MEMORY_AND_DISK):
@@ -268,10 +269,16 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
       inferBad -= colName
       // ...unless it is a bare string literal ('FFT', 'scikit-learn'):
       // its to_numeric outcome is decidable here, which both answers P6
-      // without a probe and lets PARENT recipes prove their pass-1 away
+      // without a probe and lets PARENT recipes prove their pass-1 away.
+      // Decided by the engine's OWN classifier, not Scala's parser —
+      // they disagree on special literals ('inf'/'nan'), same as the
+      // childEvals File verdict.
       ast match {
         case ExprCompiler.Lit(s: String) =>
-          inferBad += colName -> (if (scala.util.Try(s.trim.toDouble).isSuccess) 0L else 1L)
+          val castable = graft.expressions.StringNumClass.classify(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)) !=
+            graft.expressions.StringNumClass.NONE
+          inferBad += colName -> (if (castable) 0L else 1L)
         case _ => ()
       }
     }

@@ -40,6 +40,7 @@ object RecipeCli {
     try for (path <- recipes.reverse) {
       val name = new java.io.File(path).getName.replaceAll("\\.[^.]*$", "")
       val bench = Benchmark(spark, path)
+      try {
       val df0 = bench.getAggregatedData(
         inputs = if (inputs.isEmpty) None else Some(inputs.reverse))
       // every sink collects the aggregated frame independently; with
@@ -67,7 +68,9 @@ object RecipeCli {
       if (csv.isEmpty && pretty.isEmpty && html.isEmpty && excel.isEmpty)
         print(Sinks.pivotString(df, bench.recipe))
       if (nSinks > 1) df.unpersist(false)
-      bench.unpersist() // release caches + the caseSensitive hold per recipe
+      // finally: a failing sink must not leak this recipe's caches or
+      // its caseSensitive hold into the next recipe's evaluation
+      } finally bench.unpersist()
     } catch {
       case e: RecipeError =>
         System.err.println(s"[ERROR] ${e.msg}")
