@@ -72,6 +72,13 @@ object Bench {
         // across JVMs) — do it here so the first corpus query of a chunk
         // isn't billed for writing fixture trees
         graft.corpus.ReferenceCorpus.ensure(spark, sfDir)
+        // JIT the recipe machinery too (ExprCompiler, line-filtered CSV
+        // parse, inference aggregate, ratio collect): the DAG queries
+        // (q46/q64/q69) otherwise pay ~2x cold-JIT on their first pass —
+        // measured 51.6 s vs 23.4 s warm for q46 at sf0.1. q36 is the
+        // smallest end-to-end recipe eval (~1 s) and touches every path.
+        SparkEntry.queries("q36_recipe_pipeline")(spark, sfDir).count()
+        spark.catalog.clearCache()
       } catch { case _: Throwable => () }
     }
     val names = selectedNames

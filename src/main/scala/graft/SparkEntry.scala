@@ -319,6 +319,44 @@ object SparkEntry {
         md5(TextAnalysis.redactPii(col("t"))).as("redacted_md5"))
     }),
 
+    // ---- BOILERPLATE: cross-corpus repeated-line removal (CCNet-style).
+    //      The testdata text is single-line, so each doc is augmented
+    //      with a per-source footer (boilerplate: every source has many
+    //      docs) and a per-doc unique line (never boilerplate) — the
+    //      same synthetic-augmentation trick as q70. minDocs=10 strips
+    //      the footers; clean_md5 pins the surviving text byte-exactly
+    "q74_boilerplate" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").withColumn("t",
+        concat(col("text"),
+          lit("\nsubscribe to "), col("source"), lit(" newsletter today"),
+          lit("\nunique line "), col("doc_id").cast("string")))
+      Dedup.removeBoilerplate(aug, "doc_id", "t", sep = "\n", minDocs = 10L)
+    }),
+
+    // ---- MIXTURE: deterministic resampling toward target source
+    //      weights (3:1:1 over three sources; the binding group keeps
+    //      100%, the rest thin to match) — scan-level hash predicate,
+    //      one driver-sized count-aggregate for the rates
+    "q75_mixture" -> ((s, dir) =>
+      Sampling.mixtureSample(t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0))),
+
+    // ---- QUALITY-LR: hashed-feature linear scorer (fastText shape,
+    //      deterministic pseudo-weights) — per-doc score + gate flag,
+    //      pure expression chain at the scan
+    // score is left UNROUNDED deliberately: it is one IEEE division of
+    // exact integers (integer weight sum / 1000·n), so the double is
+    // bit-identical across engines — ROUND(double, 6) is NOT (decimal-
+    // string rounding in Spark vs scaled-float in DuckDB)
+    "q76_quality_lr" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.hashClassifierScore(col("text"), 1024, "qlr")
+          .as("score"),
+        (TextAnalysis.hashClassifierScore(col("text"), 1024, "qlr") > 0)
+          .as("keep"))),
+
     // ---- DEDUP: SimHash (32-bit) near-dup pairs via band multi-index.
     //      maxHamming=3 < bands=4 => pigeonhole-complete: the oracle is
     //      the all-pairs ground truth, so a hash-match PROVES recall=1
@@ -1088,6 +1126,57 @@ object SparkEntry {
              '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
          FROM aug""",
+    // same augmentation; line identity = raw-line hash60; blank lines
+    // never counted; reconstruction in original line order
+    "q74_boilerplate" ->
+      s"""WITH aug AS (
+           SELECT doc_id,
+                  text || chr(10) || 'subscribe to ' || source ||
+                  ' newsletter today' || chr(10) ||
+                  'unique line ' || CAST(doc_id AS VARCHAR) AS t
+           FROM documents),
+         ls AS (
+           SELECT doc_id,
+                  unnest(string_split(t, chr(10))) AS line,
+                  unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+           FROM aug),
+         freq AS (
+           SELECT ${H60("line")} AS h FROM ls WHERE trim(line) <> ''
+           GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 10),
+         flagged AS (
+           SELECT l.doc_id, l.line, l.pos,
+                  (f.h IS NOT NULL) AS boiler
+           FROM ls l LEFT JOIN freq f ON ${H60("l.line")} = f.h)
+         SELECT doc_id, COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                 FILTER (WHERE NOT boiler), '')) AS clean_md5
+         FROM flagged GROUP BY 1""",
+    // identical rate derivation (C = min(n/w), thr = round(C*w/n*1e6))
+    // and the same salted-md5 membership hash as the Spark side
+    "q75_mixture" ->
+      s"""WITH w(source, wt) AS (VALUES ('src0', 3.0), ('src1', 1.0), ('src2', 1.0)),
+         c AS (SELECT source, COUNT(*) AS n FROM documents
+               JOIN w USING (source) GROUP BY 1),
+         s AS (SELECT MIN(n / wt) AS cmin FROM c JOIN w USING (source)),
+         r AS (SELECT c.source, CAST(ROUND(cmin * wt / n * 1000000) AS BIGINT) AS thr
+               FROM c JOIN w USING (source), s)
+         SELECT d.* FROM documents d JOIN r USING (source)
+         WHERE ${H60("'mix' || CAST(doc_id AS VARCHAR)")} % 1000000 < thr""",
+    // token -> hash32 % 1024 bucket -> md5(seed|bucket) integer weight;
+    // integer sum (order-independent), one float division at the end
+    "q76_quality_lr" ->
+      s"""WITH t AS (SELECT doc_id, text, $TOKS AS ws FROM documents),
+         sc AS (
+           SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+             CASE WHEN trim(text) = '' THEN 0.0 ELSE
+               CAST(list_sum(list_transform(ws, tok ->
+                 ${H60("'qlr|' || CAST(" + H32("tok") + " % 1024 AS VARCHAR)")} % 2001 - 1000)) AS DOUBLE)
+               / (1000.0 * len(ws)) END AS raw
+           FROM t)
+         SELECT doc_id, n_tokens, raw AS score, raw > 0 AS keep
+         FROM sc""",
+
     // all-pairs GROUND TRUTH (not the band construction): with
     // maxHamming=3 < bands=4 the band multi-index is pigeonhole-complete,
     // so the Spark side must reproduce this exactly — recall proof

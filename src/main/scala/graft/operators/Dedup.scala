@@ -203,6 +203,63 @@ object Dedup {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** Cross-corpus boilerplate line removal (the CCNet-style pass that
+    * strips repeated footers/headers/nav text before dedup): a line that
+    * occurs in at least `minDocs` DISTINCT documents is boilerplate, and
+    * every occurrence of it is removed from every document. Blank lines
+    * (whitespace-only) are never counted or removed — they are document
+    * structure, not repeated content.
+    *
+    * Returns one row per input document: `(id, n_lines, n_removed,
+    * clean_md5)` where `clean_md5` hashes the document rebuilt from its
+    * surviving lines in original order (md5 of the empty string when
+    * every line was boilerplate — the doc row is kept so the caller can
+    * count fully-boilerplate docs).
+    *
+    * Scale posture: boilerplate is by definition high-frequency, so the
+    * frequent-line set is small (bounded by total_lines / minDocs) and
+    * broadcastable — the flagging join is map-side. Two shuffles total
+    * over the exploded line set: the distinct-doc count per line hash,
+    * and the per-document reconstruction; both are keyed aggregations
+    * with map-side partials. Line identity is the raw-line [[hash60]]
+    * so the join carries an 8-byte key, never the line text. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        sep: String = "\n", minDocs: Long = 10L): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__line")))
+      .withColumn("__h", hash60(col("__line")))
+    val freq = lines.filter(trim(col("__line")) =!= "")
+      .groupBy("__h").agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"), lit(true).as("__boiler"))
+    lines.join(broadcast(freq), Seq("__h"), "left")
+      .withColumn("__boiler", coalesce(col("__boiler"), lit(false)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_removed"),
+        md5(concat_ws(sep, transform(
+          filter(
+            array_sort(collect_list(struct(col("__pos"), col("__line"),
+              col("__boiler")))),
+            x => !x.getField("__boiler")),
+          x => x.getField("__line")))).as("clean_md5"))
+  }
+
+  /** The [[removeBoilerplate]] frequent-line set on its own — `(h,
+    * n_docs)` per boilerplate line hash — for auditing what a given
+    * `minDocs` threshold would strip. */
+  def frequentLines(df: DataFrame, idCol: String, textCol: String,
+                    sep: String = "\n", minDocs: Long = 10L): DataFrame =
+    df.select(col(idCol),
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as("__line"))
+      .filter(trim(col("__line")) =!= "")
+      .groupBy(hash60(col("__line")).as("h"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
   /** Incremental near-dup candidates: every pair that TOUCHES the new
     * batch — (new, old) via a probe of the pre-built corpus index, plus
     * (new, new) within the batch. Identical hash construction to

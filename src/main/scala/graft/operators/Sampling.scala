@@ -70,4 +70,40 @@ object Sampling {
     df.withColumn("bin",
       floor(coalesce(sum(tokensCol).over(w), lit(0L)) / budget))
   }
+
+  /** Deterministic mixture resampling: downsample each group so the
+    * OUTPUT follows the target `weights` proportions exactly (in
+    * expectation), keeping as much data as the scarcest group allows —
+    * the "data mixing" stage that rebalances a crawl toward a training
+    * distribution (e.g. 3 parts web : 1 part code : 1 part books).
+    *
+    * The per-group acceptance rate is `C·w_g / n_g` with
+    * `C = min_g(n_g / w_g)`, so the binding group keeps 100% of its rows
+    * and every other group is thinned to match; groups absent from
+    * `weights` are dropped. Membership is the same hash predicate as
+    * [[hashSample]] — a pure scan-level filter, stable across runs and
+    * engines. The only coordination is one count-aggregate over the
+    * grouping column (rows = number of groups, driver-sized by
+    * construction — the same altitude as a ratio-base collect). */
+  def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
+                    weights: Map[String, Double], salt: String = "mix",
+                    buckets: Int = 1000000): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val counts = df.filter(col(groupCol).isin(weights.keys.toSeq: _*))
+      .groupBy(groupCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (g, _) => counts.contains(g) }
+    require(present.nonEmpty, "no weighted group present in the data")
+    val cMin = present.map { case (g, w) => counts(g) / w }.min
+    // group -> hash threshold; deterministic iteration (sorted) so the
+    // generated plan is stable run-to-run
+    val thr = present.toSeq.sortBy(_._1).map { case (g, w) =>
+      g -> math.round(cMin * w / counts(g) * buckets)
+    }
+    val thrCol = thr.foldLeft(lit(-1L)) { case (acc, (g, t)) =>
+      when(col(groupCol) === g, lit(t)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), salt, buckets) < thrCol)
+  }
 }

@@ -218,6 +218,37 @@ object TextAnalysis {
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** Occurrence count of one PII pattern (codegen'd regexp, no UDF). */
+  /** fastText-style hashed-feature linear document scorer: each token is
+    * hashed into one of `dim` weight buckets ([[hash32]] mod dim) and the
+    * score is the mean of the buckets' weights — the shape of the linear
+    * quality classifiers (fastText, DCLM-fasttext, FineWeb-Edu distills)
+    * used as cheap corpus-wide quality gates. The weight table is not
+    * stored anywhere: bucket b's weight is a deterministic pseudo-weight
+    * in [-1, 1] derived from md5(seed|b) — swap [[pseudoWeight]] for a
+    * trained table (broadcast literal array, same plan) without touching
+    * the pipeline. Pure expression chain (one md5 per token, integer
+    * accumulation — exact in any engine; a single float division at the
+    * end), codegen'd at the scan: scoring 100 TB costs one pass, no
+    * shuffle, no UDF. Empty/blank docs score 0. */
+  def hashClassifierScore(text: Column, dim: Int = 1024,
+                          seed: String = "qlr"): Column =
+    graft.functions.bound(tokens(text)) { ws =>
+      val sum = aggregate(
+        transform(ws, t => pseudoWeight(hash32(t) % dim, seed)),
+        lit(0L), (acc, x) => acc + x)
+      // blank docs: split(trim('')) is [''] (size 1), not [], in Spark
+      // AND DuckDB — guard on the text, not the token count
+      when(length(trim(text)) === 0, lit(0.0))
+        .otherwise(sum.cast(DoubleType) /
+          (lit(1000.0) * size(ws).cast(DoubleType)))
+    }
+
+  /** Integer pseudo-weight in [-1000, 1000] for a hashed feature bucket:
+    * md5(seed|bucket) mod 2001 - 1000. Kept integral so per-doc sums are
+    * order-independent and exact (floats enter only in the final mean). */
+  def pseudoWeight(bucket: Column, seed: String): Column =
+    hash60(concat(lit(seed + "|"), bucket.cast(org.apache.spark.sql.types.StringType))) % 2001L - 1000L
+
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast(LongType)
 

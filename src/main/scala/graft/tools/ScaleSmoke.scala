@@ -61,7 +61,20 @@ object ScaleSmoke {
         Dedup.dedupClusters(d, "doc_id", "text", threshold = 0.5)
           .filter(col("keep")).count()
       }
-      println(s"  pairs=$pairs simhashPairs=$simhash mankuPairs=$manku keepers=$clusters")
+      // boilerplate leg: every replica-group of ~docs/20 docs shares a
+      // footer line (replica-suffixed, so the frequent-line SET grows
+      // linearly with mult while per-line doc counts stay constant —
+      // the growth axis that stresses the broadcast flag join)
+      val boiler = time("removeBoilerplate") {
+        val aug = d.withColumn("t", concat(
+          col("text"),
+          lit("\nsubscribe "), substring(col("text"), 1, 8),
+          lit("\nunique "), col("doc_id").cast("string")))
+        Dedup.removeBoilerplate(aug, "doc_id", "t", minDocs = 10L)
+          .agg(sum(col("n_removed"))).head().getLong(0)
+      }
+      println(s"  pairs=$pairs simhashPairs=$simhash mankuPairs=$manku " +
+        s"keepers=$clusters boilerRemoved=$boiler")
       d.unpersist()
     }
 

@@ -125,6 +125,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("boilerplate removal: frequent-line flagging is a broadcast join (q74)") {
+    val p = plan("q74_boilerplate")
+    // the frequent set is bounded by lines/minDocs — it must reach the
+    // exploded corpus as a broadcast, never re-shuffle it by line hash
+    assert(p.contains("BroadcastHashJoin"), p)
+    // distinct-doc count (2 exchanges — countDistinct is a two-stage
+    // aggregate, map-side deduped) + broadcast + per-doc reconstruction:
+    // nothing else may shuffle
+    assert("Exchange".r.findAllIn(p).length <= 4, p)
+  }
+
+  test("mixture sampling is a pure scan-level predicate (q75)") {
+    // rates are resolved at plan-build (one driver-sized count); the
+    // RETURNED plan is filter-only — zero exchanges, 100 TB = one pass
+    assert(!plan("q75_mixture").contains("Exchange"))
+  }
+
+  test("quality-LR scoring is expression-only — zero exchanges (q76)") {
+    assert(!plan("q76_quality_lr").contains("Exchange"))
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set

@@ -1,0 +1,79 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Boilerplate-line removal and the hashed linear quality scorer. */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  test("removeBoilerplate strips exactly the >=minDocs lines, in order") {
+    // 12 docs share FOOTER (boilerplate at minDocs=10); 5 docs share
+    // RARE (below threshold, kept); every doc has a unique body line.
+    // Blank lines are structure: never counted, never removed.
+    val docs = (0 until 12).map { i =>
+      val rare = if (i < 5) "\nRARE" else ""
+      (i.toLong, s"body $i\n\nFOOTER$rare")
+    }.toDF("id", "t")
+    val out = Dedup.removeBoilerplate(docs, "id", "t", minDocs = 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.size == 12)
+    for (i <- 0L until 12L) {
+      val (nLines, nRemoved, cleanMd5) = out(i)
+      val rare = if (i < 5) "\nRARE" else ""
+      assert(nLines == (if (i < 5) 4 else 3))
+      assert(nRemoved == 1, s"doc $i: only FOOTER is boilerplate")
+      assert(cleanMd5 == md5hex(s"body $i\n$rare"))
+    }
+  }
+
+  test("removeBoilerplate keeps a row for fully-boilerplate docs") {
+    val docs = ((0 until 11).map(i => (i.toLong, "SAME")) :+
+      (99L, "other")).toDF("id", "t")
+    val out = Dedup.removeBoilerplate(docs, "id", "t", minDocs = 10L)
+    assert(out.count() == 12)
+    val gone = out.filter(col("id") === 0L).collect().head
+    assert(gone.getLong(2) == 1 && gone.getString(3) == md5hex(""))
+  }
+
+  test("frequentLines returns the audit set behind removeBoilerplate") {
+    val docs = (0 until 12).map(i => (i.toLong, s"u$i\nFOOTER")).toDF("id", "t")
+    val freq = Dedup.frequentLines(docs, "id", "t", minDocs = 10L).collect()
+    assert(freq.length == 1 && freq.head.getLong(1) == 12)
+  }
+
+  test("hashClassifierScore is the mean of per-token bucket weights") {
+    val df = Seq((1L, "alpha beta alpha")).toDF("id", "t")
+    val got = df.select(
+      TextAnalysis.hashClassifierScore(col("t"), 64, "s").as("score"))
+      .head().getDouble(0)
+    val ws = df.select(transform(
+        split(trim(col("t")), "\\s+"),
+        tok => TextAnalysis.pseudoWeight(TextAnalysis.hash32(tok) % 64, "s"))
+      .as("w")).head().getSeq[Long](0)
+    assert(ws.length == 3 && ws(0) == ws(2)) // same token -> same bucket
+    assert(ws.forall(w => w >= -1000 && w <= 1000))
+    assert(got == ws.sum.toDouble / (1000.0 * 3))
+  }
+
+  test("hashClassifierScore: empty doc scores 0, score bounded in [-1,1]") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "x y z w v")).toDF("id", "t")
+    val rows = df.select(col("id"),
+      TextAnalysis.hashClassifierScore(col("t")).as("s")).collect()
+    val byId = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId(1L) == 0.0 && byId(2L) == 0.0)
+    assert(byId(3L) >= -1.0 && byId(3L) <= 1.0 && byId(3L) != 0.0)
+  }
+}

@@ -53,4 +53,28 @@ class SamplingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mixtureSample hits the target proportions, binding group kept whole") {
+    import spark.implicits._
+    // skewed input: 300 a, 60 b, 200 c; target 1:1:2 -> b binds (C=60),
+    // expected keeps ~ a=60, b=60 (all), c=120
+    val df = ((0 until 300).map(i => (i.toLong, "a")) ++
+      (1000 until 1060).map(i => (i.toLong, "b")) ++
+      (2000 until 2200).map(i => (i.toLong, "c")))
+      .toDF("id", "grp")
+    val out = Sampling.mixtureSample(df, "grp", "id",
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 2.0))
+    val counts = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("b") == 60, "binding group keeps every row")
+    assert(math.abs(counts("a") - 60.0) / 60.0 < 0.25)
+    assert(math.abs(counts("c") - 120.0) / 120.0 < 0.25)
+    // deterministic: re-evaluation is identical
+    assert(out.exceptAll(Sampling.mixtureSample(df, "grp", "id",
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 2.0))).isEmpty)
+    // unweighted groups are dropped
+    val withJunk = df.union(Seq((9999L, "z")).toDF("id", "grp"))
+    assert(Sampling.mixtureSample(withJunk, "grp", "id", Map("a" -> 1.0))
+      .filter(col("grp") =!= "a").count() == 0)
+  }
 }
