@@ -357,6 +357,23 @@ object SparkEntry {
         (TextAnalysis.hashClassifierScore(col("text"), 1024, "qlr") > 0)
           .as("keep"))),
 
+    // ---- ORDER: deterministic global training order — shard + dense
+    //      in-shard position, both pure functions of the key hash (the
+    //      reproducible "global shuffle" before sequence packing); one
+    //      shuffle on the shard id, per-shard independent sorts
+    "q77_training_order" -> ((s, dir) =>
+      Sampling.trainingOrder(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", salt = "ord", shards = 8)),
+
+    // ---- QUOTA: exact per-group sample — the k smallest key hashes of
+    //      each language (fixed-size eval-set builder; rank window lands
+    //      as WindowGroupLimit: top-k before materialization)
+    "q78_eval_quota" -> ((s, dir) =>
+      Sampling.quotaSample(
+        t(s, dir, "documents").select("doc_id", "lang", "source"),
+        "lang", "doc_id", k = 7)),
+
     // ---- DEDUP: SimHash (32-bit) near-dup pairs via band multi-index.
     //      maxHamming=3 < bands=4 => pigeonhole-complete: the oracle is
     //      the all-pairs ground truth, so a hash-match PROVES recall=1
@@ -1176,6 +1193,25 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, n_tokens, raw AS score, raw > 0 AS keep
          FROM sc""",
+    // same 60-bit hash, same shard mod, same (hash, key) total order
+    "q77_training_order" ->
+      s"""WITH h AS (
+           SELECT doc_id, lang,
+                  ${H60("'ord' || CAST(doc_id AS VARCHAR)")} AS hh
+           FROM documents)
+         SELECT doc_id, lang, hh % 8 AS shard,
+                CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8
+                       ORDER BY hh, doc_id) AS BIGINT) AS pos
+         FROM h""",
+    "q78_eval_quota" ->
+      s"""WITH h AS (
+           SELECT doc_id, lang, source,
+                  ${H60("'quota' || CAST(doc_id AS VARCHAR)")} AS hh
+           FROM documents)
+         SELECT doc_id, lang, source FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY hh, doc_id) AS rk FROM h)
+         WHERE rk <= 7""",
 
     // all-pairs GROUND TRUTH (not the band construction): with
     // maxHamming=3 < bands=4 the band multi-index is pigeonhole-complete,

@@ -106,4 +106,41 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), salt, buckets) < thrCol)
   }
+
+  /** Deterministic global training order: every row gets a `shard` and a
+    * dense `pos` within its shard, both pure functions of the key hash —
+    * the reproducible "global shuffle" that randomizes document order
+    * before sequence packing, without RNG state or a single global sort.
+    * Shard = hash mod `shards`; position = rank of the full 60-bit hash
+    * within the shard (key as tiebreak, so the order is total). One
+    * shuffle on the shard id; each shard sorts independently, so
+    * parallelism = `shards` and no executor ever sees a global sort. */
+  def trainingOrder(df: DataFrame, keyCol: String, salt: String = "ord",
+                    shards: Int = 1024): DataFrame = {
+    val h = hash60(concat(lit(salt), col(keyCol).cast(StringType)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", col("__h") % shards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
+  /** Exact per-group quota sample: keep the `k` rows of each group with
+    * the smallest key hashes (key as tiebreak) — the "500 docs per
+    * language" eval-set builder. Unlike the rate-based [[mixtureSample]],
+    * the output size per group is exactly min(k, group size), and
+    * membership is stable under corpus growth ONLY for rows whose hash
+    * stays within the k smallest (by design: a fixed-size reservoir must
+    * evict). One shuffle on the group key; the per-group top-k is a rank
+    * window that Spark pushes into WindowGroupLimit (top-k before full
+    * materialization). */
+  def quotaSample(df: DataFrame, groupCol: String, keyCol: String, k: Int,
+                  salt: String = "quota"): DataFrame = {
+    val h = hash60(concat(lit(salt), col(keyCol).cast(StringType)))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", h)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__h", "__rk")
+  }
 }

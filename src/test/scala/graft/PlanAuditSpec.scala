@@ -146,6 +146,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan("q76_quality_lr").contains("Exchange"))
   }
 
+  test("training order shuffles once, on the shard id (q77)") {
+    val p = plan("q77_training_order")
+    assert("hashpartitioning\\(shard".r.findAllIn(p).nonEmpty, p)
+    assert("Exchange".r.findAllIn(p).length <= 1, p)
+  }
+
+  test("quota sampling ranks as a pushed-down group top-k (q78)") {
+    // row_number <= k must land as WindowGroupLimit — the k smallest
+    // hashes per group are kept BEFORE the full window materializes
+    assert(plan("q78_eval_quota").contains("WindowGroupLimit"))
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set

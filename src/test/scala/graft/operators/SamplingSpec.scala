@@ -77,4 +77,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.mixtureSample(withJunk, "grp", "id", Map("a" -> 1.0))
       .filter(col("grp") =!= "a").count() == 0)
   }
+
+  test("trainingOrder: every row once, positions dense per shard, stable") {
+    val ordered = Sampling.trainingOrder(docs, "doc_id", shards = 8)
+    assert(ordered.count() == docs.count()) // no row lost or duplicated
+    val perShard = ordered.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("maxp"),
+        min(col("pos")).as("minp")).collect()
+    assert(perShard.nonEmpty && perShard.length <= 8)
+    for (r <- perShard) { // dense 1..n positions within each shard
+      assert(r.getLong(3) == 1L && r.getLong(2) == r.getLong(1))
+    }
+    // deterministic: identical assignment on re-evaluation
+    val again = Sampling.trainingOrder(docs, "doc_id", shards = 8)
+    assert(ordered.select("doc_id", "shard", "pos")
+      .exceptAll(again.select("doc_id", "shard", "pos")).isEmpty)
+  }
+
+  test("quotaSample: exactly min(k, group size) rows per group, a subset") {
+    val q = Sampling.quotaSample(docs, "lang", "doc_id", k = 7)
+    val got = q.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == full.keySet)
+    for ((g, n) <- got) assert(n == math.min(7L, full(g)), s"group $g")
+    assert(q.select("doc_id").exceptAll(docs.select("doc_id")).isEmpty)
+    // deterministic
+    assert(q.exceptAll(Sampling.quotaSample(docs, "lang", "doc_id", 7)).isEmpty)
+  }
 }
