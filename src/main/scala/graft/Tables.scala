@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * Plain `spark.read.parquet` so Catalyst gets column pruning and filter
   * pushdown straight into the parquet scan.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader only
-  * accepts as a raw long (`spark.sql.legacy.parquet.nanosAsLong`, set in
-  * [[GraftSession]]); we convert to a microsecond TimestampType column
-  * here so downstream operators see a real timestamp.
+  * `events.ts` has shipped as parquet TIMESTAMP(NANOS) — which Spark's
+  * reader only accepts as a raw long (`spark.sql.legacy.parquet
+  * .nanosAsLong`, set in [[GraftSession]]) — and, in newer generations,
+  * as TIMESTAMP(MICROS) (surfacing as TIMESTAMP_NTZ). Normalize both to
+  * a microsecond TimestampType column so downstream operators always see
+  * the same type regardless of which testdata vintage is on disk.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -19,10 +21,18 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // integer `div`, not `/`: double division rounds the microsecond up
-    // for half the rows, off-by-one vs an engine that floors
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        // nanos-as-long vintage: integer `div`, not `/` — double division
+        // rounds the microsecond up for half the rows, off-by-one vs an
+        // engine that floors
+        case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // micros vintage: NTZ -> session-TZ timestamp (session is pinned
+        // UTC in GraftSession, so the wall-clock value is unchanged)
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 }
