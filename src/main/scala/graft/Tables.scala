@@ -22,16 +22,23 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       df.schema("ts").dataType match {
         // nanos-as-long vintage: integer `div`, not `/` — double division
         // rounds the microsecond up for half the rows, off-by-one vs an
         // engine that floors
         case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        // micros vintage: NTZ -> session-TZ timestamp (session is pinned
-        // UTC in GraftSession, so the wall-clock value is unchanged)
-        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => df
+        // micros vintage: NTZ -> session-TZ timestamp. The wall-clock ->
+        // instant mapping is only identity under UTC; fail loudly instead
+        // of silently shifting for a caller whose session isn't pinned.
+        case TimestampNTZType =>
+          val tz = spark.conf.get("spark.sql.session.timeZone")
+          require(tz == "UTC",
+            s"events.ts is TIMESTAMP_NTZ; casting needs spark.sql.session.timeZone=UTC (got $tz)")
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case TimestampType => df
+        case other => throw new IllegalStateException(
+          s"events.ts: unsupported parquet type $other (expected long/TIMESTAMP_NTZ/TIMESTAMP)")
       }
     } else df
   }

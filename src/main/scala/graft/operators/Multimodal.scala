@@ -93,25 +93,31 @@ object Multimodal {
     val stride = ceil(len.cast(DoubleType) / nFrames).cast(LongType)
     val nf = when(len === 0, 0L)
       .otherwise(ceil(len.cast(DoubleType) / stride.cast(DoubleType)).cast(LongType))
-    val hexStr = lower(hex(col("payload")))
+    // Slice the BINARY payload per frame, then hash the slice: the frame
+    // rows downstream of the explode carry only their own stride-sized
+    // slice, never the whole payload (an earlier formulation projected
+    // lower(hex(payload)) — 2x the payload — through every exploded row,
+    // a ~3nv-byte amplification for an n-frame, v-byte video). md5 of the
+    // slice's lowercase hex is unchanged by the rewrite — byte boundaries
+    // align with 2-hex-char boundaries — so the DuckDB oracle keeps its
+    // hex-substring mirror. Offsets still pass through Spark's Int-typed
+    // Substring (engine-inherent ~2 GiB/payload cap; was ~1 GiB when
+    // offsets were doubled into hex space).
+    val slice = col("payload").substr(
+      (col("frame_idx") * col("__stride") + 1).cast(IntegerType),
+      col("__stride").cast(IntegerType))
     mm.select(col("asset_id"), col("modality"), col("payload"),
-        stride.as("__stride"), nf.as("__nf"), hexStr.as("__hex"))
+        stride.as("__stride"), nf.as("__nf"))
       .filter(col("__nf") > 0)
       .select(col("asset_id"), col("modality"), col("payload"),
-        col("__stride"), col("__hex"),
+        col("__stride"),
         posexplode(sequence(lit(0L), col("__nf") - 1)).as(Seq("__p", "frame_idx")))
       .select(
         col("asset_id"),
         col("frame_idx").cast(IntegerType).as("frame_idx"),
         (col("frame_idx") * col("__stride")).as("frame_off"),
-        length(col("payload").substr(
-            (col("frame_idx") * col("__stride") + 1).cast(IntegerType),
-            col("__stride").cast(IntegerType)))
-          .cast(LongType).as("frame_bytes"),
-        md5(col("__hex").substr(
-            (col("frame_idx") * col("__stride") * 2 + 1).cast(IntegerType),
-            (col("__stride") * 2).cast(IntegerType)))
-          .as("frame_hash"))
+        length(slice).cast(LongType).as("frame_bytes"),
+        md5(lower(hex(slice))).as("frame_hash"))
   }
 
   /** Resize (the image path): aspect-fit each asset's (stub-decoded)

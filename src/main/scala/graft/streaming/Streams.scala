@@ -16,22 +16,30 @@ import graft.functions.dsum
   */
 object Streams {
 
-  /** events.parquet schema as stored (ts = TIMESTAMP(NANOS), read as
-    * long via the nanosAsLong flag, then converted). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source streaming read of an events directory/file. */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** File-source streaming read of an events directory/file.
+    *
+    * `events.ts` has shipped in two testdata vintages — TIMESTAMP(NANOS)
+    * (readable only as a raw long via the nanosAsLong flag) and
+    * TIMESTAMP(MICROS) (surfacing as TIMESTAMP_NTZ). Mirror
+    * [[graft.Tables]]' dispatch: probe the on-disk type with a
+    * footer-only batch read (no data scan), then normalize to a
+    * microsecond TimestampType column so streaming and batch operators
+    * always see the same event time. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val onDisk = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(onDisk).parquet(path)
+    onDisk("ts").dataType match {
+      // nanos-as-long vintage: integer `div`, not `/` — double division
+      // rounds half the rows up a microsecond vs an engine that floors
+      case LongType => stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // micros vintage: NTZ -> session-TZ timestamp (session pinned UTC
+      // in GraftSession/TestSpark, so the wall-clock value is unchanged)
+      case TimestampNTZType => stream.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampType => stream
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other (expected long/TIMESTAMP_NTZ/TIMESTAMP)")
+    }
+  }
 
   /** Tumbling event-time window aggregate with a watermark: late events
     * beyond `lateness` are dropped, state for closed windows is evicted —

@@ -20,6 +20,22 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("readEvents normalizes the on-disk vintage identically to Tables") {
+    // Guard against vintage drift: whatever parquet encoding events.ts
+    // ships with, the streaming and batch readers must agree exactly.
+    val streamed = Streams.drainToMemory(spark,
+      Streams.readEvents(spark, eventsPath).select(col("ts")),
+      "vintage_guard", complete = false)
+    val batch = graft.Tables(spark, TestSpark.sfDir, "events").select(col("ts"))
+    assert(streamed.schema("ts").dataType == batch.schema("ts").dataType)
+    val Array(sMin, sMax) = streamed.agg(min("ts"), max("ts")).collect()(0)
+      .toSeq.toArray
+    val Array(bMin, bMax) = batch.agg(min("ts"), max("ts")).collect()(0)
+      .toSeq.toArray
+    assert(sMin == bMin && sMax == bMax)
+    assert(streamed.count() == batch.count())
+  }
+
   test("streaming tumbling window == batch tumbling window") {
     val stream = Streams.readEvents(spark, eventsPath)
     val streamed = Streams.drainToMemory(spark,
