@@ -19,6 +19,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** True when `tz` names wall-clock UTC under any spelling ("UTC",
+    * "Etc/UTC", "GMT", "Z", "+00:00", ...): a fixed zero offset. The NTZ
+    * -> timestamp cast is identity exactly for these zones. */
+  private[graft] def isUtcEquivalent(tz: String): Boolean =
+    try {
+      val rules = java.time.ZoneId.of(tz).getRules
+      rules.isFixedOffset &&
+        rules.getOffset(java.time.Instant.EPOCH) == java.time.ZoneOffset.UTC
+    } catch { case _: java.time.DateTimeException => false }
+
+  /** Fail loudly when the session timezone would make an NTZ cast shift
+    * wall-clock values (shared by the batch and streaming events readers). */
+  private[graft] def requireUtcSession(spark: SparkSession): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(isUtcEquivalent(tz),
+      s"events.ts is TIMESTAMP_NTZ; casting needs a UTC-equivalent spark.sql.session.timeZone (got $tz)")
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
@@ -32,9 +50,7 @@ object Tables {
         // instant mapping is only identity under UTC; fail loudly instead
         // of silently shifting for a caller whose session isn't pinned.
         case TimestampNTZType =>
-          val tz = spark.conf.get("spark.sql.session.timeZone")
-          require(tz == "UTC",
-            s"events.ts is TIMESTAMP_NTZ; casting needs spark.sql.session.timeZone=UTC (got $tz)")
+          requireUtcSession(spark)
           df.withColumn("ts", col("ts").cast("timestamp"))
         case TimestampType => df
         case other => throw new IllegalStateException(

@@ -102,18 +102,21 @@ object Dedup {
     * appended per increment — [[incrementalMinhashCandidates]] consumes
     * it so a daily batch never re-hashes the historical corpus. */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 12, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+                   k: Int = 12, bands: Int = 4, shingleN: Int = 3,
+                   carry: Seq[String] = Nil): DataFrame = {
+    // `carry`: extra columns to ride along unchanged (e.g. an event-time
+    // column the streaming near-dup path watermarks on)
     val rowsPerBand = k / bands
     val par = df.sparkSession.sparkContext.defaultParallelism
     val hashed = df.repartition(par).select(
-      col(idCol).as("id"),
+      col(idCol).as("id") +: carry.map(col) :+
       array_sort(array_distinct(
-        call_function("graft_md5_hash_array", wordShingles(col(textCol), shingleN), lit(15)))).as("sh"))
+        call_function("graft_md5_hash_array", wordShingles(col(textCol), shingleN), lit(15)))).as("sh"): _*)
     val bandsExpr = graft.functions.bound(
       minhashSignatureOfHashed(transform(col("sh"), x => shiftright(x, 28)), k)) { sig =>
         lshBandKeysOf(sig, bands, rowsPerBand)
       }
-    hashed.select(col("id"), col("sh"), explode(bandsExpr).as("bk"))
+    hashed.select(col("id") +: carry.map(col) :+ col("sh") :+ explode(bandsExpr).as("bk"): _*)
   }
 
   /** SemDeDup (semantic dedup over embeddings, the LAION/DataComp

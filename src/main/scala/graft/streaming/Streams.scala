@@ -16,6 +16,18 @@ import graft.functions.dsum
   */
 object Streams {
 
+  /** The current testdata vintage of the events table (TESTDATA.md):
+    * micros timestamps surface as TIMESTAMP_NTZ. Used when a streaming
+    * source directory is empty at query start and there is nothing to
+    * probe. */
+  val defaultEventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** File-source streaming read of an events directory/file.
     *
     * `events.ts` has shipped in two testdata vintages — TIMESTAMP(NANOS)
@@ -24,17 +36,31 @@ object Streams {
     * [[graft.Tables]]' dispatch: probe the on-disk type with a
     * footer-only batch read (no data scan), then normalize to a
     * microsecond TimestampType column so streaming and batch operators
-    * always see the same event time. */
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
-    val onDisk = spark.read.parquet(path).schema
+    * always see the same event time.
+    *
+    * The canonical file-stream pattern — watching a directory that is
+    * EMPTY when the query starts and fills over time — has nothing to
+    * probe; pass `schema` explicitly, or the probe falls back to
+    * [[defaultEventsSchema]] (the current vintage). */
+  def readEvents(spark: SparkSession, path: String,
+                 schema: Option[StructType] = None): DataFrame = {
+    val onDisk = schema.getOrElse {
+      try spark.read.parquet(path).schema
+      catch {
+        // "unable to infer schema" / path-not-yet-existing: empty watch dir
+        case _: org.apache.spark.sql.AnalysisException => defaultEventsSchema
+      }
+    }
     val stream = spark.readStream.schema(onDisk).parquet(path)
     onDisk("ts").dataType match {
       // nanos-as-long vintage: integer `div`, not `/` — double division
       // rounds half the rows up a microsecond vs an engine that floors
       case LongType => stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // micros vintage: NTZ -> session-TZ timestamp (session pinned UTC
-      // in GraftSession/TestSpark, so the wall-clock value is unchanged)
-      case TimestampNTZType => stream.withColumn("ts", col("ts").cast("timestamp"))
+      // micros vintage: NTZ -> session-TZ timestamp (identity only under
+      // a UTC-equivalent session zone — same guard as the batch reader)
+      case TimestampNTZType =>
+        graft.Tables.requireUtcSession(spark)
+        stream.withColumn("ts", col("ts").cast("timestamp"))
       case TimestampType => stream
       case other => throw new IllegalStateException(
         s"events.ts: unsupported parquet type $other (expected long/TIMESTAMP_NTZ/TIMESTAMP)")
@@ -78,21 +104,42 @@ object Streams {
     * the batch `incrementalMinhashCandidates`' second term, and a
     * stream-stream self-join would buffer unbounded state); streaming
     * triage against HISTORY + a periodic batch pass over each day's
-    * increment is the production split. The dropDuplicates state is
-    * bounded by the stream's distinct pair volume — swap in
-    * dropDuplicatesWithinWatermark when the source carries event time. */
+    * increment is the production split.
+    *
+    * State bounding: with `eventTime = None` the pair-dedup state grows
+    * with the stream's distinct pair volume (fine for bounded drains,
+    * unbounded in production). When the source carries an event-time
+    * column, pass `eventTime = Some(col -> lateness)`: the op watermarks
+    * on it and uses `dropDuplicatesWithinWatermark`, so pair state is
+    * EVICTED once the watermark passes — the production path. Within the
+    * watermark the emitted pairs equal the unbounded-state form (asserted
+    * by StreamingSpec); a pair recurring later than `lateness` after its
+    * first emission may re-emit, the standard watermarked-dedup contract.
+    * The event-time column rides through to the output. */
   def nearDupCandidates(newDocs: DataFrame, corpusIndex: DataFrame,
                         idCol: String, textCol: String, threshold: Double,
-                        k: Int = 12, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+                        k: Int = 12, bands: Int = 4, shingleN: Int = 3,
+                        eventTime: Option[(String, String)] = None): DataFrame = {
     import graft.operators.Dedup
-    val newIdx = Dedup.minhashIndex(newDocs, idCol, textCol, k, bands, shingleN)
-      .select(col("bk"), col("id").as("new_id"), col("sh").as("new_sh"))
-    newIdx.join(corpusIndex, Seq("bk"))
+    val tsCols = eventTime.map(_._1).toSeq
+    val newIdx0 = Dedup.minhashIndex(newDocs, idCol, textCol, k, bands, shingleN,
+        carry = tsCols)
+      .select(col("bk") +: col("id").as("new_id") +: col("sh").as("new_sh") +:
+        tsCols.map(col): _*)
+    // watermark BEFORE the stream-static join (stateless) so it reaches
+    // the downstream stateful dedup
+    val newIdx = eventTime.fold(newIdx0) { case (ts, lateness) =>
+      newIdx0.withWatermark(ts, lateness) }
+    val pairs = newIdx.join(corpusIndex, Seq("bk"))
       .filter(col("new_id") =!= col("id"))
-      .select(col("new_id"), col("id").as("corpus_id"),
-        Dedup.jaccardSorted(col("new_sh"), col("sh")).as("jaccard"))
+      .select(col("new_id") +: col("id").as("corpus_id") +:
+        Dedup.jaccardSorted(col("new_sh"), col("sh")).as("jaccard") +:
+        tsCols.map(col): _*)
       .filter(col("jaccard") >= threshold)
-      .dropDuplicates("new_id", "corpus_id")
+    eventTime match {
+      case Some(_) => pairs.dropDuplicatesWithinWatermark("new_id", "corpus_id")
+      case None => pairs.dropDuplicates("new_id", "corpus_id")
+    }
   }
 
   /** Drain a bounded stream into an in-memory table and return it.

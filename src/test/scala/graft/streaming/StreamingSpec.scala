@@ -36,6 +36,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == batch.count())
   }
 
+  test("readEvents accepts a watch directory that is empty at query construction") {
+    // the canonical file-source pattern: the directory fills AFTER the
+    // stream is declared; the schema probe must not throw on nothing
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_empty")
+    val stream = Streams.readEvents(spark, dir.toString) // must not throw
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // files land before the drain: results equal the batch read
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val drained = Streams.drainToMemory(spark, stream.select(col("ts")),
+      "empty_dir_test", complete = false)
+    assert(drained.count() ==
+      graft.Tables(spark, TestSpark.sfDir, "events").count())
+  }
+
+  test("UTC-equivalent zone spellings all pass the NTZ cast guard") {
+    for (tz <- Seq("UTC", "Etc/UTC", "GMT", "Z", "+00:00"))
+      assert(graft.Tables.isUtcEquivalent(tz), tz)
+    for (tz <- Seq("America/New_York", "Europe/Berlin", "+01:00", "bogus"))
+      assert(!graft.Tables.isUtcEquivalent(tz), tz)
+  }
+
   test("streaming tumbling window == batch tumbling window") {
     val stream = Streams.readEvents(spark, eventsPath)
     val streamed = Streams.drainToMemory(spark,
@@ -119,6 +144,35 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("watermarked near-dup triage (state-bounded) == unbounded form within the watermark") {
+    import graft.operators.Dedup
+    val docs = graft.Tables(spark, TestSpark.sfDir, "documents")
+    val hist = docs.filter(col("doc_id") % 5 =!= 0)
+    val batchDocs = docs.filter(col("doc_id") % 5 === 0)
+      // event-time-carrying docs: a deterministic per-doc arrival time
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val corpusIdx = Dedup.minhashIndex(hist, "doc_id", "text", k = 12, bands = 4)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_docs_wm")
+    batchDocs.select("doc_id", "text", "ts").write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(batchDocs.select("doc_id", "text", "ts").schema)
+      .parquet(dir.toString)
+
+    val bounded = Streams.drainToMemory(spark,
+      Streams.nearDupCandidates(stream, corpusIdx, "doc_id", "text", 0.5,
+        eventTime = Some("ts" -> "1 hour")),
+      "neardup_wm_test", complete = false)
+      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 9).as("j"))
+    // ground truth: the unbounded-state batch path over the same docs
+    val unbounded = Streams.nearDupCandidates(
+        batchDocs.select("doc_id", "text"), corpusIdx, "doc_id", "text", 0.5)
+      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 9).as("j"))
+    assert(bounded.count() > 0)
+    assert(bounded.exceptAll(unbounded).isEmpty &&
+      unbounded.exceptAll(bounded).isEmpty)
   }
 
   test("stateful firstSeen dedup emits exactly one row per key") {
