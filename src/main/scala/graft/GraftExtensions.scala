@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{AffineMinHash, ArrayCosine, ExactMedian, Md5PrefixHashArray, SignBucket, SimHash32, SimHash60, SortedLongJaccard, StringNumClass}
+import graft.expressions.{AffineMinHash, ArrayCosine, BinarySlice, ExactMedian, Md5PrefixHashArray, SignBucket, SimHash32, SimHash60, SortedLongJaccard, StringNumClass}
 
 /** Registers graft's native Catalyst expressions with a SparkSession via
   * the public extensions mechanism:
@@ -41,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_numclass"),
       new ExpressionInfo(classOf[StringNumClass].getName, "graft_numclass"),
       (es: Seq[Expression]) => StringNumClass(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_binary_slice"),
+      new ExpressionInfo(classOf[BinarySlice].getName, "graft_binary_slice"),
+      (es: Seq[Expression]) => BinarySlice(es.head, es(1), es(2))))
     ext.injectFunction((FunctionIdentifier("graft_signbucket"),
       new ExpressionInfo(classOf[SignBucket].getName, "graft_signbucket"),
       (es: Seq[Expression]) =>

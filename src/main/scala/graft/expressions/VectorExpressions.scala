@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -343,6 +343,60 @@ object StringNumClass {
         case _ => NONE
       }
     } else NONE
+  }
+}
+
+/** Slice of a binary payload by LONG offset/length: bytes
+  * [off, min(off+len, size)), 0-based, clamped; empty (never null) when
+  * the range falls outside the payload, empty or negative.
+  *
+  * Spark's builtin `Substring` takes Int positions: frame offsets
+  * computed as longs (stride x index arithmetic) get silently WRAPPED by
+  * the narrowing cast under non-ANSI semantics — an offset past 2^31
+  * becomes a negative position and selects the wrong bytes instead of
+  * failing. This expression keeps the whole offset space in long
+  * (chunked/multi-part payloads address beyond 2 GiB even though one JVM
+  * byte[] caps at Int.MaxValue), so an out-of-range request degrades to
+  * an empty slice, never a mis-addressed one. Whole-stage codegen via a
+  * static helper. */
+case class BinarySlice(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_binary_slice"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (first.dataType == BinaryType && second.dataType == LongType &&
+        third.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (BINARY, BIGINT off, BIGINT len), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, ${third.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(b: Any, off: Any, len: Any): Any =
+    BinarySlice.slice(b.asInstanceOf[Array[Byte]],
+      off.asInstanceOf[Long], len.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, o, l) =>
+      s"graft.expressions.BinarySlice.slice($b, $o, $l)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object BinarySlice {
+  private val empty = Array.emptyByteArray
+
+  /** Static so generated code can call it without holding the expression. */
+  def slice(b: Array[Byte], off: Long, len: Long): Array[Byte] = {
+    if (off < 0 || len <= 0 || off >= b.length) empty
+    else {
+      val end = math.min(off + math.min(len, b.length.toLong), b.length.toLong)
+      java.util.Arrays.copyOfRange(b, off.toInt, end.toInt)
+    }
   }
 }
 

@@ -93,19 +93,22 @@ object Multimodal {
     val stride = ceil(len.cast(DoubleType) / nFrames).cast(LongType)
     val nf = when(len === 0, 0L)
       .otherwise(ceil(len.cast(DoubleType) / stride.cast(DoubleType)).cast(LongType))
-    // Slice the BINARY payload per frame, then hash the slice: the frame
-    // rows downstream of the explode carry only their own stride-sized
-    // slice, never the whole payload (an earlier formulation projected
-    // lower(hex(payload)) — 2x the payload — through every exploded row,
-    // a ~3nv-byte amplification for an n-frame, v-byte video). md5 of the
-    // slice's lowercase hex is unchanged by the rewrite — byte boundaries
-    // align with 2-hex-char boundaries — so the DuckDB oracle keeps its
-    // hex-substring mirror. Offsets still pass through Spark's Int-typed
-    // Substring (engine-inherent ~2 GiB/payload cap; was ~1 GiB when
-    // offsets were doubled into hex space).
-    val slice = col("payload").substr(
-      (col("frame_idx") * col("__stride") + 1).cast(IntegerType),
-      col("__stride").cast(IntegerType))
+    // Slice the BINARY payload per frame, then hash the slice. What the
+    // slice rewrite buys: the earlier formulation projected
+    // lower(hex(payload)) — a 2x-payload string copy — through every
+    // exploded row (~3nv bytes materialized for an n-frame, v-byte
+    // video); now only the payload itself flows through the (pipelined,
+    // codegen-fused) Generate until the final projection drops it — no
+    // extra copy materializes. md5 of the slice's lowercase hex is
+    // unchanged by the rewrite — byte boundaries align with 2-hex-char
+    // boundaries — so the DuckDB oracle keeps its hex-substring mirror.
+    // Offsets go through the native long-offset BinarySlice, not Spark's
+    // Int-typed Substring, whose narrowing cast would silently WRAP an
+    // offset past 2^31 to a negative position (mis-addressed bytes, not
+    // an error) — stride x index arithmetic on chunked payloads can
+    // address past 2 GiB even though one JVM byte[] caps at Int.MaxValue.
+    val slice = call_function("graft_binary_slice",
+      col("payload"), col("frame_idx") * col("__stride"), col("__stride"))
     mm.select(col("asset_id"), col("modality"), col("payload"),
         stride.as("__stride"), nf.as("__nf"))
       .filter(col("__nf") > 0)

@@ -134,4 +134,36 @@ class NativeExprSpec extends AnyFunSuite {
     val langs = d.select("lang").collect().map(_.getString(0))
     assert(langs.length == langs.distinct.length)
   }
+
+  test("BinarySlice == builtin substr in-range; long offsets past 2 GiB don't wrap") {
+    val payloads = docs.limit(50).select(
+      col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    // in-range: bit-identical to the builtin 1-based Int substring
+    val diff = payloads.select(
+      (call_function("graft_binary_slice", col("payload"), lit(3L), lit(7L)) =!=
+        col("payload").substr(lit(4), lit(7))).as("d"))
+      .filter(col("d")).count()
+    assert(diff == 0)
+    // the >2 GiB-offset path, unit-level (no giant fixture): a frame
+    // offset computed past Int range must yield an EMPTY slice. The
+    // narrowing Int cast the builtin requires would wrap 2^31+2 to a
+    // negative position and select wrong bytes instead.
+    val bigOff = payloads.select(
+      length(call_function("graft_binary_slice",
+        col("payload"), lit(Int.MaxValue.toLong + 3L), lit(16L))).as("n"),
+      length(call_function("graft_binary_slice",
+        col("payload"), lit(3L), lit(Long.MaxValue))).as("clamped"),
+      length(col("payload")).as("len"))
+    assert(bigOff.filter(col("n") =!= 0).count() == 0)
+    // oversize length clamps to the payload end, no overflow
+    assert(bigOff.filter(col("clamped") =!= col("len") - 3).count() == 0)
+    // null payload stays null; zero/negative length is empty
+    val edge = spark.sql(
+      """SELECT graft_binary_slice(CAST(NULL AS BINARY), 0L, 4L) AS a,
+                graft_binary_slice(X'0102', 0L, 0L) AS b,
+                graft_binary_slice(X'0102', -1L, 4L) AS c""").collect()(0)
+    assert(edge.isNullAt(0))
+    assert(edge.getAs[Array[Byte]](1).isEmpty)
+    assert(edge.getAs[Array[Byte]](2).isEmpty)
+  }
 }
