@@ -198,6 +198,19 @@ object SparkEntry {
             x => x.getField("f"))).as("order_desc"))
     }),
 
+    // ---- A8 as a QUERYABLE verdict (not just a warning string): one row
+    //      per group with expected vs observed series order and a pass
+    //      flag — the oracle-checkable face of the ordering check
+    "q79_ordering_verdict" -> ((s, dir) => {
+      val grouped = t(s, dir, "lineitem")
+        .groupBy("l_linestatus", "l_returnflag")
+        .agg(round(davg(col("l_extendedprice")), 6).as("v"))
+      graft.recipe.OrderingCheck.verdict(grouped,
+        groupCols = Seq("l_linestatus"), seriesCols = Seq("l_returnflag"),
+        valueCol = "v", expected = Seq(Seq("N"), Seq("A"), Seq("R")),
+        higherIsBetter = false)
+    }),
+
     // ---- TEXT: token counting over documents
     "q17_token_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1002,6 +1015,20 @@ object SparkEntry {
          SELECT l_linestatus,
            array_to_string(array_agg(l_returnflag ORDER BY v DESC, l_returnflag), ',') AS order_desc
          FROM g GROUP BY 1""",
+    // A8 verdict: window/array_agg rank comparison — worst first
+    // (higher_is_better=false => v DESC), ties broken by the series value
+    "q79_ordering_verdict" ->
+      s"""WITH g AS (
+           SELECT l_linestatus, l_returnflag,
+                  ROUND(${DAVG("l_extendedprice")}, 6) AS v
+           FROM lineitem GROUP BY 1, 2),
+         o AS (
+           SELECT l_linestatus,
+             array_to_string(array_agg(l_returnflag ORDER BY v DESC, l_returnflag), '|') AS observed_order
+           FROM g WHERE v IS NOT NULL GROUP BY 1)
+         SELECT l_linestatus, 'N|A|R' AS expected_order, observed_order,
+                (observed_order = 'N|A|R') AS ordering_ok
+         FROM o""",
     "q17_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          CAST(SUM(len($TOKS)) AS BIGINT) AS sum_tokens,

@@ -585,4 +585,39 @@ class RecipePipelineSpec extends AnyFunSuite {
     bench.getAggregatedData().collect()
     assert(bench.warnings.exists(_.contains("Unexpected performance ordering")))
   }
+
+  test("OrderingCheck.verdict mirrors the A8 warning as queryable rows") {
+    import spark.implicits._
+    // two groups, one ordered as expected, one inverted
+    val agg = Seq(("g1", "slowlib", 9.0), ("g1", "fastlib", 1.0),
+                  ("g2", "slowlib", 1.0), ("g2", "fastlib", 9.0))
+      .toDF("grp", "impl", "time")
+    val v = OrderingCheck.verdict(agg, Seq("grp"), Seq("impl"), "time",
+        expected = Seq(Seq("slowlib"), Seq("fastlib")), higherIsBetter = false)
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(v("g1") === ("slowlib|fastlib" -> true))
+    assert(v("g2") === ("fastlib|slowlib" -> false))
+
+    // parity: the Benchmark A8 warning fires exactly for the groups the
+    // verdict flags (same data through the recipe path)
+    val dir = tmpDir()
+    write(dir, "v.csv", "grp, impl, time\n" +
+      "g1, slowlib, 9.0\ng1, fastlib, 1.0\ng2, slowlib, 1.0\ng2, fastlib, 9.0\n")
+    val recipe =
+      s"""input:
+         |  path: "${dir}/v.csv"
+         |aggregation: mean
+         |axis: [grp]
+         |values: [time]
+         |series: [impl]
+         |expected:
+         |  - [slowlib]
+         |  - [fastlib]
+         |""".stripMargin
+    val bench = Benchmark.fromString(spark, recipe)
+    bench.getAggregatedData().collect()
+    val warned = bench.warnings.filter(_.contains("Unexpected performance ordering"))
+    assert(warned.size === 1 && warned.head.contains("[g2]"), warned.mkString("; "))
+  }
 }
