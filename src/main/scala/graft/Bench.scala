@@ -3,23 +3,43 @@ package graft
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"queries":{...},"errors":{...}}.
   *
-  * Measurement protocol: each pass (default 2) runs in a FRESH forked JVM
-  * and every query reports its MINIMUM wall time across passes.
-  * Single-JVM suite runs degrade progressively — by query ~40 of a
-  * 49-query, codegen-heavy run, the JIT code cache fills; with
-  * +UseCodeCacheFlushing the JVM then flushes/recompiles hot methods in a
+  * Measurement protocol: each pass (default 3) runs in FRESH forked JVMs
+  * (one per CHUNK of queries) and every query reports its MINIMUM wall
+  * time across passes, plus the full per-pass arrays.
+  *
+  * Why forked chunks: a 79-query codegen-heavy run in one JVM degrades
+  * progressively — by query ~40 the JIT code cache fills; with
+  * +UseCodeCacheFlushing the JVM flushes/recompiles hot methods in a
   * churn loop (measured: the same query 2.4s at position 49 of a fresh
   * pass vs 43s in the second in-JVM pass), and with -UseCodeCacheFlushing
   * it falls back to the interpreter. No flag setting is fully safe at
   * this codegen volume — and the flags of the invoking JVM aren't ours to
-  * choose — so the harness forks each pass with explicit flags
-  * (2g reserved code cache, no flushing) and merges results. Min-of-N
-  * fresh passes is stable: a transient slowdown (GC pause, CPU co-tenant)
-  * in one pass cannot corrupt the recorded number.
+  * choose — so the harness forks each chunk with explicit flags
+  * (2g reserved code cache, no flushing) and merges results.
+  *
+  * Why min-of-N is NOT enough on its own (round-5 postmortem): min-of-3
+  * bounds a single noisy pass's influence at zero, but a sustained
+  * co-tenant contention WINDOW (a noisy hour, not a noisy pass) inflates
+  * every pass and certifies a phantom regression — r5's artifact recorded
+  * the headline query at 85s (min of 3!) while quiet-window reruns
+  * measured 20-25s. The artifact therefore now carries its own noise
+  * instrument:
+  *   - "pass_times"/"pass_jobs": per-pass wall seconds and Spark job
+  *     counts per query, so any future "regression" is attributable in
+  *     one glance (all passes slow = environment; one pass slow = noise;
+  *     job count changed = plan drift);
+  *   - "canary": a constant-cost CPU-bound probe (fixed-size range-sum,
+  *     independent of sf and of the queries) timed once per chunk-JVM
+  *     after warmup — its drift across chunks measures the machine, not
+  *     the engine;
+  *   - "noise" = max/min canary across all chunk-JVMs, and
+  *     "tainted": true when noise exceeds SPARK_GRAFT_BENCH_NOISE_MAX
+  *     (default 1.5) — a number produced under that much ambient drift
+  *     must not be stamped official; rerun in a quiet window instead.
   *
   * Failures are NEVER swallowed: a failing query records value -1 and its
-  * exception in "errors" (skipped in later passes), so a crashing query is
-  * distinguishable from a fast one and the total only sums successes.
+  * exception in "errors", so a crashing query is distinguishable from a
+  * fast one and the total only sums successes.
   *
   * Child mode (one in-JVM pass, emits the same JSON) is selected by
   * SPARK_GRAFT_BENCH_CHILD=1; if forking fails (e.g. no java on PATH) the
@@ -38,28 +58,79 @@ object Bench {
       case c => c.toString
     }
 
+  private def numMap(m: collection.Map[String, Double], names: Seq[String]): String =
+    names.filter(m.contains).map(n => "\"" + n + "\":" + m(n)).mkString("{", ",", "}")
+
+  private def arrMap[T](m: collection.Map[String, Seq[T]], names: Seq[String]): String =
+    names.filter(m.contains)
+      .map(n => "\"" + n + "\":" + m(n).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+
+  /** Parent-side (official) artifact: headline min-of-passes per query,
+    * plus the per-pass evidence and the noise instrument. */
   private def renderJson(names: Seq[String], best: collection.Map[String, Double],
+                         passTimes: collection.Map[String, Seq[Double]],
+                         passJobs: collection.Map[String, Seq[Long]],
+                         canaries: Seq[Double],
                          errors: collection.Map[String, String], passes: Int,
                          sfDir: String): String = {
-    val qs = names.map(n => "\"" + n + "\":" + best(n)).mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = names.map(best).filter(_ >= 0).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"sf":"$sfDir"}"""
+    val total = names.flatMap(best.get).filter(_ >= 0).sum
+    val noise =
+      if (canaries.size < 2) 1.0
+      else canaries.max / math.max(canaries.min, 1e-9)
+    val noiseMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_NOISE_MAX", "1.5").toDouble
+    val tainted = noise > noiseMax
+    s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${numMap(best, names)},""" +
+      s""""pass_times":${arrMap(passTimes, names)},""" +
+      s""""pass_jobs":${arrMap(passJobs, names)},""" +
+      s""""canary":${canaries.mkString("[", ",", "]")},""" +
+      f""""noise":$noise%.3f,"tainted":$tainted,""" +
+      s""""errors":$errs,"passes":$passes,"sf":"$sfDir"}"""
   }
 
-  /** One full pass over all queries inside this JVM. */
+  /** Child-side JSON: this pass's raw times/jobs + the chunk-JVM canary. */
+  private def renderChildJson(names: Seq[String], times: collection.Map[String, Double],
+                              jobs: collection.Map[String, Long], canary: Double,
+                              errors: collection.Map[String, String],
+                              sfDir: String): String = {
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val jm = names.filter(jobs.contains)
+      .map(n => "\"" + n + "\":" + jobs(n)).mkString("{", ",", "}")
+    s"""{"metric":"pass","queries":${numMap(times, names)},"jobs":$jm,""" +
+      s""""canary":$canary,"errors":$errs,"sf":"$sfDir"}"""
+  }
+
+  /** Constant-cost CPU-bound canary, independent of the sf dir and of the
+    * query set: a fixed-size codegen'd range aggregation. Its wall time
+    * measures ambient CPU availability (what co-tenant contention steals),
+    * not engine behavior. Run once untimed (JIT), then timed. */
+  private def timeCanary(spark: org.apache.spark.sql.SparkSession): Double = {
+    def run(): Unit =
+      spark.range(100000000L).selectExpr("sum(id * 3 + 1)").collect()
+    run() // warm
+    val t0 = System.nanoTime()
+    run()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One full pass over the selected queries inside this JVM; fills
+    * `times`/`jobs`/`errors`, returns the chunk canary seconds. */
   private def runPass(sfDir: String, cpus: String, pass: Int,
-                      best: collection.mutable.Map[String, Double],
-                      errors: collection.mutable.Map[String, String]): Unit = {
+                      times: collection.mutable.Map[String, Double],
+                      jobs: collection.mutable.Map[String, Long],
+                      errors: collection.mutable.Map[String, String]): Double = {
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // count Spark jobs per query: eager driver-side jobs (collect/isEmpty
     // during plan construction) are invisible in wall time alone
-    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        jobCounter.incrementAndGet()
     })
     // unrecorded warmup: JIT-compile the parquet scan / shuffle / codegen
     // machinery so the chunk's first real query isn't billed for it
@@ -81,24 +152,27 @@ object Bench {
         spark.catalog.clearCache()
       } catch { case _: Throwable => () }
     }
+    val canary = timeCanary(spark)
     val names = selectedNames
     for (name <- names if !errors.contains(name)) {
       val t0 = System.nanoTime()
-      val j0 = jobs.get()
+      val j0 = jobCounter.get()
       try {
         SparkEntry.queries(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
-        System.err.println(f"[bench] pass $pass $name%-26s$dt%9.2fs  ${jobs.get() - j0}%4d jobs")
+        times(name) = dt
+        jobs(name) = jobCounter.get() - j0
+        System.err.println(f"[bench] pass $pass $name%-26s$dt%9.2fs  ${jobs(name)}%4d jobs")
       } catch {
         case e: Throwable =>
           errors(name) = jsonEscape(
             s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
-          best(name) = -1d
+          times(name) = -1d
           System.err.println(s"[bench] pass $pass $name FAILED: ${e.getClass.getName}")
       }
       spark.catalog.clearCache() // recipe queries cache child frames
     }
+    canary
   }
 
   /** Query subset under SPARK_GRAFT_BENCH_ONLY (comma-separated names,
@@ -113,9 +187,10 @@ object Bench {
     }
   }
 
-  /** Fork one fresh-JVM run over `chunk`; returns its parsed per-query
-    * times, or None if the child could not run. */
-  private def forkPass(pass: Int, chunk: Seq[String]): Option[(Map[String, Double], Map[String, String])] = {
+  /** One forked fresh-JVM run over `chunk`: (times, jobs, canary, errors),
+    * or None if the child could not run. */
+  private def forkPass(pass: Int, chunk: Seq[String])
+      : Option[(Map[String, Double], Map[String, Long], Double, Map[String, String])] = {
     val javaHome = sys.props.get("java.home").map(h => s"$h/bin/java").getOrElse("java")
     val opens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
@@ -153,12 +228,14 @@ object Bench {
     }
   }
 
-  /** Minimal parser for the child's own renderJson output (keys are query
+  /** Minimal parser for the child's renderChildJson output (keys are query
     * names we generated: no escapes; error values are already escaped and
     * re-emitted verbatim). */
-  private[graft] def parseChild(json: String): (Map[String, Double], Map[String, String]) = {
+  private[graft] def parseChild(json: String)
+      : (Map[String, Double], Map[String, Long], Double, Map[String, String]) = {
     def section(name: String): String = {
       val start = json.indexOf("\"" + name + "\":{")
+      if (start < 0) return ""
       val open = json.indexOf('{', start)
       var depth = 0
       var i = open
@@ -168,10 +245,14 @@ object Bench {
     val qre = """"([^"]+)":(-?[0-9.Ee+-]+)""".r
     val qs = qre.findAllMatchIn(section("queries"))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val js = qre.findAllMatchIn(section("jobs"))
+      .map(m => m.group(1) -> m.group(2).toDouble.toLong).toMap
+    val canary = """"canary":(-?[0-9.Ee+-]+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toDouble).getOrElse(0.0)
     val ere = """"([^"]+)":"((?:[^"\\]|\\.)*)"""".r
     val es = ere.findAllMatchIn(section("errors"))
       .map(m => m.group(1) -> m.group(2)).toMap
-    (qs, es)
+    (qs, js, canary, es)
   }
 
   def main(args: Array[String]): Unit = {
@@ -180,29 +261,43 @@ object Bench {
     // 3 passes by default: min-of-2 proved unable to separate co-tenant
     // noise from plan drift (round-4 postmortem — 4 queries looked 1.7-2.2x
     // regressed with zero code change); min-of-3 is the cheapest protocol
-    // that bounds a single noisy pass's influence at zero.
+    // that bounds a single noisy pass's influence at zero. Sustained noise
+    // is what the canary/"tainted" instrument is for (see header).
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val names = selectedNames
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val passTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val passJobs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     if (sys.env.get("SPARK_GRAFT_BENCH_CHILD").contains("1")) {
       // child: ONE in-JVM pass, emit JSON, exit
       val pass = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASS", "1").toInt
-      runPass(sfDir, cpus, pass, best, errors)
-      println(renderJson(names, best, errors, 1, sfDir))
+      val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val jobs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      val canary = runPass(sfDir, cpus, pass, times, jobs, errors)
+      println(renderChildJson(names, times, jobs, canary, errors, sfDir))
       // hard-exit: SparkSession shutdown hooks handle cleanup; a lingering
       // non-daemon thread must not wedge the parent
       GraftSession.builder(cpus).getOrCreate().stop()
       sys.exit(0)
     }
 
-    // fork a fresh JVM per CHUNK of queries: a 49-query codegen-heavy run
-    // in one JVM degrades progressively (JIT code-cache churn) no matter
-    // the flags — measured 5-50x inflation by query ~40. Small chunks keep
-    // every query near fresh-JVM truth; the warmup query absorbs session
-    // spin-up so chunk position doesn't matter; chunk boundaries rotate
-    // between passes so no query is always last-in-chunk.
+    def record(qs: Map[String, Double], js: Map[String, Long], canary: Double,
+               es: Map[String, String]): Unit = {
+      canaries += canary
+      for ((k, v) <- qs if v >= 0) {
+        passTimes(k) = passTimes.getOrElse(k, Vector.empty) :+ v
+        js.get(k).foreach(j => passJobs(k) = passJobs.getOrElse(k, Vector.empty) :+ j)
+        if (!errors.contains(k)) best(k) = math.min(best.getOrElse(k, Double.MaxValue), v)
+      }
+      // a query that failed in ANY chunk stays reported as failed
+      for ((k, v) <- es) { errors(k) = v; best(k) = -1d }
+    }
+
+    // fork a fresh JVM per CHUNK of queries (see header); chunk boundaries
+    // rotate between passes so no query is always last-in-chunk
     val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "8").toInt
     var forked = true
     for (pass <- 1 to passes if forked) {
@@ -210,22 +305,29 @@ object Bench {
       val rotated = names.drop(offset) ++ names.take(offset)
       for (chunk <- rotated.grouped(chunkSize) if forked) {
         forkPass(pass, chunk) match {
-          case Some((qs, es)) =>
-            // a query that failed in ANY chunk stays reported as failed
-            for ((k, v) <- qs if v >= 0 && !errors.contains(k))
-              best(k) = math.min(best.getOrElse(k, Double.MaxValue), v)
-            for ((k, v) <- es) { errors(k) = v; best(k) = -1d }
+          case Some((qs, js, canary, es)) => record(qs, js, canary, es)
           case None => forked = false
         }
       }
     }
     if (!forked) {
       // fallback: old single-JVM protocol (degradation risk, but correct)
-      best.clear(); errors.clear()
-      for (pass <- 1 to passes) runPass(sfDir, cpus, pass, best, errors)
+      best.clear(); passTimes.clear(); passJobs.clear(); canaries.clear(); errors.clear()
+      for (pass <- 1 to passes) {
+        val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+        val jobs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        val canary = runPass(sfDir, cpus, pass, times, jobs, errors)
+        record(times.toMap, jobs.toMap, canary, Map.empty)
+      }
+      errors.keys.foreach(k => best(k) = -1d) // runPass fills errors directly
       GraftSession.builder(cpus).getOrCreate().stop()
     }
-    val json = renderJson(names, best, errors, passes, sfDir)
+    val json = renderJson(names, best, passTimes, passJobs, canaries.toSeq,
+      errors, passes, sfDir)
+    if (json.contains("\"tainted\":true"))
+      System.err.println("[bench] WARNING: canary drift exceeds the noise " +
+        "threshold — ambient contention during this run; numbers are " +
+        "marked tainted, rerun in a quiet window before comparing rounds")
     // The official record goes to a FILE, not just stdout: a byte-bounded
     // stdout tail once truncated a round's artifact mid-value (no total
     // recoverable). The file always holds the complete JSON line.

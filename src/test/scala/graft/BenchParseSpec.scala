@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness's hand-rolled child-JSON parser must round-trip the
+  * exact shape the child emits — times, job counts, the chunk canary, and
+  * already-escaped error strings. */
+class BenchParseSpec extends AnyFunSuite {
+
+  test("parseChild reads times, jobs, canary and errors from a child line") {
+    val line = """{"metric":"pass","queries":{"q01_group_agg":0.51,"q99_x":-1},""" +
+      """"jobs":{"q01_group_agg":4},"canary":0.179,""" +
+      """"errors":{"q99_x":"java.lang.RuntimeException: boom \"quoted\""},""" +
+      """"sf":"/tmp/sf"}"""
+    val (times, jobs, canary, errors) = Bench.parseChild(line)
+    assert(times === Map("q01_group_agg" -> 0.51, "q99_x" -> -1.0))
+    assert(jobs === Map("q01_group_agg" -> 4L))
+    assert(canary === 0.179)
+    assert(errors.keySet === Set("q99_x"))
+    assert(errors("q99_x").contains("boom"))
+  }
+
+  test("parseChild tolerates empty sections and missing canary") {
+    val (times, jobs, canary, errors) =
+      Bench.parseChild("""{"metric":"pass","queries":{},"jobs":{},"errors":{},"sf":"x"}""")
+    assert(times.isEmpty && jobs.isEmpty && errors.isEmpty)
+    assert(canary === 0.0)
+  }
+}
