@@ -42,22 +42,29 @@ object ScaleSmoke {
       println(f"  $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
       r
     }
+    // SPARK_GRAFT_SCALE_ONLY=comma,separated,substrings runs a subset of
+    // legs (dev aid: re-measure one curve without the full hour)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def enabled(name: String): Boolean = only.forall(_.exists(name.contains))
+    def timeIf(label: String)(f: => Long): Long =
+      if (enabled(label)) time(label)(f) else -1L
 
     for (n <- mults) {
       val d = replicated(n).persist()
       val total = d.count()
       println(s"mult=$n  docs=$total")
-      val pairs = time("minhashCandidates") {
+      val pairs = timeIf("minhashCandidates") {
         Dedup.minhashCandidates(d, "doc_id", "text").filter(col("jaccard") >= 0.5).count()
       }
-      val simhash = time("simhashBandPairs") {
+      val simhash = timeIf("simhashBandPairs") {
         Dedup.simhashBandPairs(d, "doc_id", "text", bands = 4, maxHamming = 3).count()
       }
-      val manku = time("simhashMankuPairs") {
+      val manku = timeIf("simhashMankuPairs") {
         Dedup.simhashMankuPairs(d, "doc_id", "text",
           blocks = 6, keyBlocks = 3, maxHamming = 3, bits = 60).count()
       }
-      val clusters = time("dedupClusters") {
+      val clusters = timeIf("dedupClusters") {
         Dedup.dedupClusters(d, "doc_id", "text", threshold = 0.5)
           .filter(col("keep")).count()
       }
@@ -65,7 +72,7 @@ object ScaleSmoke {
       // footer line (replica-suffixed, so the frequent-line SET grows
       // linearly with mult while per-line doc counts stay constant —
       // the growth axis that stresses the broadcast flag join)
-      val boiler = time("removeBoilerplate") {
+      val boiler = timeIf("removeBoilerplate") {
         val aug = d.withColumn("t", concat(
           col("text"),
           lit("\nsubscribe "), substring(col("text"), 1, 8),
@@ -73,8 +80,40 @@ object ScaleSmoke {
         Dedup.removeBoilerplate(aug, "doc_id", "t", minDocs = 10L)
           .agg(sum(col("n_removed"))).head().getLong(0)
       }
+      // contamination leg: the eval/benchmark set is FIXED (20 docs drawn
+      // from replica 0) while the corpus grows mult× — the production
+      // regime (benchmarks don't grow with the corpus). The broadcast
+      // payload is the eval shingle set, whose size is printed as the
+      // bound evidence: it must stay constant across mults while wall
+      // grows ~linearly (one scan + one keyed count-aggregate).
+      var benchShingles = -1L
+      var contaminated = -1L
+      if (enabled("contamination")) {
+        val bench = d.filter(col("doc_id") % n === 0).limit(20).persist()
+        benchShingles = bench // broadcast-bound evidence, untimed
+          .select(explode(array_distinct(graft.operators.TextAnalysis
+            .wordShingles(col("text"), 3))).as("s"))
+          .distinct().count()
+        contaminated = time("contamination") {
+          Dedup.contamination(d, bench, "doc_id", "text", minOverlap = 5L).count()
+        }
+        bench.unpersist()
+      }
+      // mixtureSample leg: group count is FIXED (3 sources) while rows
+      // grow mult× — coordination is one count-aggregate whose result is
+      // group-count-sized (3 rows, driver-held) at every mult; the
+      // sampling itself is a scan-level hash predicate, so wall must
+      // track the scan ~linearly.
+      val mixKept = timeIf("mixtureSample") {
+        val mix = docs
+          .withColumn("rep", explode(sequence(lit(0), lit(n - 1))))
+          .select((col("doc_id") * n + col("rep")).as("doc_id"), col("source"))
+        graft.operators.Sampling.mixtureSample(mix, "source", "doc_id",
+          Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0)).count()
+      }
       println(s"  pairs=$pairs simhashPairs=$simhash mankuPairs=$manku " +
-        s"keepers=$clusters boilerRemoved=$boiler")
+        s"keepers=$clusters boilerRemoved=$boiler " +
+        s"contaminated=$contaminated benchShingles=$benchShingles mixKept=$mixKept")
       d.unpersist()
     }
 
@@ -102,7 +141,7 @@ object ScaleSmoke {
           transform(col("embedding"), (x, i) =>
             when(pmod(hash(col("rep"), i), lit(2)) === 0, x).otherwise(-x))
             .as("embedding"))
-    for (n <- mults) {
+    for (n <- mults if enabled("semDedup")) {
       val e = embReplicated(n).persist()
       val total = e.count()
       val nlist = math.max(16, math.sqrt(total.toDouble).toInt)
