@@ -107,14 +107,22 @@ object Bench {
   /** Constant-cost CPU-bound canary, independent of the sf dir and of the
     * query set: a fixed-size codegen'd range aggregation. Its wall time
     * measures ambient CPU availability (what co-tenant contention steals),
-    * not engine behavior. Run once untimed (JIT), then timed. */
+    * not engine behavior. Run once untimed (JIT), then the MINIMUM of
+    * three timed runs: a single ~0.2 s draw carries ±30% scheduler/GC
+    * jitter, and the noise ratio takes a max/min over ~30 chunk canaries —
+    * one jittery draw would trip the tainted flag on a perfectly quiet
+    * machine (it did: 29 canaries at 0.17-0.25 s plus one 0.30 s outlier
+    * read as "noise 1.73"). Sustained contention — the thing the flag is
+    * FOR — inflates all three draws and still shows in the minimum. */
   private def timeCanary(spark: org.apache.spark.sql.SparkSession): Double = {
     def run(): Unit =
       spark.range(100000000L).selectExpr("sum(id * 3 + 1)").collect()
     run() // warm
-    val t0 = System.nanoTime()
-    run()
-    (System.nanoTime() - t0) / 1e9
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      run()
+      (System.nanoTime() - t0) / 1e9
+    }.min
   }
 
   /** One full pass over the selected queries inside this JVM; fills

@@ -152,6 +152,34 @@ object ScaleSmoke {
       println(s"mult=$n  vecs=$total  semKeepers=$keepers")
       e.unpersist()
     }
+
+    // ---- ANN leg: the query batch is FIXED (20 vectors from replica 0)
+    // while the corpus grows mult× — the production ANN regime (a bounded
+    // probe batch against a growing index). Brute-force cosine is the
+    // exact baseline and must grow ~linearly in n (q × n scored pairs,
+    // q constant); IVF with nlist = sqrt(n), nprobe = 4 scores
+    // n × nlist assignment cosines ONCE per corpus plus only the probed
+    // cells' rerank pairs — its candidate count (printed) must grow
+    // sublinearly vs brute's q × n. Both sides stay broadcast-shaped:
+    // the query batch (and IVF's probe fan-out, q × nprobe rows) is
+    // driver-bounded no matter the corpus size.
+    for (n <- mults if enabled("annTopK")) {
+      import graft.operators.Similarity
+      val e = embReplicated(n).persist()
+      val total = e.count()
+      val queries = e.filter(col("vec_id") % n === 0).limit(20).persist()
+      queries.count() // materialize before timing the search itself
+      val brute = timeIf("annTopKBrute") {
+        Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", k = 10).count()
+      }
+      val nlist = math.max(16, math.sqrt(total.toDouble).toInt)
+      val ivf = timeIf("annTopKIvf") {
+        Similarity.ivfTopK(queries, e, "vec_id", "embedding",
+          k = 10, nlist = nlist, nprobe = 4).count()
+      }
+      println(s"mult=$n  vecs=$total  bruteTopK=$brute ivfTopK=$ivf nlist=$nlist")
+      queries.unpersist(); e.unpersist()
+    }
     spark.stop()
   }
 }
