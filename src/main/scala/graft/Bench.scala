@@ -77,9 +77,22 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = names.flatMap(best.get).filter(_ >= 0).sum
+    // noise = p90/p10 of the chunk canaries, not max/min: two full runs in
+    // a demonstrably quiet window (total 117.6 s vs 118.6 s, headline query
+    // reproducible within 3%) still read max/min = 1.7-2.0, because one
+    // fast or slow chunk out of ~30 owns the ratio — short parallel probes
+    // carry irreducible scheduler/GC spread. A sustained contention window
+    // (the thing this flag is FOR) inflates most chunks, which the
+    // p90/p10 order-statistic ratio captures while shrugging off up to
+    // ~10% outlier chunks on each side.
     val noise =
       if (canaries.size < 2) 1.0
-      else canaries.max / math.max(canaries.min, 1e-9)
+      else {
+        val sorted = canaries.sorted
+        val p10 = sorted(math.floor(0.1 * (sorted.size - 1)).toInt)
+        val p90 = sorted(math.ceil(0.9 * (sorted.size - 1)).toInt)
+        p90 / math.max(p10, 1e-9)
+      }
     val noiseMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_NOISE_MAX", "1.5").toDouble
     val tainted = noise > noiseMax
     s"""{"metric":"total","value":$total,"unit":"sec",""" +
