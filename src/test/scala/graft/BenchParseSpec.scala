@@ -26,4 +26,19 @@ class BenchParseSpec extends AnyFunSuite {
     assert(times.isEmpty && jobs.isEmpty && errors.isEmpty)
     assert(canary === 0.0)
   }
+
+  // the tainted-flag contract: isolated outlier chunks must not trip it,
+  // a sustained contention window must
+  test("noiseRatio shrugs off isolated outlier chunks") {
+    val quiet = Seq.fill(28)(0.2) ++ Seq(0.14, 0.30) // one fast, one slow
+    assert(Bench.noiseRatio(quiet) < 1.5)
+    assert(Bench.noiseRatio(Seq(0.2)) === 1.0)
+    assert(Bench.noiseRatio(Nil) === 1.0)
+  }
+
+  test("noiseRatio fires on a sustained contention window") {
+    // half the run's chunks inflated 4x: a noisy hour, not a noisy pass
+    val contended = Seq.fill(15)(0.2) ++ Seq.fill(15)(0.8)
+    assert(Bench.noiseRatio(contended) > 1.5)
+  }
 }
