@@ -134,18 +134,20 @@ object Dedup {
     * the banded sign-LSH ([[embeddingNearDupsBanded]]).
     *
     * Centroid assignment is a broadcast join against the seed table +
-    * a min-struct aggregate over (vec_id, score) rows that shed both
+    * a packed-long argmax ([[Similarity.assignCells]]) that sheds both
     * vector arrays in the join projection: the n × nlist scores
-    * collapse map-side (partial min per vector before any exchange)
-    * and the cosine runs CODEGEN'd. The literal-table expression form
-    * ([[Similarity.cellsNearestFirst]], what ivfTopK uses at its small
-    * nlist) evaluates per-cell cosines inside a `transform` lambda,
-    * which Spark interprets row-at-a-time — at sqrt(n) cells the
-    * interpreted loop dominated the whole operator (measured 90 s vs
-    * 7 s end-to-end on a 32 k × 1000-cell assignment). After
-    * assignment: one cell-keyed exchange that BOTH sides of the
-    * self-join read (the minhashCandidates pattern), plus the
-    * keep-flag join back on id.
+    * collapse map-side (partial max per vector before any exchange)
+    * through a HashAggregate — NOT min(struct), whose non-mutable
+    * buffer forces a SortAggregate that sorts all n × nlist score
+    * rows — and the cosine runs CODEGEN'd. The literal-table expression
+    * form ([[Similarity.cellsNearestFirst]], kept only for ivfTopK's
+    * bounded query probes) evaluates per-cell cosines inside a
+    * `transform` lambda, which Spark interprets row-at-a-time — at
+    * sqrt(n) cells the interpreted loop dominated the whole operator
+    * (measured 90 s vs 7 s end-to-end on a 32 k × 1000-cell
+    * assignment). After assignment: one cell-keyed exchange that BOTH
+    * sides of the self-join read (the minhashCandidates pattern), plus
+    * the keep-flag join back on id.
     *
     * Keep rule: pair-dominance by id (dropped iff SOME lower-id
     * cell-mate is within threshold) — deterministic and
@@ -160,17 +162,11 @@ object Dedup {
     // uncached upstream pipeline once instead of three times
     val vecs = df.select(col(idCol).cast(LongType).as("vec_id"), col(vecCol).as("v"))
       .localCheckpoint(false)
-    val seeds = broadcast(Similarity.seedCentroids(vecs, "vec_id", "v", nlist))
-    // score rows shed BOTH vector arrays in the join projection — the
-    // aggregate sees (vec_id, 16-byte struct), not n × nlist wide rows
-    val best = vecs
-      .join(seeds)
-      .select(col("vec_id"),
-        struct((-round(cosine(col("v"), col("centroid")), 6)).as("negCos"),
-          col("cell").as("cell")).as("s"))
-      .groupBy("vec_id")
-      .agg(min(col("s")).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"))
+    // packed-long argmax assignment (HashAggregate, partial max map-side;
+    // see Similarity.assignCells for why NOT min(struct): a struct
+    // buffer forces SortAggregate, which sorts all n × nlist score rows)
+    val best = Similarity.assignCells(vecs, "vec_id", "v", nlist)
+      .withColumnRenamed("__assign_id", "vec_id")
     val assigned = vecs.join(best, Seq("vec_id")).repartition(col("cell"))
     val dropped = assigned.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"))
       .join(assigned.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va")),

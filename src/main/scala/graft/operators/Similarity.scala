@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions.cosine
 import graft.operators.TextAnalysis.hash32
@@ -155,13 +155,62 @@ object Similarity {
   }
 
   /** The same deterministic seed-centroid table as a broadcastable
-    * DataFrame (cell, centroid) — the join-shaped assignment path for
-    * large nlist ([[Dedup.semDedup]]): scoring in a join projection
-    * runs the cosine CODEGEN'd, where the literal-table form pays
-    * Spark's interpreted `transform`-lambda evaluation per cell per
-    * row (prohibitive past a few dozen cells; ivfTopK keeps the
-    * expression form because its nlist is small and its probes need
-    * the top-nprobe order). */
+    * DataFrame (cell, centroid) — the join-shaped assignment path used
+    * by every per-corpus-row assignment ([[Dedup.semDedup]], and
+    * [[ivfTopK]]'s corpus side): scoring in a join projection runs the
+    * cosine CODEGEN'd, where the literal-table form pays Spark's
+    * interpreted `transform`-lambda evaluation per cell per row
+    * (prohibitive past a few dozen cells). The expression form
+    * ([[cellsNearestFirst]]) survives only where a bounded batch needs
+    * the full nearest-first order: ivfTopK's query probes. */
+  /** Corpus → nearest-cell assignment as a HASH-aggregatable argmax.
+    *
+    * The naive formulation — `min(struct(-cos, cell))` over the
+    * corpus × seeds join — is semantically right but physically wrong
+    * at scale: a struct aggregation buffer is not UnsafeRow-mutable, so
+    * Spark plans a SortAggregate, which materializes and SORTS all
+    * n × nlist joined struct rows before the partial min (measured on
+    * the ScaleSmoke annTopK leg: 4.8 GB sorted, ~600 s of pipeline
+    * time, for a 128 k × 357 assignment whose cosines cost ~15 s).
+    * Packing the same ordering into ONE long —
+    *   packed = round(cos, 6)·1e6 · 2²¹ + (2²¹-1 − cellIdx)
+    * — makes the argmax a plain `max(long)`: HashAggregate, partial
+    * max map-side before the exchange, nothing sorted, nothing wider
+    * than 16 bytes per group in flight. Highest packed = highest
+    * 6-decimal cosine, ties toward the SMALLEST dense index — and the
+    * dense index is assigned in ascending CELL-ID order, so the
+    * tie-break is exactly the "smaller cell id" the oracles mirror
+    * (md5 order only selects WHICH vectors seed; it does not order
+    * the tie-break). Low 21 bits extract with a bitwise AND — packed
+    * is negative for negative cosines, a signed `%` would mangle them.
+    *
+    * Returns (idCol as "__assign_id", "cell") with the ORIGINAL seed
+    * ids as cell values — callers and oracles keep the md5-seed
+    * contract; the dense index is internal packing only. */
+  private[operators] def assignCells(corpus: DataFrame, idCol: String,
+                                     vecCol: String, nlist: Int): DataFrame = {
+    require(nlist > 0 && nlist < (1 << 21), s"nlist=$nlist must fit 21 bits")
+    import org.apache.spark.sql.expressions.Window
+    val mask = (1L << 21) - 1
+    // dense index in ascending cell-id order (driver-sized table): the
+    // packed tie-break "smaller idx" then means "smaller cell id"
+    val seedsIdx = seedCentroids(corpus, idCol, vecCol, nlist)
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("cell"))).cast(LongType) - 1)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c6 = round(round(cosine(col("__av"), col("centroid")), 6) * 1e6, 0).cast(LongType)
+    corpus.repartition(par)
+      .select(col(idCol).as("__assign_id"), col(vecCol).as("__av"))
+      .join(broadcast(seedsIdx.select(col("idx"), col("centroid"))))
+      .select(col("__assign_id"),
+        (shiftleft(c6, 21) + (lit(mask) - col("idx"))).as("__packed"))
+      .groupBy("__assign_id")
+      .agg(max(col("__packed")).as("__mp"))
+      .select(col("__assign_id"),
+        (lit(mask) - (col("__mp").bitwiseAND(mask))).as("idx"))
+      .join(broadcast(seedsIdx.select(col("idx"), col("cell"))), Seq("idx"))
+      .select("__assign_id", "cell")
+  }
   private[operators] def seedCentroids(corpus: DataFrame, idCol: String,
                                        vecCol: String, nlist: Int): DataFrame =
     corpus
@@ -175,9 +224,24 @@ object Similarity {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val cellsOf = cellsNearestFirst(corpus, idCol, vecCol, nlist)
 
-    val assigned = corpus.repartition(par)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        element_at(cellsOf(col(vecCol)), 1).as("cell"))
+    // Corpus-side assignment is JOIN-shaped (broadcast seed table,
+    // cosine codegen'd in the join projection, arrays shed before a
+    // partial-then-final min aggregate) — the same path as
+    // [[Dedup.semDedup]], and for the same reason: the literal-table
+    // `transform` form interprets its lambda per cell per row, and at
+    // the sqrt(n) nlist sizing every real corpus uses it inverts the
+    // whole point of IVF (measured on the ScaleSmoke annTopK leg:
+    // 64 s vs brute force's 0.8 s at 128 k vectors, nlist = 357).
+    // [[assignCells]] keeps cellsNearestFirst's exact contract (argmax
+    // 6-decimal cosine, ties toward the smaller cell) as a packed-long
+    // HashAggregate. The query side below stays expression-form — a
+    // bounded probe batch needs the full nearest-first ORDER, and pays
+    // nlist lambda evals only per query, not per corpus row.
+    val vecs = corpus.repartition(par)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val best = assignCells(corpus, idCol, vecCol, nlist)
+      .withColumnRenamed("__assign_id", "neighbor_id")
+    val assigned = vecs.join(best, Seq("neighbor_id"))
 
     // query -> its nprobe nearest cells, exploded to (query, cell) rows
     val probes = queries

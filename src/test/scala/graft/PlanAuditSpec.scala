@@ -87,12 +87,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("IVF probe join broadcasts the probe side; cell assignment is expression-only (q49)") {
+  test("IVF probe join broadcasts the probe side; assignment joins the broadcast seed table (q49)") {
     val p = plan("q49_ivf_topk")
-    // the one join is a broadcast hash join on the cell id — the corpus is
-    // never shuffled for centroid assignment (centroids are literals)
+    // probe join: broadcast hash join on the cell id. Corpus assignment:
+    // corpus × BROADCAST seed table (bounded by nlist — linear in the
+    // corpus, the q72 shape) collapsed by a partial-then-final min
+    // aggregate; the interpreted literal-table form this replaced was
+    // 80× slower than brute force at nlist = sqrt(n) (SCALE.md).
     assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // packed-long argmax must stay HASH-aggregated: min(struct)'s
+    // SortAggregate sorts all n × nlist score rows (600 s of pipeline
+    // time at 128 k × 357 where the cosines cost 15 s)
+    assert(p.contains("HashAggregate") && "partial_max".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct"))
     assert(p.contains("graft_cosine"))
   }
 
