@@ -195,7 +195,28 @@ object CsvSource {
         // parse don't schedule 500 near-empty tasks each.
         val nParts = math.min(files.size.toLong,
           math.max(1L, totalBytes / (2L << 20) + 1)).toInt
-        val parsed0 = lines
+        // wholetext cannot SPLIT a file either: the opposite degenerate
+        // glob — a FEW LARGE logs (one 4 MB run log here; one 4 GB
+        // server log at scale) — caps the regex+from_csv parse AND every
+        // later pass over the persisted parse at file-count parallelism,
+        // serializing multi-second work on single cores while the rest
+        // of the cluster idles. When the size-derived target is at least
+        // 2x the file count, round-robin-shuffle the filtered LINES to
+        // ~1 MB parse targets (bounded by 4 waves of the cluster: more
+        // tasks than that only adds scheduler load; AQE cannot help —
+        // this is an RDD-visible cache layout, not a shuffle read). The
+        // shuffled payload is exactly the lines about to be parsed, so
+        // at 100 TB this costs one extra pass of shuffle IO and only
+        // fires when unsplittable inputs would otherwise leave most of
+        // the cluster idle — the same trade a manual `repartition()`
+        // after an unsplittable-gzip read makes.
+        val lineParts = math.min(
+          math.max(1L, totalBytes / (1L << 20) + 1),
+          spark.sparkContext.defaultParallelism.toLong * 4).toInt
+        val lines2 =
+          if (lineParts >= files.size * 2) lines.repartition(lineParts)
+          else lines
+        val parsed0 = lines2
           .select(col("__gf_path"),
             from_csv(col("__gf_line"), schema, opts).as("__gf_r"))
           .select(col("__gf_path") +: colNames.map(n => col(s"__gf_r.`$n`")): _*)
