@@ -620,4 +620,47 @@ class RecipePipelineSpec extends AnyFunSuite {
     val warned = bench.warnings.filter(_.contains("Unexpected performance ordering"))
     assert(warned.size === 1 && warned.head.contains("[g2]"), warned.mkString("; "))
   }
+
+  test("one large line-filtered file parses multi-partition; a tiny one stays single") {
+    // wholetext = one partition per file; the line repartition in
+    // CsvSource.readGroup must kick in for a few-large-files group
+    // (size-derived target >= 2x file count) and must NOT add a shuffle
+    // for a small file. Golden values guard correctness through the
+    // round-robin shuffle (row order changes; results must not).
+    def filterRecipe(path: Path): String =
+      s"""input:
+         |  path: "$path"
+         |  csv-header: "impl, size, time"
+         |  filter:
+         |    'RESULT impl=(\\w+) size=(\\d+) time=([\\d.]+)': '\\1,\\2,\\3'
+         |aggregation: max
+         |values: [time]
+         |series: [impl]
+         |axis: [size]
+         |""".stripMargin
+
+    val dir = tmpDir()
+    val big = new StringBuilder
+    var i = 0
+    while (big.length < (3 << 20)) { // ~3 MB -> 1 MB targets = 4 parts
+      big.append(s"RESULT impl=impl${i % 2} size=${100 * (1 + i % 2)} time=${i % 7}.5\n")
+      i += 1
+    }
+    val bigBench = Benchmark.fromString(spark, filterRecipe(write(dir, "big.log", big.toString)))
+    try {
+      val raw = bigBench.getRawData()
+      assert(raw.rdd.getNumPartitions >= 4,
+        s"large unsplittable file stayed at ${raw.rdd.getNumPartitions} partition(s)")
+      val m = bigBench.getAggregatedData().collect()
+        .map(r => (r.getAs[Any]("impl").toString, r.getAs[Long]("size")) -> r.getAs[Double]("time")).toMap
+      assert(m == Map(("impl0", 100L) -> 6.5, ("impl1", 200L) -> 6.5))
+    } finally bigBench.unpersist()
+
+    val smallBench = Benchmark.fromString(spark, filterRecipe(
+      write(dir, "small.log", "RESULT impl=a size=1 time=1.5\nnoise\n")))
+    try {
+      assert(smallBench.getRawData().rdd.getNumPartitions === 1,
+        "tiny single-file group must not pay a repartition shuffle")
+    } finally smallBench.unpersist()
+  }
 }
