@@ -206,15 +206,31 @@ object CsvSource {
         // tasks than that only adds scheduler load; AQE cannot help —
         // this is an RDD-visible cache layout, not a shuffle read). The
         // shuffled payload is exactly the lines about to be parsed, so
-        // at 100 TB this costs one extra pass of shuffle IO and only
-        // fires when unsplittable inputs would otherwise leave most of
-        // the cluster idle — the same trade a manual `repartition()`
-        // after an unsplittable-gzip read makes.
+        // this costs one extra pass of shuffle IO and only fires when
+        // unsplittable inputs would otherwise leave most of the cluster
+        // idle — the same trade a manual `repartition()` after an
+        // unsplittable-gzip read makes.
+        //
+        // The trigger is LATENCY-regime only: at most ~2 MB of lines
+        // per core (one wave of parse tasks). Below that, the group
+        // alone cannot fill the machine and the shuffle converts idle
+        // cores into wall time (measured: the 11-recipe DAG at sf0.1,
+        // 4-8 MB groups, 25.6 s -> 17.2 s min-of-3). Above it, waves of
+        // parse tasks repeat anyway and sibling groups/recipes evaluate
+        // concurrently, so the cluster is throughput-bound and the
+        // shuffle is pure added IO (measured, interleaved A/B at 16x
+        // fixtures with 67-114 MB groups: repartition 91-170 s vs
+        // natural layout 66-92 s). Both bounds scale with the cluster:
+        // a 1 GB single-file log on a 4000-core cluster still fires.
+        val cores = spark.sparkContext.defaultParallelism.toLong
         val lineParts = math.min(
-          math.max(1L, totalBytes / (1L << 20) + 1),
-          spark.sparkContext.defaultParallelism.toLong * 4).toInt
+          math.max(1L, totalBytes / (1L << 20) + 1), cores * 4).toInt
+        // SPARK_GRAFT_LINE_REPART=0 disables the shuffle (dev A/B only)
+        val repartOn = !sys.env.get("SPARK_GRAFT_LINE_REPART").contains("0")
         val lines2 =
-          if (lineParts >= files.size * 2) lines.repartition(lineParts)
+          if (repartOn && lineParts >= files.size * 2 &&
+              totalBytes < cores * (2L << 20))
+            lines.repartition(lineParts)
           else lines
         val parsed0 = lines2
           .select(col("__gf_path"),

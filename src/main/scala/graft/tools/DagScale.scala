@@ -67,13 +67,22 @@ object DagScale {
     // plan cost, not compiler cost
     runDag(graft.corpus.ReferenceCorpus.ensure(spark, sfDir, 1))
 
+    // min-of-N passes per mult (default 2, DAGSCALE_PASSES overrides):
+    // single draws on this co-tenant host drift up to 2x between runs —
+    // the same lesson the bench artifact learned (BENCH noise canary);
+    // the min compares plan cost, not window luck. Jobs from the min
+    // pass (they are stable across passes by construction).
+    val passes = sys.env.getOrElse("DAGSCALE_PASSES", "2").toInt
     println(f"${"mult"}%-6s${"fixtureMB"}%-11s${"rows"}%-7s${"jobs"}%-6s${"wall_s"}%-8s")
     for (m <- mults) {
       val root = graft.corpus.ReferenceCorpus.ensure(spark, sfDir, m)
       val mb = fixtureBytes(root) / 1e6
-      drainedJobs() // settle any still-queued events before the reset
-      jobs.set(0)
-      val (wall, rows, nJobs) = runDag(root)
+      val results = (1 to passes).map { _ =>
+        drainedJobs() // settle any still-queued events before the reset
+        jobs.set(0)
+        runDag(root)
+      }
+      val (wall, rows, nJobs) = results.minBy(_._1)
       println(f"$m%-6d$mb%-11.1f$rows%-7d$nJobs%-6d$wall%-8.2f")
     }
     spark.stop()
