@@ -132,25 +132,35 @@ object Similarity {
     * returned function maps a vector column to its cells ordered
     * nearest-first (argmax cosine, ties toward the smaller cell id) —
     * a pure expression: assignment never shuffles. */
-  private def seedCentroidLit(corpus: DataFrame, idCol: String,
-                              vecCol: String, nlist: Int): Column = {
+  /** ONE driver-side materialization of the seed table (nlist × dim
+    * floats — IVF always holds its centroid table up front). Every
+    * consumer — the typedlit expression form, assignCells' local
+    * broadcast tables, ivfTopK's probe side — shares one collect: the
+    * corpus-wide TakeOrdered behind [[seedCentroids]] is the expensive
+    * part, and referencing the uncollected DataFrame from two broadcast
+    * joins re-ran it per broadcast (their canonicalized plans differ,
+    * so ReuseExchange can't dedupe them). */
+  private def collectSeeds(corpus: DataFrame, idCol: String,
+                           vecCol: String, nlist: Int): Seq[(Long, Seq[Float])] = {
     // derives from seedCentroids so the md5-ordered seed CONTRACT (the
     // thing the q49/q72 oracles mirror) lives in exactly one place
     val seedRows = seedCentroids(corpus, idCol, vecCol, nlist)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    require(seedRows.nonEmpty, "seedCentroidLit: empty corpus")
-    typedlit(seedRows.toSeq)
+    require(seedRows.nonEmpty, "collectSeeds: empty corpus")
+    seedRows.toSeq
   }
+
+  private def seedCentroidLit(seeds: Seq[(Long, Seq[Float])]): Column =
+    typedlit(seeds)
 
   private def cellScores(cellLit: Column, vec: Column): Column =
     transform(cellLit, c =>
       struct((-round(cosine(vec, c.getField("_2")), 6)).as("negCos"),
         c.getField("_1").as("cell")))
 
-  private[operators] def cellsNearestFirst(corpus: DataFrame, idCol: String,
-                                           vecCol: String, nlist: Int): Column => Column = {
-    val cellLit = seedCentroidLit(corpus, idCol, vecCol, nlist)
+  private[operators] def cellsNearestFirst(seeds: Seq[(Long, Seq[Float])]): Column => Column = {
+    val cellLit = seedCentroidLit(seeds)
     vec => transform(sort_array(cellScores(cellLit, vec)), _.getField("cell"))
   }
 
@@ -188,16 +198,28 @@ object Similarity {
     * ids as cell values — callers and oracles keep the md5-seed
     * contract; the dense index is internal packing only. */
   private[operators] def assignCells(corpus: DataFrame, idCol: String,
-                                     vecCol: String, nlist: Int): DataFrame = {
+                                     vecCol: String, nlist: Int): DataFrame =
+    assignCells(corpus, idCol, vecCol,
+      collectSeeds(corpus, idCol, vecCol, nlist))
+
+  /** [[assignCells]] over a pre-collected seed table: both broadcast
+    * sides are LOCAL relations (zero corpus scans here — the one seed
+    * TakeOrdered happened in [[collectSeeds]]; the uncollected-DataFrame
+    * form re-ran it once per broadcast projection). */
+  private[operators] def assignCells(corpus: DataFrame, idCol: String,
+                                     vecCol: String,
+                                     seeds: Seq[(Long, Seq[Float])]): DataFrame = {
+    val nlist = seeds.size
     require(nlist > 0 && nlist < (1 << 21), s"nlist=$nlist must fit 21 bits")
-    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val mask = (1L << 21) - 1
-    // dense index in ascending cell-id order (driver-sized table): the
+    // dense index in ascending cell-id order (local, driver-sized): the
     // packed tie-break "smaller idx" then means "smaller cell id"
-    val seedsIdx = seedCentroids(corpus, idCol, vecCol, nlist)
-      .withColumn("idx",
-        row_number().over(Window.orderBy(col("cell"))).cast(LongType) - 1)
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val seedsIdx = seeds.sortBy(_._1).zipWithIndex
+      .map { case ((cell, cen), i) => (i.toLong, cell, cen) }
+      .toDF("idx", "cell", "centroid")
+    val par = spark.sparkContext.defaultParallelism
     val c6 = round(round(cosine(col("__av"), col("centroid")), 6) * 1e6, 0).cast(LongType)
     corpus.repartition(par)
       .select(col(idCol).as("__assign_id"), col(vecCol).as("__av"))
@@ -222,7 +244,11 @@ object Similarity {
               vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val cellsOf = cellsNearestFirst(corpus, idCol, vecCol, nlist)
+    // one seed collect shared by the query-probe expression AND the
+    // corpus assignment join (previously three corpus-wide TakeOrdereds:
+    // one per broadcast projection + one for the probe literal)
+    val seeds = collectSeeds(corpus, idCol, vecCol, nlist)
+    val cellsOf = cellsNearestFirst(seeds)
 
     // Corpus-side assignment is JOIN-shaped (broadcast seed table,
     // cosine codegen'd in the join projection, arrays shed before a
@@ -239,7 +265,7 @@ object Similarity {
     // nlist lambda evals only per query, not per corpus row.
     val vecs = corpus.repartition(par)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val best = assignCells(corpus, idCol, vecCol, nlist)
+    val best = assignCells(corpus, idCol, vecCol, seeds)
       .withColumnRenamed("__assign_id", "neighbor_id")
     val assigned = vecs.join(best, Seq("neighbor_id"))
 

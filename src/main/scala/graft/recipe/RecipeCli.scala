@@ -42,6 +42,11 @@ object RecipeCli {
     tok == "-" || (!tok.startsWith("-") &&
       !tok.endsWith(".yml") && !tok.endsWith(".yaml"))
 
+  /** Option-shaped token (argparse treats any `-x`/`--x` as a flag, never
+    * as the value of a required-argument option; lone `-` stays a value). */
+  private def looksLikeFlag(tok: String): Boolean =
+    tok.length > 1 && tok.startsWith("-")
+
   /** Pure argv parser; Left(message) on a usage error (argparse exits 2
     * on unrecognized arguments / missing values — we surface the same
     * conditions as errors instead of silently misparsing). */
@@ -59,7 +64,10 @@ object RecipeCli {
         case "--html" | "-H" => c = c.copy(html = Some(optValue("{filename}.html")))
         case "--excel" | "-x" => c = c.copy(excel = Some(optValue("{filename}.xlsx")))
         case "--excel-pivot-table" | "-p" =>
-          if (i + 1 >= args.length) return Left("argument --excel-pivot-table/-p: expected one argument")
+          // argparse rejects a flag-shaped next token for required-argument
+          // options ("expected one argument", exit 2) rather than eating it
+          if (i + 1 >= args.length || looksLikeFlag(args(i + 1)))
+            return Left("argument --excel-pivot-table/-p: expected one argument")
           i += 1
           if (args(i) != "pandas" && args(i) != "excel")
             return Left(s"argument --excel-pivot-table/-p: invalid choice: '${args(i)}' (choose from 'pandas', 'excel')")
@@ -70,7 +78,8 @@ object RecipeCli {
         case v if v.startsWith("-v") && v.drop(1).forall(_ == 'v') =>
           c = c.copy(verbose = c.verbose + v.length - 1) // -vv / -vvv
         case "--input" | "-i" =>
-          if (i + 1 >= args.length) return Left("argument --input/-i: expected one argument")
+          if (i + 1 >= args.length || looksLikeFlag(args(i + 1)))
+            return Left("argument --input/-i: expected one argument")
           i += 1
           c = c.copy(inputs = args(i) :: c.inputs)
         case flag if flag.length > 1 && flag.startsWith("-") =>

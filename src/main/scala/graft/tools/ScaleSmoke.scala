@@ -43,14 +43,23 @@ object ScaleSmoke {
       r
     }
     // SPARK_GRAFT_SCALE_ONLY=comma,separated,substrings runs a subset of
-    // legs (dev aid: re-measure one curve without the full hour)
+    // legs (dev aid: re-measure one curve without the full hour).
+    // Containment is SYMMETRIC so both a gate prefix ("annTopK" enables
+    // the whole ANN loop) and a copied printed label ("annTopKIvf" —
+    // more specific than the loop gate) select the leg.
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def enabled(name: String): Boolean = only.forall(_.exists(name.contains))
+    def enabled(name: String): Boolean =
+      only.forall(_.exists(p => name.contains(p) || p.contains(name)))
     def timeIf(label: String)(f: => Long): Long =
       if (enabled(label)) time(label)(f) else -1L
 
-    for (n <- mults) {
+    // every leg label of the doc-corpus loop below: skip the (expensive)
+    // replicated persist+count entirely when none is selected
+    val docLegs = Seq("minhashCandidates", "simhashBandPairs",
+      "simhashMankuPairs", "dedupClusters", "removeBoilerplate",
+      "contamination", "mixtureSample")
+    for (n <- mults if docLegs.exists(enabled)) {
       val d = replicated(n).persist()
       val total = d.count()
       println(s"mult=$n  docs=$total")

@@ -41,4 +41,15 @@ class BenchParseSpec extends AnyFunSuite {
     val contended = Seq.fill(15)(0.2) ++ Seq.fill(15)(0.8)
     assert(Bench.noiseRatio(contended) > 1.5)
   }
+
+  test("noiseRatio trims at least one outlier per side on small runs") {
+    // a 3-canary SPARK_GRAFT_BENCH_ONLY subset with one jittery draw on
+    // a quiet machine must not read tainted (max/min here is 1.56)
+    assert(Bench.noiseRatio(Seq(0.18, 0.20, 0.28)) === 1.0)
+    val smallQuiet = Seq(0.20, 0.21, 0.19, 0.20, 0.31) // one outlier, n=5
+    assert(Bench.noiseRatio(smallQuiet) < 1.5)
+    // ...but a small run under sustained contention still fires
+    val smallContended = Seq.fill(6)(0.2) ++ Seq.fill(6)(0.8)
+    assert(Bench.noiseRatio(smallContended) > 1.5)
+  }
 }

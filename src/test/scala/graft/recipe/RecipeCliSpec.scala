@@ -71,6 +71,15 @@ class RecipeCliSpec extends AnyFunSuite {
     assert(err("r.yml", "-i").contains("expected one argument"))
   }
 
+  test("required-argument options reject a flag-shaped next token (argparse parity)") {
+    // argparse: `-i --plot` is "expected one argument" (exit 2), never
+    // inputs=["--plot"] with --plot silently dropped
+    assert(err("-i", "--plot", "r.yml").contains("expected one argument"))
+    assert(err("-p", "-x", "r.yml").contains("expected one argument"))
+    // lone "-" stays a legal value position for -i (it is not option-shaped)
+    assert(ok("-i", "-", "r.yml").inputs === List("-"))
+  }
+
   test("unknown flags and missing recipes are errors, not recipes") {
     assert(err("--bogus", "r.yml").contains("unrecognized"))
     assert(err("-x").contains("required"))
