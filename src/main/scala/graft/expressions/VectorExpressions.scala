@@ -300,49 +300,96 @@ object StringNumClass {
 
   /** Static so generated code can call it without holding the expression.
     * Trim matches `String.trim`/`parseDouble` (chars <= U+0020); multibyte
-    * UTF-8 units are >= 0x80 and never trimmed. */
+    * UTF-8 units are >= 0x80 and never trimmed.
+    *
+    * Allocation-free on the three common shapes (the inference aggregate
+    * calls this once per cell of every candidate column, so per-call
+    * allocations dominate its executor CPU): bytes are read through
+    * `UTF8String.getByte` (no defensive array copy), standard decimal/
+    * scientific notation is accepted by a pure-byte scanner recognizing a
+    * strict SUBSET of `Double.parseDouble`'s language (so a fast-path
+    * accept can never disagree with the parser), and no-digit text values
+    * only reach the special-literal comparison when their first byte is
+    * one of `nNiI+-`. Only exotic-but-parseable forms ("0x1p1", "1.5f")
+    * and digit-containing garbage fall through to the String +
+    * parseDouble path. */
   def classify(s: org.apache.spark.unsafe.types.UTF8String): Int = {
-    val b = s.getBytes
     var i = 0
-    var end = b.length
-    while (i < end && (b(i) & 0xff) <= ' ') i += 1
-    while (end > i && (b(end - 1) & 0xff) <= ' ') end -= 1
+    var end = s.numBytes
+    while (i < end && (s.getByte(i) & 0xff) <= ' ') i += 1
+    while (end > i && (s.getByte(end - 1) & 0xff) <= ' ') end -= 1
     if (i >= end) return NONE // empty/whitespace: parseDouble throws
     // integral fast path: [+-]?[0-9]+
-    var j = if (b(i) == '+' || b(i) == '-') i + 1 else i
+    val j = if (s.getByte(i) == '+' || s.getByte(i) == '-') i + 1 else i
     if (j < end) {
       var allDigits = true
       var k = j
       while (k < end && allDigits) {
-        val c = b(k)
+        val c = s.getByte(k)
         if (c < '0' || c > '9') allDigits = false
         k += 1
       }
       if (allDigits) return INTEGRAL
     }
-    var hasDigit = false
-    var k = i
+    // double fast path: [+-]? (digits [. digits*] | . digits+) ([eE][+-]?digits+)?
+    // — a strict subset of parseDouble's language, so accepting here can
+    // never disagree with the exception-path verdict below
+    var k = j
+    var intDigits = 0
+    while (k < end && { val c = s.getByte(k); c >= '0' && c <= '9' }) { intDigits += 1; k += 1 }
+    var fracDigits = 0
+    if (k < end && s.getByte(k) == '.') {
+      k += 1
+      while (k < end && { val c = s.getByte(k); c >= '0' && c <= '9' }) { fracDigits += 1; k += 1 }
+    }
+    if (intDigits + fracDigits > 0) {
+      var expOk = true
+      if (k < end && (s.getByte(k) == 'e' || s.getByte(k) == 'E')) {
+        k += 1
+        if (k < end && (s.getByte(k) == '+' || s.getByte(k) == '-')) k += 1
+        expOk = false // need at least one exponent digit
+        while (k < end && { val c = s.getByte(k); c >= '0' && c <= '9' }) { expOk = true; k += 1 }
+      }
+      if (expOk && k == end) return DOUBLE
+    }
+    var hasDigit = intDigits + fracDigits > 0
+    k = i
     while (k < end && !hasDigit) {
-      val c = b(k)
+      val c = s.getByte(k)
       if (c >= '0' && c <= '9') hasDigit = true
       k += 1
     }
     if (hasDigit) {
-      // digit present but not integral: "1.5", "2e3", "0x1p1", "1.5f" all
-      // parse; only digit-containing garbage pays the exception
-      val str = new String(b, i, end - i, java.nio.charset.StandardCharsets.UTF_8)
+      // digit present but not simple-decimal: "0x1p1", "1.5f" still parse;
+      // only digit-containing garbage pays the exception
+      val str = utf8Range(s, i, end)
       try { java.lang.Double.parseDouble(str); DOUBLE }
       catch { case _: NumberFormatException => NONE }
     } else if (end - i <= 9) {
-      // no digit: castable only as a special literal (longest: +infinity)
-      val str = new String(b, i, end - i, java.nio.charset.StandardCharsets.UTF_8)
-        .toLowerCase(java.util.Locale.ROOT)
+      // no digit: castable only as a special literal (longest: +infinity);
+      // every spelling starts with n/N/i/I/+/-, so anything else skips
+      // the String allocation outright
+      val c0 = s.getByte(i)
+      if (c0 != 'n' && c0 != 'N' && c0 != 'i' && c0 != 'I' && c0 != '+' && c0 != '-')
+        return NONE
+      val str = utf8Range(s, i, end).toLowerCase(java.util.Locale.ROOT)
       str match {
         case "nan" | "inf" | "+inf" | "-inf" | "infinity" | "+infinity" |
             "-infinity" => DOUBLE
         case _ => NONE
       }
     } else NONE
+  }
+
+  /** String of the byte range [from, until) — rare-path helper; the trim
+    * offsets always land on ASCII boundaries (multibyte units are >= 0x80
+    * and never trimmed), so byte-range decoding is well-formed. */
+  private def utf8Range(s: org.apache.spark.unsafe.types.UTF8String,
+                        from: Int, until: Int): String = {
+    val b = new Array[Byte](until - from)
+    var k = from
+    while (k < until) { b(k - from) = s.getByte(k); k += 1 }
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
   }
 }
 

@@ -395,17 +395,25 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
     if (stringCols.isEmpty) return (df, None, Map.empty)
     // one native exception-free classifier per value replaces
     // try_cast(double) + an integral regex, each ~2-6 µs on text values
-    // (try_cast pays a caught NumberFormatException per non-numeric cell);
-    // codegen subexpression elimination evaluates the class once per cell
-    val checks = stringCols.flatMap { c =>
-      val cls = call_function("graft_numclass", qcol(c))
+    // (try_cast pays a caught NumberFormatException per non-numeric cell).
+    // The class is computed ONCE per cell in an explicit projection BELOW
+    // the aggregate (cls is null iff the cell is null, so all four checks
+    // read the projected int) — relying on aggregate-side subexpression
+    // elimination to dedupe a per-check classifier call is not a
+    // guarantee codegen makes, and the projection also prunes the
+    // (persisted) scan to exactly the candidate columns.
+    val proj = df.select(stringCols.zipWithIndex.map { case (c, i) =>
+      call_function("graft_numclass", qcol(c)).as(s"__cls_$i")
+    }.toIndexedSeq: _*)
+    val checks = stringCols.zipWithIndex.flatMap { case (c, i) =>
+      val cls = col(s"__cls_$i")
       Seq(
         sum(when(cls === lit(3), 1L).otherwise(0L)).as(s"${c}__baddbl"),
         sum(when(cls > lit(1), 1L).otherwise(0L)).as(s"${c}__badlong"),
-        sum(when(qcol(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        count(qcol(c)).as(s"${c}__nnz"))
+        sum(when(cls.isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count(cls).as(s"${c}__nnz"))
     } :+ count(lit(1L)).as("__nrows")
-    val row = df.select(checks.toIndexedSeq: _*).collect()(0)
+    val row = proj.select(checks.toIndexedSeq: _*).collect()(0)
     val badOf = stringCols.map(c => c -> row.getAs[Long](s"${c}__baddbl")).toMap
     val typed = stringCols.foldLeft(df) { (d, c) =>
       val badDbl = badOf(c)

@@ -93,7 +93,11 @@ class NativeExprSpec extends AnyFunSuite {
       "1.5f", "2d", "0x1.8p1", "inf", "Inf", "INFINITY", "-infinity",
       "nan", "NaN", "+inf",
       "", " ", "+", "-", ".", "N", "O", "abc", "12ab3", "1.2.3", "5€",
-      "e3", "--5", "5-", "½", "Infinityy", "in", "\t9\t", "9 9")
+      "e3", "--5", "5-", "½", "Infinityy", "in", "\t9\t", "9 9",
+      // boundaries of the pure-byte double scanner (strict parseDouble
+      // subset): dangling/signed-empty exponents, sign-dot forms, dot
+      // before exponent
+      "1e", "1e+", "1e-", "+.5", "-.5e2", "5.e3", "+.", "-.e3")
     val df = vals.toDF("s")
     // reference formulation: Spark's own cast for double-castability, the
     // integral regex (with parseDouble's trim) for integral
