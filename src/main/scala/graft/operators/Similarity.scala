@@ -240,35 +240,55 @@ object Similarity {
       .orderBy(hash32(col("cell").cast("string")), col("cell"))
       .limit(nlist)
 
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Persistable IVF index: the driver-held seed-centroid table plus the
+    * corpus -> (cell, vector) assignment — the ANN analog of the
+    * persistable MinHash index behind incremental dedup (q68). The
+    * n × nlist assignment is the expensive part of IVF and is paid ONCE
+    * per corpus here; every probe batch afterwards touches only its
+    * nprobe cells. `assigned` is a plain DataFrame (cell, neighbor_id,
+    * cv) — cache it for a session, or write it to parquet partitioned by
+    * `cell` so probes prune to their cells at the scan; `seeds` is the
+    * nlist × dim centroid table every probe needs (persist alongside;
+    * a reloaded index is just `IvfIndex(savedSeeds, readBackAssigned)`). */
+  case class IvfIndex(seeds: Seq[(Long, Seq[Float])], assigned: DataFrame)
+
+  /** Build the [[IvfIndex]]: one corpus-wide seed TakeOrdered + the
+    * join-shaped nearest-cell assignment.
+    *
+    * Corpus-side assignment is JOIN-shaped (broadcast seed table,
+    * cosine codegen'd in the join projection, arrays shed before a
+    * partial-then-final min aggregate) — the same path as
+    * [[Dedup.semDedup]], and for the same reason: the literal-table
+    * `transform` form interprets its lambda per cell per row, and at
+    * the sqrt(n) nlist sizing every real corpus uses it inverts the
+    * whole point of IVF (measured on the ScaleSmoke annTopK leg:
+    * 64 s vs brute force's 0.8 s at 128 k vectors, nlist = 357).
+    * [[assignCells]] keeps cellsNearestFirst's exact contract (argmax
+    * 6-decimal cosine, ties toward the smaller cell) as a packed-long
+    * HashAggregate. */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int): IvfIndex = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    // one seed collect shared by the query-probe expression AND the
-    // corpus assignment join (previously three corpus-wide TakeOrdereds:
+    // one seed collect shared by the assignment join AND every later
+    // query-probe expression (previously three corpus-wide TakeOrdereds:
     // one per broadcast projection + one for the probe literal)
     val seeds = collectSeeds(corpus, idCol, vecCol, nlist)
-    val cellsOf = cellsNearestFirst(seeds)
-
-    // Corpus-side assignment is JOIN-shaped (broadcast seed table,
-    // cosine codegen'd in the join projection, arrays shed before a
-    // partial-then-final min aggregate) — the same path as
-    // [[Dedup.semDedup]], and for the same reason: the literal-table
-    // `transform` form interprets its lambda per cell per row, and at
-    // the sqrt(n) nlist sizing every real corpus uses it inverts the
-    // whole point of IVF (measured on the ScaleSmoke annTopK leg:
-    // 64 s vs brute force's 0.8 s at 128 k vectors, nlist = 357).
-    // [[assignCells]] keeps cellsNearestFirst's exact contract (argmax
-    // 6-decimal cosine, ties toward the smaller cell) as a packed-long
-    // HashAggregate. The query side below stays expression-form — a
-    // bounded probe batch needs the full nearest-first ORDER, and pays
-    // nlist lambda evals only per query, not per corpus row.
     val vecs = corpus.repartition(par)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val best = assignCells(corpus, idCol, vecCol, seeds)
       .withColumnRenamed("__assign_id", "neighbor_id")
-    val assigned = vecs.join(best, Seq("neighbor_id"))
+    IvfIndex(seeds, vecs.join(best, Seq("neighbor_id")))
+  }
 
+  /** Probe a built [[IvfIndex]] with a bounded query batch: each query
+    * reranks exactly within its nprobe nearest cells. The query side
+    * stays expression-form — a bounded probe batch needs the full
+    * nearest-first cell ORDER, and pays nlist lambda evals only per
+    * query, not per corpus row. */
+  def ivfProbe(index: IvfIndex, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cellsOf = cellsNearestFirst(index.seeds)
     // query -> its nprobe nearest cells, exploded to (query, cell) rows
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -276,7 +296,7 @@ object Similarity {
 
     // ONE equi-join on cell id (probe side broadcast when small — the
     // common ANN shape: big corpus, bounded query batch)
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
+    val scored = index.assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
@@ -284,6 +304,11 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
   }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame =
+    ivfProbe(ivfBuild(corpus, idCol, vecCol, nlist),
+      queries, idCol, vecCol, k, nprobe)
 
   /** LSH-bucketed top-k: candidates share the sign bucket, exact rerank
     * within the bucket. Approximate — recall depends on `planes`: a

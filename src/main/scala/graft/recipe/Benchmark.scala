@@ -185,11 +185,11 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
     val adjusted =
       if (widened.isEmpty) frames
       else frames.map { f =>
-        widened.foldLeft(f) { case (d, (c, t)) =>
-          if (d.columns.contains(c) && d.schema(c).dataType != t)
-            d.withColumn(c, qcol(c).cast(t))
-          else d
+        val casts = widened.collect {
+          case (c, t) if f.columns.contains(c) && f.schema(c).dataType != t =>
+            c -> qcol(c).cast(t)
         }
+        if (casts.isEmpty) f else f.withColumns(casts)
       }
     adjusted.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -200,10 +200,10 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
                         inputs: Option[Seq[String]] = None): DataFrame = {
     var df = df0.getOrElse(getRawData(inputs))
 
-    // rename (P1)
-    df = recipe.rename.foldLeft(df) { case (d, (from, to)) =>
-      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
-    }
+    // rename (P1) — one projection for the whole rename map
+    val renames = recipe.rename.filter { case (from, _) => df.columns.contains(from) }
+    if (renames.nonEmpty)
+      df = df.withColumnsRenamed(renames.toMap)
 
     // filter-out (F1) — before inference, like the reference; CSV schema
     // inference already typed per-file columns, so YAML `[2, 3]` matches
@@ -292,7 +292,7 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
       val packedNumeric = pc.columns.forall(c =>
         df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       val valueType = if (packedNumeric) "double" else "string"
-      val cast = pc.columns.foldLeft(df)((d, c) => d.withColumn(c, q(c).cast(valueType)))
+      val cast = df.withColumns(pc.columns.map(c => c -> q(c).cast(valueType)).toMap)
       df = cast.unpivot(ids.map(q), pc.columns.map(q).toArray, pc.name, pc.value)
     }
 
@@ -340,23 +340,22 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
     val missing = recipe.values.filterNot(df.columns.contains)
     if (missing.nonEmpty)
       throw RecipeError("Missing values columns: " + missing.mkString(", "))
-    for (v <- recipe.values) {
-      if (df.schema(v).dataType == StringType) {
-        // a values column the inference saw and left string necessarily
-        // had non-castable cells (badDbl == 0 would have promoted it), so
-        // the recorded count answers the P6 check with no extra job; only
-        // a string column inference never saw (created by a precomputed
-        // expression with no later reshape/filter pass) needs the probe
-        val bad = inferBad.get(v) match {
-          case Some(n) => n > 0
-          case None =>
-            df.filter(qcol(v).isNotNull && qcol(v).try_cast(DoubleType).isNull)
-              .limit(1).count() > 0
-        }
-        if (bad) throw RecipeError("Found non-numerical data in values columns!")
+    for (v <- recipe.values if df.schema(v).dataType == StringType) {
+      // a values column the inference saw and left string necessarily
+      // had non-castable cells (badDbl == 0 would have promoted it), so
+      // the recorded count answers the P6 check with no extra job; only
+      // a string column inference never saw (created by a precomputed
+      // expression with no later reshape/filter pass) needs the probe
+      val bad = inferBad.get(v) match {
+        case Some(n) => n > 0
+        case None =>
+          df.filter(qcol(v).isNotNull && qcol(v).try_cast(DoubleType).isNull)
+            .limit(1).count() > 0
       }
-      df = df.withColumn(v, qcol(v).cast(DoubleType))
+      if (bad) throw RecipeError("Found non-numerical data in values columns!")
     }
+    if (recipe.values.nonEmpty)
+      df = df.withColumns(recipe.values.map(v => v -> qcol(v).cast(DoubleType)).toMap)
     // export inference verdicts for parent recipes (see skipPass1): only
     // columns still string in the output whose last scan (or literal
     // analysis) this run recorded
@@ -415,14 +414,18 @@ class Benchmark(val recipe: Recipe, spark: SparkSession,
     } :+ count(lit(1L)).as("__nrows")
     val row = proj.select(checks.toIndexedSeq: _*).collect()(0)
     val badOf = stringCols.map(c => c -> row.getAs[Long](s"${c}__baddbl")).toMap
-    val typed = stringCols.foldLeft(df) { (d, c) =>
+    // ONE projection for every promoted column: a per-column withColumn
+    // fold re-analyzes a one-projection-deeper plan per column (O(k²)
+    // analyzer work per inference pass, paid by every recipe of a DAG)
+    val casts = stringCols.flatMap { c =>
       val badDbl = badOf(c)
       val badLong = row.getAs[Long](s"${c}__badlong")
       val nulls = row.getAs[Long](s"${c}__nulls")
-      if (badDbl > 0) d
-      else if (badLong == 0 && nulls == 0) d.withColumn(c, qcol(c).cast("long"))
-      else d.withColumn(c, qcol(c).cast("double"))
-    }
+      if (badDbl > 0) None
+      else if (badLong == 0 && nulls == 0) Some(c -> qcol(c).cast("long"))
+      else Some(c -> qcol(c).cast("double"))
+    }.toMap
+    val typed = if (casts.isEmpty) df else df.withColumns(casts)
     (typed, Some(row.getAs[Long]("__nrows")), badOf)
   }
 

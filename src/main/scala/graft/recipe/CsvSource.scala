@@ -297,20 +297,22 @@ object CsvSource {
     val joined = parsed.join(broadcast(side), "__gf_path")
 
     // provenance (overwrite CSV columns of the same name, like the
-    // reference's df.assign); then meta overwrite/extend per file
-    var df = joined
-    for ((out, src) <- Seq("Path" -> "__gf_ppath", "File" -> "__gf_pfile",
-                           "Directory" -> "__gf_pdir"))
-      df = df.withColumn(out, col(src))
-    for (k <- metaKeys) {
+    // reference's df.assign); then meta overwrite/extend per file. Each
+    // stage is ONE projection (withColumns), not a per-column withColumn
+    // fold — the fold re-analyzes a deeper plan per column, O(k²)
+    // analyzer work per scanned group
+    val prov = joined.withColumns(Map(
+      "Path" -> col("__gf_ppath"), "File" -> col("__gf_pfile"),
+      "Directory" -> col("__gf_pdir")))
+    val metaCols = metaKeys.map { k =>
       val v = col(s"`__gf_m_$k`")
-      df =
-        if (df.columns.contains(k))
-          // CSV already has the column (string): keep its type, like the
-          // old per-file frames coerced under unionByName
-          df.withColumn(k, when(col(s"`__gf_has_$k`"), v.cast(StringType)).otherwise(col(s"`$k`")))
-        else df.withColumn(k, v)
-    }
+      k -> (if (prov.columns.contains(k))
+        // CSV already has the column (string): keep its type, like the
+        // old per-file frames coerced under unionByName
+        when(col(s"`__gf_has_$k`"), v.cast(StringType)).otherwise(col(s"`$k`"))
+      else v)
+    }.toMap
+    val df = if (metaCols.isEmpty) prov else prov.withColumns(metaCols)
     df.drop(df.columns.filter(_.startsWith("__gf_")).toIndexedSeq: _*)
   }
 

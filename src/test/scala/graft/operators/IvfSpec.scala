@@ -49,6 +49,21 @@ class IvfSpec extends AnyFunSuite {
     assert(resultSet(ivf) == resultSet(bf))
   }
 
+  test("persisted index round-trip: parquet-reloaded IvfIndex probes identically") {
+    // the production shape: build once, persist (assigned -> parquet
+    // partitioned by cell; seeds alongside), reload, probe many times
+    val idx = Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    idx.assigned.write.partitionBy("cell").parquet(s"$dir/assigned")
+    val reloaded = Similarity.IvfIndex(idx.seeds,
+      spark.read.parquet(s"$dir/assigned"))
+    val direct = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 2)
+    val probed = Similarity.ivfProbe(reloaded, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    assert(resultSet(probed) == resultSet(direct) && resultSet(probed).nonEmpty)
+  }
+
   test("partial probe (2 of 8 cells) keeps recall@5 above 0.4") {
     val ivf = resultSet(Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
       k = 5, nlist = 8, nprobe = 2)).map { case (q, n, _) => (q, n) }
