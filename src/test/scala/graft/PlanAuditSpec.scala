@@ -104,6 +104,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("graft_cosine"))
   }
 
+  test("IVF probe over a persisted index only exchanges probe-bounded rows") {
+    // the production shape: the n × nlist assignment is a one-time index
+    // build (SCALE.md); every later batch probes the parquet-backed index.
+    // That probe must read the index scan straight into the broadcast
+    // probe join — the only hash exchange in the whole plan is the
+    // per-query top-k window on query_id, whose input is candidate rows
+    // (probed cells × queries), never the corpus.
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, dir, "embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_audit").toString
+    val built = operators.Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 8)
+    built.assigned.write.parquet(s"$tmp/assigned")
+    val idx = operators.Similarity.IvfIndex(built.seeds,
+      spark.read.parquet(s"$tmp/assigned"))
+    val p = operators.Similarity.ivfProbe(idx,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    val exchangeKeys = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchangeKeys.subsetOf(Set("query_id")), s"exchanges on $exchangeKeys\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("SQLite scan lands as a small local/scan relation joinable by Catalyst (q47)") {
     val p = plan("q47_sqlite_scan")
     assert(!p.contains("Exchange")) // a projected scan, no shuffle
