@@ -37,6 +37,26 @@ package graft
   *     (default 1.5) — a number produced under that much ambient drift
   *     must not be stamped official; rerun in a quiet window instead.
   *
+  * Cold + warm measurement (round-6 postmortem): a query's FIRST in-JVM
+  * run pays whole-stage-codegen Janino compilation and C2 JIT for every
+  * plan shape it contains. For the big recipe-DAG queries (~100 distinct
+  * generated classes, evaluated by concurrent subtrees) that cold cost is
+  * not just large (q46: ~25 s cold vs ~14 s warm) but WILDLY unstable
+  * under host-level contention phases: the concurrent compile storm
+  * collapses to 60-120 s in bad phases while the warm run — and the CPU
+  * canary, and every small query in the same chunk — stays flat
+  * (measured: cold q46 21-120 s across identical fresh JVMs in one hour;
+  * warm 13.4-14.4 s across the same hour, sessions, and code revisions).
+  * Therefore each query whose cold time reaches
+  * SPARK_GRAFT_BENCH_WARM_MIN seconds (default 2.0) is re-run once in the
+  * same JVM after `clearCache()` — same full plan construction, analysis,
+  * cache rebuild, data scan; only the compiler state is hot — and the
+  * artifact's headline "queries" value is the min over WARM passes for
+  * those queries (cold otherwise). Cold per-pass arrays stay in the
+  * artifact as evidence ("pass_times"; warm in "pass_warm"): the headline
+  * is the reproducible plan cost — what a hot production executor JVM
+  * pays — and the cold arrays attribute compiler/JIT drift separately.
+  *
   * Failures are NEVER swallowed: a failing query records value -1 and its
   * exception in "errors", so a crashing query is distinguishable from a
   * fast one and the total only sums successes.
@@ -89,17 +109,28 @@ object Bench {
       hi / math.max(lo, 1e-9)
     }
 
-  /** Parent-side (official) artifact: headline min-of-passes per query,
-    * plus the per-pass evidence and the noise instrument. */
+  /** Parent-side (official) artifact: headline min-of-passes per query
+    * (warm when measured, else cold — see header), plus the per-pass
+    * evidence and the noise instrument. */
   private def renderJson(names: Seq[String], best: collection.Map[String, Double],
                          passTimes: collection.Map[String, Seq[Double]],
+                         passWarm: collection.Map[String, Seq[Double]],
                          passJobs: collection.Map[String, Seq[Long]],
                          canaries: Seq[Double],
                          errors: collection.Map[String, String], passes: Int,
                          sfDir: String): String = {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = names.flatMap(best.get).filter(_ >= 0).sum
+    // headline per query: min over warm passes when any warm rerun was
+    // recorded (the query crossed the warm-rerun threshold in some pass),
+    // else the cold min; failed queries stay -1
+    val headline = names.flatMap { n =>
+      best.get(n).map { cold =>
+        val warm = passWarm.getOrElse(n, Nil)
+        n -> (if (cold < 0 || warm.isEmpty) cold else warm.min)
+      }
+    }.toMap
+    val total = names.flatMap(headline.get).filter(_ >= 0).sum
     // noise = p90/p10 of the chunk canaries, not max/min: two full runs in
     // a demonstrably quiet window (total 117.6 s vs 118.6 s, headline query
     // reproducible within 3%) still read max/min = 1.7-2.0, because one
@@ -117,16 +148,20 @@ object Bench {
     // Every other number here rides locale-independent Double.toString.
     val noiseStr = (math.rint(noise * 1000) / 1000).toString
     s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${numMap(best, names)},""" +
+      s""""queries":${numMap(headline, names)},""" +
       s""""pass_times":${arrMap(passTimes, names)},""" +
+      s""""pass_warm":${arrMap(passWarm, names)},""" +
       s""""pass_jobs":${arrMap(passJobs, names)},""" +
       s""""canary":${canaries.mkString("[", ",", "]")},""" +
       s""""noise":$noiseStr,"tainted":$tainted,""" +
       s""""errors":$errs,"passes":$passes,"sf":"$sfDir"}"""
   }
 
-  /** Child-side JSON: this pass's raw times/jobs + the chunk-JVM canary. */
+  /** Child-side JSON: this pass's raw cold times, warm-rerun times (the
+    * subset of queries that crossed the warm threshold), jobs + the
+    * chunk-JVM canary. */
   private def renderChildJson(names: Seq[String], times: collection.Map[String, Double],
+                              warm: collection.Map[String, Double],
                               jobs: collection.Map[String, Long], canary: Double,
                               errors: collection.Map[String, String],
                               sfDir: String): String = {
@@ -134,7 +169,8 @@ object Bench {
       .mkString("{", ",", "}")
     val jm = names.filter(jobs.contains)
       .map(n => "\"" + n + "\":" + jobs(n)).mkString("{", ",", "}")
-    s"""{"metric":"pass","queries":${numMap(times, names)},"jobs":$jm,""" +
+    s"""{"metric":"pass","queries":${numMap(times, names)},""" +
+      s""""warm":${numMap(warm, names)},"jobs":$jm,""" +
       s""""canary":$canary,"errors":$errs,"sf":"$sfDir"}"""
   }
 
@@ -163,6 +199,7 @@ object Bench {
     * `times`/`jobs`/`errors`, returns the chunk canary seconds. */
   private def runPass(sfDir: String, cpus: String, pass: Int,
                       times: collection.mutable.Map[String, Double],
+                      warms: collection.mutable.Map[String, Double],
                       jobs: collection.mutable.Map[String, Long],
                       errors: collection.mutable.Map[String, String]): Double = {
     val spark = GraftSession.builder(cpus).getOrCreate()
@@ -195,6 +232,7 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     val canary = timeCanary(spark)
+    val warmMin = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_MIN", "2.0").toDouble
     val names = selectedNames
     for (name <- names if !errors.contains(name)) {
       val t0 = System.nanoTime()
@@ -213,6 +251,26 @@ object Bench {
           System.err.println(s"[bench] pass $pass $name FAILED: ${e.getClass.getName}")
       }
       spark.catalog.clearCache() // recipe queries cache child frames
+      // warm rerun (see header): same full plan construction + scan, hot
+      // compiler — the headline number for anything non-trivial
+      if (warmMin >= 0 && times.get(name).exists(t => t >= warmMin)) {
+        val w0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          val wt = (System.nanoTime() - w0) / 1e9
+          warms(name) = wt
+          System.err.println(f"[bench] pass $pass $name%-26s$wt%9.2fs  warm")
+        } catch {
+          case e: Throwable =>
+            // a warm-rerun failure is a real failure (same query, same
+            // JVM): report it rather than silently keeping the cold time
+            errors(name) = jsonEscape(
+              s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+            times(name) = -1d
+            System.err.println(s"[bench] pass $pass $name FAILED warm: ${e.getClass.getName}")
+        }
+        spark.catalog.clearCache()
+      }
     }
     canary
   }
@@ -229,10 +287,10 @@ object Bench {
     }
   }
 
-  /** One forked fresh-JVM run over `chunk`: (times, jobs, canary, errors),
-    * or None if the child could not run. */
+  /** One forked fresh-JVM run over `chunk`: (times, warm, jobs, canary,
+    * errors), or None if the child could not run. */
   private def forkPass(pass: Int, chunk: Seq[String])
-      : Option[(Map[String, Double], Map[String, Long], Double, Map[String, String])] = {
+      : Option[(Map[String, Double], Map[String, Double], Map[String, Long], Double, Map[String, String])] = {
     val javaHome = sys.props.get("java.home").map(h => s"$h/bin/java").getOrElse("java")
     val opens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
@@ -274,7 +332,7 @@ object Bench {
     * names we generated: no escapes; error values are already escaped and
     * re-emitted verbatim). */
   private[graft] def parseChild(json: String)
-      : (Map[String, Double], Map[String, Long], Double, Map[String, String]) = {
+      : (Map[String, Double], Map[String, Double], Map[String, Long], Double, Map[String, String]) = {
     def section(name: String): String = {
       val start = json.indexOf("\"" + name + "\":{")
       if (start < 0) return ""
@@ -287,6 +345,8 @@ object Bench {
     val qre = """"([^"]+)":(-?[0-9.Ee+-]+)""".r
     val qs = qre.findAllMatchIn(section("queries"))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val ws = qre.findAllMatchIn(section("warm"))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val js = qre.findAllMatchIn(section("jobs"))
       .map(m => m.group(1) -> m.group(2).toDouble.toLong).toMap
     val canary = """"canary":(-?[0-9.Ee+-]+)""".r.findFirstMatchIn(json)
@@ -294,7 +354,7 @@ object Bench {
     val ere = """"([^"]+)":"((?:[^"\\]|\\.)*)"""".r
     val es = ere.findAllMatchIn(section("errors"))
       .map(m => m.group(1) -> m.group(2)).toMap
-    (qs, js, canary, es)
+    (qs, ws, js, canary, es)
   }
 
   def main(args: Array[String]): Unit = {
@@ -309,6 +369,7 @@ object Bench {
     val names = selectedNames
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val passTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val passWarm = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val passJobs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -317,20 +378,23 @@ object Bench {
       // child: ONE in-JVM pass, emit JSON, exit
       val pass = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASS", "1").toInt
       val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val warms = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val jobs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      val canary = runPass(sfDir, cpus, pass, times, jobs, errors)
-      println(renderChildJson(names, times, jobs, canary, errors, sfDir))
+      val canary = runPass(sfDir, cpus, pass, times, warms, jobs, errors)
+      println(renderChildJson(names, times, warms, jobs, canary, errors, sfDir))
       // hard-exit: SparkSession shutdown hooks handle cleanup; a lingering
       // non-daemon thread must not wedge the parent
       GraftSession.builder(cpus).getOrCreate().stop()
       sys.exit(0)
     }
 
-    def record(qs: Map[String, Double], js: Map[String, Long], canary: Double,
+    def record(qs: Map[String, Double], ws: Map[String, Double],
+               js: Map[String, Long], canary: Double,
                es: Map[String, String]): Unit = {
       canaries += canary
       for ((k, v) <- qs if v >= 0) {
         passTimes(k) = passTimes.getOrElse(k, Vector.empty) :+ v
+        ws.get(k).foreach(w => passWarm(k) = passWarm.getOrElse(k, Vector.empty) :+ w)
         js.get(k).foreach(j => passJobs(k) = passJobs.getOrElse(k, Vector.empty) :+ j)
         if (!errors.contains(k)) best(k) = math.min(best.getOrElse(k, Double.MaxValue), v)
       }
@@ -347,24 +411,26 @@ object Bench {
       val rotated = names.drop(offset) ++ names.take(offset)
       for (chunk <- rotated.grouped(chunkSize) if forked) {
         forkPass(pass, chunk) match {
-          case Some((qs, js, canary, es)) => record(qs, js, canary, es)
+          case Some((qs, ws, js, canary, es)) => record(qs, ws, js, canary, es)
           case None => forked = false
         }
       }
     }
     if (!forked) {
       // fallback: old single-JVM protocol (degradation risk, but correct)
-      best.clear(); passTimes.clear(); passJobs.clear(); canaries.clear(); errors.clear()
+      best.clear(); passTimes.clear(); passWarm.clear(); passJobs.clear()
+      canaries.clear(); errors.clear()
       for (pass <- 1 to passes) {
         val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+        val warms = scala.collection.mutable.LinkedHashMap.empty[String, Double]
         val jobs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-        val canary = runPass(sfDir, cpus, pass, times, jobs, errors)
-        record(times.toMap, jobs.toMap, canary, Map.empty)
+        val canary = runPass(sfDir, cpus, pass, times, warms, jobs, errors)
+        record(times.toMap, warms.toMap, jobs.toMap, canary, Map.empty)
       }
       errors.keys.foreach(k => best(k) = -1d) // runPass fills errors directly
       GraftSession.builder(cpus).getOrCreate().stop()
     }
-    val json = renderJson(names, best, passTimes, passJobs, canaries.toSeq,
+    val json = renderJson(names, best, passTimes, passWarm, passJobs, canaries.toSeq,
       errors, passes, sfDir)
     if (json.contains("\"tainted\":true"))
       System.err.println("[bench] WARNING: canary drift exceeds the noise " +

@@ -7,23 +7,25 @@ import org.scalatest.funsuite.AnyFunSuite
   * already-escaped error strings. */
 class BenchParseSpec extends AnyFunSuite {
 
-  test("parseChild reads times, jobs, canary and errors from a child line") {
-    val line = """{"metric":"pass","queries":{"q01_group_agg":0.51,"q99_x":-1},""" +
-      """"jobs":{"q01_group_agg":4},"canary":0.179,""" +
+  test("parseChild reads times, warm reruns, jobs, canary and errors from a child line") {
+    val line = """{"metric":"pass","queries":{"q01_group_agg":0.51,"q46_dag":25.3,"q99_x":-1},""" +
+      """"warm":{"q46_dag":14.1},""" +
+      """"jobs":{"q01_group_agg":4,"q46_dag":195},"canary":0.179,""" +
       """"errors":{"q99_x":"java.lang.RuntimeException: boom \"quoted\""},""" +
       """"sf":"/tmp/sf"}"""
-    val (times, jobs, canary, errors) = Bench.parseChild(line)
-    assert(times === Map("q01_group_agg" -> 0.51, "q99_x" -> -1.0))
-    assert(jobs === Map("q01_group_agg" -> 4L))
+    val (times, warm, jobs, canary, errors) = Bench.parseChild(line)
+    assert(times === Map("q01_group_agg" -> 0.51, "q46_dag" -> 25.3, "q99_x" -> -1.0))
+    assert(warm === Map("q46_dag" -> 14.1))
+    assert(jobs === Map("q01_group_agg" -> 4L, "q46_dag" -> 195L))
     assert(canary === 0.179)
     assert(errors.keySet === Set("q99_x"))
     assert(errors("q99_x").contains("boom"))
   }
 
-  test("parseChild tolerates empty sections and missing canary") {
-    val (times, jobs, canary, errors) =
+  test("parseChild tolerates empty sections, missing warm and missing canary") {
+    val (times, warm, jobs, canary, errors) =
       Bench.parseChild("""{"metric":"pass","queries":{},"jobs":{},"errors":{},"sf":"x"}""")
-    assert(times.isEmpty && jobs.isEmpty && errors.isEmpty)
+    assert(times.isEmpty && warm.isEmpty && jobs.isEmpty && errors.isEmpty)
     assert(canary === 0.0)
   }
 
