@@ -211,6 +211,14 @@ object SparkEntry {
         higherIsBetter = false)
     }),
 
+    // ---- SPAN DEDUP: exact duplicated k-token spans (the Lee et al.
+    //      2022 suffix-array primitive, Spark-first — see
+    //      Dedup.duplicateSpans). The synthetic corpus contains planted
+    //      near-duplicate documents, so whole-doc spans surface
+    //      naturally; no augmentation needed.
+    "q80_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", k = 10)),
+
     // ---- TEXT: token counting over documents
     "q17_token_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1029,6 +1037,37 @@ object SparkEntry {
          SELECT l_linestatus, 'N|A|R' AS expected_order, observed_order,
                 (observed_order = 'N|A|R') AS ordering_ok
          FROM o""",
+    // span dedup: k=10 token windows, hash60 gram keys, packed
+    // (doc*2^32+pos) first-occurrence exemption, coverage-touching
+    // windows (pos gap <= k) fused per doc — mirrors
+    // Dedup.duplicateSpans exactly
+    "q80_dup_spans" ->
+      s"""WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           WHERE len(string_split(text, ' ')) >= 10),
+         grams AS (
+           SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+                  ('0x' || substr(md5(array_to_string(t[u.i:u.i+9], ' ')), 1, 15))::BIGINT AS g
+           FROM toks, unnest(generate_series(1, len(t) - 9)) AS u(i)),
+         occ AS (
+           SELECT g, count(*) AS n, min(doc_id * 4294967296 + pos) AS fk
+           FROM grams GROUP BY g),
+         dup AS (
+           SELECT doc_id, pos FROM grams JOIN occ USING (g)
+           WHERE n >= 2 AND doc_id * 4294967296 + pos <> fk),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+                       THEN 1 ELSE 0 END AS brk
+           FROM dup),
+         grp AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+           FROM isl)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
+                count(*) AS n_windows
+         FROM grp GROUP BY doc_id, island""",
     "q17_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          CAST(SUM(len($TOKS)) AS BIGINT) AS sum_tokens,

@@ -669,4 +669,76 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Exact duplicated-SPAN detection over k-token windows — the primitive
+    * behind suffix-array training-data dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, which removes every span of >= 50 BPE tokens that
+    * occurs verbatim more than once in the corpus, keeping one copy).
+    * Tokens are space-split; a window is the verbatim text of k
+    * consecutive tokens. A window is FLAGGED when its text occurs >= 2
+    * times corpus-wide (same doc or another doc) and this occurrence is
+    * not the corpus-wide first (min (doc, pos) — the kept copy).
+    * Flagged windows merge into maximal spans per document: windows
+    * whose k-token coverages touch or overlap (pos gap <= k) fuse, so
+    * the output is one row per contiguous duplicated region:
+    * (doc_id, span_start, span_end, n_windows), token indices 0-based
+    * inclusive.
+    *
+    * Spark-first plan, no pair space anywhere: windows are built inside
+    * one projection (`transform` over the token array, [[hash60]] per
+    * window — 16 bytes/row through the shuffle instead of k tokens of
+    * text), occurrence counting + first-occurrence selection is ONE
+    * hash aggregate on the gram key, flagging is an equi-join back on
+    * that same key (co-partitioned with the aggregate), and span
+    * fusion is a per-document sort window. Cost is O(total tokens) rows
+    * — the same asymptotic bill a suffix array pays, shuffled instead
+    * of sorted in one memory.
+    *
+    * First-occurrence ties are packed as doc*2^32+pos: documented
+    * bounds doc_id < 2^31 and < 2^32 tokens per document (a 4 GB+ text
+    * would overflow Spark's string limit long before this key).
+    *
+    * `sampleMod` > 1 is the 100 TB knob: windows are pre-filtered to
+    * hash % sampleMod == 0 BEFORE the shuffle — content-defined
+    * sampling, so a duplicated window is selected (or not) identically
+    * at every occurrence and cross-doc alignment survives (a
+    * position-stride sample would miss phase-shifted copies). Detection
+    * of a duplicated span of m windows becomes probabilistic — miss
+    * probability (1 - 1/sampleMod)^m, negligible for spans much longer
+    * than k — and shuffle volume drops by ~sampleMod. Exact when 1
+    * (the oracle-checked mode). */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 10, sampleMod: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"window must be >= 1 token (got $k)")
+    require(sampleMod >= 1, s"sampleMod must be >= 1 (got $sampleMod)")
+    val toks = df.select(col(idCol).cast(LongType).as("id"),
+        split(col(textCol), " ").as("t"))
+      .filter(size(col("t")) >= k)
+    val grams = toks
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("t")) - k),
+        i => hash60(concat_ws(" ", slice(col("t"), i + 1, lit(k)))))))
+      .select(col("id"), col("pos").cast(LongType).as("pos"), col("col").as("g"))
+      .filter(if (sampleMod == 1) lit(true) else pmod(col("g"), lit(sampleMod.toLong)) === 0)
+    val occ = grams.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      min(col("id") * lit(4294967296L) + col("pos")).as("fk"))
+    val dup = grams.join(occ, "g")
+      .filter(col("n") >= 2 &&
+        col("id") * lit(4294967296L) + col("pos") =!= col("fk"))
+      .select("id", "pos")
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    dup
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) > k, 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(byDoc))
+      .groupBy(col("id"), col("island"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(k.toLong - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
 }

@@ -189,6 +189,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q78_eval_quota").contains("WindowGroupLimit"))
   }
 
+  test("span dedup is keyed end to end: gram-hash aggregate + equi-join, doc window (q80)") {
+    // grams -> ONE hash aggregate on the gram key, flagging joins back on
+    // that same key (never a broadcast of the corpus-sized gram table,
+    // never a nested loop), span fusion is a per-doc sort window. Upper
+    // bound on exchanges so a refactor can't silently add a shuffle:
+    // grams->agg, grams->join, window(doc), final span aggregate
+    val p = plan("q80_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("hashpartitioning\\(g".r.findAllIn(p).nonEmpty, p)
+    assert("Exchange".r.findAllIn(p).length <= 4, p)
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set
