@@ -58,7 +58,7 @@ object ScaleSmoke {
     // replicated persist+count entirely when none is selected
     val docLegs = Seq("minhashCandidates", "simhashBandPairs",
       "simhashMankuPairs", "dedupClusters", "removeBoilerplate",
-      "contamination", "mixtureSample")
+      "contamination", "mixtureSample", "dupSpans")
     for (n <- mults if docLegs.exists(enabled)) {
       val d = replicated(n).persist()
       val total = d.count()
@@ -120,9 +120,20 @@ object ScaleSmoke {
         graft.operators.Sampling.mixtureSample(mix, "source", "doc_id",
           Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0)).count()
       }
+      // span-dedup leg: replicas are token-disjoint, so duplicated spans
+      // stay within-replica and must grow EXACTLY linearly in mult; the
+      // sampled variant (content-defined hash % 8) must track the same
+      // shape at ~1/8 the shuffled window volume
+      val spanRows = timeIf("dupSpansExact") {
+        Dedup.duplicateSpans(d, "doc_id", "text", k = 10).count()
+      }
+      val spanSampled = timeIf("dupSpansSampled8") {
+        Dedup.duplicateSpans(d, "doc_id", "text", k = 10, sampleMod = 8).count()
+      }
       println(s"  pairs=$pairs simhashPairs=$simhash mankuPairs=$manku " +
         s"keepers=$clusters boilerRemoved=$boiler " +
-        s"contaminated=$contaminated benchShingles=$benchShingles mixKept=$mixKept")
+        s"contaminated=$contaminated benchShingles=$benchShingles mixKept=$mixKept " +
+        s"dupSpans=$spanRows dupSpansSampled=$spanSampled")
       d.unpersist()
     }
 
