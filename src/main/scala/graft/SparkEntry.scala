@@ -219,6 +219,10 @@ object SparkEntry {
     "q80_dup_spans" -> ((s, dir) =>
       Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", k = 10)),
 
+    // the removal transform itself: every doc back with flagged spans cut
+    "q81_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text", k = 10)),
+
     // ---- TEXT: token counting over documents
     "q17_token_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1068,6 +1072,54 @@ object SparkEntry {
          SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
                 count(*) AS n_windows
          FROM grp GROUP BY doc_id, island""",
+    // removal companion: q80's span pipeline, then tokens outside every
+    // span reconstructed in order with single spaces (split/join round-
+    // trips byte-exactly, including empty tokens from repeated spaces);
+    // docs with every token flagged come back as '' — both engines
+    "q81_span_removal" ->
+      s"""WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           WHERE len(string_split(text, ' ')) >= 10),
+         grams AS (
+           SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+                  ('0x' || substr(md5(array_to_string(t[u.i:u.i+9], ' ')), 1, 15))::BIGINT AS g
+           FROM toks, unnest(generate_series(1, len(t) - 9)) AS u(i)),
+         occ AS (
+           SELECT g, count(*) AS n, min(doc_id * 4294967296 + pos) AS fk
+           FROM grams GROUP BY g),
+         dup AS (
+           SELECT doc_id, pos FROM grams JOIN occ USING (g)
+           WHERE n >= 2 AND doc_id * 4294967296 + pos <> fk),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+                       THEN 1 ELSE 0 END AS brk
+           FROM dup),
+         grp AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+           FROM isl),
+         spans AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e
+           FROM grp GROUP BY doc_id, island),
+         alltoks AS (
+           SELECT z.doc_id, z.t[u.i] AS tok, CAST(u.i - 1 AS BIGINT) AS idx
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) z,
+                unnest(generate_series(1, len(z.t))) AS u(i)),
+         kept AS (
+           SELECT a.doc_id, a.tok, a.idx FROM alltoks a
+           WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                             WHERE sp.doc_id = a.doc_id AND a.idx BETWEEN sp.s AND sp.e)),
+         clean AS (
+           SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY idx), '') AS clean_text
+           FROM kept GROUP BY doc_id),
+         rm AS (SELECT doc_id, sum(e - s + 1) AS nrm FROM spans GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text,
+                CAST(coalesce(r.nrm, 0) AS BIGINT) AS n_tokens_removed
+         FROM documents d
+         LEFT JOIN clean c ON d.doc_id = c.doc_id
+         LEFT JOIN rm r ON d.doc_id = r.doc_id""",
     "q17_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          CAST(SUM(len($TOKS)) AS BIGINT) AS sum_tokens,

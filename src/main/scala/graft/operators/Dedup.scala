@@ -741,4 +741,35 @@ object Dedup {
       .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
         col("n_windows"))
   }
+
+  /** Removal companion to [[duplicateSpans]]: every document back, with
+    * the tokens covered by its flagged spans CUT — the Lee et al. 2022
+    * "remove all but one copy" transform itself, not just the report.
+    * Output: (doc_id, clean_text, n_tokens_removed); documents without
+    * flagged spans pass through verbatim (clean_text = original text).
+    *
+    * Plan shape: [[duplicateSpans]]' keyed pipeline, plus ONE left join
+    * of the corpus against the per-doc span list (collected to an array
+    * per doc — bounded by the doc's own length, never corpus-sized) and
+    * a per-row array filter that keeps tokens outside every span. The
+    * token cut is scan-side row-local work; no shuffle beyond the span
+    * pipeline's own. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 10, sampleMod: Int = 1): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, k, sampleMod)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    df.select(col(idCol).cast(LongType).as("doc_id"), col(textCol).as("text"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("spans").isNull, col("text")).otherwise(
+          concat_ws(" ", filter(split(col("text"), " "),
+            (t, i) => !exists(col("spans"),
+              sp => i.cast(LongType) >= sp("span_start") &&
+                i.cast(LongType) <= sp("span_end"))))).as("clean_text"),
+        coalesce(aggregate(col("spans"), lit(0L),
+          (acc, sp) => acc + sp("span_end") - sp("span_start") + 1L), lit(0L))
+          .as("n_tokens_removed"))
+  }
 }

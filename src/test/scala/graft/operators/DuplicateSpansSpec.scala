@@ -50,6 +50,29 @@ class DuplicateSpansSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  private def removed(k: Int, docs: (Long, String)*): Map[Long, (String, Long)] =
+    Dedup.removeDuplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k = k)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+
+  test("removal cuts flagged spans, keeps the first copy verbatim, passes clean docs through") {
+    val got = removed(3,
+      1L -> "a b c x y",   // first occurrence of "a b c": kept whole
+      2L -> "p q a b c",   // second occurrence: tail cut
+      3L -> "u v w x y")   // no duplicated window: verbatim
+    assert(got(1L) === ("a b c x y", 0L))
+    assert(got(2L) === ("p q", 3L))
+    assert(got(3L) === ("u v w x y", 0L))
+  }
+
+  test("a fully duplicated document empties to the zero-length string") {
+    val text = (1 to 12).map(i => s"w$i").mkString(" ")
+    val got = removed(3, 5L -> text, 6L -> text)
+    assert(got(5L) === (text, 0L))
+    assert(got(6L) === ("", 12L))
+  }
+
   test("sampleMod output is a subset of exact flagged coverage and still finds long spans") {
     // two identical 40-token docs: exact mode flags the whole second doc;
     // any sampled mode must flag a subset of that coverage, and with
