@@ -71,6 +71,14 @@ object ProfileJobs {
     })
     sampler.setDaemon(true)
     sampler.start()
+    // PROFILE_WARM=1: run once untimed (JIT + codegen), clear caches, then
+    // profile the warm rerun — the bench artifact's headline condition
+    if (sys.env.contains("PROFILE_WARM")) {
+      graft.SparkEntry.queries(name)(spark, sfDir).count()
+      spark.catalog.clearCache()
+      Thread.sleep(500)
+      jobs.clear(); starts.clear(); hist.clear()
+    }
     val t0 = System.nanoTime()
     val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
     val dt = (System.nanoTime() - t0) / 1e9

@@ -57,7 +57,9 @@ class JobBudgetSpec extends AnyFunSuite {
     // two structural wins (skipped pass-1 re-inference at child-only
     // levels, no per-file task storms) without pinning planner noise
     "q64_corpus_sklearn_summary" -> 90L,
-    "q59_corpus_bs_summary" -> 25L // 1-child summary chain, 11 measured
+    "q59_corpus_bs_summary" -> 25L, // 1-child summary chain, 11 measured
+    "q80_dup_spans" -> 12L, // gram agg + join + window chain, 6 measured
+    "q81_span_removal" -> 12L // q80's chain + one left join, 3 measured
   )
 
   for ((q, budget) <- budgets)
