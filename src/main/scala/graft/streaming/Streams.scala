@@ -43,7 +43,8 @@ object Streams {
     * probe; pass `schema` explicitly, or the probe falls back to
     * [[defaultEventsSchema]] (the current vintage). */
   def readEvents(spark: SparkSession, path: String,
-                 schema: Option[StructType] = None): DataFrame = {
+                 schema: Option[StructType] = None,
+                 options: Map[String, String] = Map.empty): DataFrame = {
     val onDisk = schema.getOrElse {
       try spark.read.parquet(path).schema
       catch {
@@ -51,7 +52,9 @@ object Streams {
         case _: org.apache.spark.sql.AnalysisException => defaultEventsSchema
       }
     }
-    val stream = spark.readStream.schema(onDisk).parquet(path)
+    // file-source options ride through (e.g. maxFilesPerTrigger to bound
+    // micro-batch size; AvailableNow respects it)
+    val stream = spark.readStream.schema(onDisk).options(options).parquet(path)
     onDisk("ts").dataType match {
       // nanos-as-long vintage: integer `div`, not `/` — double division
       // rounds half the rows up a microsecond vs an engine that floors
