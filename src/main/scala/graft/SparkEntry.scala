@@ -223,6 +223,13 @@ object SparkEntry {
     "q81_span_removal" -> ((s, dir) =>
       Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text", k = 10)),
 
+    // ---- LM QUALITY: CCNet-style perplexity filter — add-k bigram LM
+    //      trained on the src0 slice (the "trusted reference"), scoring
+    //      every document; low avg_logp = unlike the reference corpus
+    "q82_lm_score" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text",
+        modelFilter = col("source") === "src0")),
+
     // ---- TEXT: token counting over documents
     "q17_token_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1120,6 +1127,36 @@ object SparkEntry {
          FROM documents d
          LEFT JOIN clean c ON d.doc_id = c.doc_id
          LEFT JOIN rm r ON d.doc_id = r.doc_id""",
+    // bigram LM: P(w2|w1) = (c12+0.5)/(c1+0.5*V), V = src0 vocab;
+    // avg(ln p) rounded like q03's geomean contract, ppl = exp(-avg)
+    "q82_lm_score" ->
+      s"""WITH tok AS (
+           SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         bi AS (
+           SELECT doc_id, source, t[u.i] AS w1, t[u.i + 1] AS w2
+           FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
+           WHERE len(t) >= 2),
+         c12 AS (
+           SELECT w1, w2, count(*) AS c12 FROM bi WHERE source = 'src0'
+           GROUP BY w1, w2),
+         c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+         v AS (
+           SELECT count(DISTINCT u.tok) AS v
+           FROM (SELECT t FROM tok WHERE source = 'src0') z, unnest(t) AS u(tok)),
+         scored AS (
+           SELECT b.doc_id, count(*) AS n_bigrams,
+                  ROUND(AVG(LN((coalesce(m.c12, 0) + 0.5) /
+                               (coalesce(u1.c1, 0) + 0.5 * (SELECT v FROM v)))), 6)
+                    AS avg_logp
+           FROM bi b
+           LEFT JOIN c12 m ON b.w1 = m.w1 AND b.w2 = m.w2
+           LEFT JOIN c1 u1 ON b.w1 = u1.w1
+           GROUP BY b.doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                s.avg_logp,
+                ROUND(EXP(-s.avg_logp), 4) AS ppl
+         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""",
     "q17_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          CAST(SUM(len($TOKS)) AS BIGINT) AS sum_tokens,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -248,6 +248,56 @@ object TextAnalysis {
     * order-independent and exact (floats enter only in the final mean). */
   def pseudoWeight(bucket: Column, seed: String): Column =
     hash60(concat(lit(seed + "|"), bucket.cast(org.apache.spark.sql.types.StringType))) % 2001L - 1000L
+
+  /** CCNet-style statistical LM quality score: an add-k-smoothed BIGRAM
+    * language model trained on the reference subset (`modelFilter` rows —
+    * CCNet trains its KenLM on Wikipedia; here the caller picks the
+    * trusted slice) and scored over EVERY document as the average bigram
+    * log-probability (plus derived perplexity). Out-of-model bigrams get
+    * the smoothed floor, so low scores flag text unlike the reference —
+    * the classic "perplexity filter" of LLM data pipelines, re-expressed
+    * without an external LM artifact.
+    *
+    * P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V), V = reference vocab.
+    *
+    * Scale shape: the model tables (c12/c1) are REFERENCE-bounded, not
+    * corpus-bounded — for a CCNet-style trusted slice they broadcast, and
+    * the scoring pass is then map-side against the corpus's exploded
+    * bigrams with one keyed per-doc aggregate. V is a single driver-held
+    * scalar (one aggregate over the reference slice — same altitude as a
+    * ratio-base collect). Per-bigram log-probs average to round(6): the
+    * identical ln/avg contract the geomean aggregate (q03) has
+    * hash-matched against the oracle since round 1. */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                    modelFilter: Column, addK: Double = 0.5): DataFrame = {
+    val tok = df.select(col(idCol).cast(LongType).as("doc_id"),
+      modelFilter.as("__in_model"), split(col(textCol), " ").as("t"))
+    val bi = tok.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("__in_model"), explode(transform(
+        sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("w1"),
+          element_at(col("t"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("__in_model"), col("b.w1"), col("b.w2"))
+    val c12 = bi.filter(col("__in_model"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = tok.filter(col("__in_model"))
+      .select(explode(col("t")).as("tok"))
+      .agg(count_distinct(col("tok"))).head().getLong(0)
+    val scored = bi
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((coalesce(col("c12"), lit(0L)) + lit(addK)) /
+          (coalesce(col("c1"), lit(0L)) + lit(addK * vocab)))), 6).as("avg_logp"))
+    df.select(col(idCol).cast(LongType).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logp"),
+        round(exp(-col("avg_logp")), 4).as("ppl"))
+  }
 
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast(LongType)

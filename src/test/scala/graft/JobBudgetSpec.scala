@@ -59,7 +59,8 @@ class JobBudgetSpec extends AnyFunSuite {
     "q64_corpus_sklearn_summary" -> 90L,
     "q59_corpus_bs_summary" -> 25L, // 1-child summary chain, 11 measured
     "q80_dup_spans" -> 12L, // gram agg + join + window chain, 6 measured
-    "q81_span_removal" -> 12L // q80's chain + one left join, 3 measured
+    "q81_span_removal" -> 12L, // q80's chain + one left join, 3 measured
+    "q82_lm_score" -> 12L // vocab scalar + model aggs + scoring joins, 6 measured
   )
 
   for ((q, budget) <- budgets)

@@ -201,6 +201,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length <= 4, p)
   }
 
+  test("LM scoring joins the reference-bounded model tables by key (q82)") {
+    // c12/c1 are reference-slice-sized: the scoring joins must be keyed
+    // (broadcast or shuffled hash — Catalyst's choice), never a nested
+    // loop, and the per-doc aggregate partial before its exchange
+    val p = plan("q82_lm_score")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_avg"), p)
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set
