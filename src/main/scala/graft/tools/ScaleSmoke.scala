@@ -58,7 +58,7 @@ object ScaleSmoke {
     // replicated persist+count entirely when none is selected
     val docLegs = Seq("minhashCandidates", "simhashBandPairs",
       "simhashMankuPairs", "dedupClusters", "removeBoilerplate",
-      "contamination", "mixtureSample", "dupSpans")
+      "contamination", "mixtureSample", "dupSpans", "bigramLm")
     for (n <- mults if docLegs.exists(enabled)) {
       val d = replicated(n).persist()
       val total = d.count()
@@ -130,10 +130,20 @@ object ScaleSmoke {
       val spanSampled = timeIf("dupSpansSampled8") {
         Dedup.duplicateSpans(d, "doc_id", "text", k = 10, sampleMod = 8).count()
       }
+      // bigram-LM leg: the model trains on a FIXED reference slice
+      // (replica 0 only — reference corpora don't grow with the crawl)
+      // while scoring sweeps the whole corpus. The model tables stay
+      // byte-identical across mults (printed as the bound evidence);
+      // wall must track the corpus scan ~linearly.
+      val lmScored = timeIf("bigramLm") {
+        val scored = graft.operators.TextAnalysis.bigramLmScore(
+          d, "doc_id", "text", modelFilter = col("doc_id") % n === 0)
+        scored.filter(col("avg_logp").isNotNull).count()
+      }
       println(s"  pairs=$pairs simhashPairs=$simhash mankuPairs=$manku " +
         s"keepers=$clusters boilerRemoved=$boiler " +
         s"contaminated=$contaminated benchShingles=$benchShingles mixKept=$mixKept " +
-        s"dupSpans=$spanRows dupSpansSampled=$spanSampled")
+        s"dupSpans=$spanRows dupSpansSampled=$spanSampled lmScored=$lmScored")
       d.unpersist()
     }
 
