@@ -130,4 +130,43 @@ class PropertySpec extends AnyFunSuite {
       .filter(col("x")).count()
     assert(asym == 0)
   }
+
+  // random small corpora over a tiny vocabulary: high collision pressure
+  // for the span-dedup invariants
+  private val tinyDocs = Gen.listOfN(12,
+    Gen.listOfN(14, Gen.oneOf("x", "y", "z")).map(_.mkString(" ")))
+
+  test("duplicate spans never overlap within a doc and stay inside its token range") {
+    for ((texts, trial) <- samples(tinyDocs, 4).zipWithIndex) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val k = 3
+      val spans = operators.Dedup.duplicateSpans(df, "doc_id", "text", k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val nTok = texts.map(_.split(" ").length)
+      for ((d, s, e) <- spans) {
+        assert(s >= 0 && e >= s && e < nTok(d.toInt), s"trial $trial: ($d,$s,$e)")
+      }
+      for (Seq((d1, _, e1), (d2, s2, _)) <-
+             spans.toSeq.sortBy(x => (x._1, x._2)).sliding(2).toSeq
+           if d1 == d2) {
+        // fused spans: the next span in the same doc starts past the
+        // previous one's end, by more than the fusion gap k
+        assert(s2 > e1 + 1, s"trial $trial: spans ($e1, $s2) should have fused")
+      }
+    }
+  }
+
+  test("LM scoring returns every doc once with n_bigrams = max(tokens-1, 0)") {
+    for (texts <- samples(tinyDocs, 4)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = operators.TextAnalysis
+        .bigramLmScore(df, "doc_id", "text", modelFilter = col("doc_id") < 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.size == texts.size)
+      for ((t, i) <- texts.zipWithIndex)
+        assert(out(i.toLong) == math.max(t.split(" ").length - 1, 0))
+    }
+  }
 }
