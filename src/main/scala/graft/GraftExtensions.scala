@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64, aggregate}
 
 import graft.expressions.{AffineMinHash, ArrayCosine, BinarySlice, ExactMedian, Md5PrefixHashArray, SignBucket, SimHash32, SimHash60, SortedLongJaccard, StringNumClass}
 
@@ -48,5 +48,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SignBucket].getName, "graft_signbucket"),
       (es: Seq[Expression]) =>
         SignBucket(es.head, es(1).eval().asInstanceOf[Int])))
+    // Spark's own runtime-filter Bloom pair, surfaced as callable
+    // functions: build(value, estimatedItems, numBits) -> binary bitset,
+    // contains(bitset, value) -> boolean. Values are xxhash64-bridged so
+    // any orderable key type works on both sides with identical hashing.
+    ext.injectFunction((FunctionIdentifier("graft_bloom_build"),
+      new ExpressionInfo(
+        classOf[aggregate.BloomFilterAggregate].getName, "graft_bloom_build"),
+      (es: Seq[Expression]) =>
+        new aggregate.BloomFilterAggregate(XxHash64(Seq(es.head), 42L), es(1), es(2))))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[BloomFilterMightContain].getName, "graft_bloom_contains"),
+      (es: Seq[Expression]) =>
+        BloomFilterMightContain(es.head, XxHash64(Seq(es(1)), 42L))))
   }
 }

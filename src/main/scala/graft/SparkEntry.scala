@@ -230,6 +230,21 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text",
         modelFilter = col("source") === "src0")),
 
+    // ---- BLOOM INCREMENTAL DEDUP: today's batch (doc_id % 5 == 0)
+    //      against the historical corpus (the rest), keyed on the leading
+    //      40-char snippet (a URL/leading-boilerplate-style content key).
+    //      History is scanned once into a Bloom bitset; the batch probes
+    //      it at the scan and only candidate keys are exactly confirmed —
+    //      result is byte-identical to the plain anti-join at any sizing.
+    "q83_bloom_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val keyed = d.withColumn("__k", substring(col("text"), 1, 40))
+      Dedup.bloomDedup(
+        keyed.filter(col("doc_id") % 5 === 0),
+        keyed.filter(col("doc_id") % 5 =!= 0), "__k")
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // ---- TEXT: token counting over documents
     "q17_token_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1157,6 +1172,12 @@ object SparkEntry {
                 s.avg_logp,
                 ROUND(EXP(-s.avg_logp), 4) AS ppl
          FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""",
+    // NOT EXISTS (not NOT IN) mirrors the anti-join's null-key semantics
+    "q83_bloom_dedup" ->
+      """SELECT b.doc_id, b.n_chars FROM documents b
+         WHERE b.doc_id % 5 = 0 AND NOT EXISTS (
+           SELECT 1 FROM documents h WHERE h.doc_id % 5 <> 0
+             AND substr(h.text, 1, 40) = substr(b.text, 1, 40))""",
     "q17_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          CAST(SUM(len($TOKS)) AS BIGINT) AS sum_tokens,

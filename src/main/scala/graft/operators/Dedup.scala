@@ -291,6 +291,73 @@ object Dedup {
       .distinct()
   }
 
+  // ---- Bloom-prefiltered exact incremental dedup ------------------------
+
+  /** Serialized Bloom bitset over `keyCol` of `df`: ONE aggregate pass —
+    * per-partition partial bitsets OR-merged through a single final
+    * reducer — with a driver-sized result of O(numBits/8) bytes that is
+    * independent of row count. Persist the bytes next to the corpus to
+    * amortize the history scan across daily increments (same posture as
+    * [[minhashIndex]] and `Similarity.ivfBuild`). Sizing is a recall/space
+    * knob only, never a correctness one: see [[bloomDedup]]. The per-query
+    * ceilings are Spark's `spark.sql.optimizer.runtime.bloomFilter.
+    * {maxNumItems,maxNumBits}` confs (4M items / 64M bits by default;
+    * raise them for billion-key histories — the bitset stays one
+    * contiguous binary, so 10⁹ keys at 10 bits/key is ~1.2 GB: at that
+    * scale shard the build by key-hash range into P independent bitsets
+    * and probe the matching shard). */
+  def bloomBuild(df: DataFrame, keyCol: String,
+                 expectedItems: Long = 1L << 20,
+                 numBits: Long = 1L << 23): Array[Byte] =
+    df.select(call_function("graft_bloom_build",
+        col(keyCol), lit(expectedItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+  /** Might-contain probe of a [[bloomBuild]] bitset: `false` means the
+    * key is DEFINITELY absent (Bloom filters have no false negatives).
+    * A pure scan-level predicate — the bitset rides the plan as a binary
+    * literal, so the probe runs inside the scan's codegen stage with no
+    * join and no shuffle. */
+  def bloomMightContain(bloom: Array[Byte], key: Column): Column =
+    call_function("graft_bloom_contains", lit(bloom), key)
+
+  /** Exact incremental dedup of `batch` against `history` on `keyCol`,
+    * Bloom-prefiltered so that NEITHER side is ever shuffled:
+    *
+    *   1. build (or load) the history bitset — one pass, O(bitset) driver
+    *      state;
+    *   2. probe the batch at the scan: rows whose key might-contains
+    *      `false` are definitely new and skip the join entirely;
+    *   3. exactly confirm the surviving candidate keys with a broadcast
+    *      semi-join against history, then broadcast-anti-join the
+    *      confirmed duplicates back onto the batch.
+    *
+    * Result is row-identical to `batch LEFT ANTI JOIN history` at ANY
+    * filter sizing: false positives only widen the exactly-confirmed
+    * candidate set (step 3 removes them), and false negatives cannot
+    * occur. At 100 TB the plain anti-join shuffles the full history on
+    * every increment; here the history is scanned once (filter pushdown +
+    * key-column pruning apply) and everything exchanged is
+    * candidate-sized. */
+  def bloomDedup(batch: DataFrame, history: DataFrame, keyCol: String,
+                 expectedItems: Long = 1L << 20,
+                 numBits: Long = 1L << 23): DataFrame =
+    bloomDedupWith(batch, history, keyCol,
+      bloomBuild(history, keyCol, expectedItems, numBits))
+
+  /** [[bloomDedup]] against a pre-built (possibly persisted) bitset. */
+  def bloomDedupWith(batch: DataFrame, history: DataFrame, keyCol: String,
+                     bloom: Array[Byte]): DataFrame = {
+    val candKeys = batch
+      .filter(bloomMightContain(bloom, col(keyCol)))
+      .select(col(keyCol))
+    // true-dup keys among the candidates; candidate-sized by construction
+    // (true dups + fpp * batch), so both joins broadcast the small side
+    val dupKeys = history.select(col(keyCol))
+      .join(broadcast(candKeys), Seq(keyCol), "left_semi")
+    batch.join(broadcast(dupKeys), Seq(keyCol), "left_anti")
+  }
+
   /** Exact Jaccard similarity of two array columns (distinct-element
     * semantics). */
   def jaccard(a: Column, b: Column): Column = {

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Bloom-prefiltered exact incremental dedup: row-identical to the plain
+  * anti-join at any filter sizing, no false negatives at the probe, and a
+  * probe plan that never shuffles either side. */
+class BloomDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val docs =
+    graft.Tables(spark, TestSpark.sfDir, "documents")
+      .withColumn("__k", substring(col("text"), 1, 40))
+  private lazy val batch = docs.filter(col("doc_id") % 5 === 0)
+  private lazy val history = docs.filter(col("doc_id") % 5 =!= 0)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  private lazy val plainAnti =
+    ids(batch.join(history.select("__k"), Seq("__k"), "left_anti"))
+
+  test("bloomDedup == plain anti-join on the documents fixture") {
+    val got = ids(Dedup.bloomDedup(batch, history, "__k"))
+    assert(got == plainAnti)
+    assert(got.nonEmpty && got.size < batch.count()) // both paths exercised
+  }
+
+  test("result is identical under a degenerate 64-bit filter (sizing is " +
+    "a cost knob, never a correctness one)") {
+    // ~all batch keys collide into might-contain=true -> the exact
+    // confirm pass does all the work; result must not change
+    val tiny = Dedup.bloomDedup(batch, history, "__k",
+      expectedItems = 4L, numBits = 64L)
+    assert(ids(tiny) == plainAnti)
+  }
+
+  test("probe has no false negatives: every skipped key is truly absent") {
+    val bloom = Dedup.bloomBuild(history, "__k")
+    val skipped = batch.filter(!Dedup.bloomMightContain(bloom, col("__k")))
+    val wrong = skipped.join(history.select("__k"), Seq("__k"), "left_semi")
+    assert(wrong.isEmpty)
+  }
+
+  test("probe plan shuffles neither side: broadcast joins only") {
+    val bloom = Dedup.bloomBuild(history, "__k")
+    val p = Dedup.bloomDedupWith(batch, history, "__k", bloom)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p)
+  }
+}
