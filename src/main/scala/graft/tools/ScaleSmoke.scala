@@ -58,7 +58,8 @@ object ScaleSmoke {
     // replicated persist+count entirely when none is selected
     val docLegs = Seq("minhashCandidates", "simhashBandPairs",
       "simhashMankuPairs", "dedupClusters", "removeBoilerplate",
-      "contamination", "mixtureSample", "dupSpans", "bigramLm")
+      "contamination", "mixtureSample", "dupSpans", "bigramLm",
+      "bloomDedup")
     for (n <- mults if docLegs.exists(enabled)) {
       val d = replicated(n).persist()
       val total = d.count()
@@ -130,6 +131,36 @@ object ScaleSmoke {
       val spanSampled = timeIf("dupSpansSampled8") {
         Dedup.duplicateSpans(d, "doc_id", "text", k = 10, sampleMod = 8).count()
       }
+      // bloom-dedup leg: the daily batch is FIXED (100 docs, half dup
+      // keys / half novel) while the history grows mult× — the production
+      // increment regime. Build (one history scan into a constant-size
+      // bitset, persisted across increments in production) and probe
+      // (scan-level might-contain + broadcast confirm over history) are
+      // timed separately; each must track the history scan ~linearly
+      // with the dropped count CONSTANT (the dup half of the batch),
+      // proving the exchanged volume is candidate-sized, not history-
+      // sized, at every mult.
+      var bloomDropped = -1L
+      if (enabled("bloomDedup")) {
+        val keyedHist = d.withColumn("__k", substring(col("text"), 1, 40))
+        val batch = d.filter(col("doc_id") % n === 0).limit(100)
+          .select(col("doc_id"),
+            // parity of the ORIGINAL id (replicated id = orig*n + rep):
+            // orig even <=> orig*n % 2n == 0 at any mult, odd n included
+            when(col("doc_id") % (2L * n) === 0, col("text"))
+              .otherwise(concat(lit("novel-"), col("doc_id"), lit(" "),
+                col("text"))).as("text"))
+          .withColumn("__k", substring(col("text"), 1, 40)).persist()
+        batch.count()
+        var bloom: Array[Byte] = null
+        time("bloomDedupBuild") {
+          bloom = Dedup.bloomBuild(keyedHist, "__k"); bloom.length.toLong
+        }
+        bloomDropped = time("bloomDedupProbe") {
+          100 - Dedup.bloomDedupWith(batch, keyedHist, "__k", bloom).count()
+        }
+        batch.unpersist()
+      }
       // bigram-LM leg: the model trains on a FIXED reference slice
       // (replica 0 only — reference corpora don't grow with the crawl)
       // while scoring sweeps the whole corpus. The model tables stay
@@ -143,7 +174,8 @@ object ScaleSmoke {
       println(s"  pairs=$pairs simhashPairs=$simhash mankuPairs=$manku " +
         s"keepers=$clusters boilerRemoved=$boiler " +
         s"contaminated=$contaminated benchShingles=$benchShingles mixKept=$mixKept " +
-        s"dupSpans=$spanRows dupSpansSampled=$spanSampled lmScored=$lmScored")
+        s"dupSpans=$spanRows dupSpansSampled=$spanSampled lmScored=$lmScored " +
+        s"bloomDropped=$bloomDropped")
       d.unpersist()
     }
 
