@@ -60,7 +60,8 @@ class JobBudgetSpec extends AnyFunSuite {
     "q59_corpus_bs_summary" -> 25L, // 1-child summary chain, 11 measured
     "q80_dup_spans" -> 12L, // gram agg + join + window chain, 6 measured
     "q81_span_removal" -> 12L, // q80's chain + one left join, 3 measured
-    "q82_lm_score" -> 12L // vocab scalar + model aggs + scoring joins, 6 measured
+    "q82_lm_score" -> 12L, // vocab scalar + model aggs + scoring joins, 6 measured
+    "q83_bloom_dedup" -> 14L // bitset build + 2 broadcast builds + probe, 7 measured
   )
 
   for ((q, budget) <- budgets)

@@ -169,4 +169,24 @@ class PropertySpec extends AnyFunSuite {
         assert(out(i.toLong) == math.max(t.split(" ").length - 1, 0))
     }
   }
+
+  test("bloomDedup == anti-join on random key multisets (nulls included, " +
+    "any sizing)") {
+    val keyGen = Gen.listOfN(40,
+      Gen.frequency(9 -> Gen.alphaStr.map(_.take(6)), 1 -> Gen.const(null)))
+    for (((bk, hk), trial) <- samples(Gen.zip(keyGen, keyGen), 4).zipWithIndex) {
+      val batch = bk.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("id", "k")
+      val history = hk.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("id", "k")
+      val expected = batch.join(history.select("k"), Seq("k"), "left_anti")
+        .select("id").collect().map(_.getLong(0)).sorted
+      for (bits <- Seq(32L, 1L << 16)) {
+        val got = operators.Dedup
+          .bloomDedup(batch, history, "k", expectedItems = 8L, numBits = bits)
+          .select("id").collect().map(_.getLong(0)).sorted
+        assert(got.sameElements(expected), s"trial $trial bits=$bits")
+      }
+    }
+  }
 }
