@@ -309,6 +309,9 @@ object Dedup {
   def bloomBuild(df: DataFrame, keyCol: String,
                  expectedItems: Long = 1L << 20,
                  numBits: Long = 1L << 23): Array[Byte] =
+    // null on an EMPTY input (the aggregate has nothing to serialize) —
+    // the first-ever increment's "no history yet"; bloomDedupWith maps
+    // it to keep-everything
     df.select(call_function("graft_bloom_build",
         col(keyCol), lit(expectedItems), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]](0)
@@ -345,9 +348,12 @@ object Dedup {
     bloomDedupWith(batch, history, keyCol,
       bloomBuild(history, keyCol, expectedItems, numBits))
 
-  /** [[bloomDedup]] against a pre-built (possibly persisted) bitset. */
+  /** [[bloomDedup]] against a pre-built (possibly persisted) bitset.
+    * A null bitset (empty history — see [[bloomBuild]]) keeps the whole
+    * batch: nothing can be a duplicate of nothing. */
   def bloomDedupWith(batch: DataFrame, history: DataFrame, keyCol: String,
                      bloom: Array[Byte]): DataFrame = {
+    if (bloom == null) return batch
     val candKeys = batch
       .filter(bloomMightContain(bloom, col(keyCol)))
       .select(col(keyCol))

@@ -45,6 +45,17 @@ class BloomDedupSpec extends AnyFunSuite {
     assert(wrong.isEmpty)
   }
 
+  test("empty history (the first-ever increment) keeps the whole batch; " +
+    "empty batch yields an empty result") {
+    import spark.implicits._
+    val noHistory = Seq.empty[(Long, String)].toDF("doc_id", "__k")
+    assert(Dedup.bloomBuild(noHistory, "__k") == null)
+    val kept = Dedup.bloomDedup(batch.select("doc_id", "__k"), noHistory, "__k")
+    assert(kept.count() == batch.count())
+    val noBatch = Seq.empty[(Long, String)].toDF("doc_id", "__k")
+    assert(Dedup.bloomDedup(noBatch, history, "__k").isEmpty)
+  }
+
   test("probe plan shuffles neither side: broadcast joins only") {
     val bloom = Dedup.bloomBuild(history, "__k")
     val p = Dedup.bloomDedupWith(batch, history, "__k", bloom)
