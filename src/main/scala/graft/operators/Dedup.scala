@@ -340,8 +340,9 @@ object Dedup {
     * candidate set (step 3 removes them), and false negatives cannot
     * occur. At 100 TB the plain anti-join shuffles the full history on
     * every increment; here the history is scanned once (filter pushdown +
-    * key-column pruning apply) and everything exchanged is
-    * candidate-sized. */
+    * key-column pruning apply), batch and history rows are never
+    * shuffled, and the one exchange carries map-side-deduplicated
+    * duplicate keys only. */
   def bloomDedup(batch: DataFrame, history: DataFrame, keyCol: String,
                  expectedItems: Long = 1L << 20,
                  numBits: Long = 1L << 23): DataFrame =
@@ -350,18 +351,51 @@ object Dedup {
 
   /** [[bloomDedup]] against a pre-built (possibly persisted) bitset.
     * A null bitset (empty history — see [[bloomBuild]]) keeps the whole
-    * batch: nothing can be a duplicate of nothing. */
+    * batch: nothing can be a duplicate of nothing.
+    *
+    * The confirm broadcast is bounded by DISTINCT duplicate keys, not by
+    * history occurrences: the semi-join's raw output is one row per
+    * matching HISTORY row — history-occurrence-sized in the normal dedup
+    * regime, where a boilerplate 40-char prefix is shared by millions of
+    * docs — so it is de-duplicated before `broadcast(dupKeys)`. That
+    * distinct is the operator's ONE exchange, and its map-side partial
+    * aggregate means the wire carries at most (distinct dup keys ×
+    * partitions), never history rows: neither batch nor history rows are
+    * ever shuffled (plan-pinned in BloomDedupSpec).
+    *
+    * Size gate (eager, by design — one counting job over the probed
+    * batch scan runs before the plan is chosen): when the candidate
+    * count exceeds `broadcastMaxKeys` — a mostly-duplicate batch, the
+    * recrawl regime, would otherwise blow the broadcast budget / driver
+    * memory — the operator falls back to a shuffle anti-join of ONLY the
+    * candidate slice against history keys; rows the Bloom probe cleared
+    * stay join-free either way. Result is row-identical to
+    * `batch LEFT ANTI JOIN history` on both paths. */
   def bloomDedupWith(batch: DataFrame, history: DataFrame, keyCol: String,
-                     bloom: Array[Byte]): DataFrame = {
+                     bloom: Array[Byte],
+                     broadcastMaxKeys: Long = 1L << 22): DataFrame = {
     if (bloom == null) return batch
-    val candKeys = batch
-      .filter(bloomMightContain(bloom, col(keyCol)))
-      .select(col(keyCol))
-    // true-dup keys among the candidates; candidate-sized by construction
-    // (true dups + fpp * batch), so both joins broadcast the small side
-    val dupKeys = history.select(col(keyCol))
-      .join(broadcast(candKeys), Seq(keyCol), "left_semi")
-    batch.join(broadcast(dupKeys), Seq(keyCol), "left_anti")
+    // null keys never match an anti-join key, so they are definite keeps:
+    // route them with the probe==false rows (the probe is null on a null
+    // key, which a bare filter would silently drop from BOTH slices)
+    val probe = coalesce(bloomMightContain(bloom, col(keyCol)), lit(false))
+    val candKeys = batch.filter(probe).select(col(keyCol))
+    if (candKeys.count() <= broadcastMaxKeys) {
+      // true-dup keys among the candidates, exactly confirmed against
+      // history, de-duplicated (map-side partial agg) before broadcast
+      val dupKeys = history.select(col(keyCol))
+        .join(broadcast(candKeys), Seq(keyCol), "left_semi")
+        .distinct()
+      batch.join(broadcast(dupKeys), Seq(keyCol), "left_anti")
+    } else {
+      // fallback: candidates exceed the broadcast budget — shuffle
+      // anti-join the candidate slice only; Bloom-cleared rows (and
+      // null keys) bypass the join entirely
+      val definiteNew = batch.filter(!probe)
+      batch.filter(probe)
+        .join(history.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(definiteNew)
+    }
   }
 
   /** Exact Jaccard similarity of two array columns (distinct-element
@@ -768,8 +802,10 @@ object Dedup {
     * — the same asymptotic bill a suffix array pays, shuffled instead
     * of sorted in one memory.
     *
-    * First-occurrence ties are packed as doc*2^32+pos: documented
-    * bounds doc_id < 2^31 and < 2^32 tokens per document (a 4 GB+ text
+    * First-occurrence ties are packed as doc*2^32+pos: the doc_id bound
+    * 0 <= doc_id < 2^31 is enforced with a scan-level raise_error (an
+    * out-of-contract id fails the job instead of keeping the wrong
+    * copy); < 2^32 tokens per document needs no guard (a 4 GB+ text
     * would overflow Spark's string limit long before this key).
     *
     * `sampleMod` > 1 is the 100 TB knob: windows are pre-filtered to
@@ -786,7 +822,19 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"window must be >= 1 token (got $k)")
     require(sampleMod >= 1, s"sampleMod must be >= 1 (got $sampleMod)")
-    val toks = df.select(col(idCol).cast(LongType).as("id"),
+    // The doc_id bound is ENFORCED, not just documented: an id outside
+    // [0, 2^31) (or one that fails the long cast) silently corrupts the
+    // packed min(id*2^32+pos) first-occurrence key — the wrong copy gets
+    // kept and removeDuplicateSpans cuts the wrong text. One per-row
+    // comparison at the scan; errors instead of wrong spans.
+    val rawId = col(idCol).cast(LongType)
+    val guardedId = when(rawId.isNull || rawId < 0 || rawId >= lit(2147483648L),
+        raise_error(concat(
+          lit(s"duplicateSpans: $idCol must be an integer in [0, 2^31) for " +
+            "span-key packing, got "),
+          coalesce(col(idCol).cast("string"), lit("null")))).cast(LongType))
+      .otherwise(rawId)
+    val toks = df.select(guardedId.as("id"),
         split(col(textCol), " ").as("t"))
       .filter(size(col("t")) >= k)
     val grams = toks

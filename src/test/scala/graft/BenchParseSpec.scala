@@ -44,6 +44,18 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.noiseRatio(contended) > 1.5)
   }
 
+  // the round-7 headline rule: min over ALL passes. The round-6 rule
+  // (warm-min whenever any warm draw exists) let one noisy warm draw
+  // override every cold pass — q71's official 4.14 s against its own
+  // 0.89 s cold min. The headline must never exceed the cold min.
+  test("headlineOf is min over cold and warm together, never above cold min") {
+    assert(Bench.headlineOf(0.89, Seq(4.14)) === 0.89) // r6's q71 inversion
+    assert(Bench.headlineOf(25.3, Seq(14.1, 13.4)) === 13.4) // warm speedup counts
+    assert(Bench.headlineOf(0.5, Nil) === 0.5) // no warm rerun
+    assert(Bench.headlineOf(-1.0, Seq(2.0)) === -1.0) // failed query passes through
+    assert(Bench.headlineOf(1.2, Seq(-1.0, 0.9)) === 0.9) // negative warm sentinel ignored
+  }
+
   test("noiseRatio trims at least one outlier per side on small runs") {
     // a 3-canary SPARK_GRAFT_BENCH_ONLY subset with one jittery draw on
     // a quiet machine must not read tainted (max/min here is 1.56)

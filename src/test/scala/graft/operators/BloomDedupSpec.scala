@@ -56,14 +56,50 @@ class BloomDedupSpec extends AnyFunSuite {
     assert(Dedup.bloomDedup(noBatch, history, "__k").isEmpty)
   }
 
-  test("probe plan shuffles neither side: broadcast joins only") {
+  test("probe plan never shuffles batch or history rows: broadcast joins " +
+    "plus exactly one distinct-dup-key exchange (map-side combined)") {
     val bloom = Dedup.bloomBuild(history, "__k")
     val p = Dedup.bloomDedupWith(batch, history, "__k", bloom)
       .queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange hashpartitioning") &&
-      !p.contains("Exchange rangepartitioning"), p)
+    // the ONE exchange is the dupKeys distinct — its map-side partial
+    // HashAggregate means the wire carries distinct duplicate keys, not
+    // history rows (the raw semi-join output is one row per matching
+    // history row, which must never be the broadcast payload)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("HashAggregate"), p) // the distinct's partial agg
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
     assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p)
+  }
+
+  test("mostly-duplicate batch above the broadcast cap takes the shuffle " +
+    "fallback and stays row-identical") {
+    val bloom = Dedup.bloomBuild(history, "__k")
+    // broadcastMaxKeys=1 forces the fallback on any non-trivial batch
+    val fb = Dedup.bloomDedupWith(batch, history, "__k", bloom,
+      broadcastMaxKeys = 1L)
+    assert(ids(fb) == plainAnti)
+    val p = fb.queryExecution.executedPlan.toString
+    // the fallback's shape: bloom-cleared rows bypass the join via the
+    // Union; the candidate slice anti-joins history WITHOUT the
+    // driver-side broadcast(dupKeys) collect (at sf-test scale AQE may
+    // still choose a broadcast for the join itself — that's its runtime
+    // call, not a driver-materialized candidate set)
+    assert(p.contains("Union"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("null keys are kept on both paths (a null never equals an " +
+    "anti-join key)") {
+    import spark.implicits._
+    val b = Seq((1L, "a"), (2L, null), (3L, "zzz")).toDF("doc_id", "__k")
+    val h = Seq((10L, "a"), (11L, "b")).toDF("doc_id", "__k")
+    val bloom = Dedup.bloomBuild(h, "__k")
+    val expect = ids(b.join(h.select("__k"), Seq("__k"), "left_anti"))
+    assert(expect == Set(2L, 3L)) // sanity: null-key row is a keep
+    assert(ids(Dedup.bloomDedupWith(b, h, "__k", bloom)) == expect)
+    assert(ids(Dedup.bloomDedupWith(b, h, "__k", bloom,
+      broadcastMaxKeys = 0L)) == expect)
   }
 }
