@@ -145,9 +145,12 @@ object Dedup {
     * `transform` lambda, which Spark interprets row-at-a-time — at
     * sqrt(n) cells the interpreted loop dominated the whole operator
     * (measured 90 s vs 7 s end-to-end on a 32 k × 1000-cell
-    * assignment). After assignment: one cell-keyed exchange that BOTH
-    * sides of the self-join read (the minhashCandidates pattern), plus
-    * the keep-flag join back on id.
+    * assignment). After assignment: one (cell, tile)-keyed exchange
+    * that BOTH sides of the self-join read (the minhashCandidates
+    * pattern), plus the keep-flag join back on id. Cells above
+    * `cellCap` members are sub-split so no single task ever owns a hot
+    * cell's whole O(cell²) pair space — see the skew-guard comment in
+    * the body.
     *
     * Keep rule: pair-dominance by id (dropped iff SOME lower-id
     * cell-mate is within threshold) — deterministic and
@@ -156,7 +159,9 @@ object Dedup {
     * semantics; near-dup thresholds make the two nearly identical and
     * the paper itself keeps a random representative per group. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-               threshold: Double, nlist: Int): DataFrame = {
+               threshold: Double, nlist: Int,
+               cellCap: Int = 4096): DataFrame = {
+    require(cellCap >= 1, s"cellCap must be >= 1 (got $cellCap)")
     // the input feeds the seed TakeOrdered, the cross-score side, and
     // the assignment rejoin — localCheckpoint (lazy) materializes an
     // uncached upstream pipeline once instead of three times
@@ -167,10 +172,46 @@ object Dedup {
     // buffer forces SortAggregate, which sorts all n × nlist score rows)
     val best = Similarity.assignCells(vecs, "vec_id", "v", nlist)
       .withColumnRenamed("__assign_id", "vec_id")
-    val assigned = vecs.join(best, Seq("vec_id")).repartition(col("cell"))
-    val dropped = assigned.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb"))
-      .join(assigned.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va")),
-        Seq("cell"))
+    // HOT-CELL SKEW GUARD: real corpora cluster hard, and a cell far
+    // above the average n/nlist population would put its whole O(cell²)
+    // pairwise stage on ONE task (AQE skew splitting cannot split a
+    // self-join on the same key). Any cell above `cellCap` members is
+    // sub-split into s = ceil(pop/cellCap) groups on a secondary
+    // deterministic hash of the id, and the pair space is tiled over
+    // unordered group pairs {g1 <= g2}: each row emits its s tile keys
+    // {(min(g,j), max(g,j)) : j < s}, both join sides read the SAME
+    // (cell,g1,g2)-keyed exchange, and a (a,b) pair meets in exactly one
+    // tile — (min(ga,gb), max(ga,gb)) when ga != gb, the diagonal (g,g)
+    // tile otherwise (the join filter below rejects the other diagonal
+    // collisions). Work per task is bounded by ~(2·cellCap)² regardless
+    // of skew; replication is s× for oversized cells and 1× (identical
+    // to the unguarded plan) everywhere else. The per-cell populations
+    // are an nlist-bounded aggregate over the assignment, broadcast.
+    val cellS = best.groupBy("cell")
+      .agg(ceil(count(lit(1)).cast(DoubleType) / cellCap).cast("int").as("__s"))
+    val assigned = vecs.join(best, Seq("vec_id"))
+      .join(broadcast(cellS), Seq("cell"))
+    val subGroup = pmod(xxhash64(col("vec_id")), col("__s").cast(LongType)).cast("int")
+    val rep = assigned
+      .withColumn("__g", subGroup)
+      .select(col("cell"), col("__g"), col("vec_id"), col("v"),
+        explode(transform(sequence(lit(0), col("__s") - 1),
+          j => struct(least(col("__g"), j).as("g1"),
+            greatest(col("__g"), j).as("g2")))).as("__k"))
+      .select(col("cell"), col("__k.g1").as("g1"), col("__k.g2").as("g2"),
+        col("__g"), col("vec_id"), col("v"))
+      .repartition(col("cell"), col("g1"), col("g2"))
+    val dropped = rep.select(col("cell"), col("g1"), col("g2"),
+        col("__g").as("__gb"), col("vec_id").as("id_b"), col("v").as("vb"))
+      .join(rep.select(col("cell"), col("g1"), col("g2"),
+          col("__g").as("__ga"), col("vec_id").as("id_a"), col("v").as("va")),
+        Seq("cell", "g1", "g2"))
+      // same-group pairs share ALL their tile keys: count them only on
+      // the diagonal tile (g1 == g2 == their group). Mixed-group pairs
+      // meet exactly once by construction. Referencing both sides keeps
+      // this in the join, so neither exchange branch diverges.
+      .filter((col("__ga") =!= col("__gb")) ||
+        (col("g1") === col("__ga") && col("g2") === col("__ga")))
       .filter(col("id_a") < col("id_b") &&
         round(cosine(col("va"), col("vb")), 6) >= threshold)
       .select(col("id_b").as("vec_id")).distinct()

@@ -215,6 +215,39 @@ object ScaleSmoke {
       e.unpersist()
     }
 
+    // ---- semDedup hot-cell skew leg ("hotCell"): a deliberately
+    // clustered corpus — every vector is a tiny perturbation of ONE
+    // direction, so assignment puts essentially everything into a single
+    // cell no matter the nlist. Without the cellCap tile guard the whole
+    // O(n²) pairwise stage lands on ONE task; with it the pair space is
+    // tiled across ~(n/cap)² tasks and wall time is bounded by
+    // pairs/parallelism. Guarded and unguarded walls are printed side by
+    // side at each mult; the answer is asserted identical.
+    def clustered(n: Int) =
+      emb.withColumn("rep", explode(sequence(lit(0), lit(n - 1))))
+        .select((col("vec_id") * n + col("rep")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, lit(1.0f)).otherwise(
+              (pmod(hash(col("vec_id") * lit(37) + i), lit(1000))
+                .cast("float") / lit(1000000.0f)).cast("float")))
+            .as("embedding"))
+    for (n <- mults if enabled("hotCell")) {
+      val e = clustered(n).persist()
+      val total = e.count()
+      val guarded = time(s"hotCellGuarded(cap=4096)") {
+        Dedup.semDedup(e, "vec_id", "embedding", threshold = 0.99, nlist = 16)
+          .filter(col("keep")).count()
+      }
+      val unguarded = time("hotCellUnguarded") {
+        Dedup.semDedup(e, "vec_id", "embedding", threshold = 0.99, nlist = 16,
+          cellCap = Int.MaxValue).filter(col("keep")).count()
+      }
+      assert(guarded == unguarded,
+        s"skew guard changed the answer: $guarded vs $unguarded")
+      println(s"mult=$n  vecs=$total  hotCellKeepers=$guarded")
+      e.unpersist()
+    }
+
     // ---- ANN leg: the query batch is FIXED (20 vectors from replica 0)
     // while the corpus grows mult× — the production ANN regime (a bounded
     // probe batch against a growing index). Brute-force cosine is the

@@ -57,6 +57,10 @@ class JobBudgetSpec extends AnyFunSuite {
     // two structural wins (skipped pass-1 re-inference at child-only
     // levels, no per-file task storms) without pinning planner noise
     "q64_corpus_sklearn_summary" -> 90L,
+    // full 11-recipe summary DAG: 195 jobs measured, constant across
+    // passes and across 16x data (DagScale) — the DAG's scale story
+    // rests on that constancy, so pin it like q64
+    "q46_corpus_summary_dag" -> 230L,
     "q59_corpus_bs_summary" -> 25L, // 1-child summary chain, 11 measured
     "q80_dup_spans" -> 12L, // gram agg + join + window chain, 6 measured
     "q81_span_removal" -> 12L, // q80's chain + one left join, 3 measured
