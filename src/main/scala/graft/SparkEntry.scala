@@ -490,10 +490,13 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n_events"))),
 
-    // ---- MULTIMODAL: opaque binary payload + expression featurization
+    // ---- MULTIMODAL: real PNG/JPEG container fixtures (planted header
+    //      dims) featurized at the scan — the parser must RECOVER the
+    //      planted width/height from the actual header bytes while the
+    //      oracle recomputes them from the id formula
     "q31_multimodal" -> ((s, dir) =>
       Multimodal.featurizeExpr(
-        Multimodal.fromDocuments(t(s, dir, "documents")))),
+        Multimodal.syntheticAssets(t(s, dir, "documents")))),
 
     // ---- MM: frame sampling — one row fans out to <=4 byte-range
     //      frames (the video keyframe-sampler shape), narrow, no shuffle
@@ -501,10 +504,10 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.fromDocuments(t(s, dir, "documents")), 4)),
 
-    // ---- MM: aspect-fit resize over the stub-decoded dims
+    // ---- MM: aspect-fit resize geometry over the REAL parsed dims
     "q67_resize" -> ((s, dir) =>
-      Multimodal.resizeStub(
-        Multimodal.fromDocuments(t(s, dir, "documents")), 128, 96)),
+      Multimodal.resize(
+        Multimodal.syntheticAssets(t(s, dir, "documents")), 128, 96)),
 
     // ---- O1-style: top-k rows per group (window rank)
     "q32_topk_per_group" -> ((s, dir) =>
@@ -1465,13 +1468,39 @@ object SparkEntry {
          CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
          COUNT(*) AS n_events
          FROM events GROUP BY 1""",
+    // the oracle REBUILDS the exact container-header hex from the planted
+    // id formula and hashes the same lower-hex bridge the engine hashes;
+    // the engine instead PARSES the dims back out of the binary header it
+    // built — a genuine round-trip check on the PNG/JPEG parsers
     "q31_multimodal" ->
-      """SELECT doc_id AS asset_id, 'text' AS modality,
-         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-         md5(text) AS content_hash,
-         ('0x' || substr(md5(text), 1, 2))::INT AS width,
-         ('0x' || substr(md5(text), 3, 2))::INT AS height
-         FROM documents""",
+      """WITH a AS (
+           SELECT doc_id,
+                  text,
+                  doc_id % 1920 + 1 AS w,
+                  doc_id % 1080 + 1 AS h,
+                  doc_id % 2 = 0 AS is_png
+           FROM documents),
+         p AS (
+           SELECT *,
+                  CASE WHEN is_png
+                    THEN '89504e470d0a1a0a' || '0000000d' || '49484452'
+                         || lpad(lower(to_hex(w)), 8, '0')
+                         || lpad(lower(to_hex(h)), 8, '0')
+                         || '0802000000' || '00000000'
+                    ELSE 'ffd8' || 'ffe000104a46494600010100000100010000'
+                         || 'ffc0000b08'
+                         || lpad(lower(to_hex(h)), 4, '0')
+                         || lpad(lower(to_hex(w)), 4, '0')
+                         || '01011100'
+                  END AS hdr_hex
+           FROM a)
+         SELECT doc_id AS asset_id,
+                CASE WHEN is_png THEN 'image/png' ELSE 'image/jpeg' END AS modality,
+                CAST(octet_length(encode(text)) + 33 AS BIGINT) AS byte_len,
+                md5(hdr_hex || lower(to_hex(encode(text)))) AS content_hash,
+                CAST(w AS INT) AS width,
+                CAST(h AS INT) AS height
+         FROM p""",
     // frames = equal-stride byte ranges; frame_hash = md5 of the slice's
     // lowercase hex (DuckDB has no blob substring, hex-slicing is exact)
     "q66_frame_sample" ->
@@ -1493,22 +1522,37 @@ object SparkEntry {
                 md5(substr(hx, CAST(frame_idx * stride * 2 + 1 AS BIGINT), CAST(stride * 2 AS BIGINT))) AS frame_hash
          FROM f""",
     "q67_resize" ->
-      """WITH feat AS (
-           SELECT doc_id AS asset_id, 'text' AS modality,
-                  md5(text) AS content_hash,
-                  ('0x' || substr(md5(text), 1, 2))::INT AS width,
-                  ('0x' || substr(md5(text), 3, 2))::INT AS height
+      """WITH a AS (
+           SELECT doc_id, text,
+                  doc_id % 1920 + 1 AS w,
+                  doc_id % 1080 + 1 AS h,
+                  doc_id % 2 = 0 AS is_png
            FROM documents),
-         cl AS (
-           SELECT asset_id, modality, content_hash,
-                  greatest(width, 1) AS width, greatest(height, 1) AS height
-           FROM feat),
+         p AS (
+           SELECT *,
+                  CASE WHEN is_png
+                    THEN '89504e470d0a1a0a' || '0000000d' || '49484452'
+                         || lpad(lower(to_hex(w)), 8, '0')
+                         || lpad(lower(to_hex(h)), 8, '0')
+                         || '0802000000' || '00000000'
+                    ELSE 'ffd8' || 'ffe000104a46494600010100000100010000'
+                         || 'ffc0000b08'
+                         || lpad(lower(to_hex(h)), 4, '0')
+                         || lpad(lower(to_hex(w)), 4, '0')
+                         || '01011100'
+                  END AS hdr_hex
+           FROM a),
          sc AS (
-           SELECT *, least(128.0 / width, 96.0 / height, 1.0) AS scale FROM cl)
-         SELECT asset_id, modality, width, height,
+           SELECT *,
+                  md5(hdr_hex || lower(to_hex(encode(text)))) AS content_hash,
+                  least(128.0 / w, 96.0 / h, 1.0) AS scale
+           FROM p)
+         SELECT doc_id AS asset_id,
+                CASE WHEN is_png THEN 'image/png' ELSE 'image/jpeg' END AS modality,
+                CAST(w AS INT) AS width, CAST(h AS INT) AS height,
                 128 AS target_w, 96 AS target_h,
-                CAST(greatest(floor(width * scale), 1) AS INT) AS out_w,
-                CAST(greatest(floor(height * scale), 1) AS INT) AS out_h,
+                CAST(greatest(floor(w * scale), 1) AS INT) AS out_w,
+                CAST(greatest(floor(h * scale), 1) AS INT) AS out_h,
                 md5(content_hash || 'x' || '128' || 'x' || '96') AS resized_hash
          FROM sc""",
     "q32_topk_per_group" ->

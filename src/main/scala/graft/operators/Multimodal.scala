@@ -1,17 +1,23 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: images/audio/video ride through the engine
-  * as opaque `BinaryType` payloads plus a typed metadata struct. The
-  * actual codec work (JPEG decode, resampling, frame sampling) is
-  * partition-local batch work behind [[decodeBatch]]; this container has
-  * no media libraries, so the decoder is a clearly-marked deterministic
-  * STUB — the Spark-side contract (schema, partitioning, batch iteration,
-  * column signatures) is real and tested, and a production build swaps
-  * only the stub body.
+  * as opaque `BinaryType` payloads plus a typed metadata struct.
+  *
+  * Image dimensions are REAL: PNG IHDR and JPEG SOF headers are parsed
+  * straight from the payload bytes ([[graft.expressions.ImageHeaders]] —
+  * public container formats, no media libraries), both in the
+  * partition-local [[decodeBatch]] seam and in the codegen'd expression
+  * path ([[featurizeExpr]], via `graft_image_dims`); the two paths are
+  * spec-pinned identical. What remains behind the stub seam is PIXEL
+  * work only (full decode to rasters, resampling): this container has no
+  * codec libraries, so [[resize]] computes real aspect-fit geometry from
+  * the real parsed dimensions and binds a deterministic content hash in
+  * place of resampled bytes — a production build swaps only that hash
+  * for the resampler's output, every schema/partitioning decision stays.
   */
 object Multimodal {
 
@@ -24,14 +30,16 @@ object Multimodal {
       StructField("source", StringType, nullable = true),
       StructField("byte_len", LongType, nullable = true))), nullable = true)))
 
-  /** Extracted-feature schema produced by [[decodeAndFeaturize]]. */
+  /** Extracted-feature schema produced by [[decodeAndFeaturize]]:
+    * width/height are null for payloads that are not parseable images
+    * (a real corpus is full of them — nulls, not errors or garbage). */
   val featureSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("modality", StringType, nullable = false),
     StructField("byte_len", LongType, nullable = false),
     StructField("content_hash", StringType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false)))
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
 
   /** Build a multimodal frame from the documents table by treating the
     * UTF-8 text bytes as an opaque payload — the shape a real ingest
@@ -44,24 +52,38 @@ object Multimodal {
       struct(col("source").as("source"),
         length(encode(col("text"), "UTF-8")).cast(LongType).as("byte_len")).as("meta"))
 
-  /** STUB decoder — stands in for the real image/audio codec.
-    * Deterministic: derives fake width/height from the payload's md5 so
-    * results are stable and oracle-checkable. A real build replaces the
-    * body with e.g. javax.imageio / ffmpeg bindings; the signature
-    * (one batch of payloads in, one batch of features out) is the
-    * production contract for partition-local, vectorized decode. */
+  /** Partition-local decoder: REAL header parsing (PNG IHDR / JPEG SOF
+    * marker walk — [[graft.expressions.ImageHeaders.packedDims]]), null
+    * dims for anything that isn't a parseable image. The signature (one
+    * batch of payloads in, one batch of features out) is the production
+    * contract for partition-local, vectorized decode; a full-raster
+    * build extends the same body with pixel decode.
+    *
+    * content_hash is md5 of the payload's LOWERCASE HEX, not of the raw
+    * bytes: oracle engines hash strings only (DuckDB's md5 takes
+    * VARCHAR), and hex-bridging makes the contract mirrorable
+    * byte-for-byte — the same convention as [[sampleFrames]]'
+    * frame_hash. */
   def decodeBatch(batch: Iterator[Row]): Iterator[Row] = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    val hexDigits = "0123456789abcdef".toCharArray
     batch.map { r =>
       val id = r.getLong(0)
       val modality = r.getString(1)
       val payload = r.getAs[Array[Byte]](2)
-      val digest = md.digest(payload) // md5 per asset; MessageDigest resets
-      val hex = digest.map("%02x".format(_)).mkString
-      // STUB: fake dimensions from the first hash bytes (real impl decodes)
-      val width = java.lang.Integer.parseInt(hex.substring(0, 2), 16)
-      val height = java.lang.Integer.parseInt(hex.substring(2, 4), 16)
-      Row(id, modality, payload.length.toLong, hex, width, height)
+      val hexChars = new Array[Char](payload.length * 2)
+      var i = 0
+      while (i < payload.length) {
+        hexChars(2 * i) = hexDigits((payload(i) & 0xF0) >> 4)
+        hexChars(2 * i + 1) = hexDigits(payload(i) & 0x0F)
+        i += 1
+      }
+      val digest = md.digest(new String(hexChars).getBytes("UTF-8"))
+      val hash = digest.map("%02x".format(_)).mkString
+      val packed = graft.expressions.ImageHeaders.packedDims(payload)
+      val width: Integer = if (packed < 0) null else Int.box((packed >>> 32).toInt)
+      val height: Integer = if (packed < 0) null else Int.box((packed & 0xFFFFFFFFL).toInt)
+      Row(id, modality, payload.length.toLong, hash, width, height)
     }
   }
 
@@ -123,27 +145,31 @@ object Multimodal {
         md5(lower(hex(slice))).as("frame_hash"))
   }
 
-  /** Resize (the image path): aspect-fit each asset's (stub-decoded)
+  /** Resize (the image path): aspect-fit each asset's REAL parsed
     * dimensions into a `targetW`x`targetH` box and bind a deterministic
-    * output-content hash to (content, target box) — the schema/contract
-    * of a real resampler, with the pixel work behind the same stub seam
-    * as [[decodeBatch]]. Scale factor min(tw/w, th/h) capped at 1 (never
-    * upscale), output dims floored but >= 1. */
-  def resizeStub(mm: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    * output-content hash to (content, target box) — the geometry is the
+    * real resampler contract; only the pixel resampling itself stays
+    * behind the stub seam (no codec libraries in this container), so
+    * `resized_hash` stands in for the resampled bytes. Scale factor
+    * min(tw/w, th/h) capped at 1 (never upscale), output dims floored
+    * but >= 1. Non-image payloads (null dims) yield null out dims —
+    * nulls propagate, nothing is fabricated. */
+  def resize(mm: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     require(targetW > 0 && targetH > 0)
     val feat = featurizeExpr(mm)
-    // stub dims can be 0 (hash byte 0x00); a real decoder never emits a
-    // zero dimension, and ANSI division would throw — clamp to >= 1
-    val w = greatest(col("width"), lit(1)).cast(DoubleType)
-    val h = greatest(col("height"), lit(1)).cast(DoubleType)
+    val w = col("width").cast(DoubleType)
+    val h = col("height").cast(DoubleType)
     val scale = least(lit(targetW) / w, lit(targetH) / h, lit(1.0))
     feat.select(
       col("asset_id"), col("modality"),
-      greatest(col("width"), lit(1)).as("width"),
-      greatest(col("height"), lit(1)).as("height"),
+      col("width"), col("height"),
       lit(targetW).as("target_w"), lit(targetH).as("target_h"),
-      greatest(floor(w * scale), lit(1L)).cast(IntegerType).as("out_w"),
-      greatest(floor(h * scale), lit(1L)).cast(IntegerType).as("out_h"),
+      // greatest() SKIPS nulls (greatest(null, 1) = 1): gate on the dim
+      // so a non-image's out dims stay null instead of fabricating 1x1
+      when(w.isNotNull,
+        greatest(floor(w * scale), lit(1L)).cast(IntegerType)).as("out_w"),
+      when(h.isNotNull,
+        greatest(floor(h * scale), lit(1L)).cast(IntegerType)).as("out_h"),
       // concat (not concat_ws): a null content_hash must yield a null
       // resized_hash — concat_ws would SKIP the null and fabricate a
       // real-looking hash bound to no content for a contentless asset
@@ -151,15 +177,57 @@ object Multimodal {
         .as("resized_hash"))
   }
 
-  /** Pure-expression variant of the stub featurization (md5/length are
-    * native codegen'd functions) — used for oracle checks and as the
-    * fast path when features are expressible as columns. */
-  def featurizeExpr(mm: DataFrame): DataFrame =
+  /** Pure-expression featurization — identical output to
+    * [[decodeAndFeaturize]] (spec-pinned), but fully codegen'd at the
+    * scan: real header dims via the native `graft_image_dims` (one
+    * parse, unpacked twice), hex-bridged md5 content hash (see
+    * [[decodeBatch]] for why hex). */
+  def featurizeExpr(mm: DataFrame): DataFrame = {
+    val dims = call_function("graft_image_dims", col("payload"))
     mm.select(
       col("asset_id"),
       col("modality"),
       length(col("payload")).cast(LongType).as("byte_len"),
-      md5(col("payload")).as("content_hash"),
-      conv(substring(md5(col("payload")), 1, 2), 16, 10).cast(IntegerType).as("width"),
-      conv(substring(md5(col("payload")), 3, 2), 16, 10).cast(IntegerType).as("height"))
+      md5(lower(hex(col("payload")))).as("content_hash"),
+      shiftright(dims, 32).cast(IntegerType).as("width"),
+      dims.bitwiseAND(lit(0xFFFFFFFFL)).cast(IntegerType).as("height"))
+  }
+
+  /** Deterministic image-asset fixture built from the documents table:
+    * each doc's text bytes wrapped in a REAL image container — a valid
+    * PNG signature + IHDR (even ids) or a valid JPEG SOI + JFIF APP0 +
+    * SOF0 marker sequence (odd ids) — with planted dimensions
+    * `(id % 1920 + 1, id % 1080 + 1)` written into the actual header
+    * bytes (big-endian, built with hex/lpad/unhex expressions at the
+    * scan). The parsers must then RECOVER the planted values from the
+    * bytes, which makes the round-trip oracle-checkable: the oracle
+    * recomputes the dims from the id formula while the engine reads
+    * them back out of the binary header it built. Both headers are 33
+    * bytes. */
+  def syntheticAssets(docs: DataFrame): DataFrame = {
+    val textBytes = encode(col("text"), "UTF-8")
+    def be(n: Column, bytes: Int) =
+      unhex(lpad(hex(n), bytes * 2, "0"))
+    val w = (col("doc_id") % 1920 + 1).cast(IntegerType)
+    val h = (col("doc_id") % 1080 + 1).cast(IntegerType)
+    // PNG: sig(8) len(4)=13 "IHDR"(4) w(4) h(4) bit/color/comp/filt/interlace(5) crc(4)
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+      be(w, 4), be(h, 4),
+      unhex(lit("0802000000" + "00000000")),
+      textBytes)
+    // JPEG: SOI, JFIF APP0 (18 bytes), SOF0 len=11: precision h w ncomp comp
+    val jpeg = concat(
+      unhex(lit("FFD8" + "FFE000104A46494600010100000100010000" + "FFC0000B08")),
+      be(h, 2), be(w, 2),
+      unhex(lit("01011100")),
+      textBytes)
+    docs.select(
+      col("doc_id").as("asset_id"),
+      when(col("doc_id") % 2 === 0, lit("image/png"))
+        .otherwise(lit("image/jpeg")).as("modality"),
+      when(col("doc_id") % 2 === 0, png).otherwise(jpeg).as("payload"),
+      struct(col("source").as("source"),
+        (length(textBytes) + 33L).cast(LongType).as("byte_len")).as("meta"))
+  }
 }

@@ -125,12 +125,21 @@ class NativeExprSpec extends AnyFunSuite {
     assert(viaFold.exceptAll(expected).isEmpty && expected.exceptAll(viaFold).isEmpty)
   }
 
-  test("multimodal mapPartitions decode == expression featurization") {
+  test("multimodal mapPartitions decode == expression featurization, on " +
+    "real image containers and on non-image payloads") {
+    // real PNG/JPEG headers (dims parsed from bytes on both paths)
+    val assets = Multimodal.syntheticAssets(docs.limit(100))
+    assert(Multimodal.decodeAndFeaturize(assets)
+      .exceptAll(Multimodal.featurizeExpr(assets)).isEmpty)
+    assert(Multimodal.featurizeExpr(assets)
+      .exceptAll(Multimodal.decodeAndFeaturize(assets)).isEmpty)
+    // text payloads: both paths must agree on null dims
     val mm = Multimodal.fromDocuments(docs.limit(100))
     val viaPartitions = Multimodal.decodeAndFeaturize(mm)
     val viaExpr = Multimodal.featurizeExpr(mm)
     assert(viaPartitions.exceptAll(viaExpr).isEmpty &&
       viaExpr.exceptAll(viaPartitions).isEmpty)
+    assert(viaExpr.filter(col("width").isNotNull).isEmpty)
   }
 
   test("exact dedup keeps one row per key") {
