@@ -586,6 +586,19 @@ object SparkEntry {
         sum(TextAnalysis.bpeTokenCount(col("text"))).as("sum_bpe"),
         count(lit(1)).as("n_docs"))),
 
+    // ---- TEXT: EXACT BPE token counts under a real merges table (GPT-2
+    //      greedy-merge semantics). The table is the canonical corpus-
+    //      trained one (bpeCanonicalMerges — spec-pinned to bpeTrain's
+    //      output on this corpus); the oracle re-runs the same greedy
+    //      merge loop as a recursive CTE over the same table, so the
+    //      counts are exact on both sides, not approximations.
+    "q84_bpe_exact" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang").agg(
+        sum(TextAnalysis.bpeTokenCountExact(col("text"), bpeCanonicalMerges))
+          .as("sum_bpe_exact"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("sum_words"),
+        count(lit(1)).as("n_docs"))),
+
     // ---- TEXT: order-sensitive polynomial rolling-hash fingerprint
     "q39_rolling_fp" -> ((s, dir) =>
       t(s, dir, "documents").groupBy("source").agg(
@@ -875,6 +888,21 @@ object SparkEntry {
           col("top1_frac") > 0.2 || col("top3_frac") > 0.18)
     })
   )
+
+  /** Canonical BPE merges table for q84: the output of
+    * `TextAnalysis.bpeTrain(documents, 32)` on this corpus (spec-pinned
+    * by BpeSpec so the embedded copy can never drift from the trainer).
+    * Embedded as data — not re-trained per run — because the DuckDB
+    * oracle must carry the IDENTICAL table, and because that is the
+    * production shape anyway: a tokenizer's merges file is a versioned
+    * artifact, not something re-derived per query. */
+  private[graft] val bpeCanonicalMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"), ("m", "er"),
+    ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"), ("at", "c"),
+    ("atc", "h"), ("b", "atch"), ("a", "n"), ("c", "an"), ("s", "can"),
+    ("c", "o"), ("c", "u"), ("co", "lu"), ("colu", "m"), ("colum", "n"),
+    ("cu", "st"), ("cust", "o"), ("custo", "mer"), ("f", "i"), ("fi", "l"))
 
   // DuckDB-dialect oracle. CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
   // mirrors graft.functions.dsum exactly.
@@ -1597,6 +1625,43 @@ object SparkEntry {
          CAST(SUM(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]| ?[^ a-z0-9]+'))) AS BIGINT) AS sum_bpe,
          COUNT(*) AS n_docs
          FROM documents GROUP BY 1""",
+    // the same greedy BPE merge loop as graft_bpe_count, re-run as a
+    // recursive CTE over the identical merges table: each distinct word
+    // is a chr(31)-delimited symbol string; each iteration merges ALL
+    // non-overlapping occurrences (replace() is left-greedy, matching
+    // the engine's sweep) of the LOWEST-ranked adjacent pair present,
+    // until no table pair remains; token count = surviving symbols.
+    "q84_bpe_exact" -> {
+      val mergesValues = bpeCanonicalMerges.zipWithIndex
+        .map { case ((a, b), r) => s"('$a','$b',$r)" }.mkString(",")
+      val pat = "chr(31) || m.a || chr(31) || m.b || chr(31)"
+      s"""WITH RECURSIVE
+         merges(a, b, r) AS (VALUES $mergesValues),
+         w0 AS (
+           SELECT lang, unnest($TOKS) AS w FROM documents),
+         wf AS (SELECT DISTINCT w FROM w0 WHERE w <> ''),
+         enc AS (
+           SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS s
+           FROM wf
+           UNION ALL
+           SELECT e.w,
+                  replace(e.s, chr(31) || ba.a || chr(31) || ba.b || chr(31),
+                          chr(31) || ba.a || ba.b || chr(31)) AS s
+           FROM enc e
+           JOIN LATERAL (
+             SELECT m.a, m.b FROM merges m
+             WHERE position($pat IN e.s) > 0
+             ORDER BY m.r LIMIT 1) ba ON true),
+         final AS (
+           SELECT w, len(str_split(trim(s, chr(31)), chr(31))) AS nt
+           FROM enc e
+           WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE position($pat IN e.s) > 0))
+         SELECT w0.lang,
+                CAST(SUM(f.nt) AS BIGINT) AS sum_bpe_exact,
+                CAST((SELECT SUM(len($TOKS)) FROM documents d2 WHERE d2.lang = w0.lang) AS BIGINT) AS sum_words,
+                (SELECT COUNT(*) FROM documents d3 WHERE d3.lang = w0.lang) AS n_docs
+         FROM w0 JOIN final f ON w0.w = f.w
+         GROUP BY 1""" },
     "q39_rolling_fp" -> {
       val rfp = s"list_reduce(list_prepend(0::BIGINT, list_transform($TOKS, t -> ${H32("t")})), " +
         "(acc, h) -> (acc * 31 + h) % 1000000007)"

@@ -42,11 +42,77 @@ object TextAnalysis {
   /** BPE-ish subword tokens: a GPT-2-style regex over word / digit /
     * punctuation classes (digits split individually, optional leading
     * space glued to the token). Deterministic, model-free approximation
-    * for token-count budgeting. */
+    * for token-count budgeting — the FAST path when no merges table is
+    * at hand; [[bpeTokenCountExact]] is the exact path. */
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(" ?[a-z]+| ?[0-9]| ?[^ a-z0-9]+"), lit(0))
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast(LongType)
+
+  /** EXACT BPE token count under a real merges table (GPT-2 greedy-merge
+    * semantics — [[graft.expressions.BpeCodec]]): whitespace words ->
+    * code points -> lowest-ranked adjacent pair merged (all occurrences,
+    * left-greedy) until fixpoint; count surviving symbols. The table
+    * rides the plan as a GPT-2-format string literal, so a public
+    * `merges.txt` drops in via [[bpeLoadMerges]]; [[bpeTrain]] learns
+    * one from a corpus slice. Scan-level, zero exchanges. */
+  def bpeTokenCountExact(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("graft_bpe_count", text,
+      lit(graft.expressions.BpeCodec.formatMerges(merges)))
+
+  /** Parse a GPT-2-format merges file's CONTENT (one "left right" pair
+    * per line, rank = order, `#` headers skipped). */
+  def bpeLoadMerges(content: String): Seq[(String, String)] =
+    graft.expressions.BpeCodec.parseMerges(content).toSeq
+
+  /** Learn a BPE merges table from a corpus slice (Sennrich et al. 2016
+    * training): start from code points, repeatedly merge the pair with
+    * the highest occurrence count weighted by word frequency
+    * (lexicographically smallest pair on ties — fully deterministic),
+    * stop at `numMerges` or when no pair repeats.
+    *
+    * Scale posture: the DISTRIBUTED part is one word-frequency aggregate
+    * over the slice; the merge loop itself runs driver-side over the
+    * top-`maxWords` vocabulary (EAGER — this method runs a job when
+    * called). That bound is the honest contract: BPE training is a
+    * bounded reference phase over a vocabulary (the GPT-2 vocab itself
+    * is 50k entries), not a corpus-scale scan; ENCODING with the learned
+    * table is the scan-scale operation. */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+               maxWords: Int = 1 << 16): Seq[(String, String)] = {
+    import graft.expressions.BpeCodec.splitCodePoints
+    val freqs = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val words = freqs.map { case (w, c) => (splitCodePoints(w), c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var go = true
+    while (go && merges.length < numMerges) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        pairs.updateWith((syms(i), syms(i + 1)))(p => Some(p.getOrElse(0L) + c))
+      val mx = if (pairs.isEmpty) 0L else pairs.valuesIterator.max
+      if (mx < 2) go = false
+      else {
+        val (a, b) = pairs.iterator.filter(_._2 == mx).map(_._1).min
+        merges += ((a, b))
+        for (j <- words.indices) {
+          val syms = words(j)._1
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          words(j) = (out, words(j)._2)
+        }
+      }
+    }
+    merges.toSeq
+  }
 
   /** Polynomial rolling hash over the token stream:
     * h = fold(tokens, 0, (acc, t) -> (acc*31 + hash32(t)) mod 1e9+7).
