@@ -329,9 +329,12 @@ object TextAnalysis {
     * Scale shape: the model tables (c12/c1) are REFERENCE-bounded, not
     * corpus-bounded — for a CCNet-style trusted slice they broadcast, and
     * the scoring pass is then map-side against the corpus's exploded
-    * bigrams with one keyed per-doc aggregate. V is a single driver-held
-    * scalar (one aggregate over the reference slice — same altitude as a
-    * ratio-base collect). Per-bigram log-probs average to round(6): the
+    * bigrams with one keyed per-doc aggregate. V rides the SAME plan as
+    * a broadcast one-row aggregate (cross join against the scoring
+    * side): building this DataFrame runs no job, the model snapshot is
+    * taken when the query executes (never stale vs the other model
+    * tables), and the operator composes lazily/streamed like every
+    * other one here. Per-bigram log-probs average to round(6): the
     * identical ln/avg contract the geomean aggregate (q03) has
     * hash-matched against the oracle since round 1. */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
@@ -347,16 +350,21 @@ object TextAnalysis {
     val c12 = bi.filter(col("__in_model"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    // V as a broadcast 1-row aggregate instead of an eager head(): no
+    // job runs at plan-construction time, and the vocab snapshot is
+    // taken atomically with the c12/c1 model tables at execution
     val vocab = tok.filter(col("__in_model"))
       .select(explode(col("t")).as("tok"))
-      .agg(count_distinct(col("tok"))).head().getLong(0)
+      .agg(count_distinct(col("tok")).as("__V"))
     val scored = bi
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log((coalesce(col("c12"), lit(0L)) + lit(addK)) /
-          (coalesce(col("c1"), lit(0L)) + lit(addK * vocab)))), 6).as("avg_logp"))
+          (coalesce(col("c1"), lit(0L)) + lit(addK) * col("__V")))), 6)
+          .as("avg_logp"))
     df.select(col(idCol).cast(LongType).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -203,10 +203,13 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("LM scoring joins the reference-bounded model tables by key (q82)") {
     // c12/c1 are reference-slice-sized: the scoring joins must be keyed
-    // (broadcast or shuffled hash — Catalyst's choice), never a nested
-    // loop, and the per-doc aggregate partial before its exchange
+    // (broadcast or shuffled hash — Catalyst's choice); the ONE allowed
+    // nested loop is the broadcast of the 1-ROW vocab aggregate (V rides
+    // the plan lazily instead of an eager driver head()); and the
+    // per-doc aggregate goes partial before its exchange
     val p = plan("q82_lm_score")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
     assert(p.contains("partial_count") || p.contains("partial_avg"), p)
   }
 
