@@ -720,6 +720,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .select(col("lang"), col("bin"), col("n_docs"))),
 
+    // ---- SAMPLE: the same budget packer fed EXACT BPE counts — the
+    //      production token budget (approximate counts can be 2x off on
+    //      unseen scripts; the packer itself is count-column agnostic)
+    "q85_pack_exact" -> ((s, dir) =>
+      Sampling.packBudget(t(s, dir, "documents"), Seq("lang"), "doc_id",
+          TextAnalysis.bpeTokenCountExact(col("text"), bpeCanonicalMerges),
+          budget = 2048)
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.bpeTokenCountExact(col("text"), bpeCanonicalMerges))
+            .as("bin_tokens"))
+        .select(col("lang"), col("bin"), col("n_docs"), col("bin_tokens"))),
+
     // raw/rng.yml verbatim: csv-header imposition + a precompute that
     // overwrites an imposed column (Brng) AFTER another precompute read
     // its original value (Implementation) — dict-order semantics
@@ -903,6 +916,39 @@ object SparkEntry {
     ("atc", "h"), ("b", "atch"), ("a", "n"), ("c", "an"), ("s", "can"),
     ("c", "o"), ("c", "u"), ("co", "lu"), ("colu", "m"), ("colum", "n"),
     ("cu", "st"), ("cust", "o"), ("custo", "mer"), ("f", "i"), ("fi", "l"))
+
+  /** Shared recursive-CTE body mirroring `graft_bpe_count`'s greedy
+    * merge loop over [[bpeCanonicalMerges]] (used by q84/q85): every
+    * DISTINCT corpus word becomes a chr(31)-delimited symbol string;
+    * each recursion step merges all non-overlapping occurrences of the
+    * lowest-ranked adjacent pair present (DuckDB replace() is
+    * left-greedy, matching the engine's sweep); `final` holds each
+    * word's surviving token count. Prepend `WITH RECURSIVE`. */
+  private lazy val BPE_CTE: String = {
+    val mergesValues = bpeCanonicalMerges.zipWithIndex
+      .map { case ((a, b), r) => s"('$a','$b',$r)" }.mkString(",")
+    val pat = "chr(31) || m.a || chr(31) || m.b || chr(31)"
+    s"""merges(a, b, r) AS (VALUES $mergesValues),
+       w0 AS (
+         SELECT doc_id, lang, unnest($TOKS) AS w FROM documents),
+       wf AS (SELECT DISTINCT w FROM w0 WHERE w <> ''),
+       enc AS (
+         SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS s
+         FROM wf
+         UNION ALL
+         SELECT e.w,
+                replace(e.s, chr(31) || ba.a || chr(31) || ba.b || chr(31),
+                        chr(31) || ba.a || ba.b || chr(31)) AS s
+         FROM enc e
+         JOIN LATERAL (
+           SELECT m.a, m.b FROM merges m
+           WHERE position($pat IN e.s) > 0
+           ORDER BY m.r LIMIT 1) ba ON true),
+       final AS (
+         SELECT w, len(str_split(trim(s, chr(31)), chr(31))) AS nt
+         FROM enc e
+         WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE position($pat IN e.s) > 0))"""
+  }
 
   // DuckDB-dialect oracle. CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
   // mirrors graft.functions.dsum exactly.
@@ -1631,37 +1677,35 @@ object SparkEntry {
     // non-overlapping occurrences (replace() is left-greedy, matching
     // the engine's sweep) of the LOWEST-ranked adjacent pair present,
     // until no table pair remains; token count = surviving symbols.
-    "q84_bpe_exact" -> {
-      val mergesValues = bpeCanonicalMerges.zipWithIndex
-        .map { case ((a, b), r) => s"('$a','$b',$r)" }.mkString(",")
-      val pat = "chr(31) || m.a || chr(31) || m.b || chr(31)"
+    "q84_bpe_exact" ->
       s"""WITH RECURSIVE
-         merges(a, b, r) AS (VALUES $mergesValues),
-         w0 AS (
-           SELECT lang, unnest($TOKS) AS w FROM documents),
-         wf AS (SELECT DISTINCT w FROM w0 WHERE w <> ''),
-         enc AS (
-           SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS s
-           FROM wf
-           UNION ALL
-           SELECT e.w,
-                  replace(e.s, chr(31) || ba.a || chr(31) || ba.b || chr(31),
-                          chr(31) || ba.a || ba.b || chr(31)) AS s
-           FROM enc e
-           JOIN LATERAL (
-             SELECT m.a, m.b FROM merges m
-             WHERE position($pat IN e.s) > 0
-             ORDER BY m.r LIMIT 1) ba ON true),
-         final AS (
-           SELECT w, len(str_split(trim(s, chr(31)), chr(31))) AS nt
-           FROM enc e
-           WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE position($pat IN e.s) > 0))
+         $BPE_CTE
          SELECT w0.lang,
                 CAST(SUM(f.nt) AS BIGINT) AS sum_bpe_exact,
                 CAST((SELECT SUM(len($TOKS)) FROM documents d2 WHERE d2.lang = w0.lang) AS BIGINT) AS sum_words,
                 (SELECT COUNT(*) FROM documents d3 WHERE d3.lang = w0.lang) AS n_docs
          FROM w0 JOIN final f ON w0.w = f.w
-         GROUP BY 1""" },
+         GROUP BY 1""",
+
+    // q85: per-doc exact counts (same recursive merge loop), then the
+    // identical prefix-sum binning window as q51
+    "q85_pack_exact" ->
+      s"""WITH RECURSIVE
+         $BPE_CTE,
+         perdoc AS (
+           SELECT w0.doc_id, SUM(f.nt) AS n
+           FROM w0 JOIN final f ON w0.w = f.w GROUP BY 1),
+         tc AS (
+           SELECT d.lang, d.doc_id, COALESCE(p.n, 0) AS n
+           FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id),
+         pre AS (
+           SELECT lang, doc_id, n,
+             COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+           FROM tc)
+         SELECT lang, CAST(FLOOR(prev / 2048) AS BIGINT) AS bin,
+                COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS bin_tokens
+         FROM pre GROUP BY 1, 2""",
     "q39_rolling_fp" -> {
       val rfp = s"list_reduce(list_prepend(0::BIGINT, list_transform($TOKS, t -> ${H32("t")})), " +
         "(acc, h) -> (acc * 31 + h) % 1000000007)"
