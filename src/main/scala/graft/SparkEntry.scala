@@ -509,6 +509,22 @@ object SparkEntry {
       Multimodal.resize(
         Multimodal.syntheticAssets(t(s, dir, "documents")), 128, 96)),
 
+    // ---- MM: REAL pixel path — genuine PNGs (compressed, filtered)
+    //      decoded with the pure-JVM codec, nearest-neighbor resampled,
+    //      resampled BYTES hashed; the oracle recomputes the expected
+    //      bytes from the generating formula without touching the PNG
+    "q86_png_pixels" -> ((s, dir) =>
+      Multimodal.resamplePixels(
+        Multimodal.syntheticPixelAssets(t(s, dir, "documents")), 8, 6)),
+
+    // ---- MM: REAL audio path — genuine PCM-16 WAVs decoded via the
+    //      pure-JVM RIFF parser; features are all-integer (exact sum of
+    //      squared samples instead of float RMS) so the oracle recomputes
+    //      them from the generating formula without touching the bytes
+    "q87_wav_features" -> ((s, dir) =>
+      Multimodal.audioFeatures(
+        Multimodal.syntheticAudioAssets(t(s, dir, "documents")))),
+
     // ---- O1-style: top-k rows per group (window rank)
     "q32_topk_per_group" -> ((s, dir) =>
       EventWindows.topKPerGroup(t(s, dir, "orders"),
@@ -1629,6 +1645,41 @@ object SparkEntry {
                 CAST(greatest(floor(h * scale), 1) AS INT) AS out_h,
                 md5(content_hash || 'x' || '128' || 'x' || '96') AS resized_hash
          FROM sc""",
+    // pixel-level mirror: dims/scale/nearest-neighbor indices and the
+    // formula pixel values recomputed purely in SQL; the engine had to
+    // inflate + defilter real PNG bytes to produce the same hash
+    "q86_png_pixels" ->
+      """WITH a AS (
+           SELECT doc_id,
+                  CAST(doc_id % 13 + 4 AS INT) AS w,
+                  CAST(doc_id % 11 + 4 AS INT) AS h
+           FROM documents),
+         s AS (SELECT *, least(8.0 / w, 6.0 / h, 1.0) AS scale FROM a),
+         o AS (
+           SELECT doc_id, w, h,
+                  CAST(greatest(floor(w * scale), 1) AS INT) AS ow,
+                  CAST(greatest(floor(h * scale), 1) AS INT) AS oh
+           FROM s)
+         SELECT doc_id AS asset_id, w AS width, h AS height,
+                ow AS out_w, oh AS out_h,
+                md5(array_to_string(list_transform(range(CAST(ow * oh AS BIGINT)),
+                  i -> lpad(lower(to_hex((doc_id * 31 + ((i // ow) * h // oh) * w + ((i % ow) * w // ow)) % 256)), 2, '0')), '')) AS out_hash
+         FROM o""",
+    "q87_wav_features" ->
+      """WITH a AS (
+           SELECT doc_id,
+                  CAST(doc_id % 2 + 1 AS INT) AS channels,
+                  CAST(doc_id % 500 + 100 AS BIGINT) AS frames,
+                  CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate
+           FROM documents)
+         SELECT doc_id AS asset_id, sample_rate, channels,
+                frames AS n_samples,
+                frames * 1000 // sample_rate AS duration_ms,
+                CAST(list_sum(list_transform(
+                  list_transform(range(frames * channels),
+                    i -> (doc_id * 7 + i * 13) % 65536 - 32768),
+                  x -> x * x)) AS BIGINT) AS sum_sq
+         FROM a""",
     "q32_topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
          CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank

@@ -193,6 +193,146 @@ object Multimodal {
       dims.bitwiseAND(lit(0xFFFFFFFFL)).cast(IntegerType).as("height"))
   }
 
+  /** Schema of [[resamplePixels]]' output. */
+  val resampleSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("out_w", IntegerType, nullable = true),
+    StructField("out_h", IntegerType, nullable = true),
+    StructField("out_hash", StringType, nullable = true)))
+
+  /** REAL pixel path (PNG): decode the payload with the pure-JVM
+    * [[graft.expressions.PngCodec]] (zlib IDAT + all five scanline
+    * filters), aspect-fit into `targetW`x`targetH` (same scale rule as
+    * [[resize]]), nearest-neighbor resample the raster, and hash the
+    * RESAMPLED PIXEL BYTES (md5 of their lowercase hex — the
+    * oracle-mirrorable bridge). Payloads that don't decode (JPEG —
+    * entropy decode is out of scope, documented — or corrupt bytes)
+    * yield null dims/hash. Partition-local `mapPartitions`, no shuffle:
+    * the exact shape a 100 TB image-corpus pass needs. */
+  def resamplePixels(mm: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0)
+    val hexDigits = "0123456789abcdef".toCharArray
+    mm.select(col("asset_id"), col("payload")).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val id = r.getLong(0)
+        graft.expressions.PngCodec.decode(r.getAs[Array[Byte]](1)) match {
+          case None => Row(id, null, null, null, null, null)
+          case Some(ras) =>
+            val scale = math.min(1.0,
+              math.min(targetW.toDouble / ras.width, targetH.toDouble / ras.height))
+            val ow = math.max(math.floor(ras.width * scale).toInt, 1)
+            val oh = math.max(math.floor(ras.height * scale).toInt, 1)
+            val out = graft.expressions.PngCodec.resampleNearest(ras, ow, oh)
+            val hexChars = new Array[Char](out.pixels.length * 2)
+            var i = 0
+            while (i < out.pixels.length) {
+              hexChars(2 * i) = hexDigits((out.pixels(i) & 0xF0) >> 4)
+              hexChars(2 * i + 1) = hexDigits(out.pixels(i) & 0x0F)
+              i += 1
+            }
+            val hash = md.digest(new String(hexChars).getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            Row(id, Int.box(ras.width), Int.box(ras.height),
+              Int.box(ow), Int.box(oh), hash)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(resampleSchema))
+  }
+
+  /** Deterministic PIXEL-real image fixture: each doc becomes a genuine
+    * 8-bit grayscale PNG — compressed IDAT, filtered scanlines — whose
+    * pixel (x, y) is the FORMULA value `(id*31 + y*width + x) % 256` and
+    * whose dims are `(id % 13 + 4, id % 11 + 4)`. The engine must then
+    * recover pixels through real zlib inflation + defiltering, while the
+    * oracle recomputes the expected resampled bytes from the formula
+    * alone — a pixel-level round-trip check on the whole codec. */
+  def syntheticPixelAssets(docs: DataFrame): DataFrame = {
+    val pxSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 13 + 4).toInt
+        val h = (id % 11 + 4).toInt
+        val px = Array.tabulate(w * h)(i => ((id * 31 + i) % 256).toByte)
+        // filter type varies by id so the corpus exercises every
+        // defilter path, not just the trivial one
+        val png = graft.expressions.PngCodec.encode(
+          graft.expressions.PngCodec.Raster(w, h, 1, px), (id % 5).toInt)
+        Row(id, "image/png", png)
+      }
+    }(org.apache.spark.sql.Encoders.row(pxSchema))
+  }
+
+  /** Schema of [[audioFeatures]]' output: every field integral, so the
+    * contract is exactly mirrorable (no float RMS — `sum_sq` is the
+    * exact integer sum of squared samples; callers derive RMS as
+    * `sqrt(sum_sq / n_samples)` when they want the float). */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("sum_sq", LongType, nullable = true)))
+
+  /** REAL audio path (WAV/PCM): decode the payload with the pure-JVM
+    * [[graft.expressions.WavCodec]] and extract the feature row a
+    * speech-corpus curation pass filters on — sample rate, channel
+    * count, frame count, floor-ms duration, exact sum of squared sample
+    * values (the integer core of an RMS loudness gate). Non-WAV or
+    * non-PCM-16 payloads yield null features. Partition-local, no
+    * shuffle. */
+  def audioFeatures(mm: DataFrame): DataFrame =
+    mm.select(col("asset_id"), col("payload")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        graft.expressions.WavCodec.decode(r.getAs[Array[Byte]](1)) match {
+          case None => Row(id, null, null, null, null, null)
+          case Some(c) =>
+            val frames = c.samples.length.toLong / c.channels
+            var sumSq = 0L
+            var i = 0
+            while (i < c.samples.length) {
+              sumSq += c.samples(i).toLong * c.samples(i); i += 1
+            }
+            Row(id, Int.box(c.sampleRate), Int.box(c.channels),
+              Long.box(frames), Long.box(frames * 1000L / c.sampleRate),
+              Long.box(sumSq))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(audioSchema))
+
+  /** Deterministic SAMPLE-real audio fixture: each doc becomes a genuine
+    * PCM-16 WAV whose interleaved sample i is the formula value
+    * `((id*7 + i*13) % 65536) - 32768`, with `id % 500 + 100` frames,
+    * `8000 + (id % 3) * 4000` Hz, and `id % 2 + 1` channels. The engine
+    * must recover the samples through real RIFF/PCM parsing while the
+    * oracle recomputes the expected features from the formula alone. */
+  def syntheticAudioAssets(docs: DataFrame): DataFrame = {
+    val auSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val channels = (id % 2 + 1).toInt
+        val frames = (id % 500 + 100).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val samples = Array.tabulate(frames * channels)(i =>
+          (((id * 7 + i.toLong * 13) % 65536) - 32768).toShort)
+        Row(id, "audio/wav", graft.expressions.WavCodec.encode(
+          graft.expressions.WavCodec.Clip(rate, channels, samples)))
+      }
+    }(org.apache.spark.sql.Encoders.row(auSchema))
+  }
+
   /** Deterministic image-asset fixture built from the documents table:
     * each doc's text bytes wrapped in a REAL image container — a valid
     * PNG signature + IHDR (even ids) or a valid JPEG SOI + JFIF APP0 +

@@ -213,6 +213,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_avg"), p)
   }
 
+  test("pixel and audio codec pipelines are scan-level: zero exchanges " +
+    "(q86/q87)") {
+    // decode -> resample/featurize is partition-local mapPartitions work;
+    // a shuffle here would move raw media bytes across the wire for no
+    // semantic reason — the one thing a 100 TB media pass cannot afford
+    assert(!plan("q86_png_pixels").contains("Exchange"),
+      plan("q86_png_pixels"))
+    assert(!plan("q87_wav_features").contains("Exchange"),
+      plan("q87_wav_features"))
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set
