@@ -525,6 +525,15 @@ object SparkEntry {
       Multimodal.audioFeatures(
         Multimodal.syntheticAudioAssets(t(s, dir, "documents")))),
 
+    // ---- MM: REAL video path — genuine GIF89a animations (real LZW
+    //      streams, graphic-control blocks) decoded frame by frame with
+    //      the pure-JVM codec, every 2nd frame kept, composited RGB
+    //      bytes hashed; the oracle recomputes the expected bytes from
+    //      the generating formula without touching the GIF
+    "q88_gif_frames" -> ((s, dir) =>
+      Multimodal.decodeFrames(
+        Multimodal.syntheticGifAssets(t(s, dir, "documents")), 2)),
+
     // ---- O1-style: top-k rows per group (window rank)
     "q32_topk_per_group" -> ((s, dir) =>
       EventWindows.topKPerGroup(t(s, dir, "orders"),
@@ -1680,6 +1689,26 @@ object SparkEntry {
                     i -> (doc_id * 7 + i * 13) % 65536 - 32768),
                   x -> x * x)) AS BIGINT) AS sum_sq
          FROM a""",
+    // frame-level mirror: canvas dims, stride-2 sampled frame indices and
+    // the formula pixel bytes (each gray pixel = 3 identical RGB bytes)
+    // recomputed purely in SQL; the engine had to LZW-decompress real GIF
+    // streams and resolve the palette to produce the same hashes
+    "q88_gif_frames" ->
+      """WITH a AS (
+           SELECT doc_id,
+                  CAST(doc_id % 9 + 3 AS INT) AS w,
+                  CAST(doc_id % 7 + 3 AS INT) AS h,
+                  CAST(doc_id % 4 + 2 AS INT) AS nf,
+                  CAST((doc_id % 10) * 4 AS INT) AS dly
+           FROM documents),
+         f AS (SELECT doc_id, w, h, nf, dly,
+                      CAST(unnest(range(0, nf, 2)) AS INT) AS frame_idx
+               FROM a)
+         SELECT doc_id AS asset_id, w AS width, h AS height,
+                nf AS n_frames, frame_idx, dly AS delay_cs,
+                md5(array_to_string(list_transform(range(CAST(w * h AS BIGINT)),
+                  i -> repeat(lpad(lower(to_hex((doc_id * 17 + frame_idx * 53 + i) % 256)), 2, '0'), 3)), '')) AS frame_hash
+         FROM f""",
     "q32_topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
          CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank

@@ -308,6 +308,89 @@ object Multimodal {
       }
     }(org.apache.spark.sql.Encoders.row(audioSchema))
 
+  /** Schema of [[decodeFrames]]' output: one row per SAMPLED frame. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("frame_idx", IntegerType, nullable = true),
+    StructField("delay_cs", IntegerType, nullable = true),
+    StructField("frame_hash", StringType, nullable = true)))
+
+  /** REAL video-path frame extraction (GIF): decode the payload with the
+    * pure-JVM [[graft.expressions.GifCodec]] (LZW inflate, palette
+    * resolve, disposal-aware compositing), keep every `stride`-th frame,
+    * and hash each kept frame's COMPOSITED RGB bytes (md5 of lowercase
+    * hex — the oracle-mirrorable bridge, same convention as
+    * [[resamplePixels]]). This replaces byte-range frame *sampling*
+    * ([[sampleFrames]]) with pixel-real frames for the one animation
+    * container whose compression is lossless. Payloads that don't decode
+    * yield one null-feature row (the asset stays visible downstream).
+    * Partition-local `mapPartitions`, no shuffle — the only shape a
+    * 100 TB media pass affords. */
+  def decodeFrames(mm: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1 (got $stride)")
+    val hexDigits = "0123456789abcdef".toCharArray
+    mm.select(col("asset_id"), col("payload")).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        graft.expressions.GifCodec.decode(r.getAs[Array[Byte]](1)) match {
+          case None => Iterator.single(Row(id, null, null, null, null, null, null))
+          case Some(g) =>
+            val n = g.frames.size
+            Iterator.range(0, n, stride).map { f =>
+              val fr = g.frames(f)
+              val hexChars = new Array[Char](fr.pixels.length * 2)
+              var i = 0
+              while (i < fr.pixels.length) {
+                hexChars(2 * i) = hexDigits((fr.pixels(i) & 0xF0) >> 4)
+                hexChars(2 * i + 1) = hexDigits(fr.pixels(i) & 0x0F)
+                i += 1
+              }
+              val hash = md.digest(new String(hexChars).getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              Row(id, Int.box(g.width), Int.box(g.height), Int.box(n),
+                Int.box(f), Int.box(fr.delayCs), hash)
+            }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(frameSchema))
+  }
+
+  /** Deterministic FRAME-real animation fixture: each doc becomes a
+    * genuine GIF89a — real LZW streams, graphic-control blocks, global
+    * palette — with `id % 4 + 2` full-canvas frames of
+    * `(id % 9 + 3) x (id % 7 + 3)` pixels, a grayscale-identity palette
+    * (index i -> RGB(i,i,i)), per-frame delay `(id % 10) * 4` cs, and
+    * pixel (x, y) of frame f holding palette index
+    * `(id*17 + f*53 + y*width + x) % 256`. The engine must recover the
+    * pixels through real LZW decompression + palette resolution +
+    * compositing, while the oracle recomputes the expected composited
+    * RGB bytes from the formula alone. */
+  def syntheticGifAssets(docs: DataFrame): DataFrame = {
+    val gifSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val grayPal = Array.tabulate(768)(i => (i / 3).toByte)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 9 + 3).toInt
+        val h = (id % 7 + 3).toInt
+        val nf = (id % 4 + 2).toInt
+        val frames = (0 until nf).map { f =>
+          ((id % 10).toInt * 4,
+            Array.tabulate(w * h)(i => ((id * 17 + f * 53 + i) % 256).toByte))
+        }
+        Row(id, "image/gif",
+          graft.expressions.GifCodec.encode(w, h, grayPal, frames))
+      }
+    }(org.apache.spark.sql.Encoders.row(gifSchema))
+  }
+
   /** Deterministic SAMPLE-real audio fixture: each doc becomes a genuine
     * PCM-16 WAV whose interleaved sample i is the formula value
     * `((id*7 + i*13) % 65536) - 32768`, with `id % 500 + 100` frames,

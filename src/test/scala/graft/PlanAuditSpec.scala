@@ -222,6 +222,8 @@ class PlanAuditSpec extends AnyFunSuite {
       plan("q86_png_pixels"))
     assert(!plan("q87_wav_features").contains("Exchange"),
       plan("q87_wav_features"))
+    assert(!plan("q88_gif_frames").contains("Exchange"),
+      plan("q88_gif_frames"))
   }
 
   test("no suite query materializes an unbounded pair space") {
