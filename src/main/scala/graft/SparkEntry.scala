@@ -534,6 +534,15 @@ object SparkEntry {
       Multimodal.decodeFrames(
         Multimodal.syntheticGifAssets(t(s, dir, "documents")), 2)),
 
+    // ---- MM: REAL lossy-still path — genuine baseline JPEGs (real
+    //      Huffman entropy coding, DCT, restart markers) decoded with
+    //      the pure-JVM codec; the 8x8 block-constant mosaic + all-ones
+    //      quant make the lossy pipeline exact, so the oracle recomputes
+    //      the pixel bytes from the formula without touching the JPEG
+    "q89_jpeg_pixels" -> ((s, dir) =>
+      Multimodal.decodePixels(
+        Multimodal.syntheticJpegAssets(t(s, dir, "documents")))),
+
     // ---- O1-style: top-k rows per group (window rank)
     "q32_topk_per_group" -> ((s, dir) =>
       EventWindows.topKPerGroup(t(s, dir, "orders"),
@@ -1709,6 +1718,22 @@ object SparkEntry {
                 md5(array_to_string(list_transform(range(CAST(w * h AS BIGINT)),
                   i -> repeat(lpad(lower(to_hex((doc_id * 17 + frame_idx * 53 + i) % 256)), 2, '0'), 3)), '')) AS frame_hash
          FROM f""",
+    // pixel-level mirror of the JPEG path: the mosaic formula recomputed
+    // purely in SQL (block (x//8, y//8) of ceil(w/8) blocks per row); the
+    // engine had to Huffman-decode a real entropy-coded DCT stream to
+    // produce the same hashes, exact because the fixture encodes with the
+    // all-ones quant table over block-constant values
+    "q89_jpeg_pixels" ->
+      """WITH a AS (
+           SELECT doc_id,
+                  CAST(doc_id % 21 + 4 AS INT) AS w,
+                  CAST(doc_id % 17 + 4 AS INT) AS h,
+                  CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS INT) AS ch
+           FROM documents)
+         SELECT doc_id AS asset_id, w AS width, h AS height, ch AS channels,
+                md5(array_to_string(list_transform(range(CAST(w * h AS BIGINT)),
+                  i -> repeat(lpad(lower(to_hex((doc_id * 29 + ((i // w) // 8) * ((w + 7) // 8) + ((i % w) // 8)) % 256)), 2, '0'), ch)), '')) AS pix_hash
+         FROM a""",
     "q32_topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
          CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank

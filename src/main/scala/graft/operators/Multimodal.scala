@@ -12,12 +12,14 @@ import org.apache.spark.sql.types._
   * public container formats, no media libraries), both in the
   * partition-local [[decodeBatch]] seam and in the codegen'd expression
   * path ([[featurizeExpr]], via `graft_image_dims`); the two paths are
-  * spec-pinned identical. What remains behind the stub seam is PIXEL
-  * work only (full decode to rasters, resampling): this container has no
-  * codec libraries, so [[resize]] computes real aspect-fit geometry from
-  * the real parsed dimensions and binds a deterministic content hash in
-  * place of resampled bytes — a production build swaps only that hash
-  * for the resampler's output, every schema/partitioning decision stays.
+  * spec-pinned identical. PIXEL/SAMPLE work is real too, via pure-JVM
+  * codecs written against the public format specs (no media libraries):
+  * PNG stills ([[resamplePixels]] — zlib inflate, defilter, resample),
+  * baseline JPEG stills ([[decodePixels]] — Huffman entropy decode,
+  * IDCT, color convert), GIF animations ([[decodeFrames]] — LZW,
+  * disposal-aware compositing), and PCM WAV audio ([[audioFeatures]]).
+  * Only [[resize]] retains the legacy hash-in-place-of-bytes seam, kept
+  * to pin the geometry contract independently of any codec.
   */
 object Multimodal {
 
@@ -452,5 +454,91 @@ object Multimodal {
       when(col("doc_id") % 2 === 0, png).otherwise(jpeg).as("payload"),
       struct(col("source").as("source"),
         (length(textBytes) + 33L).cast(LongType).as("byte_len")).as("meta"))
+  }
+
+  /** Schema of [[decodePixels]]' output: one feature row per still. */
+  val pixelSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("pix_hash", StringType, nullable = true)))
+
+  /** REAL lossy-still path (JPEG): decode the payload with the pure-JVM
+    * [[graft.expressions.JpegCodec]] — marker parse, Huffman entropy
+    * decode, dequantize, IDCT, color convert — and hash the recovered
+    * raster bytes (md5 of lowercase hex, the same oracle-mirrorable
+    * bridge as [[resamplePixels]] / [[decodeFrames]]; a 3-channel
+    * raster contributes interleaved RGB bytes). Payloads that don't
+    * decode yield a null-feature row. Partition-local, no shuffle. */
+  def decodePixels(mm: DataFrame): DataFrame = {
+    val hexDigits = "0123456789abcdef".toCharArray
+    mm.select(col("asset_id"), col("payload")).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val id = r.getLong(0)
+        graft.expressions.JpegCodec.decode(r.getAs[Array[Byte]](1)) match {
+          case None => Row(id, null, null, null, null)
+          case Some(ras) =>
+            val hexChars = new Array[Char](ras.pixels.length * 2)
+            var i = 0
+            while (i < ras.pixels.length) {
+              hexChars(2 * i) = hexDigits((ras.pixels(i) & 0xF0) >> 4)
+              hexChars(2 * i + 1) = hexDigits(ras.pixels(i) & 0x0F)
+              i += 1
+            }
+            val hash = md.digest(new String(hexChars).getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            Row(id, Int.box(ras.width), Int.box(ras.height),
+              Int.box(ras.channels), hash)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(pixelSchema))
+  }
+
+  /** Deterministic DCT-real still fixture: each doc becomes a genuine
+    * baseline JPEG — real Huffman entropy coding, FDCT, quantization —
+    * that nonetheless round-trips EXACTLY, because the image is an 8x8
+    * block-constant mosaic encoded with the all-ones quant table (a
+    * constant block is a lone integer DC coefficient; see
+    * [[graft.expressions.JpegCodec.encode]]). Dims are
+    * `(id % 21 + 4, id % 17 + 4)` (NOT multiples of 8 — edge-replication
+    * paths run), block (bx, by) holds gray value
+    * `(id*29 + by*ceil(w/8) + bx) % 256`, odd ids encode as 3-component
+    * YCbCr 4:4:4 (gray-in-RGB converts exactly), even ids as 1-component
+    * grayscale, and `id % 3` picks a restart interval of 0/2/4 MCUs so
+    * DRI/RSTn segments appear in the corpus. The engine must recover the
+    * pixels through real entropy decoding + IDCT while the oracle
+    * recomputes the expected bytes from the mosaic formula alone. */
+  def syntheticJpegAssets(docs: DataFrame): DataFrame = {
+    val jpSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 21 + 4).toInt
+        val h = (id % 17 + 4).toInt
+        val bw = (w + 7) / 8
+        val nc = if (id % 2 == 1) 3 else 1
+        val px = new Array[Byte](w * h * nc)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((id * 29 + (y / 8) * bw + (x / 8)) % 256).toByte
+            var c = 0
+            while (c < nc) { px((y * w + x) * nc + c) = v; c += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val jpeg = graft.expressions.JpegCodec.encode(
+          graft.expressions.PngCodec.Raster(w, h, nc, px),
+          q = 0, restartInterval = (id % 3).toInt * 2)
+        Row(id, "image/jpeg", jpeg)
+      }
+    }(org.apache.spark.sql.Encoders.row(jpSchema))
   }
 }

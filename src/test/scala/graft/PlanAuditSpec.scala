@@ -224,6 +224,8 @@ class PlanAuditSpec extends AnyFunSuite {
       plan("q87_wav_features"))
     assert(!plan("q88_gif_frames").contains("Exchange"),
       plan("q88_gif_frames"))
+    assert(!plan("q89_jpeg_pixels").contains("Exchange"),
+      plan("q89_jpeg_pixels"))
   }
 
   test("no suite query materializes an unbounded pair space") {
