@@ -133,7 +133,7 @@ object Bench {
                          passJobs: collection.Map[String, Seq[Long]],
                          canaries: Seq[Double],
                          errors: collection.Map[String, String], passes: Int,
-                         sfDir: String): String = {
+                         sfDir: String): (String, String) = {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     // headline per query: min over ALL recorded passes, cold AND warm
@@ -170,14 +170,44 @@ object Bench {
     // (r5 = cold min-of-passes, r6 = warm-min-when-any-warm, r7+ =
     // min-all) instead of silently comparing numbers measured under
     // different rules.
-    s"""{"metric":"total","value":$total,"unit":"sec","headline":"min-all",""" +
-      s""""queries":${numMap(headline, names)},""" +
-      s""""pass_times":${arrMap(passTimes, names)},""" +
-      s""""pass_warm":${arrMap(passWarm, names)},""" +
-      s""""pass_jobs":${arrMap(passJobs, names)},""" +
-      s""""canary":${canaries.mkString("[", ",", "]")},""" +
-      s""""noise":$noiseStr,"tainted":$tainted,""" +
-      s""""errors":$errs,"passes":$passes,"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","headline":"min-all",""" +
+        s""""queries":${numMap(headline, names)},""" +
+        s""""pass_times":${arrMap(passTimes, names)},""" +
+        s""""pass_warm":${arrMap(passWarm, names)},""" +
+        s""""pass_jobs":${arrMap(passJobs, names)},""" +
+        s""""canary":${canaries.mkString("[", ",", "]")},""" +
+        s""""noise":$noiseStr,"tainted":$tainted,""" +
+        s""""errors":$errs,"passes":$passes,"sf":"$sfDir"}"""
+    (full, compactLine(names, headline, total, noiseStr, tainted,
+      errors.size, passes, sfDir))
+  }
+
+  /** The stdout-facing official line: same headline numbers as the full
+    * artifact, but sized to survive a byte-bounded stdout capture (the
+    * round-6 artifact held only a ~1.9 KB tail of the 11 KB full line,
+    * cut mid-value — unparseable). Query keys are shortened to their
+    * `qNN` prefix (full names stay unique in BENCH_LAST.json, which
+    * always carries the complete per-pass evidence); values round to
+    * 2 dp via locale-independent Double.toString. Falls back to full
+    * names if the short prefixes ever collide. Pinned < 1800 bytes for
+    * the current suite by BenchParseSpec. */
+  private[graft] def compactLine(names: Seq[String],
+                                 headline: Map[String, Double], total: Double,
+                                 noiseStr: String, tainted: Boolean,
+                                 nErrors: Int, passes: Int,
+                                 sfDir: String): String = {
+    def short(n: String) = n.takeWhile(_ != '_')
+    val shorts = names.map(short)
+    val useShort = shorts.distinct.size == shorts.size
+    def r2(v: Double) = (math.rint(v * 100) / 100).toString
+    val qs = names.flatMap { n =>
+      headline.get(n).map(v => "\"" + (if (useShort) short(n) else n) + "\":" + r2(v))
+    }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${r2(total)},"unit":"sec","headline":"min-all",""" +
+      s""""queries":$qs,"noise":$noiseStr,"tainted":$tainted,""" +
+      s""""n_errors":$nErrors,"passes":$passes,"detail":"BENCH_LAST.json",""" +
+      s""""sf":"$sfDir"}"""
   }
 
   /** Child-side JSON: this pass's raw cold times, warm-rerun times (the
@@ -453,20 +483,22 @@ object Bench {
       errors.keys.foreach(k => best(k) = -1d) // runPass fills errors directly
       GraftSession.builder(cpus).getOrCreate().stop()
     }
-    val json = renderJson(names, best, passTimes, passWarm, passJobs, canaries.toSeq,
-      errors, passes, sfDir)
+    val (json, compact) = renderJson(names, best, passTimes, passWarm, passJobs,
+      canaries.toSeq, errors, passes, sfDir)
     if (json.contains("\"tainted\":true"))
       System.err.println("[bench] WARNING: canary drift exceeds the noise " +
         "threshold — ambient contention during this run; numbers are " +
         "marked tainted, rerun in a quiet window before comparing rounds")
-    // The official record goes to a FILE, not just stdout: a byte-bounded
-    // stdout tail once truncated a round's artifact mid-value (no total
-    // recoverable). The file always holds the complete JSON line.
+    // The COMPLETE record goes to a FILE plus stderr: a byte-bounded
+    // stdout capture once truncated a round's artifact mid-value (no
+    // total recoverable). stdout carries ONLY the compact official line
+    // — same headline numbers, sized to survive that capture whole.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
-    println(json)
+    System.err.println(json)
+    println(compact)
   }
 }

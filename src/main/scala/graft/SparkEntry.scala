@@ -543,6 +543,33 @@ object SparkEntry {
       Multimodal.decodePixels(
         Multimodal.syntheticJpegAssets(t(s, dir, "documents")))),
 
+    // ---- curation: URL domain-blocklist gate with registrable-suffix
+    //      semantics (blocking example.com blocks blog.example.com but
+    //      NOT notexample.com) — one scan-level codegen'd predicate
+    "q90_domain_filter" -> ((s, dir) => {
+      val sub = when(col("doc_id") % 3 === 0, lit(""))
+        .when(col("doc_id") % 3 === 1, lit("www."))
+        .otherwise(lit("cdn.news."))
+      val base = when(col("doc_id") % 5 === 0, lit("example.com"))
+        .when(col("doc_id") % 5 === 1, lit("spamfarm.biz"))
+        .when(col("doc_id") % 5 === 2, lit("notexample.com"))
+        .when(col("doc_id") % 5 === 3, lit("docs.site.io"))
+        .otherwise(lit("blog.example.com"))
+      val withUrl = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"), sub, base, lit("/p/"), col("doc_id")).as("url"))
+      TextAnalysis.domainBlocklistFilter(withUrl, "url",
+          Seq("spamfarm.biz", "example.com"))
+        .select(col("doc_id"), TextAnalysis.urlHost(col("url")).as("host"))
+    }),
+
+    // ---- MM: magic-byte modality sniffing over REAL mixed-codec
+    //      payloads whose declared MIME type lies — the dispatch gate of
+    //      a mixed-media ingest; pure binary compares at the scan
+    "q91_sniff_modality" -> ((s, dir) =>
+      Multimodal.syntheticMixedAssets(t(s, dir, "documents"))
+        .select(col("asset_id"),
+          Multimodal.sniffModality(col("payload")).as("sniffed"))),
+
     // ---- O1-style: top-k rows per group (window rank)
     "q32_topk_per_group" -> ((s, dir) =>
       EventWindows.topKPerGroup(t(s, dir, "orders"),
@@ -1734,6 +1761,37 @@ object SparkEntry {
                 md5(array_to_string(list_transform(range(CAST(w * h AS BIGINT)),
                   i -> repeat(lpad(lower(to_hex((doc_id * 29 + ((i // w) // 8) * ((w + 7) // 8) + ((i % w) // 8)) % 256)), 2, '0'), ch)), '')) AS pix_hash
          FROM a""",
+    // suffix-semantics mirror: every dot-suffix of the host against the
+    // blocklist via list membership — notexample.com survives (substring
+    // match would kill it), blog.example.com does not
+    "q90_domain_filter" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  'https://' ||
+                  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '' WHEN 1 THEN 'www.'
+                       ELSE 'cdn.news.' END ||
+                  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'example.com'
+                       WHEN 1 THEN 'spamfarm.biz' WHEN 2 THEN 'notexample.com'
+                       WHEN 3 THEN 'docs.site.io' ELSE 'blog.example.com' END ||
+                  '/p/' || doc_id AS url
+           FROM documents),
+         h AS (SELECT doc_id,
+                      lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+               FROM u),
+         s AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h)
+         SELECT doc_id, host FROM s
+         WHERE NOT list_has_any(
+           list_transform(range(1, len(ls) + 1), i -> array_to_string(ls[i:], '.')),
+           ['spamfarm.biz', 'example.com'])""",
+    // the engine must sniff REAL encoder output bytes; the mirror knows
+    // only which encoder the id routes to
+    "q91_sniff_modality" ->
+      """SELECT doc_id AS asset_id,
+                CASE CAST(doc_id % 5 AS INT)
+                     WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+                     WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'image/jpeg'
+                     ELSE 'application/octet-stream' END AS sniffed
+         FROM documents""",
     "q32_topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
          CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank

@@ -541,4 +541,66 @@ object Multimodal {
       }
     }(org.apache.spark.sql.Encoders.row(jpSchema))
   }
+
+  /** Content-sniffed modality from the payload's magic bytes — the
+    * dispatch gate of a mixed-media ingest, where declared MIME types
+    * are routinely wrong and routing MUST trust the bytes (PNG
+    * signature, GIF87a/89a, JPEG SOI, RIFF/WAVE). Pure binary-substring
+    * comparisons: codegen'd at the scan, no UDF, no shuffle; a
+    * `groupBy(sniffModality(...))` then routes each slice to its codec
+    * path ([[resamplePixels]] / [[decodeFrames]] / [[audioFeatures]] /
+    * [[decodePixels]]). Unknown signatures sniff as
+    * `application/octet-stream`; null payloads stay null. */
+  def sniffModality(payload: Column): Column = {
+    def magic(off: Int, hexSig: String): Column =
+      substring(payload, off, hexSig.length / 2) === unhex(lit(hexSig))
+    when(payload.isNull, lit(null).cast(StringType))
+      .when(magic(1, "89504E470D0A1A0A"), "image/png")
+      .when(magic(1, "474946383961") || magic(1, "474946383761"), "image/gif")
+      .when(magic(1, "FFD8"), "image/jpeg")
+      .when(magic(1, "52494646") && magic(9, "57415645"), "audio/wav")
+      .otherwise("application/octet-stream")
+  }
+
+  /** Mixed-media corpus fixture: doc_id % 5 routes each document to one
+    * of the four REAL encoders (PNG / GIF / WAV / JPEG — genuine
+    * compressed streams from the same builders as q86-q89) or to raw
+    * text bytes, and every row's DECLARED modality lies
+    * (`application/x-unknown`) so a sniffing test cannot cheat off
+    * metadata. */
+  def syntheticMixedAssets(docs: DataFrame): DataFrame = {
+    val mxSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val grayPal = Array.tabulate(768)(i => (i / 3).toByte)
+    docs.select(col("doc_id"), col("text")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload: Array[Byte] = (id % 5) match {
+          case 0 =>
+            val w = (id % 13 + 4).toInt; val h = (id % 11 + 4).toInt
+            graft.expressions.PngCodec.encode(
+              graft.expressions.PngCodec.Raster(w, h, 1,
+                Array.tabulate(w * h)(i => ((id * 31 + i) % 256).toByte)),
+              (id % 5).toInt)
+          case 1 =>
+            val w = (id % 9 + 3).toInt; val h = (id % 7 + 3).toInt
+            graft.expressions.GifCodec.encode(w, h, grayPal,
+              Seq((0, Array.tabulate(w * h)(i => ((id * 17 + i) % 256).toByte))))
+          case 2 =>
+            graft.expressions.WavCodec.encode(graft.expressions.WavCodec.Clip(
+              8000, 1, Array.tabulate((id % 100 + 50).toInt)(i =>
+                (((id * 7 + i.toLong * 13) % 65536) - 32768).toShort)))
+          case 3 =>
+            val w = (id % 21 + 4).toInt; val h = (id % 17 + 4).toInt
+            graft.expressions.JpegCodec.encode(
+              graft.expressions.PngCodec.Raster(w, h, 1,
+                Array.fill(w * h)((id % 256).toByte)), q = 0)
+          case _ => r.getString(1).getBytes("UTF-8")
+        }
+        Row(id, "application/x-unknown", payload)
+      }
+    }(org.apache.spark.sql.Encoders.row(mxSchema))
+  }
 }

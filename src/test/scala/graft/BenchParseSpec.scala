@@ -56,6 +56,33 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.headlineOf(1.2, Seq(-1.0, 0.9)) === 0.9) // negative warm sentinel ignored
   }
 
+  // the stdout-facing official line must survive a byte-bounded capture:
+  // round 6's BENCH_r06.json held only a ~1.9 KB tail of the 11 KB full
+  // line ("parsed": null). The compact line carries the same headline
+  // numbers under qNN short keys and must stay under that window for the
+  // WHOLE suite, parse as JSON, and fall back to full names on collision.
+  test("compactLine fits the capture window, parses, and keys stay unique") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val headline = names.map(n => n -> 12.34).toMap
+    val line = Bench.compactLine(names, headline, 1234.56, "1.307",
+      tainted = false, nErrors = 0, passes = 3, sfDir = "/root/testdata/sf0.1")
+    assert(line.length < 1800, s"compact line is ${line.length} bytes")
+    assert(!line.contains("\n"))
+    // structural parse via the same hand-rolled reader the harness trusts
+    val (times, _, _, _, _) = Bench.parseChild(line)
+    assert(times.size == names.size, s"${times.size} keys vs ${names.size} queries")
+    assert(times.keySet == names.map(_.takeWhile(_ != '_')).toSet)
+    assert(times.values.forall(_ == 12.34))
+    assert(line.contains("\"value\":1234.56") &&
+      line.contains("\"headline\":\"min-all\"") &&
+      line.contains("\"detail\":\"BENCH_LAST.json\""))
+    // short-prefix collision => full names (never silently merged keys)
+    val clash = Seq("q01_a", "q01_b")
+    val clashLine = Bench.compactLine(clash, clash.map(_ -> 1.0).toMap, 2.0,
+      "1.0", tainted = false, nErrors = 0, passes = 1, sfDir = "x")
+    assert(clashLine.contains("\"q01_a\":") && clashLine.contains("\"q01_b\":"))
+  }
+
   test("noiseRatio trims at least one outlier per side on small runs") {
     // a 3-canary SPARK_GRAFT_BENCH_ONLY subset with one jittery draw on
     // a quiet machine must not read tainted (max/min here is 1.56)

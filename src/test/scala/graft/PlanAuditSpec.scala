@@ -228,6 +228,16 @@ class PlanAuditSpec extends AnyFunSuite {
       plan("q89_jpeg_pixels"))
   }
 
+  test("curation gates are scan-level predicates: zero exchanges (q90/q91)") {
+    // the domain-blocklist gate is one codegen'd filter over the scan;
+    // modality sniffing is a projection over the fixture's mapPartitions
+    // — any Exchange here would shuffle raw corpus/media bytes
+    assert(!plan("q90_domain_filter").contains("Exchange"),
+      plan("q90_domain_filter"))
+    assert(!plan("q91_sniff_modality").contains("Exchange"),
+      plan("q91_sniff_modality"))
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set

@@ -189,4 +189,25 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("media codecs never throw on arbitrary bytes: None or a raster, " +
+    "even for signature-prefixed garbage") {
+    import graft.expressions.{GifCodec, JpegCodec, PngCodec, WavCodec}
+    val sigs = Seq(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A),
+      "GIF89a".getBytes("US-ASCII"),
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte),
+      "RIFF    WAVE".getBytes("US-ASCII"))
+    val junk = Gen.zip(Gen.choose(0, sigs.size), Gen.choose(0, 400),
+      Gen.choose(Long.MinValue, Long.MaxValue))
+    for ((sigIdx, len, seed) <- samples(junk, 60)) {
+      val rnd = new scala.util.Random(seed)
+      val body = Array.fill(len)(rnd.nextInt(256).toByte)
+      // half the trials glue a REAL format signature onto the garbage so
+      // the parsers get past the cheap magic check into the deep paths
+      val bytes = if (sigIdx < sigs.size) sigs(sigIdx) ++ body else body
+      PngCodec.decode(bytes); GifCodec.decode(bytes)
+      JpegCodec.decode(bytes); WavCodec.decode(bytes) // must not throw
+    }
+  }
 }
