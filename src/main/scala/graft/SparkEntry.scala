@@ -758,6 +758,16 @@ object SparkEntry {
         "embedding", k = 5, nlist = 16, nprobe = 16)
     }),
 
+    // ---- ANN: TRAINED centroids — two Lloyd's iterations refining the
+    //      md5 seed table (assignment = the q49/q72 argmax contract;
+    //      update = the q40 micro-quantized exact mean, cast back to
+    //      float). Output = the trained model exploded per component,
+    //      so every assignment AND every mean of both iterations is
+    //      pinned; empty cells carry forward with n_vecs = 0
+    "q92_kmeans" -> ((s, dir) =>
+      Similarity.kmeansCentroids(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nlist = 8, iters = 2)),
+
     // ---- SAMPLING: deterministic hash split (80/10/10 train/val/test)
     //      + 20% subsample of train — membership is a pure function of
     //      doc_id (stable across runs/cluster layouts, filter pushes to
@@ -2236,6 +2246,50 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cos,
                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
          FROM s QUALIFY rank <= 5""",
+
+    // two unrolled Lloyd's iterations: seed order (H32), assignment
+    // (argmax 6-decimal COS, ties to smaller cell — the q72 mirror),
+    // update (q40's micro-unit exact mean, REAL-cast like the engine's
+    // float centroids), empty-cell carry-forward via COALESCE
+    "q92_kmeans" ->
+      s"""WITH s0 AS (
+           SELECT vec_id AS cell, embedding AS c FROM embeddings
+           ORDER BY ${H32("CAST(vec_id AS VARCHAR)")}, vec_id
+           LIMIT 8),
+         a1 AS (
+           SELECT e.vec_id, e.embedding AS v,
+                  (SELECT s.cell FROM s0 s
+                   ORDER BY -${COS("e.embedding", "s.c")}, s.cell LIMIT 1) AS cell
+           FROM embeddings e),
+         u1c AS (
+           SELECT cell, ord,
+                  CAST(ROUND(CAST(SUM(CAST(round(CAST(v[ord] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                       / 1000000 / COUNT(*), 6) AS REAL) AS x,
+                  COUNT(*) AS n
+           FROM (SELECT cell, v, unnest(range(1, len(v) + 1)) AS ord FROM a1)
+           GROUP BY 1, 2),
+         u1 AS (
+           SELECT s0.cell, COALESCE(l.cl, s0.c) AS c
+           FROM s0 LEFT JOIN
+             (SELECT cell, list(x ORDER BY ord) AS cl FROM u1c GROUP BY cell) l
+           USING (cell)),
+         a2 AS (
+           SELECT e.vec_id, e.embedding AS v,
+                  (SELECT s.cell FROM u1 s
+                   ORDER BY -${COS("e.embedding", "s.c")}, s.cell LIMIT 1) AS cell
+           FROM embeddings e),
+         u2c AS (
+           SELECT cell, ord,
+                  CAST(ROUND(CAST(SUM(CAST(round(CAST(v[ord] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                       / 1000000 / COUNT(*), 6) AS REAL) AS x,
+                  COUNT(*) AS n
+           FROM (SELECT cell, v, unnest(range(1, len(v) + 1)) AS ord FROM a2)
+           GROUP BY 1, 2),
+         grid AS (SELECT cell, c, unnest(range(1, len(c) + 1)) AS ord FROM u1)
+         SELECT g.cell, CAST(g.ord - 1 AS INT) AS dim,
+                CAST(COALESCE(u.x, g.c[g.ord]) AS DOUBLE) AS c,
+                CAST(COALESCE(u.n, 0) AS BIGINT) AS n_vecs
+         FROM grid g LEFT JOIN u2c u ON u.cell = g.cell AND u.ord = g.ord""",
 
     // deterministic hash split + subsample: same md5-prefix bucket
     "q50_hash_split" ->

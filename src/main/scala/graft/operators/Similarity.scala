@@ -267,17 +267,98 @@ object Similarity {
     * 6-decimal cosine, ties toward the smaller cell) as a packed-long
     * HashAggregate. */
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
-               nlist: Int): IvfIndex = {
+               nlist: Int): IvfIndex =
+    ivfBuildWith(corpus, idCol, vecCol,
+      collectSeeds(corpus, idCol, vecCol, nlist))
+
+  /** [[ivfBuild]] over a caller-supplied centroid table — the hook that
+    * turns TRAINED centroids ([[kmeansTrain]]) or a table reloaded from
+    * a previous session into a probe-ready index without re-deriving
+    * seeds. One seed collect is shared by the assignment join AND every
+    * later query-probe expression (the uncollected-DataFrame form re-ran
+    * the corpus-wide TakeOrdered once per broadcast projection). */
+  def ivfBuildWith(corpus: DataFrame, idCol: String, vecCol: String,
+                   seeds: Seq[(Long, Seq[Float])]): IvfIndex = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    // one seed collect shared by the assignment join AND every later
-    // query-probe expression (previously three corpus-wide TakeOrdereds:
-    // one per broadcast projection + one for the probe literal)
-    val seeds = collectSeeds(corpus, idCol, vecCol, nlist)
     val vecs = corpus.repartition(par)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val best = assignCells(corpus, idCol, vecCol, seeds)
       .withColumnRenamed("__assign_id", "neighbor_id")
     IvfIndex(seeds, vecs.join(best, Seq("neighbor_id")))
+  }
+
+  /** Lloyd's k-means refinement of the deterministic md5 seed table —
+    * the TRAINED-centroid path for [[ivfBuildWith]] and
+    * [[Dedup.semDedup]], replacing "nlist arbitrary corpus vectors" with
+    * centroids that actually sit at cluster means (real corpora cluster
+    * hard; trained cells keep populations balanced, which is what keeps
+    * IVF probe cost and SemDeDup cell work bounded).
+    *
+    * Each iteration is (1) nearest-cell assignment via the same
+    * packed-long HashAggregate argmax as [[assignCells]] (6-decimal
+    * cosine, ties toward the smaller cell id — the q49/q72 oracle
+    * contract) and (2) an element-wise micro-quantized EXACT mean per
+    * cell ([[centroidComponents]] arithmetic: components scaled to
+    * integer micro-units and summed as longs, so the result is
+    * order-independent and engine-independent), rounded to 6 decimals
+    * and cast back to float. A cell that captures no vectors keeps its
+    * previous centroid (count 0) — never dropped, never re-seeded, so
+    * the output table always has exactly `nlist` rows and the run is
+    * fully deterministic.
+    *
+    * Scale: per iteration one broadcast-join assignment over the corpus
+    * (map-side partial max, one exchange) plus one (n × dim)-row
+    * component aggregate; the driver holds only the nlist × dim float
+    * table — the same table IVF must hold anyway. Nothing quadratic,
+    * no RNG, `iters` is typically 2-10. */
+  def kmeansTrain(corpus: DataFrame, idCol: String, vecCol: String,
+                  nlist: Int, iters: Int): Seq[(Long, Seq[Float])] =
+    kmeansCore(corpus, idCol, vecCol, nlist, iters)._1
+
+  /** [[kmeansTrain]] plus the last iteration's per-cell member counts
+    * (0 for a cell that kept its carried-forward centroid). */
+  private[operators] def kmeansCore(corpus: DataFrame, idCol: String,
+                                    vecCol: String, nlist: Int, iters: Int)
+      : (Seq[(Long, Seq[Float])], Map[Long, Long]) = {
+    require(iters >= 0, s"iters must be >= 0 (got $iters)")
+    var seeds = collectSeeds(corpus, idCol, vecCol, nlist)
+    var counts = Map.empty[Long, Long]
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(corpus, idCol, vecCol, seeds)
+      val joined = corpus
+        .select(col(idCol).as("__assign_id"), col(vecCol).as("__v"))
+        .join(assigned, Seq("__assign_id"))
+      // nlist × dim rows — driver-sized by construction (the k-means
+      // model IS this table); same justification as collectSeeds
+      val comps = centroidComponents(joined, "cell", "__v").collect()
+      val byCell = comps.groupBy(_.getLong(0))
+      counts = byCell.map { case (c, rows) => c -> rows.head.getLong(3) }
+      seeds = seeds.map { case (cell, prev) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq)
+          case None => (cell, prev) // empty cell: carry forward, n=0
+        }
+      }
+    }
+    (seeds, seeds.map { case (c, _) => c -> counts.getOrElse(c, 0L) }.toMap)
+  }
+
+  /** Query-shaped view of [[kmeansTrain]]: the trained table exploded to
+    * (cell, dim, c, n_vecs) rows — c as double (the float centroid
+    * widened), n_vecs the last iteration's cell population. Local
+    * relation (the model lives on the driver), so downstream joins
+    * against it broadcast for free. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (seeds, counts) = kmeansCore(corpus, idCol, vecCol, nlist, iters)
+    seeds.flatMap { case (cell, cen) =>
+      cen.zipWithIndex.map { case (x, d) =>
+        (cell, d, x.toDouble, counts(cell))
+      }
+    }.toDF("cell", "dim", "c", "n_vecs")
   }
 
   /** Probe a built [[IvfIndex]] with a bounded query batch: each query
