@@ -161,17 +161,40 @@ object Dedup {
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nlist: Int,
                cellCap: Int = 4096): DataFrame = {
-    require(cellCap >= 1, s"cellCap must be >= 1 (got $cellCap)")
-    // the input feeds the seed TakeOrdered, the cross-score side, and
-    // the assignment rejoin — localCheckpoint (lazy) materializes an
-    // uncached upstream pipeline once instead of three times
-    val vecs = df.select(col(idCol).cast(LongType).as("vec_id"), col(vecCol).as("v"))
+    val vecs = semDedupVecs(df, idCol, vecCol)
+    semDedupCore(vecs,
+      Similarity.assignCells(vecs, "vec_id", "v", nlist), threshold, cellCap)
+  }
+
+  /** [[semDedup]] over a caller-supplied centroid table — the TRAINED
+    * path ([[Similarity.kmeansTrain]]): trained centroids sit at
+    * cluster means, so cell populations stay balanced, which is the
+    * structural fix for the hot-cell regime the `cellCap` tiling guard
+    * defends against (the guard still applies — training bounds the
+    * EXPECTED population, not the worst case). Same assignment
+    * contract, same keep rule, same plan shape. */
+  def semDedupWith(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, seeds: Seq[(Long, Seq[Float])],
+                   cellCap: Int = 4096): DataFrame = {
+    val vecs = semDedupVecs(df, idCol, vecCol)
+    semDedupCore(vecs,
+      Similarity.assignCells(vecs, "vec_id", "v", seeds), threshold, cellCap)
+  }
+
+  // the input feeds the seed TakeOrdered, the cross-score side, and
+  // the assignment rejoin — localCheckpoint (lazy) materializes an
+  // uncached upstream pipeline once instead of three times
+  private def semDedupVecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).cast(LongType).as("vec_id"), col(vecCol).as("v"))
       .localCheckpoint(false)
-    // packed-long argmax assignment (HashAggregate, partial max map-side;
-    // see Similarity.assignCells for why NOT min(struct): a struct
-    // buffer forces SortAggregate, which sorts all n × nlist score rows)
-    val best = Similarity.assignCells(vecs, "vec_id", "v", nlist)
-      .withColumnRenamed("__assign_id", "vec_id")
+
+  // packed-long argmax assignment (HashAggregate, partial max map-side;
+  // see Similarity.assignCells for why NOT min(struct): a struct
+  // buffer forces SortAggregate, which sorts all n × nlist score rows)
+  private def semDedupCore(vecs: DataFrame, assignment: DataFrame,
+                           threshold: Double, cellCap: Int): DataFrame = {
+    require(cellCap >= 1, s"cellCap must be >= 1 (got $cellCap)")
+    val best = assignment.withColumnRenamed("__assign_id", "vec_id")
     // HOT-CELL SKEW GUARD: real corpora cluster hard, and a cell far
     // above the average n/nlist population would put its whole O(cell²)
     // pairwise stage on ONE task (AQE skew splitting cannot split a

@@ -29,6 +29,37 @@ class SemDedupSpec extends AnyFunSuite {
     assert(tiled.valuesIterator.contains(false)) // some drops happened
   }
 
+  test("semDedupWith(seed table) == semDedup(nlist) — the trained path shares the whole pipeline") {
+    val seeds0 = Similarity.kmeansTrain(emb, "vec_id", "embedding", nlist = 8, iters = 0)
+    val viaSeeds = keeps(Dedup.semDedupWith(emb, "vec_id", "embedding",
+      threshold = 0.4, seeds = seeds0))
+    val viaNlist = keeps(Dedup.semDedup(emb, "vec_id", "embedding",
+      threshold = 0.4, nlist = 8))
+    assert(viaSeeds == viaNlist)
+  }
+
+  test("semDedupWith(trained centroids): keep rule holds cell-by-cell against brute force") {
+    val trained = Similarity.kmeansTrain(emb, "vec_id", "embedding", nlist = 8, iters = 2)
+    val out = Dedup.semDedupWith(emb, "vec_id", "embedding",
+      threshold = 0.4, seeds = trained)
+    // brute-force the pair-dominance rule from the operator's OWN cell
+    // assignment (in its output): dropped iff a lower-id cell-mate is
+    // within threshold
+    val joined = out.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val a = joined.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = joined.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("keep").as("keep_b"))
+    val dominated = b.join(a, Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        round(graft.functions.cosine(col("va"), col("vb")), 6) >= 0.4)
+      .select(col("id_b").as("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val km = keeps(out)
+    assert(km.nonEmpty)
+    for ((id, keep) <- km)
+      assert(keep == !dominated.contains(id), s"vec $id keep=$keep")
+  }
+
   test("a fully clustered corpus (every vector in one hot cell) is " +
     "tiled without changing the answer") {
     import spark.implicits._
