@@ -288,6 +288,34 @@ object ScaleSmoke {
         s"ivfTopK=$ivf nlist=$nlist")
       queries.unpersist(); e.unpersist()
     }
+
+    // ---- k-means training leg ("kmeansTrain"): per-iteration cost is
+    // one broadcast-join assignment (n × nlist cosines, map-side
+    // argmax) plus one (n × dim)-row component aggregate — both
+    // ~linear in n at the sqrt(n) nlist rule; the driver never holds
+    // more than the nlist × dim model. Balance evidence: max cell
+    // population under the md5-seed table vs the trained table —
+    // trained centroids sit at cluster means, so populations tighten
+    // toward n/nlist (the structural complement to semDedup's cellCap
+    // tile guard, which bounds the worst case training can't rule out).
+    for (n <- mults if enabled("kmeansTrain")) {
+      import graft.operators.Similarity
+      val e = embReplicated(n).persist()
+      val total = e.count()
+      val nlist = math.max(16, math.sqrt(total.toDouble).toInt)
+      var trained: Seq[(Long, Seq[Float])] = null
+      time(s"kmeansTrain(nlist=$nlist,it=2)") {
+        trained = Similarity.kmeansTrain(e, "vec_id", "embedding", nlist, iters = 2)
+        trained.size.toLong
+      }
+      def maxPop(idx: Similarity.IvfIndex): Long =
+        idx.assigned.groupBy("cell").count().agg(max("count")).head().getLong(0)
+      val seedMax = maxPop(Similarity.ivfBuild(e, "vec_id", "embedding", nlist))
+      val trainedMax = maxPop(Similarity.ivfBuildWith(e, "vec_id", "embedding", trained))
+      println(s"mult=$n  vecs=$total  nlist=$nlist  maxCellSeed=$seedMax  " +
+        s"maxCellTrained=$trainedMax  evenSplit=${total / nlist}")
+      e.unpersist()
+    }
     spark.stop()
   }
 }

@@ -65,7 +65,11 @@ class JobBudgetSpec extends AnyFunSuite {
     "q80_dup_spans" -> 12L, // gram agg + join + window chain, 6 measured
     "q81_span_removal" -> 12L, // q80's chain + one left join, 3 measured
     "q82_lm_score" -> 12L, // vocab scalar + model aggs + scoring joins, 6 measured
-    "q83_bloom_dedup" -> 14L // bitset build + 2 broadcast builds + probe, 7 measured
+    "q83_bloom_dedup" -> 14L, // bitset build + 2 broadcast builds + probe, 7 measured
+    // 1 seed TakeOrdered + 2 × (assignment agg + component collect):
+    // 18 measured; the ceiling catches a per-iteration job blowup
+    // (each extra job here is a full corpus pass per Lloyd's round)
+    "q92_kmeans" -> 36L
   )
 
   for ((q, budget) <- budgets)
