@@ -758,6 +758,17 @@ object SparkEntry {
         "embedding", k = 5, nlist = 16, nprobe = 16)
     }),
 
+    // ---- CURATION: TRAINED quality-classifier weights — two exact
+    //      integer-GD iterations (squared loss over hashed term
+    //      frequencies, lr = 1/2); label = "is from src0". Every
+    //      quantization step (micro-weights, truncating div) mirrors
+    //      bit-for-bit, so the oracle unrolls BOTH iterations
+    "q93_classifier_train" -> ((s, dir) =>
+      TextAnalysis.trainedClassifierFrame(
+        t(s, dir, "documents").withColumn("y",
+          when(col("source") === "src0", 1L).otherwise(0L)),
+        "doc_id", "text", "y", dim = 64, iters = 2)),
+
     // ---- ANN: TRAINED centroids — two Lloyd's iterations refining the
     //      md5 seed table (assignment = the q49/q72 argmax contract;
     //      update = the q40 micro-quantized exact mean, cast back to
@@ -2246,6 +2257,50 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cos,
                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
          FROM s QUALIFY rank <= 5""",
+
+    // two unrolled integer-GD iterations: same bucket hash (H32 % 64),
+    // same micro-unit arithmetic, same truncating div (// truncates
+    // toward zero in DuckDB exactly as `div` does in Spark), same
+    // 1/2 learning rate; buckets never touched by any token keep w = 0
+    // via the range grid
+    "q93_classifier_train" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+                  $TOKS AS ws
+           FROM documents),
+         nn AS (SELECT COUNT(*) AS n FROM documents),
+         f AS (
+           SELECT doc_id, y, CAST(len(ws) AS BIGINT) AS len,
+                  ${H32("tok")} % 64 AS j, COUNT(*) AS cnt
+           FROM (SELECT doc_id, y, ws, unnest(ws) AS tok FROM d)
+           GROUP BY 1, 2, 3, 4),
+         g1 AS (
+           SELECT j, SUM(((0 - y * 1000000000000) * cnt) // len) AS sq
+           FROM f GROUP BY j),
+         w1 AS (
+           SELECT j, 0 - (sq // (2 * n * 1000000)) AS w6
+           FROM g1 CROSS JOIN nn),
+         p2 AS (
+           SELECT f.doc_id, ANY_VALUE(f.y) AS y, ANY_VALUE(f.len) AS len,
+                  (SUM(COALESCE(w1.w6, 0) * f.cnt) * 1000000)
+                    // ANY_VALUE(f.len) - ANY_VALUE(f.y) * 1000000000000 AS r12
+           FROM f LEFT JOIN w1 ON f.j = w1.j
+           GROUP BY f.doc_id),
+         g2 AS (
+           SELECT f.j, SUM((p2.r12 * f.cnt) // f.len) AS sq
+           FROM f JOIN p2 ON f.doc_id = p2.doc_id
+           GROUP BY f.j),
+         w2 AS (
+           SELECT g2.j,
+                  COALESCE(w1.w6, 0) - (g2.sq // (2 * n * 1000000)) AS w6
+           FROM g2 LEFT JOIN w1 ON g2.j = w1.j CROSS JOIN nn)
+         SELECT CAST(grid.j AS BIGINT) AS bucket,
+                CAST(COALESCE(w2.w6, w1.w6, 0) AS BIGINT) AS w6,
+                CAST(COALESCE(w2.w6, w1.w6, 0) AS DOUBLE) / 1000000.0 AS weight
+         FROM (SELECT unnest(range(0, 64)) AS j) grid
+         LEFT JOIN w2 ON grid.j = w2.j
+         LEFT JOIN w1 ON grid.j = w1.j""",
 
     // two unrolled Lloyd's iterations: seed order (H32), assignment
     // (argmax 6-decimal COS, ties to smaller cell — the q72 mirror),

@@ -315,6 +315,99 @@ object TextAnalysis {
   def pseudoWeight(bucket: Column, seed: String): Column =
     hash60(concat(lit(seed + "|"), bucket.cast(org.apache.spark.sql.types.StringType))) % 2001L - 1000L
 
+  /** TRAINED weights for the hashed linear quality classifier — the
+    * fastText-shape trainer the [[hashClassifierScore]] scaladoc
+    * promised a swap-in for. Full-batch gradient descent on squared
+    * loss over hashed term frequencies:
+    *
+    *   score(d) = Σ_j w_j · x_dj,  x_dj = cnt_dj / len_d,
+    *   bucket j = hash32(token) % dim (the q76 bucket contract),
+    *   w ← w − (1/lrDiv) · (1/n) Σ_d (score(d) − y_d) · x_d
+    *
+    * computed ENTIRELY in integer micro-units so the run is
+    * order-independent and engine-exact (the kmeansTrain discipline):
+    * weights live as w6 = round(w·1e6) longs, per-doc predictions as
+    * pred12 = (Σ_j w6_j·cnt_dj · 1e6) div len_d, per-doc gradient
+    * terms as (r12·cnt) div len — `div` truncates toward zero in BOTH
+    * Spark and DuckDB, so every quantization step mirrors bit-for-bit
+    * (q93 unrolls both iterations in SQL). The learning rate is the
+    * exact rational 1/lrDiv for the same reason.
+    *
+    * Scale: per iteration one (doc-keyed) prediction aggregate over the
+    * hashed-feature rows and one (bucket-keyed) gradient aggregate —
+    * two exchanges over n × (distinct buckets per doc) rows; the driver
+    * holds only the dim-sized w6 table (broadcast into the next
+    * iteration as an array literal, element_at codegen'd — no join).
+    * Features are hashed ONCE and persisted across iterations. */
+  def trainHashClassifier(df: DataFrame, idCol: String, textCol: String,
+                          labelCol: String, dim: Int = 64,
+                          iters: Int = 2, lrDiv: Long = 2L): Array[Long] = {
+    require(dim >= 1 && iters >= 0 && lrDiv >= 1)
+    val n = df.count()
+    require(n > 0, "empty training frame")
+    val feats = df
+      .select(col(idCol).cast(LongType).as("__did"),
+        col(labelCol).cast(LongType).as("y"),
+        tokens(col(textCol)).as("ws"))
+      .select(col("__did"), col("y"), size(col("ws")).cast(LongType).as("len"),
+        explode(col("ws")).as("tok"))
+      .groupBy(col("__did"), col("y"), col("len"),
+        (hash32(col("tok")) % dim).as("j"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val w6 = Array.fill(dim)(0L)
+    try {
+      for (_ <- 0 until iters) {
+        val wLit = typedlit(w6.toSeq)
+        val resid = feats
+          .withColumn("t", element_at(wLit, (col("j") + 1).cast("int")) * col("cnt"))
+          .groupBy("__did", "y", "len")
+          .agg(sum("t").as("s"))
+          .select(col("__did"),
+            (expr("(s * 1000000) div len") - col("y") * lit(1000000000000L))
+              .as("r12"))
+        // dim-sized collect: the gradient IS the model-sized table
+        val grads = feats.join(resid, Seq("__did"))
+          .select(col("j"), expr("(r12 * cnt) div len").as("gq"))
+          .groupBy("j").agg(sum("gq").as("sq"))
+          .collect()
+        for (r <- grads)
+          w6(r.getLong(0).toInt) -= r.getLong(1) / (lrDiv * n * 1000000L)
+      }
+    } finally feats.unpersist()
+    w6
+  }
+
+  /** Query-shaped view of [[trainHashClassifier]]: one row per bucket
+    * with the exact micro-weight and its real value. Local relation —
+    * the model lives on the driver, dim rows. */
+  def trainedClassifierFrame(df: DataFrame, idCol: String, textCol: String,
+                             labelCol: String, dim: Int = 64,
+                             iters: Int = 2, lrDiv: Long = 2L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    trainHashClassifier(df, idCol, textCol, labelCol, dim, iters, lrDiv)
+      .toSeq.zipWithIndex
+      .map { case (w, j) => (j.toLong, w, w.toDouble / 1e6) }
+      .toDF("bucket", "w6", "weight")
+  }
+
+  /** Score with TRAINED micro-weights: Σ_tok w6[bucket(tok)] summed as
+    * exact longs (order-independent), one IEEE division at the end —
+    * the [[hashClassifierScore]] shape with the pseudo-weight lookup
+    * replaced by the trained table (array literal, element_at
+    * codegen'd at the scan; no join, no shuffle, no UDF). */
+  def hashClassifierScoreWith(text: Column, w6: Seq[Long], dim: Int): Column =
+    graft.functions.bound(tokens(text)) { ws =>
+      val sum = aggregate(
+        transform(ws, t =>
+          element_at(typedlit(w6), ((hash32(t) % dim) + 1).cast("int"))),
+        lit(0L), (acc, x) => acc + x)
+      when(length(trim(text)) === 0, lit(0.0))
+        .otherwise(sum.cast(DoubleType) /
+          (lit(1e6) * size(ws).cast(DoubleType)))
+    }
+
   /** CCNet-style statistical LM quality score: an add-k-smoothed BIGRAM
     * language model trained on the reference subset (`modelFilter` rows —
     * CCNet trains its KenLM on Wikipedia; here the caller picks the
