@@ -59,7 +59,7 @@ object ScaleSmoke {
     val docLegs = Seq("minhashCandidates", "simhashBandPairs",
       "simhashMankuPairs", "dedupClusters", "removeBoilerplate",
       "contamination", "mixtureSample", "dupSpans", "bigramLm",
-      "bloomDedup")
+      "bloomDedup", "classifierTrain")
     for (n <- mults if docLegs.exists(enabled)) {
       val d = replicated(n).persist()
       val total = d.count()
@@ -161,6 +161,17 @@ object ScaleSmoke {
         }
         batch.unpersist()
       }
+      // classifier-train leg: two integer-GD iterations over the whole
+      // corpus at a FIXED model size (dim=1024) — per iteration one
+      // doc-keyed and one bucket-keyed aggregate over the hashed-feature
+      // rows, so wall must track the corpus ~linearly while the driver
+      // never holds more than the dim-sized model
+      val clsfNonZero = timeIf("classifierTrain") {
+        val labeled = d.withColumn("y", (col("doc_id") % 2).cast("long"))
+        graft.operators.TextAnalysis.trainHashClassifier(
+          labeled, "doc_id", "text", "y", dim = 1024, iters = 2)
+          .count(_ != 0L).toLong
+      }
       // bigram-LM leg: the model trains on a FIXED reference slice
       // (replica 0 only — reference corpora don't grow with the crawl)
       // while scoring sweeps the whole corpus. The model tables stay
@@ -175,7 +186,7 @@ object ScaleSmoke {
         s"keepers=$clusters boilerRemoved=$boiler " +
         s"contaminated=$contaminated benchShingles=$benchShingles mixKept=$mixKept " +
         s"dupSpans=$spanRows dupSpansSampled=$spanSampled lmScored=$lmScored " +
-        s"bloomDropped=$bloomDropped")
+        s"bloomDropped=$bloomDropped clsfNonZero=$clsfNonZero")
       d.unpersist()
     }
 

@@ -87,6 +87,15 @@ class ClassifierTrainSpec extends AnyFunSuite {
     assert(out.drop(1).forall(_.getDouble(1) == 0.0)) // the blank rows
   }
 
+  test("trained scoring is a scan-level expression: zero exchanges") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val w6 = Array.tabulate(dim)(j => j.toLong * 100 - 3200)
+    val plan = docs
+      .select(TextAnalysis.hashClassifierScoreWith(col("text"), w6.toSeq, dim))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("iters = 0 is the zero model") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .withColumn("y", lit(1L))

@@ -175,6 +175,31 @@ class StreamingSpec extends AnyFunSuite {
       unbounded.exceptAll(bounded).isEmpty)
   }
 
+  test("trained-classifier scoring is stateless — streaming == batch row-for-row") {
+    import graft.operators.TextAnalysis
+    val batchDocs = graft.Tables(spark, TestSpark.sfDir, "documents")
+    val w6 = TextAnalysis.trainHashClassifier(
+      batchDocs.withColumn("y",
+        when(col("source") === "src0", 1L).otherwise(0L)),
+      "doc_id", "text", "y", dim = 64, iters = 2)
+    def score(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        TextAnalysis.hashClassifierScoreWith(col("text"), w6.toSeq, 64).as("s"))
+    // stage the single parquet file into a directory (file-stream source
+    // requires one), same as eventsPath
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_clsf_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(docsDir.toString)
+    val streamed = Streams.drainToMemory(spark, score(stream),
+      "clsf_stream_test", complete = false)
+    val batch = score(batchDocs)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stateful firstSeen dedup emits exactly one row per key") {
     val stream = Streams.readEvents(spark, eventsPath)
     val deduped = StatefulStreams.firstSeen(stream, "user_id", "event_id")
