@@ -769,6 +769,53 @@ object SparkEntry {
           when(col("source") === "src0", 1L).otherwise(0L)),
         "doc_id", "text", "y", dim = 64, iters = 2)),
 
+    // ---- JOIN: as-of (temporal) join — every purchase gets the latest
+    //      preceding click of the same user, via the union-and-sweep
+    //      rewrite (ONE exchange on user_id, running last(ignoreNulls)
+    //      carry — never the quadratic keyed theta-join)
+    "q94_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Joins.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "ts", "user_id", "value"),
+        ev.filter(col("event_type") === "click"),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("event_id", "value"), tieCol = "event_id")
+    }),
+
+    // ---- JOIN: as-of with tolerance — same sweep, but a click older
+    //      than 1 hour is no match (stale state must not leak into the
+    //      feature row); the tolerance is applied AFTER the sweep, so
+    //      the plan is identical
+    "q95_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Joins.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "ts", "user_id", "value"),
+        ev.filter(col("event_type") === "click"),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("event_id", "value"), tieCol = "event_id",
+        toleranceUs = Some(3600L * 1000000L))
+    }),
+
+    // ---- JOIN: UNKEYED interval join — purchases landing inside any
+    //      [error, error+10min] incident window, bucketized onto a
+    //      10-minute grid so the physical plan is a shuffled EQUI-join
+    //      on the bucket id (a raw range predicate would plan as a
+    //      broadcast-nested-loop over |errors| x |purchases|)
+    "q96_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val win = 600L * 1000000L // 10 minutes in microseconds
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("win_start"),
+          timestamp_micros(unix_micros(col("ts")) + win).as("win_end"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("ts").as("buy_ts"))
+      Joins.rangeJoin(buys, "buy_ts", errs, "win_start", "win_end",
+          bucketUs = win)
+        .select("err_id", "buy_id", "buy_ts")
+    }),
+
     // ---- ANN: TRAINED centroids — two Lloyd's iterations refining the
     //      md5 seed table (assignment = the q49/q72 argmax contract;
     //      update = the q40 micro-quantized exact mean, cast back to
@@ -2301,6 +2348,70 @@ object SparkEntry {
          FROM (SELECT unnest(range(0, 64)) AS j) grid
          LEFT JOIN w2 ON grid.j = w2.j
          LEFT JOIN w1 ON grid.j = w1.j""",
+
+    // as-of join, mirrored with the SAME union-and-sweep the engine
+    // runs: right rows sort before left rows at an equal timestamp
+    // (<= semantics), equal-ts right rows resolve to the max tie id,
+    // last_value(IGNORE NULLS) carries the latest click struct forward
+    "q94_asof_join" ->
+      s"""WITH r AS (SELECT user_id, ts, event_id, value FROM events
+                     WHERE event_type = 'click'),
+         l AS (SELECT event_id, ts, user_id, value FROM events
+               WHERE event_type = 'purchase'),
+         u AS (SELECT user_id, ts AS t, 0 AS side, event_id AS tie,
+                      struct_pack(rts := ts, rid := event_id,
+                                  rvalue := value) AS pay,
+                      NULL::BIGINT AS event_id, NULL::DOUBLE AS value,
+                      NULL::TIMESTAMP AS lts
+               FROM r
+               UNION ALL
+               SELECT user_id, ts AS t, 1 AS side, NULL AS tie, NULL AS pay,
+                      event_id, value, ts AS lts
+               FROM l),
+         c AS (SELECT *, last_value(pay IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY t, side, tie
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+               FROM u)
+         SELECT event_id, lts AS ts, user_id, value, m.rts AS asof_ts,
+                m.rid AS asof_event_id, m.rvalue AS asof_value
+         FROM c WHERE side = 1""",
+
+    // the tolerance variant: identical sweep, then matches older than
+    // 1 hour are nulled as a whole struct (all-or-nothing attachment)
+    "q95_asof_tolerance" ->
+      s"""WITH r AS (SELECT user_id, ts, event_id, value FROM events
+                     WHERE event_type = 'click'),
+         l AS (SELECT event_id, ts, user_id, value FROM events
+               WHERE event_type = 'purchase'),
+         u AS (SELECT user_id, ts AS t, 0 AS side, event_id AS tie,
+                      struct_pack(rts := ts, rid := event_id,
+                                  rvalue := value) AS pay,
+                      NULL::BIGINT AS event_id, NULL::DOUBLE AS value,
+                      NULL::TIMESTAMP AS lts
+               FROM r
+               UNION ALL
+               SELECT user_id, ts AS t, 1 AS side, NULL AS tie, NULL AS pay,
+                      event_id, value, ts AS lts
+               FROM l),
+         c AS (SELECT *, last_value(pay IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY t, side, tie
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m0
+               FROM u),
+         tol AS (SELECT * REPLACE (
+                   CASE WHEN epoch_us(lts) - epoch_us(m0.rts)
+                          <= 3600000000 THEN m0 END AS m0)
+                 FROM c)
+         SELECT event_id, lts AS ts, user_id, value, m0.rts AS asof_ts,
+                m0.rid AS asof_event_id, m0.rvalue AS asof_value
+         FROM tol WHERE side = 1""",
+
+    // unkeyed interval containment — the bucketization is internal to
+    // the engine, so the mirror is the plain range predicate
+    "q96_range_join" ->
+      s"""SELECT e.event_id AS err_id, p.event_id AS buy_id, p.ts AS buy_ts
+         FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+         JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+           ON p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE""",
 
     // two unrolled Lloyd's iterations: seed order (H32), assignment
     // (argmax 6-decimal COS, ties to smaller cell — the q72 mirror),
