@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64, aggregate}
 
-import graft.expressions.{AffineMinHash, ArrayCosine, BinarySlice, BpeTokenCount, ExactMedian, ImageDims, Md5PrefixHashArray, SignBucket, SimHash32, SimHash60, SortedLongJaccard, StringNumClass}
+import graft.expressions.{AffineMinHash, ArrayCosine, ArrayL2Sq, BinarySlice, BpeTokenCount, ExactMedian, ImageDims, Md5PrefixHashArray, SignBucket, SimHash32, SimHash60, SortedLongJaccard, StringNumClass}
 
 /** Registers graft's native Catalyst expressions with a SparkSession via
   * the public extensions mechanism:
@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[ArrayCosine].getName, "graft_cosine"),
       (es: Seq[Expression]) => ArrayCosine(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[ArrayL2Sq].getName, "graft_l2sq"),
+      (es: Seq[Expression]) => ArrayL2Sq(es.head, es(1))))
     ext.injectFunction((FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
       (es: Seq[Expression]) => SimHash32(es.head)))

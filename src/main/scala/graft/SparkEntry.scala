@@ -816,6 +816,31 @@ object SparkEntry {
         .select("err_id", "buy_id", "buy_ts")
     }),
 
+    // ---- ANN: product-quantization encode — every embedding compressed
+    //      to m=4 codebook ids (seed books = the md5-seed contract, so
+    //      the whole assignment is SQL-mirrorable; training is pinned by
+    //      PqSpec's plain-Scala Lloyd mirror). Assignment is the packed-
+    //      long HashAggregate argmin off a broadcast codebook
+    "q97_pq_codes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqSeedBooks(emb, "vec_id", "embedding",
+        dim = 64, m = 4, ksub = 8)
+      Similarity.pqCodes(emb, "vec_id", "embedding", cb)
+    }),
+
+    // ---- ANN: asymmetric-distance (ADC) top-k over the PQ codes — the
+    //      probe never reads corpus vectors, only m integer lookups per
+    //      candidate into the per-query LUT; adist6 is the exact
+    //      micro-unit sum (engine-reproducible)
+    "q98_pq_adc_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqSeedBooks(emb, "vec_id", "embedding",
+        dim = 64, m = 4, ksub = 8)
+      val codes = Similarity.pqCodes(emb, "vec_id", "embedding", cb)
+      Similarity.pqAdcTopK(emb.filter(col("vec_id") < 5), codes,
+        "vec_id", "embedding", cb, k = 5)
+    }),
+
     // ---- ANN: TRAINED centroids — two Lloyd's iterations refining the
     //      md5 seed table (assignment = the q49/q72 argmax contract;
     //      update = the q40 micro-quantized exact mean, cast back to
@@ -1108,6 +1133,15 @@ object SparkEntry {
     s"""ROUND(${SUMD(s"list_transform(range(1, len($qv)+1), i -> CAST($qv[i] AS DOUBLE) * CAST($cv[i] AS DOUBLE))")}
         / (sqrt(${SUMD(s"list_transform($qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})
            * sqrt(${SUMD(s"list_transform($cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})), 6)"""
+  /** graft.functions.l2sq rounded to exact integer micro-units
+    * (Similarity's PQ `d6`): same sequential left-fold in double, then
+    * ONE rounding — identical to `CAST(round(l2*1e6, 0) AS BIGINT)` on
+    * the Spark side (both engines round positive halves away from 0). */
+  private def L2D6(a: String, b: String) =
+    s"""CAST(round(${SUMD(s"""list_transform(range(1, len($a)+1),
+        i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+             * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))""")}
+        * 1000000, 0) AS BIGINT)"""
   /** TextAnalysis.qualityScore replicated term-by-term */
   private val QUALITY = {
     val nTok = s"CAST(len($TOKS) AS DOUBLE)"
@@ -2404,6 +2438,63 @@ object SparkEntry {
          SELECT event_id, lts AS ts, user_id, value, m0.rts AS asof_ts,
                 m0.rid AS asof_event_id, m0.rvalue AS asof_value
          FROM tol WHERE side = 1""",
+
+    // PQ encode: seed books = md5-smallest 8 vectors sliced into 4
+    // subspaces, dense code ids in ascending seed-cell order; per
+    // (vector, subspace) the argmin of the micro-unit L2² with ties to
+    // the smaller code — exactly the packed-long argmin contract
+    "q97_pq_codes" ->
+      s"""WITH s0 AS (
+           SELECT vec_id AS cell, embedding AS c FROM embeddings
+           ORDER BY ${H32("CAST(vec_id AS VARCHAR)")}, vec_id
+           LIMIT 8),
+         bk AS (SELECT row_number() OVER (ORDER BY cell) - 1 AS idx, c FROM s0),
+         sv AS (SELECT vec_id, g.sub,
+                       list_slice(embedding, g.sub*16 + 1, g.sub*16 + 16) AS a
+                FROM embeddings, (SELECT unnest(range(0, 4)) AS sub) g),
+         sc AS (SELECT sv.vec_id, sv.sub, bk.idx,
+                       ${L2D6("sv.a", "list_slice(bk.c, sv.sub*16 + 1, sv.sub*16 + 16)")} AS d6
+                FROM sv CROSS JOIN bk),
+         rk AS (SELECT vec_id, sub, idx,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d6, idx) AS rn
+                FROM sc)
+         SELECT vec_id, CAST(sub AS INT) AS sub, idx AS code
+         FROM rk WHERE rn = 1""",
+
+    // ADC probe: per-query LUT = micro-L2² of the query slice against
+    // every codebook entry; candidate distance = exact integer sum of
+    // its m code lookups; rank ascending with ties to the smaller id
+    "q98_pq_adc_topk" ->
+      s"""WITH s0 AS (
+           SELECT vec_id AS cell, embedding AS c FROM embeddings
+           ORDER BY ${H32("CAST(vec_id AS VARCHAR)")}, vec_id
+           LIMIT 8),
+         bk AS (SELECT row_number() OVER (ORDER BY cell) - 1 AS idx, c FROM s0),
+         sv AS (SELECT vec_id, g.sub,
+                       list_slice(embedding, g.sub*16 + 1, g.sub*16 + 16) AS a
+                FROM embeddings, (SELECT unnest(range(0, 4)) AS sub) g),
+         sc AS (SELECT sv.vec_id, sv.sub, bk.idx,
+                       ${L2D6("sv.a", "list_slice(bk.c, sv.sub*16 + 1, sv.sub*16 + 16)")} AS d6
+                FROM sv CROSS JOIN bk),
+         codes AS (SELECT vec_id, sub, idx AS code
+                   FROM (SELECT vec_id, sub, idx,
+                                row_number() OVER (PARTITION BY vec_id, sub
+                                                   ORDER BY d6, idx) AS rn
+                         FROM sc)
+                   WHERE rn = 1),
+         lut AS (SELECT sc.vec_id AS query_id, sc.sub, sc.idx AS code, sc.d6
+                 FROM sc WHERE sc.vec_id < 5),
+         agg AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+                        CAST(SUM(l.d6) AS BIGINT) AS adist6
+                 FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+                 WHERE l.query_id <> c.vec_id
+                 GROUP BY 1, 2),
+         rk AS (SELECT *, CAST(row_number() OVER
+                  (PARTITION BY query_id ORDER BY adist6, neighbor_id)
+                  AS INT) AS rank
+                FROM agg)
+         SELECT query_id, neighbor_id, adist6, rank FROM rk WHERE rank <= 5""",
 
     // unkeyed interval containment — the bucketization is internal to
     // the engine, so the mirror is the plain range predicate

@@ -62,6 +62,53 @@ case class ArrayCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared Euclidean (L2²) distance of two float-vector columns, double
+  * precision, one fused codegen loop — the quantization metric of the
+  * product-quantization path ([[graft.operators.Similarity]] PQ): cosine
+  * is the right *ranking* metric for full vectors, but per-subspace
+  * codebooks must minimize reconstruction error, which is L2.
+  * Accumulation is the same sequential left-fold as [[ArrayCosine]], so
+  * the value is bit-identical to a `list_reduce` SQL mirror. */
+case class ArrayL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+          $acc += $d * $d;
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 32-bit SimHash over a token array: md5 each token, take the top 32
   * bits (== `('0x' || substr(md5(t),1,8))::BIGINT`), then per-bit
   * majority vote (+1/-1, set on >= 0).

@@ -64,6 +64,12 @@ package object functions {
   def cosine(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
+  /** Squared Euclidean distance of two float-vector columns (native
+    * [[graft.expressions.ArrayL2Sq]], codegen'd fused loop, double
+    * accumulation in sequential left-fold order). */
+  def l2sq(a: Column, b: Column): Column =
+    call_function("graft_l2sq", a, b)
+
   /** Reference higher-order-function formulation of [[cosine]] — same
     * sequential left-fold accumulation, usable without the extensions
     * registration; kept for cross-checking the native expression. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
-import graft.functions.cosine
+import graft.functions.{cosine, l2sq}
 import graft.operators.TextAnalysis.hash32
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -397,6 +397,186 @@ object Similarity {
     * (1 - θ/π)^planes. Size `planes` with [[planesFor]] so bucket
     * population (and thus rerank cost per row) stays constant as the
     * corpus grows. */
+  // ----------------------------------------------------------------
+  // Product quantization (the compression half of IVF-PQ): vectors are
+  // split into `m` contiguous subspaces; each subspace gets a `ksub`-
+  // centroid codebook; a vector is stored as m small code ids. At 100 TB
+  // this is what makes ANN feasible at all — a 64-dim float vector (256
+  // bytes) compresses to m bytes (m=4-8), so the searchable index is
+  // 30-60x smaller than the corpus, and probe distances are additive
+  // lookups (ADC) into a per-query table instead of full-vector math.
+  // The quantization metric is L2 (reconstruction error), via the native
+  // codegen'd graft_l2sq.
+  // ----------------------------------------------------------------
+
+  /** A trained (or seed) PQ codebook: `books(s)(c)` is centroid `c` of
+    * subspace `s`, dense code ids 0..ksub-1 assigned in ascending
+    * seed-cell-id order (the same md5-seed contract as IVF/k-means —
+    * `seedIds` records which corpus rows seeded the books). Driver-held
+    * by construction: m × ksub × dsub floats is the model IVF-PQ always
+    * keeps resident. */
+  case class PqCodebook(dim: Int, m: Int, ksub: Int,
+                        seedIds: Seq[Long], books: Seq[Seq[Seq[Float]]]) {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ksub > 0 && ksub <= 256, s"ksub=$ksub must be in [1, 256]")
+    def dsub: Int = dim / m
+  }
+
+  /** The codebook as a broadcastable local relation (sub, idx, centroid). */
+  private def booksDF(corpus: DataFrame, cb: PqCodebook): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cb.books.zipWithIndex.flatMap { case (bk, s) =>
+      bk.zipWithIndex.map { case (c, i) => (s, i.toLong, c) }
+    }.toDF("sub", "idx", "centroid")
+  }
+
+  /** (id, sub, subvec) exploded view: each row becomes its m subspace
+    * slices — a generator, not a shuffle. */
+  private def pqSlices(df: DataFrame, idCol: String, vecCol: String,
+                       cb: PqCodebook): DataFrame =
+    df.select(col(idCol).as("__pq_id"),
+      posexplode(array((0 until cb.m).map(s =>
+        slice(col(vecCol), s * cb.dsub + 1, cb.dsub)): _*)).as(Seq("sub", "subvec")))
+
+  /** Rounded micro-unit L2²: one rounding, mirrorable in SQL as
+    * `CAST(round(l2 * 1e6, 0) AS BIGINT)` — integer from here on, so
+    * every downstream comparison and ADC sum is engine-exact. */
+  private def d6(a: Column, b: Column): Column =
+    round(l2sq(a, b) * 1e6, 0).cast(LongType)
+
+  /** Nearest-codebook-entry assignment, all subspaces in ONE pass:
+    * slices × broadcast codebook, micro-L2² packed with the dense code
+    * into one long (same HashAggregate-argmax trick as [[assignCells]],
+    * negated for argmin), partial max map-side, one exchange on
+    * (id, sub). Ties at equal rounded distance go to the SMALLER code id.
+    * Returns (__pq_id, sub, code). */
+  private def pqAssign(df: DataFrame, idCol: String, vecCol: String,
+                       cb: PqCodebook): DataFrame = {
+    val mask = (1L << 21) - 1
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    pqSlices(df.repartition(par), idCol, vecCol, cb)
+      .join(broadcast(booksDF(df, cb).select(col("sub"), col("idx"), col("centroid"))), Seq("sub"))
+      .select(col("__pq_id"), col("sub"),
+        (shiftleft(-d6(col("subvec"), col("centroid")), 21) +
+          (lit(mask) - col("idx"))).as("__packed"))
+      .groupBy("__pq_id", "sub")
+      .agg(max(col("__packed")).as("__mp"))
+      .select(col("__pq_id"), col("sub"),
+        (lit(mask) - (col("__mp").bitwiseAND(mask))).as("code"))
+  }
+
+  /** Seed codebook — no training: the `ksub` corpus vectors with the
+    * smallest md5(id) (the [[seedCentroids]] contract), each SLICED into
+    * its m subspaces. Deterministic and fully SQL-mirrorable; the
+    * starting point [[pqTrain]] refines. */
+  def pqSeedBooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, m: Int, ksub: Int): PqCodebook = {
+    val seeds = collectSeeds(corpus, idCol, vecCol, ksub).sortBy(_._1)
+    val dsub = dim / m
+    PqCodebook(dim, m, ksub, seeds.map(_._1),
+      (0 until m).map(s => seeds.map(_._2.slice(s * dsub, s * dsub + dsub))))
+  }
+
+  /** Lloyd's refinement of the PQ codebooks — every subspace trains in
+    * the same jobs (no per-subspace passes): per iteration ONE
+    * assignment over (n × m) slice rows and ONE micro-quantized exact
+    * mean per (sub, code, dim) ([[centroidComponents]] arithmetic), so
+    * the result is order- and engine-independent. Codes that capture no
+    * slices carry their centroid forward — the codebook always has
+    * exactly m × ksub entries. Driver holds only the model. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int, ksub: Int, iters: Int): PqCodebook = {
+    require(iters >= 0, s"iters must be >= 0 (got $iters)")
+    var cb = pqSeedBooks(corpus, idCol, vecCol, dim, m, ksub)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    for (_ <- 0 until iters) {
+      val sl = pqSlices(corpus.repartition(par), idCol, vecCol, cb)
+      val comps = sl
+        .join(pqAssign(corpus, idCol, vecCol, cb), Seq("__pq_id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("d", "x")))
+        .groupBy("sub", "code", "d")
+        // q40's micro-unit exact mean (see centroidComponents)
+        .agg(round(sum(round(col("x").cast(DoubleType) * 1e6, 0).cast("long"))
+            .cast(DoubleType) / 1e6 / count(lit(1)), 6).as("c"))
+        .collect() // m × ksub × dsub rows — the model itself, driver-sized
+      val byKey = comps.map(r =>
+        (r.getInt(0), r.getLong(1), r.getInt(2)) -> r.getDouble(3).toFloat).toMap
+      cb = cb.copy(books = cb.books.zipWithIndex.map { case (bk, s) =>
+        bk.zipWithIndex.map { case (prev, c) =>
+          prev.indices.map(di =>
+            byKey.getOrElse((s, c.toLong, di), prev(di))).toSeq
+        }
+      })
+    }
+    cb
+  }
+
+  /** PQ-encode the corpus: (id, sub, code) exploded rows — the
+    * persistable compressed index (write partitioned however the probe
+    * side joins; at m bytes a vector it is the only corpus-sized thing a
+    * probe ever touches). */
+  def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+              cb: PqCodebook): DataFrame =
+    pqAssign(corpus, idCol, vecCol, cb)
+      .select(col("__pq_id").as(idCol), col("sub"), col("code"))
+
+  /** [[pqCodes]] assembled to one row per vector, codes as a tinyint
+    * array ordered by subspace — the storage-shaped form (m bytes). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               cb: PqCodebook): DataFrame = {
+    require(cb.ksub <= 128, "tinyint codes need ksub <= 128")
+    pqAssign(corpus, idCol, vecCol, cb)
+      .groupBy(col("__pq_id").as(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        _.getField("code").cast("byte")).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: each query computes its m × ksub
+    * micro-L2² lookup table against the codebook (exact, full-precision
+    * query side — the "asymmetric" in ADC), then every encoded corpus
+    * vector's approximate distance is the SUM of m integer lookups.
+    * Plan: LUT = bounded query batch × broadcast codebook; the corpus
+    * side joins the broadcast LUT on (sub, code) and aggregates — the
+    * full vectors are never read at probe time. `adist6` is the exact
+    * integer micro-distance (engine-reproducible); ranking ascends
+    * adist6 with ties to the smaller neighbor id. */
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame, idCol: String,
+                vecCol: String, cb: PqCodebook, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lut = pqSlices(queries, idCol, vecCol, cb)
+      .join(broadcast(booksDF(queries, cb)), Seq("sub"))
+      .select(col("__pq_id").as("query_id"), col("sub"),
+        col("idx").as("code"), d6(col("subvec"), col("centroid")).as("d6"))
+    codes
+      .select(col(idCol).as("neighbor_id"), col("sub"), col("code"))
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("d6")).as("adist6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist6").asc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist6", "rank")
+  }
+
+  /** Exact L2 top-k (brute force) — the recall baseline for the PQ path,
+    * same ranking determinism contract as [[bruteForceTopK]] but in the
+    * quantization metric. */
+  def bruteForceL2TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist6", round(l2sq(col("qv"), col("cv")) * 1e6, 0).cast(LongType))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist6").asc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dist6", "rank")
+  }
+
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               k: Int, planes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window

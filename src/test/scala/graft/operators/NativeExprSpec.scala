@@ -23,6 +23,22 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("ArrayL2Sq == HOF squared distance, bit-identical") {
+    import org.apache.spark.sql.types.DoubleType
+    def l2Hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a, b, (x, y) =>
+          (x.cast(DoubleType) - y.cast(DoubleType)) *
+            (x.cast(DoubleType) - y.cast(DoubleType))),
+        lit(0.0), (acc, x) => acc + x)
+    val pairs = emb.limit(30).select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.limit(30).select(col("embedding").as("b")))
+    val diff = pairs.select(
+      (graft.functions.l2sq(col("a"), col("b")) =!= l2Hof(col("a"), col("b"))).as("d"))
+      .filter(col("d")).count()
+    assert(diff == 0)
+  }
+
   test("SignBucket == HOF signBucket") {
     val diff = emb.select(
       (Similarity.signBucket(col("embedding"), 8) =!=

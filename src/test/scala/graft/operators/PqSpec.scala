@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Product quantization: seed-codebook contract, plain-Scala argmin
+  * mirror of the packed-long assignment, Lloyd's update exactness,
+  * encode/codes consistency, the ADC==exact degeneracy at full-resolution
+  * codebooks, recall against the L2 brute-force baseline, and the plan
+  * shapes (HashAggregate argmin, broadcast LUT, no nested loop). */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb =
+    graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+  private lazy val vecs: Map[Long, Seq[Float]] =
+    emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+
+  // ---- plain-Scala mirrors of the engine arithmetic ----
+  private def l2sqScala(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.size, b.size)
+    while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    acc
+  }
+  private def d6Scala(a: Seq[Float], b: Seq[Float]): Long =
+    BigDecimal(l2sqScala(a, b) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  private def codeOf(sub: Seq[Float], book: Seq[Seq[Float]]): Int =
+    book.zipWithIndex.map { case (c, i) => (d6Scala(sub, c), i) }.min._2
+
+  test("pqSeedBooks: md5-smallest seed rows, sliced, dense ids ascending") {
+    val cb = Similarity.pqSeedBooks(emb, "vec_id", "embedding",
+      dim = 64, m = 4, ksub = 8)
+    assert(cb.dsub == 16 && cb.books.size == 4 && cb.books.forall(_.size == 8))
+    // seed rows are exactly the kmeans iters=0 seed table, ascending id
+    val kseeds = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+      nlist = 8, iters = 0).sortBy(_._1)
+    assert(cb.seedIds == kseeds.map(_._1))
+    for (s <- 0 until 4; c <- 0 until 8)
+      assert(cb.books(s)(c) == kseeds(c)._2.slice(s * 16, s * 16 + 16),
+        s"sub $s code $c is not the slice of seed ${cb.seedIds(c)}")
+  }
+
+  test("pqCodes == plain-Scala argmin over the codebook (all 500 vectors)") {
+    val cb = Similarity.pqSeedBooks(emb, "vec_id", "embedding", 64, 4, 8)
+    val got = Similarity.pqCodes(emb, "vec_id", "embedding", cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.size == vecs.size * 4)
+    for ((id, v) <- vecs; s <- 0 until 4) {
+      val expect = codeOf(v.slice(s * 16, s * 16 + 16), cb.books(s))
+      assert(got((id, s)) == expect.toLong, s"vec $id sub $s")
+    }
+  }
+
+  test("pqEncode arrays agree with exploded codes, tinyint, sub-ordered") {
+    val cb = Similarity.pqSeedBooks(emb, "vec_id", "embedding", 64, 4, 8)
+    val exploded = Similarity.pqCodes(emb, "vec_id", "embedding", cb)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getLong(2).toByte).toSeq }
+    val packed = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(packed == exploded)
+  }
+
+  test("pqTrain one iteration == plain-Scala Lloyd step (micro-exact means)") {
+    val cb0 = Similarity.pqSeedBooks(emb, "vec_id", "embedding", 64, 4, 8)
+    val cb1 = Similarity.pqTrain(emb, "vec_id", "embedding", 64, 4, 8, iters = 1)
+    // mirror: assign every slice with the argmin above, then the q40
+    // micro-quantized mean per (sub, code, dim); empty codes carry
+    for (s <- 0 until 4) {
+      val members = vecs.toSeq.map { case (_, v) =>
+        val sub = v.slice(s * 16, s * 16 + 16)
+        (codeOf(sub, cb0.books(s)), sub)
+      }.groupBy(_._1)
+      for (c <- 0 until 8) {
+        members.get(c) match {
+          case Some(rows) =>
+            val subs = rows.map(_._2)
+            val expect = (0 until 16).map { d =>
+              val micro = subs.map(v => BigDecimal(v(d).toDouble * 1e6)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+              BigDecimal(micro.toDouble / 1e6 / subs.size)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toFloat
+            }
+            assert(cb1.books(s)(c) == expect, s"sub $s code $c (n=${subs.size})")
+          case None =>
+            assert(cb1.books(s)(c) == cb0.books(s)(c), s"sub $s code $c carry")
+        }
+      }
+    }
+  }
+
+  test("ADC degeneracy: m=1, ksub=n on a subset == exact L2 brute force") {
+    val sub = emb.filter(col("vec_id") < 50)
+    val cb = Similarity.pqSeedBooks(sub, "vec_id", "embedding", 64, 1, 50)
+    val codes = Similarity.pqCodes(sub, "vec_id", "embedding", cb)
+    val q = sub.filter(col("vec_id") < 5)
+    val adc = Similarity.pqAdcTopK(q, codes, "vec_id", "embedding", cb, k = 10)
+      .withColumnRenamed("adist6", "dist6")
+    val exact = Similarity.bruteForceL2TopK(q, sub, "vec_id", "embedding", k = 10)
+    assert(adc.exceptAll(exact).isEmpty && exact.exceptAll(adc).isEmpty)
+  }
+
+  test("trained ADC recall@10 beats the seed codebook and a floor; training is deterministic") {
+    // the synthetic embeddings are clusterless — PQ's worst case — so
+    // recall wants fine subspaces: m=16, ksub=32 measures 0.455 trained
+    // vs 0.27x seeded (tools.PqProbe); everything is deterministic, the
+    // floors only leave margin for fixture regeneration
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceL2TopK(q, emb, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(cb: Similarity.PqCodebook): Double = {
+      val codes = Similarity.pqCodes(emb, "vec_id", "embedding", cb)
+      val adc = Similarity.pqAdcTopK(q, codes, "vec_id", "embedding", cb, k = 10)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (adc & exact).size.toDouble / exact.size
+    }
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", 64, 16, 32, iters = 2)
+    val cb2 = Similarity.pqTrain(emb, "vec_id", "embedding", 64, 16, 32, iters = 2)
+    assert(cb.books == cb2.books, "training is not deterministic")
+    val trained = recallOf(cb)
+    val seeded = recallOf(Similarity.pqSeedBooks(emb, "vec_id", "embedding", 64, 16, 32))
+    assert(trained >= 0.40, f"trained recall@10 = $trained%.3f")
+    assert(trained > seeded, f"training did not help: $trained%.3f <= $seeded%.3f")
+  }
+
+  test("plan: assignment is a HashAggregate argmin off a broadcast codebook") {
+    val cb = Similarity.pqSeedBooks(emb, "vec_id", "embedding", 64, 4, 8)
+    val plan = Similarity.pqCodes(emb, "vec_id", "embedding", cb)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+  }
+
+  test("plan: ADC probe never touches corpus vectors — LUT broadcast, no nested loop") {
+    val cb = Similarity.pqSeedBooks(emb, "vec_id", "embedding", 64, 4, 8)
+    val codes = Similarity.pqCodes(emb, "vec_id", "embedding", cb)
+    val q = emb.filter(col("vec_id") < 5)
+    val plan = Similarity.pqAdcTopK(q, codes, "vec_id", "embedding", cb, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+}
