@@ -841,6 +841,20 @@ object SparkEntry {
         "vec_id", "embedding", cb, k = 5)
     }),
 
+    // ---- ANN: the composed IVF-PQ index at nprobe = nlist — the cell
+    //      restriction is a no-op, so the result must equal q98 exactly
+    //      (same oracle SQL); partial-nprobe recall is spec-tested
+    "q99_ivfpq_probeall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeds = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+        nlist = 8, iters = 0)
+      val cb = Similarity.pqSeedBooks(emb, "vec_id", "embedding",
+        dim = 64, m = 4, ksub = 8)
+      val index = Similarity.ivfPqBuild(emb, "vec_id", "embedding", seeds, cb)
+      Similarity.ivfPqProbe(index, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nprobe = 8)
+    }),
+
     // ---- ANN: TRAINED centroids — two Lloyd's iterations refining the
     //      md5 seed table (assignment = the q49/q72 argmax contract;
     //      update = the q40 micro-quantized exact mean, cast back to
@@ -1142,6 +1156,42 @@ object SparkEntry {
         i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
              * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))""")}
         * 1000000, 0) AS BIGINT)"""
+  /** The flat-ADC mirror (q98), shared verbatim by q99's probe-all
+    * IVF-PQ (cell restriction at nprobe = nlist is a no-op): seed books,
+    * per-(vector, subspace) argmin encode, per-query micro-L2² LUT,
+    * candidate distance = exact integer sum of m lookups, rank ascending
+    * with ties to the smaller neighbor id. */
+  private lazy val PQ_ADC_SQL: String =
+    s"""WITH s0 AS (
+         SELECT vec_id AS cell, embedding AS c FROM embeddings
+         ORDER BY ${H32("CAST(vec_id AS VARCHAR)")}, vec_id
+         LIMIT 8),
+       bk AS (SELECT row_number() OVER (ORDER BY cell) - 1 AS idx, c FROM s0),
+       sv AS (SELECT vec_id, g.sub,
+                     list_slice(embedding, g.sub*16 + 1, g.sub*16 + 16) AS a
+              FROM embeddings, (SELECT unnest(range(0, 4)) AS sub) g),
+       sc AS (SELECT sv.vec_id, sv.sub, bk.idx,
+                     ${L2D6("sv.a", "list_slice(bk.c, sv.sub*16 + 1, sv.sub*16 + 16)")} AS d6
+              FROM sv CROSS JOIN bk),
+       codes AS (SELECT vec_id, sub, idx AS code
+                 FROM (SELECT vec_id, sub, idx,
+                              row_number() OVER (PARTITION BY vec_id, sub
+                                                 ORDER BY d6, idx) AS rn
+                       FROM sc)
+                 WHERE rn = 1),
+       lut AS (SELECT sc.vec_id AS query_id, sc.sub, sc.idx AS code, sc.d6
+               FROM sc WHERE sc.vec_id < 5),
+       agg AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+                      CAST(SUM(l.d6) AS BIGINT) AS adist6
+               FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+               WHERE l.query_id <> c.vec_id
+               GROUP BY 1, 2),
+       rk AS (SELECT *, CAST(row_number() OVER
+                (PARTITION BY query_id ORDER BY adist6, neighbor_id)
+                AS INT) AS rank
+              FROM agg)
+       SELECT query_id, neighbor_id, adist6, rank FROM rk WHERE rank <= 5"""
+
   /** TextAnalysis.qualityScore replicated term-by-term */
   private val QUALITY = {
     val nTok = s"CAST(len($TOKS) AS DOUBLE)"
@@ -2465,36 +2515,12 @@ object SparkEntry {
     // ADC probe: per-query LUT = micro-L2² of the query slice against
     // every codebook entry; candidate distance = exact integer sum of
     // its m code lookups; rank ascending with ties to the smaller id
-    "q98_pq_adc_topk" ->
-      s"""WITH s0 AS (
-           SELECT vec_id AS cell, embedding AS c FROM embeddings
-           ORDER BY ${H32("CAST(vec_id AS VARCHAR)")}, vec_id
-           LIMIT 8),
-         bk AS (SELECT row_number() OVER (ORDER BY cell) - 1 AS idx, c FROM s0),
-         sv AS (SELECT vec_id, g.sub,
-                       list_slice(embedding, g.sub*16 + 1, g.sub*16 + 16) AS a
-                FROM embeddings, (SELECT unnest(range(0, 4)) AS sub) g),
-         sc AS (SELECT sv.vec_id, sv.sub, bk.idx,
-                       ${L2D6("sv.a", "list_slice(bk.c, sv.sub*16 + 1, sv.sub*16 + 16)")} AS d6
-                FROM sv CROSS JOIN bk),
-         codes AS (SELECT vec_id, sub, idx AS code
-                   FROM (SELECT vec_id, sub, idx,
-                                row_number() OVER (PARTITION BY vec_id, sub
-                                                   ORDER BY d6, idx) AS rn
-                         FROM sc)
-                   WHERE rn = 1),
-         lut AS (SELECT sc.vec_id AS query_id, sc.sub, sc.idx AS code, sc.d6
-                 FROM sc WHERE sc.vec_id < 5),
-         agg AS (SELECT l.query_id, c.vec_id AS neighbor_id,
-                        CAST(SUM(l.d6) AS BIGINT) AS adist6
-                 FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
-                 WHERE l.query_id <> c.vec_id
-                 GROUP BY 1, 2),
-         rk AS (SELECT *, CAST(row_number() OVER
-                  (PARTITION BY query_id ORDER BY adist6, neighbor_id)
-                  AS INT) AS rank
-                FROM agg)
-         SELECT query_id, neighbor_id, adist6, rank FROM rk WHERE rank <= 5""",
+    "q98_pq_adc_topk" -> PQ_ADC_SQL,
+
+    // IVF-PQ at nprobe = nlist: the coarse-cell restriction passes every
+    // candidate through, so the contract is exact equality with the flat
+    // ADC scan — one mirror serves both
+    "q99_ivfpq_probeall" -> PQ_ADC_SQL,
 
     // unkeyed interval containment — the bucketization is internal to
     // the engine, so the mirror is the plain range predicate

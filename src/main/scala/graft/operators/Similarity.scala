@@ -560,6 +560,60 @@ object Similarity {
       .select("query_id", "neighbor_id", "adist6", "rank")
   }
 
+  /** The full IVF-PQ index: coarse cells for pruning + PQ codes for
+    * compression, CO-LOCATED — `codes` rows are (cell, neighbor_id, sub,
+    * code), so a probe restricted to its nprobe cells prunes at the scan
+    * (write partitioned by `cell` and partition pruning does it for
+    * free) and never shuffles, scans, or even stores full vectors. This
+    * is the production ANN shape at 100 TB: ~nprobe/nlist of an index
+    * that is itself 30-60× smaller than the corpus. */
+  case class IvfPqIndex(seeds: Seq[(Long, Seq[Float])], cb: PqCodebook,
+                        codes: DataFrame)
+
+  /** Build the [[IvfPqIndex]]: one coarse cell assignment + one PQ
+    * encode over the corpus (both packed-long HashAggregate argmins off
+    * broadcast tables), joined on the id — the only corpus-keyed join of
+    * the index's lifetime, paid once at build. */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                 seeds: Seq[(Long, Seq[Float])], cb: PqCodebook): IvfPqIndex = {
+    val cells = assignCells(corpus, idCol, vecCol, seeds)
+      .select(col("__assign_id").as("__pq_id"), col("cell"))
+    val codes = pqAssign(corpus, idCol, vecCol, cb)
+      .join(cells, Seq("__pq_id"))
+      .select(col("cell"), col("__pq_id").as("neighbor_id"),
+        col("sub"), col("code"))
+    IvfPqIndex(seeds, cb, codes)
+  }
+
+  /** IVF-PQ probe: each query's candidates are the code rows of its
+    * `nprobe` nearest coarse cells (broadcast probe set, cell equi-join);
+    * their distances come from the broadcast per-query ADC LUT — m
+    * integer lookups per candidate, zero full-vector reads. With
+    * nprobe = nlist the cell restriction is a no-op and the result is
+    * exactly [[pqAdcTopK]] over the same codebook (the oracle-checked
+    * configuration); recall at nprobe < nlist is spec-tested. */
+  def ivfPqProbe(index: IvfPqIndex, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cellsOf = cellsNearestFirst(index.seeds)
+    val probes = queries.select(col(idCol).as("query_id"),
+      explode(slice(cellsOf(col(vecCol)), 1, nprobe)).as("cell"))
+    val lut = pqSlices(queries, idCol, vecCol, index.cb)
+      .join(broadcast(booksDF(queries, index.cb)), Seq("sub"))
+      .select(col("__pq_id").as("query_id"), col("sub"),
+        col("idx").as("code"), d6(col("subvec"), col("centroid")).as("d6"))
+    index.codes
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("d6")).as("adist6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist6").asc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist6", "rank")
+  }
+
   /** Exact L2 top-k (brute force) — the recall baseline for the PQ path,
     * same ranking determinism contract as [[bruteForceTopK]] but in the
     * quantization metric. */

@@ -133,6 +133,62 @@ class PqSpec extends AnyFunSuite {
     assert(trained > seeded, f"training did not help: $trained%.3f <= $seeded%.3f")
   }
 
+  test("ivfPqProbe at nprobe = nlist == flat pqAdcTopK (cell restriction is a no-op)") {
+    val cb = Similarity.pqSeedBooks(emb, "vec_id", "embedding", 64, 4, 8)
+    val seeds = Similarity.kmeansTrain(emb, "vec_id", "embedding", nlist = 8, iters = 0)
+    val index = Similarity.ivfPqBuild(emb, "vec_id", "embedding", seeds, cb)
+    val q = emb.filter(col("vec_id") < 5)
+    val composed = Similarity.ivfPqProbe(index, q, "vec_id", "embedding", k = 5, nprobe = 8)
+    val flat = Similarity.pqAdcTopK(q,
+      Similarity.pqCodes(emb, "vec_id", "embedding", cb), "vec_id", "embedding", cb, k = 5)
+    assert(composed.exceptAll(flat).isEmpty && flat.exceptAll(composed).isEmpty)
+  }
+
+  test("ivfPqProbe partial nprobe: subset of probe-all, k rows per query, recall holds") {
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", 64, 16, 32, iters = 1)
+    val seeds = Similarity.kmeansTrain(emb, "vec_id", "embedding", nlist = 8, iters = 1)
+    val index = Similarity.ivfPqBuild(emb, "vec_id", "embedding", seeds, cb)
+    val q = emb.filter(col("vec_id") < 20)
+    def pairs(nprobe: Int) =
+      Similarity.ivfPqProbe(index, q, "vec_id", "embedding", k = 10, nprobe = nprobe)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = pairs(8)
+    val half = pairs(4)
+    // every query still fills k rows (cells hold plenty of candidates)
+    assert(half.size == all.size)
+    // partial probe agrees with probe-all on most of the shortlist — the
+    // coarse quantizer only redirects the tail (deterministic fixture)
+    assert((half & all).size.toDouble / all.size >= 0.5,
+      s"overlap ${(half & all).size}/${all.size}")
+  }
+
+  test("plan: ivfPq probe is broadcast-only until the candidate aggregate") {
+    val cb = Similarity.pqSeedBooks(emb, "vec_id", "embedding", 64, 4, 8)
+    val seeds = Similarity.kmeansTrain(emb, "vec_id", "embedding", nlist = 8, iters = 0)
+    val index = Similarity.ivfPqBuild(emb, "vec_id", "embedding", seeds, cb)
+    // persist the built index the way production would (write/read or
+    // cache): the probe plan must then contain no corpus-sized exchange
+    val mat = index.copy(codes = index.codes.persist())
+    mat.codes.count()
+    try {
+      val plan = Similarity.ivfPqProbe(mat, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      // audit only the PROBE plan — everything above the cached index's
+      // InMemoryRelation (the stored BUILD plan is inlined below it, and
+      // legitimately contains the corpus x seed-table broadcast
+      // nested-loop expansion)
+      val probePart = plan.split("InMemoryRelation").head
+      assert(!probePart.contains("CartesianProduct") &&
+        !probePart.contains("NestedLoop"), plan)
+      // exactly one shuffle: the (query, neighbor) distance aggregate —
+      // probes and LUT arrive by broadcast
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(probePart).size
+      assert(shuffles == 1, s"$shuffles shuffles\n$plan")
+    } finally mat.codes.unpersist()
+  }
+
   test("plan: assignment is a HashAggregate argmin off a broadcast codebook") {
     val cb = Similarity.pqSeedBooks(emb, "vec_id", "embedding", 64, 4, 8)
     val plan = Similarity.pqCodes(emb, "vec_id", "embedding", cb)
