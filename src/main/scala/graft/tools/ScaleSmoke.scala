@@ -300,6 +300,80 @@ object ScaleSmoke {
       queries.unpersist(); e.unpersist()
     }
 
+    // ---- temporal-join leg ("asofJoin"/"rangeJoin"): events replicated
+    // N× with replica-unique users AND a per-replica time shift larger
+    // than any window — per-key history and window populations stay
+    // constant while keys/rows grow (the bounded regime of a growing
+    // event log). asofJoin is one keyed exchange + sort, so wall must
+    // track rows ~linearly with output rows EXACTLY linear; rangeJoin's
+    // bucketized pair space is confined within replicas by the shift, so
+    // matched pairs are exactly linear too — anything quadratic (the
+    // theta-join formulations both operators replace) blows up instead.
+    lazy val events = graft.Tables(spark, sfDir, "events")
+    def evReplicated(n: Int) = {
+      val span = 32L * 86400L * 1000000L // > the fixture's 30-day spread
+      events.withColumn("rep", explode(sequence(lit(0), lit(n - 1))))
+        .select(
+          (col("event_id") * n + col("rep")).as("event_id"),
+          timestamp_micros(unix_micros(col("ts")) + col("rep") * span).as("ts"),
+          (col("user_id") * n + col("rep")).as("user_id"),
+          col("event_type"), col("value"))
+    }
+    for (n <- mults if Seq("asofJoin", "rangeJoin").exists(enabled)) {
+      import graft.operators.Joins
+      val ev = evReplicated(n).persist()
+      val total = ev.count()
+      val asofMatched = timeIf("asofJoin") {
+        Joins.asofJoin(
+          ev.filter(col("event_type") === "purchase")
+            .select("event_id", "ts", "user_id", "value"),
+          ev.filter(col("event_type") === "click"),
+          Seq("user_id"), "ts", "ts", Seq("event_id", "value"), "event_id")
+          .filter(col("asof_event_id").isNotNull).count()
+      }
+      val rangePairs = timeIf("rangeJoin") {
+        val win = 600L * 1000000L
+        val errs = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("ts").as("win_start"),
+            timestamp_micros(unix_micros(col("ts")) + win).as("win_end"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("buy_id"), col("ts").as("buy_ts"))
+        Joins.rangeJoin(buys, "buy_ts", errs, "win_start", "win_end", win).count()
+      }
+      println(s"mult=$n  events=$total  asofMatched=$asofMatched " +
+        s"rangePairs=$rangePairs")
+      ev.unpersist()
+    }
+
+    // ---- PQ leg ("pqEncode"/"pqAdc"): the codebook trains on a FIXED
+    // slice (replica 0 — the model does not grow with the corpus) while
+    // encode sweeps the whole corpus (n × m slice-argmin rows off a
+    // broadcast codebook — must track rows ~linearly) and the ADC probe
+    // serves a FIXED 20-query batch against the full code table (q × n
+    // × m integer lookups, q constant — linear in n, never touching a
+    // full vector). Code-table rows are printed as the compression
+    // evidence: m small ints per vector at every mult.
+    for (n <- mults if Seq("pqEncode", "pqAdc").exists(enabled)) {
+      import graft.operators.Similarity
+      val e = embReplicated(n).persist()
+      val total = e.count()
+      val cb = Similarity.pqTrain(e.filter(col("vec_id") % n === 0),
+        "vec_id", "embedding", dim = 64, m = 8, ksub = 32, iters = 2)
+      var codes: org.apache.spark.sql.DataFrame = null
+      val codeRows = timeIf("pqEncode") {
+        codes = Similarity.pqCodes(e, "vec_id", "embedding", cb).persist()
+        codes.count()
+      }
+      val adc = if (codes == null) -1L else timeIf("pqAdc") {
+        val queries = e.filter(col("vec_id") % n === 0).limit(20)
+        Similarity.pqAdcTopK(queries, codes, "vec_id", "embedding", cb, k = 10)
+          .count()
+      }
+      if (codes != null) codes.unpersist()
+      println(s"mult=$n  vecs=$total  pqCodeRows=$codeRows  adcTopK=$adc")
+      e.unpersist()
+    }
+
     // ---- k-means training leg ("kmeansTrain"): per-iteration cost is
     // one broadcast-join assignment (n × nlist cosines, map-side
     // argmax) plus one (n × dim)-row component aggregate — both
