@@ -69,7 +69,19 @@ class JobBudgetSpec extends AnyFunSuite {
     // 1 seed TakeOrdered + 2 × (assignment agg + component collect):
     // 18 measured; the ceiling catches a per-iteration job blowup
     // (each extra job here is a full corpus pass per Lloyd's round)
-    "q92_kmeans" -> 36L
+    "q92_kmeans" -> 36L,
+    // one keyed-window shuffle, no aux jobs: 3 measured — an extra job
+    // here means the sweep gained an eager probe or a second pass
+    "q94_asof_join" -> 8L,
+    // bucketize + equi-join + containment filter: 4 measured
+    "q96_range_join" -> 10L,
+    // 1 seed TakeOrdered + broadcast build + assignment agg: 7 measured
+    "q97_pq_codes" -> 14L,
+    // codes + per-query LUT broadcast + candidate agg: 10 measured
+    "q98_pq_adc_topk" -> 20L,
+    // composed build (cells + codes) + probe: 16 measured; each extra
+    // job at cluster scale is a full corpus or code-table pass
+    "q99_ivfpq_probeall" -> 32L
   )
 
   for ((q, budget) <- budgets)
