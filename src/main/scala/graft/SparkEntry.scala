@@ -783,6 +783,21 @@ object SparkEntry {
         payload = Seq("event_id", "value"), tieCol = "event_id")
     }),
 
+    // ---- JOIN: the stream-compatible as-of form — right side collapsed
+    //      to one sorted array per key, match = array lookup at the scan
+    //      (no window over the left side, so Structured Streaming can run
+    //      it; StreamingSpec asserts streamed == batch). Same semantics
+    //      as q94, same oracle.
+    "q100_asof_static" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Joins.asofJoinStatic(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "ts", "user_id", "value"),
+        ev.filter(col("event_type") === "click"),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("event_id", "value"), tieCol = "event_id")
+    }),
+
     // ---- JOIN: as-of with tolerance — same sweep, but a click older
     //      than 1 hour is no match (stale state must not leak into the
     //      feature row); the tolerance is applied AFTER the sweep, so
@@ -1156,6 +1171,35 @@ object SparkEntry {
         i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
              * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))""")}
         * 1000000, 0) AS BIGINT)"""
+  /** The as-of mirror (q94), shared verbatim by q100's stream-compatible
+    * array-lookup form (identical semantics, different physical shape):
+    * the SAME union-and-sweep the engine's q94 runs — right rows sort
+    * before left rows at an equal timestamp (<= semantics), equal-ts
+    * right rows resolve to the max tie id, last_value(IGNORE NULLS)
+    * carries the latest click struct forward. */
+  private lazy val ASOF_SQL: String =
+    s"""WITH r AS (SELECT user_id, ts, event_id, value FROM events
+                   WHERE event_type = 'click'),
+       l AS (SELECT event_id, ts, user_id, value FROM events
+             WHERE event_type = 'purchase'),
+       u AS (SELECT user_id, ts AS t, 0 AS side, event_id AS tie,
+                    struct_pack(rts := ts, rid := event_id,
+                                rvalue := value) AS pay,
+                    NULL::BIGINT AS event_id, NULL::DOUBLE AS value,
+                    NULL::TIMESTAMP AS lts
+             FROM r
+             UNION ALL
+             SELECT user_id, ts AS t, 1 AS side, NULL AS tie, NULL AS pay,
+                    event_id, value, ts AS lts
+             FROM l),
+       c AS (SELECT *, last_value(pay IGNORE NULLS) OVER
+                (PARTITION BY user_id ORDER BY t, side, tie
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+             FROM u)
+       SELECT event_id, lts AS ts, user_id, value, m.rts AS asof_ts,
+              m.rid AS asof_event_id, m.rvalue AS asof_value
+       FROM c WHERE side = 1"""
+
   /** The flat-ADC mirror (q98), shared verbatim by q99's probe-all
     * IVF-PQ (cell restriction at nprobe = nlist is a no-op): seed books,
     * per-(vector, subspace) argmin encode, per-query micro-L2² LUT,
@@ -2437,28 +2481,12 @@ object SparkEntry {
     // runs: right rows sort before left rows at an equal timestamp
     // (<= semantics), equal-ts right rows resolve to the max tie id,
     // last_value(IGNORE NULLS) carries the latest click struct forward
-    "q94_asof_join" ->
-      s"""WITH r AS (SELECT user_id, ts, event_id, value FROM events
-                     WHERE event_type = 'click'),
-         l AS (SELECT event_id, ts, user_id, value FROM events
-               WHERE event_type = 'purchase'),
-         u AS (SELECT user_id, ts AS t, 0 AS side, event_id AS tie,
-                      struct_pack(rts := ts, rid := event_id,
-                                  rvalue := value) AS pay,
-                      NULL::BIGINT AS event_id, NULL::DOUBLE AS value,
-                      NULL::TIMESTAMP AS lts
-               FROM r
-               UNION ALL
-               SELECT user_id, ts AS t, 1 AS side, NULL AS tie, NULL AS pay,
-                      event_id, value, ts AS lts
-               FROM l),
-         c AS (SELECT *, last_value(pay IGNORE NULLS) OVER
-                  (PARTITION BY user_id ORDER BY t, side, tie
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
-               FROM u)
-         SELECT event_id, lts AS ts, user_id, value, m.rts AS asof_ts,
-                m.rid AS asof_event_id, m.rvalue AS asof_value
-         FROM c WHERE side = 1""",
+    "q94_asof_join" -> ASOF_SQL,
+
+    // the stream-compatible array-lookup form is semantically identical
+    // to the sweep (JoinsSpec/StreamingSpec pin it) — one mirror serves
+    // both
+    "q100_asof_static" -> ASOF_SQL,
 
     // the tolerance variant: identical sweep, then matches older than
     // 1 hour are nulled as a whole struct (all-or-nothing attachment)

@@ -116,6 +116,56 @@ object Joins {
         payload.map(c => m.getField(c).as(prefix + c)): _*)
   }
 
+  /** [[asofJoin]] against a BOUNDED-per-key static right side, in a form
+    * Structured Streaming can run: the right side is collapsed to one
+    * sorted (time, tie, payload) array per key, the left stream joins it
+    * with a plain stream-static equi-join, and the match is an array
+    * lookup — `element_at(filter(arr, rts <= ts), -1)` — evaluated per
+    * row at the scan. No window over the stream, no state store: the
+    * only state is the static side itself.
+    *
+    * Semantics are IDENTICAL to [[asofJoin]] (<= match, max `tieCol`
+    * among equal timestamps, whole-struct attachment, tolerance,
+    * null-key/null-ts rows match nothing) — asserted row-for-row in
+    * JoinsSpec (batch) and StreamingSpec (streamed left side).
+    *
+    * Contract: the right side must be per-key BOUNDED (a dimension's
+    * state history, not another event stream) — each key's full history
+    * becomes one array row. For stream×stream as-of, bound the right
+    * side by watermark/window first; for the batch-only unbounded case
+    * use [[asofJoin]], whose sweep never materializes a key's history
+    * in one row. */
+  def asofJoinStatic(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String, payload: Seq[String],
+                     tieCol: String, prefix: String = "asof_",
+                     toleranceUs: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "asofJoinStatic needs at least one equi-key")
+    require(payload.nonEmpty, "asofJoinStatic needs at least one payload column")
+    toleranceUs.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
+
+    val entry = struct(col(rightTs).as("__rts"), col(tieCol).as("__tie"),
+      struct(payload.map(col): _*).as("__p"))
+    val ragg = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(entry)).as("__arr"))
+
+    val joined = left.join(ragg, keys, "left")
+    val eligible = filter(col("__arr"), e => e.getField("__rts") <= col(leftTs))
+    // ANSI mode: element_at on an empty array errors — guard on size
+    val last = when(size(eligible) > 0, element_at(eligible, -1))
+    val inTolerance = toleranceUs match {
+      case Some(t) => unix_micros(col(leftTs)) -
+        unix_micros(last.getField("__rts")) <= t
+      case None => lit(true)
+    }
+    val m = when(col(leftTs).isNotNull && inTolerance, last)
+    joined.select(
+      left.columns.map(col) ++
+        Seq(m.getField("__rts").as(prefix + rightTs)) ++
+        payload.map(c => m.getField("__p").getField(c).as(prefix + c)): _*)
+  }
+
   /** Interval (range) join: every `points` row joins every `intervals`
     * row whose `[startCol, endCol]` (inclusive) contains its `ptCol` —
     * with NO equi-key required. Output is the pair space

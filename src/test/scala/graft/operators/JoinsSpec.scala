@@ -104,6 +104,29 @@ class JoinsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("asofJoinStatic == asofJoin on the hand fixture (all edges) and real events") {
+    def both(tol: Option[Long]) = (
+      Joins.asofJoin(buys, clicks, Seq("user_id"), "ts", "ts",
+        Seq("event_id", "value"), "event_id", toleranceUs = tol),
+      Joins.asofJoinStatic(buys, clicks, Seq("user_id"), "ts", "ts",
+        Seq("event_id", "value"), "event_id", toleranceUs = tol))
+    for (tol <- Seq(None, Some(60L * 1000000L))) {
+      val (sweep, static) = both(tol)
+      assert(static.columns.toSeq == sweep.columns.toSeq)
+      assert(static.exceptAll(sweep).isEmpty && sweep.exceptAll(static).isEmpty,
+        s"tol=$tol")
+    }
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    val l = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "ts", "user_id", "value")
+    val r = ev.filter(col("event_type") === "click")
+    val sweep = Joins.asofJoin(l, r, Seq("user_id"), "ts", "ts",
+      Seq("event_id", "value"), "event_id")
+    val static = Joins.asofJoinStatic(l, r, Seq("user_id"), "ts", "ts",
+      Seq("event_id", "value"), "event_id")
+    assert(static.exceptAll(sweep).isEmpty && sweep.exceptAll(static).isEmpty)
+  }
+
   test("rangeJoin == plain range predicate on real events (sf0.001)") {
     val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
     val win = 600L * 1000000L

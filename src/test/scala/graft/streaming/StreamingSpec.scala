@@ -200,6 +200,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("as-of enrichment of a stream against a static side == batch asofJoin") {
+    import graft.operators.Joins
+    val ev = graft.Tables(spark, TestSpark.sfDir, "events")
+    val l = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "ts", "user_id", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+    // the batch ground truth is the union-and-sweep operator itself
+    val batch = Joins.asofJoin(l, clicks, Seq("user_id"), "ts", "ts",
+      Seq("event_id", "value"), "event_id")
+    // stream the left side from a staged directory; right side static
+    val stream = Streams.readEvents(spark, eventsPath)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "ts", "user_id", "value")
+    val streamed = Streams.drainToMemory(spark,
+      Joins.asofJoinStatic(stream, clicks, Seq("user_id"), "ts", "ts",
+        Seq("event_id", "value"), "event_id"),
+      "asof_stream_test", complete = false)
+    assert(streamed.count() === l.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stateful firstSeen dedup emits exactly one row per key") {
     val stream = Streams.readEvents(spark, eventsPath)
     val deduped = StatefulStreams.firstSeen(stream, "user_id", "event_id")
