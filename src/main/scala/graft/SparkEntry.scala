@@ -831,6 +831,21 @@ object SparkEntry {
         .select("err_id", "buy_id", "buy_ts")
     }),
 
+    // ---- STREAM(batch)/FEATURES: trailing rolling aggregate per event —
+    //      point-in-time training features (no future leakage), a RANGE-
+    //      frame window off one keyed shuffle, never a self-join
+    "q101_rolling_features" -> ((s, dir) =>
+      EventWindows.rolling(t(s, dir, "events"), "ts", "user_id", "value",
+          windowUs = 3600L * 1000000L)
+        .select("event_id", "user_id", "n_trailing", "sum_trailing")),
+
+    // ---- TEXT: per-document top-k TF-IDF terms (keyword extraction) —
+    //      exploded-token tf, term-keyed df joined back, N as a lazy
+    //      broadcast scalar, top-k pruned via WindowGroupLimit
+    "q102_tfidf_topterms" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+        k = 3)),
+
     // ---- ANN: product-quantization encode — every embedding compressed
     //      to m=4 codebook ids (seed books = the md5-seed contract, so
     //      the whole assignment is SQL-mirrorable; training is pinned by
@@ -2516,6 +2531,38 @@ object SparkEntry {
          SELECT event_id, lts AS ts, user_id, value, m0.rts AS asof_ts,
                 m0.rid AS asof_event_id, m0.rvalue AS asof_value
          FROM tol WHERE side = 1""",
+
+    // trailing RANGE frame over epoch microseconds — inclusive both
+    // ends, equal-ts peers all count (the value-based frame contract in
+    // both engines); sum through DECIMAL(28,6) = graft.functions.dsum
+    "q101_rolling_features" ->
+      s"""SELECT event_id, user_id,
+         COUNT(*) OVER w AS n_trailing,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_trailing
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
+    // tf from exploded non-empty tokens, df over the (doc, term) pairs,
+    // smoothed idf = ln((N+1)/(df+1)) in double, score rounded to 6,
+    // rank ties to the smaller term
+    "q102_tfidf_topterms" ->
+      s"""WITH tf AS (
+           SELECT doc_id, tok AS term, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+           WHERE tok <> ''
+           GROUP BY 1, 2),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         nn AS (SELECT COUNT(*) AS n FROM documents),
+         sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+                       ROUND(CAST(tf.tf AS DOUBLE)
+                             * ln(CAST(n + 1 AS DOUBLE) / (df + 1)), 6) AS score
+                FROM tf JOIN dfreq USING (term) CROSS JOIN nn),
+         rk AS (SELECT *, CAST(row_number() OVER
+                  (PARTITION BY doc_id ORDER BY score DESC, term)
+                  AS INT) AS rank
+                FROM sc)
+         SELECT doc_id, term, tf, score, rank FROM rk WHERE rank <= 3""",
 
     // PQ encode: seed books = md5-smallest 8 vectors sliced into 4
     // subspaces, dense code ids in ascending seed-cell order; per

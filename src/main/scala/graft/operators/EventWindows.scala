@@ -55,6 +55,33 @@ object EventWindows {
         dsum(col(valueCol)).as("sum_value"))
   }
 
+  /** Trailing event-time rolling aggregate per ROW — the point-in-time
+    * training-feature generator ("how many events / how much value did
+    * this key produce in the last W?" attached to every event, with no
+    * future leakage): count and exact-decimal sum of `valueCol` over the
+    * same key's events with timestamps in `[ts - windowUs, ts]`
+    * (inclusive both ends; equal-timestamp peers all count, the RANGE-
+    * frame contract in every engine).
+    *
+    * ONE shuffle (the key) + a range-frame window — never the self-join
+    * a naive point-in-time formulation pays (each row joined to its
+    * trailing rows materializes the O(rows × window-population) pair
+    * space the frame walks incrementally). Skew bound = hottest key,
+    * same as any keyed window. */
+  def rolling(events: DataFrame, tsCol: String, keyCol: String,
+              valueCol: String, windowUs: Long): DataFrame = {
+    require(windowUs >= 0, s"windowUs must be >= 0, got $windowUs")
+    val w = Window.partitionBy(keyCol).orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowUs, 0)
+    // dsum's outer double-cast must wrap the WINDOWED sum (cast(...).over
+    // is not an aggregate), so the decimal sum attaches to the frame
+    // first — value-identical to graft.functions.dsum per frame
+    events
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .withColumn("sum_trailing",
+        sum(col(valueCol).cast("decimal(28,6)")).over(w).cast("double"))
+  }
+
   /** Top-k rows per group by a measure (rounded for cross-engine ties). */
   def topKPerGroup(df: DataFrame, keys: Seq[String], orderBy: Column,
                    tieBreak: Column, k: Int): DataFrame = {

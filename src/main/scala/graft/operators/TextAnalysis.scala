@@ -543,4 +543,41 @@ object TextAnalysis {
       .select(col(idCol)).distinct()
     df.join(broadcast(blockedIds), Seq(idCol), "left_anti")
   }
+
+  /** Per-document top-k terms by TF-IDF — the keyword extractor of a
+    * topic/quality triage pass. tf = the term's count in the document;
+    * idf = ln((N + 1) / (df + 1)) with df = documents containing the
+    * term (smoothed so corpus-universal terms score ~0 instead of
+    * dividing by zero); score = round(tf · idf, 6), ranked descending
+    * with ties to the lexicographically smaller term, exactly k kept
+    * (fewer only when the document has fewer distinct terms).
+    *
+    * Shape: one exploded-token (id, term) count, one term-keyed df
+    * aggregate joined back on the term (term cardinality ≪ token
+    * count; AQE broadcasts it when small), N as a broadcast 1-row
+    * aggregate (lazy — no job at plan construction), one per-document
+    * top-k window that plans as WindowGroupLimit (top-k prunes before
+    * materialization). Empty tokens are dropped, so a blank document
+    * contributes no rows on either engine. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__N"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf").cast(DoubleType) *
+        log((col("__N") + 1).cast(DoubleType) / (col("df") + 1)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score"), col("rank"))
+  }
 }
