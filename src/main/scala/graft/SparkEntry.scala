@@ -846,6 +846,43 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text",
         k = 3)),
 
+    // ---- TEXT: BM25 top-k retrieval — the sparse complement to the
+    //      dense ANN path; literal query set broadcast everywhere, the
+    //      corpus never shuffled by anything query-sized
+    "q103_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        queries = Seq(1 -> "spark window join",
+                      2 -> "hash merge sort stream",
+                      3 -> "vector column scan scan"),
+        k = 5)),
+
+    // ---- TEXT: top-k adjacent-bigram collocations by PMI — scan-level
+    //      index explode forms the pairs (no self-join), one (a,b)-keyed
+    //      count exchange, vocab-sized unigram joins, global top-k as
+    //      TakeOrderedAndProject
+    "q104_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 20L, k = 10)),
+
+    // ---- DEDUP: corpus-overlap estimate between the even- and odd-id
+    //      halves of the corpus via bottom-k (KMV) shingle sketches —
+    //      per corpus one distinct-aggregate + TakeOrdered(k), then
+    //      k-row arithmetic; power-of-two k keeps n/k binary-exact
+    "q105_corpus_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.corpusOverlap(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "text",
+        shingleN = 3, sketchK = 256)
+    }),
+
+    // ---- SAMPLING: leakage-safe 90/10 split — near-dup clusters share
+    //      one split assignment (split key = the q48 cluster rep), so no
+    //      paraphrase pair ever straddles train/test
+    "q106_leakage_safe_split" -> ((s, dir) =>
+      Sampling.leakageSafeSplit(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5, weights = Seq("train" -> 0.9, "test" -> 0.1))
+        .select(col("doc_id"), col("rep"), col("split"))),
+
     // ---- ANN: product-quantization encode — every embedding compressed
     //      to m=4 codebook ids (seed books = the md5-seed contract, so
     //      the whole assignment is SQL-mirrorable; training is pinned by
@@ -2563,6 +2600,124 @@ object SparkEntry {
                   AS INT) AS rank
                 FROM sc)
          SELECT doc_id, term, tf, score, rank FROM rk WHERE rank <= 3""",
+
+    // BM25: Lucene idf ln(1 + (N-df+0.5)/(df+0.5)), dl = per-doc token
+    // count, avgdl = total tokens / N; k1 = 1.2 mirrored as
+    // CAST(1.2 AS DOUBLE) so the IEEE arithmetic matches the engine's
+    // lit(k1) bit-for-bit; duplicate query terms count once
+    "q103_bm25_topk" ->
+      s"""WITH q(query_id, qtext) AS (VALUES
+           (1, 'spark window join'),
+           (2, 'hash merge sort stream'),
+           (3, 'vector column scan scan')),
+         qt AS (SELECT DISTINCT query_id, tok AS term FROM
+                  (SELECT query_id,
+                          unnest(string_split_regex(trim(qtext), '\\s+')) AS tok
+                   FROM q)
+                WHERE tok <> ''),
+         tok AS (SELECT doc_id, tok FROM
+                   (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+                 WHERE tok <> ''),
+         tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+                FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+         cand AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+                  FROM tf JOIN dl USING (doc_id)
+                  JOIN (SELECT DISTINCT term FROM qt) USING (term)),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM cand GROUP BY 1),
+         st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                       (SELECT CAST(COUNT(*) AS DOUBLE) FROM tok) AS toks),
+         sc AS (SELECT qt.query_id, cand.doc_id,
+                       ROUND(SUM(
+                         ln(1 + (n - df + 0.5) / (df + 0.5))
+                         * cand.tf * (CAST(1.2 AS DOUBLE) + 1.0)
+                         / (cand.tf + CAST(1.2 AS DOUBLE)
+                            * (0.25 + 0.75 * cand.dl / (toks / n)))), 6) AS score
+                FROM cand JOIN dfreq USING (term) JOIN qt USING (term)
+                CROSS JOIN st
+                GROUP BY 1, 2),
+         rk AS (SELECT *, CAST(row_number() OVER
+                  (PARTITION BY query_id ORDER BY score DESC, doc_id)
+                  AS INT) AS rank
+                FROM sc)
+         SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 5""",
+
+    // PMI collocations: adjacent bigrams from the filtered token LIST
+    // (index walk mirrors the engine's element_at explode), unigram and
+    // total counts over the same lists, pmi = ln((c_ab/B)/((c_a/T)(c_b/T)))
+    "q104_pmi_collocations" ->
+      s"""WITH tk AS (SELECT list_filter($TOKS, t -> t <> '') AS toks
+                      FROM documents),
+         uni AS (SELECT tok AS t, COUNT(*) AS c FROM
+                   (SELECT unnest(toks) AS tok FROM tk) GROUP BY 1),
+         big AS (SELECT toks[i] AS a, toks[i + 1] AS b, COUNT(*) AS c_ab
+                 FROM (SELECT toks,
+                              unnest(generate_series(1, len(toks) - 1)) AS i
+                       FROM tk WHERE len(toks) >= 2)
+                 GROUP BY 1, 2 HAVING COUNT(*) >= 20),
+         tot AS (SELECT (SELECT CAST(SUM(len(toks)) AS DOUBLE) FROM tk) AS tt,
+                        (SELECT CAST(SUM(greatest(len(toks) - 1, 0)) AS DOUBLE)
+                         FROM tk) AS bt),
+         sc AS (SELECT a, b, c_ab,
+                       ROUND(ln((c_ab / bt) /
+                                ((ua.c / tt) * (ub.c / tt))), 6) AS pmi
+                FROM big JOIN uni ua ON big.a = ua.t
+                         JOIN uni ub ON big.b = ub.t
+                CROSS JOIN tot)
+         SELECT a, b, c_ab, pmi,
+                CAST(row_number() OVER (ORDER BY pmi DESC, a, b) AS INT) AS rank
+         FROM sc ORDER BY pmi DESC, a, b LIMIT 10""",
+
+    // KMV corpus overlap: bottom-256 distinct 15-nibble md5 shingle
+    // hashes per half, union's bottom-256, common fraction; 256 = 2^8
+    // keeps n/k binary-exact so the ROUND is bit-stable cross-engine
+    "q105_corpus_overlap" ->
+      s"""WITH sh AS (SELECT doc_id, unnest($HSHINGLES3) AS h FROM documents),
+         sa AS (SELECT DISTINCT h FROM sh WHERE doc_id % 2 = 0
+                ORDER BY h LIMIT 256),
+         sb AS (SELECT DISTINCT h FROM sh WHERE doc_id % 2 = 1
+                ORDER BY h LIMIT 256),
+         u AS (SELECT DISTINCT h FROM
+                 (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+               ORDER BY h LIMIT 256),
+         uk AS (SELECT COUNT(*) AS union_k FROM u),
+         nc AS (SELECT COUNT(*) AS n_common FROM u
+                WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb))
+         SELECT union_k, n_common,
+                ROUND(CASE WHEN union_k = 0 THEN 0.0
+                      ELSE n_common / union_k END, 6) AS est_jaccard
+         FROM uk CROSS JOIN nc""",
+
+    // leakage-safe split: q48's cluster CTE verbatim, split key = rep
+    "q106_leakage_safe_split" ->
+      s"""WITH RECURSIVE sh AS (
+           SELECT doc_id AS id, $SHINGLES3 AS strsh, $HSHINGLES3 AS sh FROM documents),
+         sig AS (
+           SELECT id, sh, list_transform(range(0, 12),
+             j -> list_min(list_transform(hs, h -> ((j*2+1) * h + (j*7919+104729)) % 2147483647))) AS sig
+           FROM (SELECT id, sh, list_transform(strsh, s -> ${H32("s")}) AS hs FROM sh)),
+         bands AS (
+           SELECT id, sh, r.b,
+             ${H60("array_to_string(list_transform(sig[r.b*3+1 : r.b*3+3], x -> x::VARCHAR), ',')")} AS bkey
+           FROM sig, range(0, 4) r(b)),
+         pairs AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id
+           WHERE ${JACC("a.sh", "b.sh")} >= 0.5),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.id = e.v),
+         cc AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         rep AS (SELECT d.doc_id, COALESCE(cc.rep, d.doc_id) AS rep
+                 FROM documents d LEFT JOIN cc ON cc.id = d.doc_id)
+         SELECT doc_id, rep,
+                CASE WHEN ${H60("'graft' || CAST(rep AS VARCHAR)")} % 10000 < 9000
+                     THEN 'train' ELSE 'test' END AS split
+         FROM rep""",
 
     // PQ encode: seed books = md5-smallest 8 vectors sliced into 4
     // subspaces, dense code ids in ascending seed-cell order; per

@@ -957,4 +957,47 @@ object Dedup {
           (acc, sp) => acc + sp("span_end") - sp("span_start") + 1L), lit(0L))
           .as("n_tokens_removed"))
   }
+
+  /** Corpus-overlap estimate between two document sets via bottom-k
+    * (KMV) shingle sketches — "how much of crawl B is already in crawl
+    * A?" / "does the training mix overlap the eval pool?" answered
+    * without the corpus×corpus comparison an exact Jaccard pays. Each
+    * corpus is reduced to its `sketchK` SMALLEST distinct md5 shingle
+    * hashes; the union's bottom-k is a uniform sample of A∪B's shingle
+    * space, so `est_jaccard = |{h ∈ bottomK(A∪B) : h ∈ S_A ∩ S_B}| /
+    * |bottomK(A∪B)|` (the standard KMV Jaccard estimator, ±1/√k).
+    * Returns ONE row `(union_k, n_common, est_jaccard)`; est is exact
+    * Jaccard whenever both corpora have ≤ sketchK distinct shingles.
+    * Power-of-two `sketchK` keeps n/k binary-exact, so the rounded
+    * estimate is bit-stable across engines.
+    *
+    * Scale shape: per corpus ONE shingle-keyed distinct aggregate
+    * (map-side partial combine collapses repeats before the exchange)
+    * feeding TakeOrdered(k) — per-partition k then driver merge, never
+    * a global sort; everything after is k-row arithmetic. The sketch is
+    * tiny and deterministic, so it can be persisted and diffed against
+    * future crawls without re-reading A. */
+  def corpusOverlap(a: DataFrame, b: DataFrame, textCol: String,
+                    shingleN: Int = 3, sketchK: Int = 256): DataFrame = {
+    require(sketchK >= 1, s"sketchK must be >= 1, got $sketchK")
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    def sketch(df: DataFrame): DataFrame = df
+      .select(explode(call_function("graft_md5_hash_array",
+        wordShingles(col(textCol), shingleN), lit(15))).as("h"))
+      .distinct()
+      .orderBy(col("h").asc)
+      .limit(sketchK)
+    val sa = sketch(a)
+    val sb = sketch(b)
+    val u = sa.union(sb).distinct().orderBy(col("h").asc).limit(sketchK)
+    val uk = u.agg(count(lit(1)).as("union_k"))
+    val nc = u
+      .join(sa, Seq("h"), "left_semi")
+      .join(sb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("n_common"))
+    uk.crossJoin(nc).select(
+      col("union_k"), col("n_common"),
+      round(when(col("union_k") === 0, lit(0.0))
+        .otherwise(col("n_common") / col("union_k")), 6).as("est_jaccard"))
+  }
 }

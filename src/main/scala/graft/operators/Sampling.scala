@@ -143,4 +143,27 @@ object Sampling {
       .filter(col("__rk") <= k)
       .drop("__h", "__rk")
   }
+
+  /** Leakage-safe train/test split: near-duplicate documents always
+    * land in the SAME split. A plain [[hashSplit]] on the document id
+    * leaks — a near-dup pair straddling train/test lets the model see
+    * (a paraphrase of) its eval data during training, the classic
+    * contamination path that survives row-level dedup thresholds. Here
+    * the split key is the document's near-dup CLUSTER representative
+    * ([[Dedup.dedupClusters]]' connected-component root, rep = self for
+    * unclustered docs), so every member of a cluster shares one split
+    * assignment by construction. Adds `rep` and `split` to the input.
+    *
+    * Scale shape: the cluster pass is the banded-LSH + large/small-star
+    * pipeline (never all-pairs); the split label itself is a pure
+    * hash-of-rep expression; the only join this operator adds is
+    * id-keyed cluster-to-corpus (co-partitioned with the cluster
+    * output's own key). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, weights: Seq[(String, Double)],
+                       salt: String = "graft"): DataFrame = {
+    val cl = Dedup.dedupClusters(df, idCol, textCol, threshold)
+      .select(col("id").as(idCol), col("rep"))
+    hashSplit(df.join(cl, Seq(idCol)), "rep", weights, salt)
+  }
 }

@@ -580,4 +580,120 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("score"), col("rank"))
   }
+
+  /** BM25 top-k retrieval — the sparse complement to the dense ANN path
+    * (`Similarity`): for each keyword query, the k best-matching
+    * documents under Okapi/Lucene BM25. Query terms are the same
+    * whitespace tokens as the corpus side (duplicates in a query count
+    * once); per matching term the contribution is
+    * `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with the
+    * non-negative Lucene idf `ln(1 + (N − df + 0.5)/(df + 0.5))`,
+    * dl = the document's token count, avgdl = total corpus tokens / N
+    * (blank documents count in N, contribute 0 tokens); a document's
+    * score is `round(sum over its matching terms, 6)`, ranked
+    * descending with ties to the smaller document id.
+    *
+    * Scale shape: the query set is driver-literal and tiny, so every
+    * query-side join is a BROADCAST — the corpus is never shuffled by
+    * anything query-sized. dl is a scan-level expression that rides the
+    * token explode into the one (doc, term) count exchange (no separate
+    * corpus-keyed length join); tf is immediately semi-restricted to
+    * query terms by that broadcast, so df, the scoring join, and the
+    * final (query, doc) aggregate all run on candidate rows only
+    * (docs sharing ≥1 query term), not the corpus; N and the token
+    * total are one lazy broadcast 1-row aggregate; top-k plans as
+    * WindowGroupLimit per query. Hot term = hot shuffle key, split by
+    * AQE like any aggregate. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Int, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(queries.nonEmpty, "bm25TopK needs at least one query")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"k1 >= 0 and 0 <= b <= 1, got k1=$k1 b=$b")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qterms = queries.toDF("query_id", "__qtext")
+      .select(col("query_id"), explode(tokens(col("__qtext"))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val tf = df
+      .select(col(idCol), col(textCol),
+        size(filter(tokens(col(textCol)), _ =!= "")).as("dl"))
+      .select(col(idCol), col("dl"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = df.agg(
+      count(lit(1)).as("__N"),
+      sum(size(filter(tokens(col(textCol)), _ =!= "")))
+        .cast(DoubleType).as("__toks"))
+    val idf = log(lit(1.0) +
+      (col("__N") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl") / (col("__toks") / col("__N")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol).asc)
+    tf.join(dfreq, Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", idf * col("tf") * lit(k1 + 1.0) / norm)
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("__c")), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Top-k collocations (adjacent token bigrams) by pointwise mutual
+    * information — the phrase detector of a vocabulary/tokenizer
+    * analysis pass: `pmi = ln((c_ab/B) / ((c_a/T) · (c_b/T)))` with
+    * c_ab = the bigram's corpus count, c_a/c_b = unigram counts,
+    * B/T = total bigram/token counts; bigrams below `minCount` are
+    * noise and dropped before scoring, k best kept globally (pmi
+    * descending, ties to the lexicographically smaller pair), score
+    * rounded to 6.
+    *
+    * Scale shape: bigram pairs come from a scan-level index explode
+    * (`element_at(toks, i)`/`i+1` — no self-join, no shuffle to form
+    * pairs), then ONE (a,b)-keyed count exchange; the unigram side is
+    * vocabulary-sized (≪ token count — AQE broadcasts it when small,
+    * a term-keyed shuffle join otherwise, either way bounded by vocab
+    * not corpus); B and T are one lazy broadcast 1-row aggregate; the
+    * global top-k plans as TakeOrderedAndProject (per-partition k then
+    * driver merge — never a single-partition global sort). */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long,
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = filter(tokens(col(textCol)), _ =!= "")
+    val uni = df.select(explode(toks).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val big = df.select(toks.as("__toks"))
+      // Spark's sequence(start > stop) DESCENDS — a 0/1-token document
+      // would yield bogus indices, so short docs are filtered out first
+      .filter(size(col("__toks")) >= 2)
+      .select(col("__toks"), explode(sequence(lit(1), size(col("__toks")) - 1)).as("i"))
+      .select(element_at(col("__toks"), col("i")).as("a"),
+        element_at(col("__toks"), col("i") + 1).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val totals = df.agg(
+      sum(size(toks)).cast(DoubleType).as("__T"),
+      sum(greatest(size(toks) - 1, lit(0))).cast(DoubleType).as("__B"))
+    val pmi = log((col("c_ab") / col("__B")) /
+      ((col("c_a") / col("__T")) * (col("c_b") / col("__T"))))
+    big
+      .join(uni.select(col("t").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("c_ab"), round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("pmi").desc, col("a").asc, col("b").asc)))
+  }
 }

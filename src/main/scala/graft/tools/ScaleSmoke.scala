@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 
 /** Scale-growth smoke for the dedup paths: replicates the documents
   * corpus N× with a shingle-disjoint perturbation (every inter-token gap
@@ -400,6 +400,23 @@ object ScaleSmoke {
       println(s"mult=$n  vecs=$total  nlist=$nlist  maxCellSeed=$seedMax  " +
         s"maxCellTrained=$trainedMax  evenSplit=${total / nlist}")
       e.unpersist()
+    }
+
+    // BM25 leg: corpus replicated n× with text UNCHANGED (unlike the
+    // token-suffixed near-dup replication above) so every query term's
+    // candidate set grows n× — the axis that stresses the candidate-side
+    // exchanges. Wall must grow ~linearly; the query side stays a
+    // constant broadcast regardless of mult.
+    if (enabled("bm25TopK")) {
+      for (n <- mults) {
+        val rep = docs.withColumn("rep", explode(sequence(lit(0), lit(n - 1))))
+          .select((col("doc_id") * n + col("rep")).as("doc_id"), col("text"))
+        time(s"bm25TopK x$n") {
+          TextAnalysis.bm25TopK(rep, "doc_id", "text",
+            Seq(1 -> "spark window join", 2 -> "hash merge sort stream"),
+            k = 10).count()
+        }
+      }
     }
     spark.stop()
   }

@@ -106,4 +106,29 @@ class SamplingSpec extends AnyFunSuite {
     // deterministic
     assert(q.exceptAll(Sampling.quotaSample(docs, "lang", "doc_id", 7)).isEmpty)
   }
+
+  test("leakageSafeSplit: no near-dup pair ever straddles train/test") {
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    // plant near-dups: every 3rd doc gets a lightly-perturbed twin
+    val twins = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" tail tail")).as("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(twins)
+    val split = Sampling.leakageSafeSplit(corpus, "doc_id", "text",
+      threshold = 0.5, weights = Seq("train" -> 0.9, "test" -> 0.1))
+    // every row present exactly once, both labels in use
+    assert(split.count() == corpus.count())
+    assert(split.select("split").distinct().count() == 2)
+    // the leakage contract: one split label per cluster rep
+    assert(split.groupBy("rep")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).isEmpty)
+    // and concretely: each planted twin shares its original's split
+    val orig = split.filter(col("doc_id") < 100000L)
+      .select(col("doc_id").as("o_id"), col("split").as("o_split"))
+    val straddle = split.filter(col("doc_id") >= 100000L)
+      .join(orig, col("doc_id") - 100000L === col("o_id"))
+      .filter(col("split") =!= col("o_split"))
+    assert(straddle.isEmpty)
+  }
 }
