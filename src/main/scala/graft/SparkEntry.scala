@@ -2574,8 +2574,10 @@ object SparkEntry {
     // both engines); sum through DECIMAL(28,6) = graft.functions.dsum
     "q101_rolling_features" ->
       s"""SELECT event_id, user_id,
-         COUNT(*) OVER w AS n_trailing,
-         CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_trailing
+         CASE WHEN ts IS NULL THEN NULL ELSE COUNT(*) OVER w END AS n_trailing,
+         CASE WHEN ts IS NULL THEN NULL ELSE
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+         END AS sum_trailing
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",

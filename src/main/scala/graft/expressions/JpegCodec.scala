@@ -222,6 +222,14 @@ object JpegCodec {
               if (useDc(i) == null || useAc(i) == null) return None
             }
             pos += len
+            // T.81 §A.2: a single-component scan is NON-interleaved —
+            // MCU = one 8x8 data unit regardless of the SOF sampling
+            // factors (grayscale transcodes often keep a 0x22 luma
+            // byte). Forcing 1x1 here makes the MCU grid ceil(w/8) x
+            // ceil(h/8), which is exactly the non-interleaved layout;
+            // output mapping is unaffected (one component = no
+            // chroma upsampling).
+            if (comps.length == 1) comps(0) = comps(0).copy(h = 1, v = 1)
             val hMax = comps.map(_.h).max
             val vMax = comps.map(_.v).max
             val mcusX = (width + 8 * hMax - 1) / (8 * hMax)

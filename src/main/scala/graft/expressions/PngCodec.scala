@@ -154,7 +154,12 @@ object PngCodec {
       var off = 0
       while (off < rawLen && !inflater.finished()) {
         val n = inflater.inflate(raw, off, rawLen - off)
-        if (n == 0 && inflater.needsInput()) { inflater.end(); return None }
+        // n == 0 with needsDictionary (FDICT zlib streams) would
+        // otherwise spin forever: inflate keeps returning 0 while
+        // needsInput stays false
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary())) {
+          inflater.end(); return None
+        }
         off += n
       }
       inflater.end()

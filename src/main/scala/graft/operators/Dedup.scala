@@ -194,7 +194,14 @@ object Dedup {
   private def semDedupCore(vecs: DataFrame, assignment: DataFrame,
                            threshold: Double, cellCap: Int): DataFrame = {
     require(cellCap >= 1, s"cellCap must be >= 1 (got $cellCap)")
+    // the argmax assignment (the n x nlist scoring aggregate — the
+    // operator's dominant stage) feeds THREE consumers: the cellS
+    // population aggregate, the pairwise-join rejoin, and the final
+    // keep-rule select. Column pruning gives each a different subtree,
+    // so nothing is exchange-reused — localCheckpoint (lazy, same
+    // idiom as semDedupVecs) materializes the scoring once.
     val best = assignment.withColumnRenamed("__assign_id", "vec_id")
+      .localCheckpoint(false)
     // HOT-CELL SKEW GUARD: real corpora cluster hard, and a cell far
     // above the average n/nlist population would put its whole O(cell²)
     // pairwise stage on ONE task (AQE skew splitting cannot split a

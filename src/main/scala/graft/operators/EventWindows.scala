@@ -75,11 +75,18 @@ object EventWindows {
       .rangeBetween(-windowUs, 0)
     // dsum's outer double-cast must wrap the WINDOWED sum (cast(...).over
     // is not an aggregate), so the decimal sum attaches to the frame
-    // first — value-identical to graft.functions.dsum per frame
+    // first — value-identical to graft.functions.dsum per frame.
+    // Null-ts rows get NULL features, not fabricated ones: null ordering
+    // values form their own RANGE peer group, so without the gate a
+    // key's malformed rows would count EACH OTHER as a trailing window —
+    // a point-in-time feature for a row that has no point in time.
+    // (Non-null rows are unaffected either way: a null bound comparison
+    // never admits the null group into their frames.)
+    val hasTs = col(tsCol).isNotNull
     events
-      .withColumn("n_trailing", count(lit(1)).over(w))
-      .withColumn("sum_trailing",
-        sum(col(valueCol).cast("decimal(28,6)")).over(w).cast("double"))
+      .withColumn("n_trailing", when(hasTs, count(lit(1)).over(w)))
+      .withColumn("sum_trailing", when(hasTs,
+        sum(col(valueCol).cast("decimal(28,6)")).over(w).cast("double")))
   }
 
   /** Top-k rows per group by a measure (rounded for cross-engine ties). */

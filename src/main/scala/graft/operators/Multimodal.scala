@@ -23,6 +23,26 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** md5 of the byte array's LOWERCASE HEX — the one oracle bridge every
+    * decoder shares (oracle engines hash strings only: DuckDB's md5
+    * takes VARCHAR, so hex-bridging makes the contract mirrorable
+    * byte-for-byte). All `mapPartitions` decoders MUST hash through
+    * here so the spec-pinned hashing contract has a single source. */
+  private def hexMd5(bytes: Array[Byte],
+                     md: java.security.MessageDigest): String = {
+    val hexChars = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      hexChars(2 * i) = HexDigits((bytes(i) & 0xF0) >> 4)
+      hexChars(2 * i + 1) = HexDigits(bytes(i) & 0x0F)
+      i += 1
+    }
+    md.digest(new String(hexChars).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Canonical multimodal record schema. */
   val schema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -38,8 +58,8 @@ object Multimodal {
   val featureSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("modality", StringType, nullable = false),
-    StructField("byte_len", LongType, nullable = false),
-    StructField("content_hash", StringType, nullable = false),
+    StructField("byte_len", LongType, nullable = true),
+    StructField("content_hash", StringType, nullable = true),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true)))
 
@@ -68,24 +88,21 @@ object Multimodal {
     * frame_hash. */
   def decodeBatch(batch: Iterator[Row]): Iterator[Row] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hexDigits = "0123456789abcdef".toCharArray
     batch.map { r =>
       val id = r.getLong(0)
       val modality = r.getString(1)
       val payload = r.getAs[Array[Byte]](2)
-      val hexChars = new Array[Char](payload.length * 2)
-      var i = 0
-      while (i < payload.length) {
-        hexChars(2 * i) = hexDigits((payload(i) & 0xF0) >> 4)
-        hexChars(2 * i + 1) = hexDigits(payload(i) & 0x0F)
-        i += 1
+      if (payload == null) {
+        // null payload (schema allows it): null features, matching the
+        // expression path's graceful nulls — never an executor NPE
+        Row(id, modality, null, null, null, null)
+      } else {
+        val hash = hexMd5(payload, md)
+        val packed = graft.expressions.ImageHeaders.packedDims(payload)
+        val width: Integer = if (packed < 0) null else Int.box((packed >>> 32).toInt)
+        val height: Integer = if (packed < 0) null else Int.box((packed & 0xFFFFFFFFL).toInt)
+        Row(id, modality, payload.length.toLong, hash, width, height)
       }
-      val digest = md.digest(new String(hexChars).getBytes("UTF-8"))
-      val hash = digest.map("%02x".format(_)).mkString
-      val packed = graft.expressions.ImageHeaders.packedDims(payload)
-      val width: Integer = if (packed < 0) null else Int.box((packed >>> 32).toInt)
-      val height: Integer = if (packed < 0) null else Int.box((packed & 0xFFFFFFFFL).toInt)
-      Row(id, modality, payload.length.toLong, hash, width, height)
     }
   }
 
@@ -215,7 +232,6 @@ object Multimodal {
     * the exact shape a 100 TB image-corpus pass needs. */
   def resamplePixels(mm: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     require(targetW > 0 && targetH > 0)
-    val hexDigits = "0123456789abcdef".toCharArray
     mm.select(col("asset_id"), col("payload")).mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
@@ -228,17 +244,8 @@ object Multimodal {
             val ow = math.max(math.floor(ras.width * scale).toInt, 1)
             val oh = math.max(math.floor(ras.height * scale).toInt, 1)
             val out = graft.expressions.PngCodec.resampleNearest(ras, ow, oh)
-            val hexChars = new Array[Char](out.pixels.length * 2)
-            var i = 0
-            while (i < out.pixels.length) {
-              hexChars(2 * i) = hexDigits((out.pixels(i) & 0xF0) >> 4)
-              hexChars(2 * i + 1) = hexDigits(out.pixels(i) & 0x0F)
-              i += 1
-            }
-            val hash = md.digest(new String(hexChars).getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString
             Row(id, Int.box(ras.width), Int.box(ras.height),
-              Int.box(ow), Int.box(oh), hash)
+              Int.box(ow), Int.box(oh), hexMd5(out.pixels, md))
         }
       }
     }(org.apache.spark.sql.Encoders.row(resampleSchema))
@@ -333,7 +340,6 @@ object Multimodal {
     * 100 TB media pass affords. */
   def decodeFrames(mm: DataFrame, stride: Int): DataFrame = {
     require(stride >= 1, s"stride must be >= 1 (got $stride)")
-    val hexDigits = "0123456789abcdef".toCharArray
     mm.select(col("asset_id"), col("payload")).mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { r =>
@@ -344,17 +350,8 @@ object Multimodal {
             val n = g.frames.size
             Iterator.range(0, n, stride).map { f =>
               val fr = g.frames(f)
-              val hexChars = new Array[Char](fr.pixels.length * 2)
-              var i = 0
-              while (i < fr.pixels.length) {
-                hexChars(2 * i) = hexDigits((fr.pixels(i) & 0xF0) >> 4)
-                hexChars(2 * i + 1) = hexDigits(fr.pixels(i) & 0x0F)
-                i += 1
-              }
-              val hash = md.digest(new String(hexChars).getBytes("UTF-8"))
-                .map("%02x".format(_)).mkString
               Row(id, Int.box(g.width), Int.box(g.height), Int.box(n),
-                Int.box(f), Int.box(fr.delayCs), hash)
+                Int.box(f), Int.box(fr.delayCs), hexMd5(fr.pixels, md))
             }
         }
       }
@@ -472,7 +469,6 @@ object Multimodal {
     * raster contributes interleaved RGB bytes). Payloads that don't
     * decode yield a null-feature row. Partition-local, no shuffle. */
   def decodePixels(mm: DataFrame): DataFrame = {
-    val hexDigits = "0123456789abcdef".toCharArray
     mm.select(col("asset_id"), col("payload")).mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
@@ -480,17 +476,8 @@ object Multimodal {
         graft.expressions.JpegCodec.decode(r.getAs[Array[Byte]](1)) match {
           case None => Row(id, null, null, null, null)
           case Some(ras) =>
-            val hexChars = new Array[Char](ras.pixels.length * 2)
-            var i = 0
-            while (i < ras.pixels.length) {
-              hexChars(2 * i) = hexDigits((ras.pixels(i) & 0xF0) >> 4)
-              hexChars(2 * i + 1) = hexDigits(ras.pixels(i) & 0x0F)
-              i += 1
-            }
-            val hash = md.digest(new String(hexChars).getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString
             Row(id, Int.box(ras.width), Int.box(ras.height),
-              Int.box(ras.channels), hash)
+              Int.box(ras.channels), hexMd5(ras.pixels, md))
         }
       }
     }(org.apache.spark.sql.Encoders.row(pixelSchema))

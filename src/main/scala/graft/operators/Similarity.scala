@@ -455,10 +455,23 @@ object Similarity {
                        cb: PqCodebook): DataFrame = {
     val mask = (1L << 21) - 1
     val par = df.sparkSession.sparkContext.defaultParallelism
+    // The packable bound is ENFORCED: shiftleft(-d6, 21) wraps the Long
+    // once d6 reaches 2^42 (subspace L2² ~4.4e6 in micro-units —
+    // unnormalized feature vectors, not unit embeddings), after which
+    // max(__packed) silently picks an arbitrary WRONG code and every
+    // downstream ADC distance is wrong with no error. assignCells is
+    // safe by construction (cosine ∈ [-1,1]); the L2 path must check.
+    val rawD6 = d6(col("subvec"), col("centroid"))
+    val checkedD6 = when(rawD6 >= lit(1L << 42),
+        raise_error(concat(
+          lit("pqAssign: subspace L2^2 exceeds the packable bound " +
+            "(micro-units >= 2^42) — normalize or rescale vectors; got "),
+          rawD6.cast("string"))).cast(LongType))
+      .otherwise(rawD6)
     pqSlices(df.repartition(par), idCol, vecCol, cb)
       .join(broadcast(booksDF(df, cb).select(col("sub"), col("idx"), col("centroid"))), Seq("sub"))
       .select(col("__pq_id"), col("sub"),
-        (shiftleft(-d6(col("subvec"), col("centroid")), 21) +
+        (shiftleft(-checkedD6, 21) +
           (lit(mask) - col("idx"))).as("__packed"))
       .groupBy("__pq_id", "sub")
       .agg(max(col("__packed")).as("__mp"))
@@ -541,17 +554,22 @@ object Similarity {
     * full vectors are never read at probe time. `adist6` is the exact
     * integer micro-distance (engine-reproducible); ranking ascends
     * adist6 with ties to the smaller neighbor id. */
-  def pqAdcTopK(queries: DataFrame, codes: DataFrame, idCol: String,
-                vecCol: String, cb: PqCodebook, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lut = pqSlices(queries, idCol, vecCol, cb)
+  /** Per-query ADC lookup table: (query_id, sub, code, d6) from the
+    * query batch × broadcast codebook. ONE definition — [[pqAdcTopK]]
+    * and [[ivfPqProbe]] are contract-pinned equal at nprobe = nlist, so
+    * the LUT they rank by must be the same expression. */
+  private def adcLut(queries: DataFrame, idCol: String, vecCol: String,
+                     cb: PqCodebook): DataFrame =
+    pqSlices(queries, idCol, vecCol, cb)
       .join(broadcast(booksDF(queries, cb)), Seq("sub"))
       .select(col("__pq_id").as("query_id"), col("sub"),
         col("idx").as("code"), d6(col("subvec"), col("centroid")).as("d6"))
-    codes
-      .select(col(idCol).as("neighbor_id"), col("sub"), col("code"))
-      .join(broadcast(lut), Seq("sub", "code"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+
+  /** Shared ADC ranking tail: per-(query, neighbor) micro-distance sum,
+    * ascending rank with ties to the smaller neighbor id, top-k. */
+  private def adcRankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    pairs
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("d6")).as("adist6"))
       .withColumn("rank", row_number().over(
@@ -559,6 +577,15 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "adist6", "rank")
   }
+
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame, idCol: String,
+                vecCol: String, cb: PqCodebook, k: Int): DataFrame =
+    adcRankTopK(
+      codes
+        .select(col(idCol).as("neighbor_id"), col("sub"), col("code"))
+        .join(broadcast(adcLut(queries, idCol, vecCol, cb)), Seq("sub", "code"))
+        .filter(col("query_id") =!= col("neighbor_id")),
+      k)
 
   /** The full IVF-PQ index: coarse cells for pruning + PQ codes for
     * compression, CO-LOCATED — `codes` rows are (cell, neighbor_id, sub,
@@ -594,24 +621,16 @@ object Similarity {
     * configuration); recall at nprobe < nlist is spec-tested. */
   def ivfPqProbe(index: IvfPqIndex, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cellsOf = cellsNearestFirst(index.seeds)
     val probes = queries.select(col(idCol).as("query_id"),
       explode(slice(cellsOf(col(vecCol)), 1, nprobe)).as("cell"))
-    val lut = pqSlices(queries, idCol, vecCol, index.cb)
-      .join(broadcast(booksDF(queries, index.cb)), Seq("sub"))
-      .select(col("__pq_id").as("query_id"), col("sub"),
-        col("idx").as("code"), d6(col("subvec"), col("centroid")).as("d6"))
-    index.codes
-      .join(broadcast(probes), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .join(broadcast(lut), Seq("query_id", "sub", "code"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum(col("d6")).as("adist6"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("adist6").asc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "adist6", "rank")
+    adcRankTopK(
+      index.codes
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .join(broadcast(adcLut(queries, idCol, vecCol, index.cb)),
+          Seq("query_id", "sub", "code")),
+      k)
   }
 
   /** Exact L2 top-k (brute force) — the recall baseline for the PQ path,

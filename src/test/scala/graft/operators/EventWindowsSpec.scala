@@ -55,6 +55,25 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(out(5L) === ((1L, 7.0)))
   }
 
+  test("rolling: null-ts rows get NULL features, never fabricated ones, " +
+    "and never pollute timestamped rows' frames") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val rows = Seq(
+      (1L, 1L, Option(t0), 10.0),
+      (2L, 1L, Option.empty[java.sql.Timestamp], 5.0), // malformed
+      (3L, 1L, Option.empty[java.sql.Timestamp], 7.0)  // malformed peer
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventWindows.rolling(rows, "ts", "user_id", "value",
+        3600L * 1000000L).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(4)), Option(r.get(5)))).toMap
+    // the timestamped row sees only itself
+    assert(out(1L) === ((Some(1L), Some(10.0))))
+    // the two null-ts peers must NOT count each other
+    assert(out(2L) === ((None, None)))
+    assert(out(3L) === ((None, None)))
+  }
+
   test("rolling plan: one exchange, no join") {
     val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
     val plan = EventWindows.rolling(ev, "ts", "user_id", "value", 3600L * 1000000L)

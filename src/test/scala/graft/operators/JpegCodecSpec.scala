@@ -50,6 +50,23 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("single-component scans are non-interleaved (T.81 A.2): a gray " +
+    "JPEG whose SOF declares 2x2 sampling decodes identically to 1x1") {
+    // grayscale transcodes often keep the 0x22 luma sampling byte from
+    // a 4:2:0 source; the scan layout is the same either way (MCU = one
+    // data unit for Ns = 1), so the declared factors must be ignored
+    val r = mosaic(24, 16, 1, 5)
+    val jpeg = JpegCodec.encode(r, q = 0)
+    val sof = jpeg.indexOfSlice(Array(0xFF.toByte, 0xC0.toByte))
+    assert(sof > 0)
+    assert(jpeg(sof + 11) == 0x11.toByte) // encoder writes 1x1
+    val patched = jpeg.clone()
+    patched(sof + 11) = 0x22.toByte
+    val dec = JpegCodec.decode(patched)
+    assert(dec.isDefined, "2x2-sampled single-component scan must decode")
+    assert(dec.get.pixels.sameElements(r.pixels))
+  }
+
   test("ImageIO (independent JDK decoder) reads the exact-mode output " +
     "pixel-identically — a DC-only block is exact in any conformant IDCT") {
     val r = mosaic(21, 13, 1, 9)

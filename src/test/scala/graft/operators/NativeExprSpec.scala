@@ -156,6 +156,15 @@ class NativeExprSpec extends AnyFunSuite {
     assert(viaPartitions.exceptAll(viaExpr).isEmpty &&
       viaExpr.exceptAll(viaPartitions).isEmpty)
     assert(viaExpr.filter(col("width").isNotNull).isEmpty)
+    // null payload (the schema allows it): both paths yield null
+    // features — never an executor NPE
+    val withNull = mm.withColumn("payload",
+      when(col("asset_id") % 2 === 0, col("payload")))
+    val np = Multimodal.decodeAndFeaturize(withNull)
+    val ne = Multimodal.featurizeExpr(withNull)
+    assert(np.exceptAll(ne).isEmpty && ne.exceptAll(np).isEmpty)
+    assert(np.filter(col("asset_id") % 2 === 1)
+      .filter(col("byte_len").isNotNull || col("content_hash").isNotNull).isEmpty)
   }
 
   test("exact dedup keeps one row per key") {

@@ -57,6 +57,15 @@ class PngCodecSpec extends AnyFunSuite {
     val junkIdat = good.clone()
     junkIdat(45) = 0x55; junkIdat(46) = 0x55 // corrupt the zlib stream
     assert(PngCodec.decode(junkIdat).isEmpty)
+    // FDICT zlib header (0x78BB: valid FCHECK, preset-dictionary bit
+    // set): Inflater returns 0 with needsInput()==false forever — must
+    // yield None, not a spin (the hostile-header contract)
+    val idatTag = good.indexOfSlice("IDAT".getBytes)
+    assert(idatTag > 0)
+    val fdict = good.clone()
+    fdict(idatTag + 4) = 0x78.toByte
+    fdict(idatTag + 5) = 0xBB.toByte
+    assert(PngCodec.decode(fdict).isEmpty)
   }
 
   test("nearest-neighbor resample: identity at same size, exact index " +

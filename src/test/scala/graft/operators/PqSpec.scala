@@ -47,6 +47,20 @@ class PqSpec extends AnyFunSuite {
         s"sub $s code $c is not the slice of seed ${cb.seedIds(c)}")
   }
 
+  test("pqAssign errors on vectors past the packable bound instead of " +
+    "silently mis-coding (shiftleft wrap at subspace L2^2 >= 2^42 micro)") {
+    val cb = Similarity.pqSeedBooks(emb, "vec_id", "embedding", 64, 4, 8)
+    // components ~1e5 in a 16-float subspace: L2^2 ~1.6e11 -> micro 1.6e17,
+    // far past 2^42 ~ 4.4e12 — unnormalized feature vectors, not embeddings
+    val huge = Seq((999999L, Seq.fill(64)(1e5f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.pqCodes(huge, "vec_id", "embedding", cb).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("packable bound")), ex.toString)
+  }
+
   test("pqCodes == plain-Scala argmin over the codebook (all 500 vectors)") {
     val cb = Similarity.pqSeedBooks(emb, "vec_id", "embedding", 64, 4, 8)
     val got = Similarity.pqCodes(emb, "vec_id", "embedding", cb)
