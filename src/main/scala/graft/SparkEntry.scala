@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
-import graft.operators.{Dedup, EventWindows, Joins, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventWindows, Joins, Multimodal, Profiling, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry (+ matching DuckDB `oracleSql`)
   * per implemented operator from SURVEY.md §2.
@@ -882,6 +882,44 @@ object SparkEntry {
       Sampling.leakageSafeSplit(t(s, dir, "documents"), "doc_id", "text",
           threshold = 0.5, weights = Seq("train" -> 0.9, "test" -> 0.1))
         .select(col("doc_id"), col("rep"), col("split"))),
+
+    // ---- DEDUP: KMV distinct-count estimate of the corpus shingle
+    //      space — per-partition bounded TreeSet prefilter, ONE
+    //      (partitions x k)-bounded exchange, never the distinct set
+    "q107_distinct_estimate" -> ((s, dir) =>
+      Dedup.distinctCount(
+        t(s, dir, "documents").select(
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("sh3")),
+        col("sh3"), sketchK = 1024)),
+
+    // ---- PROFILING: exact phi-heavy hitters — per-partition
+    //      Misra-Gries candidates (bounded memory, nothing shuffled),
+    //      broadcast-confirmed exact counts; the distinct token universe
+    //      is never exchanged
+    "q108_heavy_hitters" -> ((s, dir) =>
+      Profiling.heavyHitters(
+        t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= ""),
+        col("tok"), minFraction = 0.005)),
+
+    // ---- PROFILING: per-group KMV distinct estimate — the native
+    //      bounded-sketch aggregate, map-side combine ships <= k hashes
+    //      per group per task (COUNT(DISTINCT) ships the distinct set)
+    "q109_group_distinct" -> ((s, dir) =>
+      Profiling.distinctByGroup(
+        t(s, dir, "documents").select(col("lang"),
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("sh3")),
+        Seq(col("lang")), col("sh3"), sketchK = 256)),
+
+    // ---- LAYOUT: Z-order (Morton) interleaved sort key — one stored
+    //      order serving range pruning on BOTH coordinates; pure
+    //      shift/and/multiply tree at the scan
+    "q110_zorder_key" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.sources.Layout.zkey(
+          Seq(pmod(col("n_chars"), lit(1L << 21)),
+              pmod(col("doc_id"), lit(1L << 21))), 21).as("zkey"))),
 
     // ---- ANN: product-quantization encode — every embedding compressed
     //      to m=4 codebook ids (seed books = the md5-seed contract, so
@@ -2720,6 +2758,52 @@ object SparkEntry {
                 CASE WHEN ${H60("'graft' || CAST(rep AS VARCHAR)")} % 10000 < 9000
                      THEN 'train' ELSE 'test' END AS split
          FROM rep""",
+
+    // KMV distinct estimate: bottom-1024 distinct 60-bit shingle hashes,
+    // est = (k-1) * 2^60 / kth (exact below k)
+    "q107_distinct_estimate" ->
+      s"""WITH s AS (SELECT unnest($SHINGLES3) AS s FROM documents),
+         h AS (SELECT DISTINCT ${H60("s")} AS h FROM s),
+         sk AS (SELECT h FROM h ORDER BY h LIMIT 1024),
+         ag AS (SELECT COUNT(*) AS n_sketch, MAX(h) AS kth_hash FROM sk)
+         SELECT n_sketch, kth_hash,
+                ROUND(CASE WHEN n_sketch < 1024 THEN CAST(n_sketch AS DOUBLE)
+                      ELSE 1023.0 * power(2.0, 60) / kth_hash END, 3)
+                  AS est_distinct
+         FROM ag""",
+
+    // exact heavy hitters: plain GROUP BY + ceil-threshold filter (the
+    // Spark side's Misra-Gries candidates + broadcast confirm is exactly
+    // this answer, partition-layout-independent)
+    "q108_heavy_hitters" ->
+      s"""WITH it AS (SELECT unnest($TOKS) AS item FROM documents),
+         f AS (SELECT item FROM it WHERE item <> ''),
+         n AS (SELECT COUNT(*) AS n_total FROM f),
+         c AS (SELECT item, COUNT(*) AS cnt FROM f GROUP BY item)
+         SELECT c.item, c.cnt FROM c, n
+         WHERE c.cnt >= CEIL(0.005 * n.n_total)""",
+
+    // per-group KMV: global bottom-k DISTINCT hashes per group (the
+    // bounded-buffer aggregate computes exactly this), est = the same
+    // single multiply+divide as q107
+    "q109_group_distinct" ->
+      s"""WITH s AS (SELECT lang, unnest($SHINGLES3) AS sh FROM documents),
+         d AS (SELECT DISTINCT lang, ${H60("sh")} AS h FROM s),
+         r AS (SELECT lang, h,
+                      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+               FROM d),
+         sk AS (SELECT lang, COUNT(*) AS n, MAX(h) AS kth
+                FROM r WHERE rn <= 256 GROUP BY lang)
+         SELECT lang, CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                      ELSE 255.0 * power(2.0, 60) / kth END AS est_distinct
+         FROM sk""",
+
+    // Z-order key: the identical shift/and/multiply tree, generated from
+    // the same code path (Layout.zkeySql)
+    "q110_zorder_key" ->
+      s"""SELECT doc_id, ${graft.sources.Layout.zkeySql(
+            Seq("(n_chars % 2097152)", "(doc_id % 2097152)"), 21)} AS zkey
+         FROM documents""",
 
     // PQ encode: seed books = md5-smallest 8 vectors sliced into 4
     // subspaces, dense code ids in ascending seed-cell order; per

@@ -1007,4 +1007,52 @@ object Dedup {
       round(when(col("union_k") === 0, lit(0.0))
         .otherwise(col("n_common") / col("union_k")), 6).as("est_jaccard"))
   }
+
+  /** Distinct-count estimate of an expression via the same bottom-k
+    * (KMV) sketch as [[corpusOverlap]] — "how many distinct shingles /
+    * tokens / urls does this corpus hold?" without a full distinct
+    * aggregate's corpus-wide exchange payload. The k-th smallest of n
+    * distinct uniform 60-bit hashes sits near k/n of the range, so
+    * `est = (k-1) · 2^60 / h_k` (the classical KMV estimator, ±1/√k);
+    * below k distinct values the sketch holds everything and the count
+    * is EXACT. Returns ONE row (n_sketch, kth_hash, est_distinct).
+    * Deterministic md5 hashing keeps the estimate engine-mirrorable
+    * bit-for-bit (one IEEE divide + round on both sides).
+    *
+    * Scale shape: each partition keeps its own bottom-k distinct hashes
+    * in a bounded TreeSet (one partition-local pass, nothing spilled),
+    * so the ONLY exchange of the whole operator carries at most
+    * (partitions × k) hashes — NOT the distinct set. That bound is the
+    * whole point vs `COUNT(DISTINCT x)`, whose exchange is
+    * distinct-set-sized at 100 TB. (The global bottom-k distinct is a
+    * subset of the union of per-partition bottom-k distincts, so the
+    * prefilter never changes the answer.) */
+  def distinctCount(df: DataFrame, expr: Column, sketchK: Int = 1024): DataFrame = {
+    require(sketchK >= 2, s"sketchK must be >= 2, got $sketchK")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val local = df
+      .select(graft.operators.TextAnalysis.hash60(expr.cast("string")).as("h"))
+      .as[Long]
+      .mapPartitions { it =>
+        val set = new java.util.TreeSet[java.lang.Long]()
+        it.foreach { h =>
+          if (set.size < sketchK) set.add(h)
+          // add() returns false for an already-present hash — only a
+          // REAL insertion may evict the current k-th
+          else if (h < set.last && set.add(h)) set.pollLast()
+        }
+        import scala.jdk.CollectionConverters._
+        set.iterator().asScala.map(Long.unbox)
+      }
+    val sk = local.toDF("h")
+      .distinct()
+      .orderBy(col("h").asc)
+      .limit(sketchK)
+    sk.agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
+      .select(col("n_sketch"), col("kth_hash"),
+        round(when(col("n_sketch") < sketchK, col("n_sketch").cast(DoubleType))
+          .otherwise(lit((sketchK - 1).toDouble) * lit(math.pow(2.0, 60)) /
+            col("kth_hash")), 3).as("est_distinct"))
+  }
 }

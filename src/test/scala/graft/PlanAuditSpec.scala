@@ -59,11 +59,22 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("semDedup pairs only within cells, off one cell-keyed exchange (q72)") {
     val p = plan("q72_semdedup")
-    // assignment: corpus × BROADCAST seed table (bounded by nlist —
-    // linear in the corpus, like q24's query side), scores collapsed by
-    // a partial-then-final aggregate; the near-dup pair space itself is
-    // the within-cell equi-join — never an unbounded nested loop
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the argmax assignment is localCheckpoint'd (ONE materialization
+    // for its three column-pruned consumers), so its scoring subtree is
+    // invisible in q72's outer plan — pin it on its own plan instead:
+    // corpus × BROADCAST seed table (bounded by nlist — linear in the
+    // corpus, like q24's query side), scores collapsed by a
+    // partial-then-final aggregate
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val ap = graft.operators.Similarity.ivfBuild(vecs, "vec_id", "v", 16)
+      .assigned.queryExecution.executedPlan.toString
+    assert(ap.contains("BroadcastNestedLoopJoin"), ap)
+    assert(ap.contains("HashAggregate"), ap)
+    assert(!ap.contains("CartesianProduct"), ap)
+    // the near-dup pair space itself is the within-cell equi-join —
+    // never an unbounded nested loop
     assert("hashpartitioning\\(cell".r.findAllIn(p).nonEmpty, p)
     assert(!p.contains("CartesianProduct"), p)
   }

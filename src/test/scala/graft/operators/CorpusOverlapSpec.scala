@@ -61,4 +61,28 @@ class CorpusOverlapSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  private def shingleRows =
+    docs.select(explode(TextAnalysis.wordShingles(col("text"), 3)).as("s"))
+
+  test("distinctCount: exact below sketchK, estimate within 2/sqrt(k) above") {
+    val tokens = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+    val exactVocab = tokens.select("t").distinct().count().toDouble
+    val small = Dedup.distinctCount(tokens, col("t"), sketchK = 100000).head()
+    assert(small.getDouble(2) == exactVocab) // vocab << k: exact path
+    val exact = shingleRows.select("s").distinct().count().toDouble
+    val est = Dedup.distinctCount(shingleRows, col("s"), sketchK = 1024)
+      .head().getDouble(2)
+    assert(math.abs(est - exact) / exact <= 2.0 / math.sqrt(1024),
+      s"est=$est exact=$exact")
+  }
+
+  test("distinctCount: partition-invariant (the bounded prefilter never " +
+    "changes the global bottom-k)") {
+    val one = Dedup.distinctCount(shingleRows.repartition(1), col("s"), 256).head()
+    val many = Dedup.distinctCount(shingleRows.repartition(13), col("s"), 256).head()
+    assert(one == many)
+  }
 }
