@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64, aggregate}
 
-import graft.expressions.{AffineMinHash, ArrayCosine, ArrayL2Sq, BinarySlice, BpeTokenCount, ExactMedian, ImageDims, KmvDistinct, Md5PrefixHashArray, SignBucket, SimHash32, SimHash60, SortedLongJaccard, StringNumClass}
+import graft.expressions.{AffineMinHash, ArrayCosine, ArrayL2Sq, BinarySlice, BpeTokenCount, ExactMedian, ImageDims, KmvDistinct, KmvSketch, Md5PrefixHashArray, SignBucket, SimHash32, SimHash60, SortedLongJaccard, StringNumClass}
 
 /** Registers graft's native Catalyst expressions with a SparkSession via
   * the public extensions mechanism:
@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv_distinct"),
       (es: Seq[Expression]) => KmvDistinct(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv_sketch"),
+      (es: Seq[Expression]) => KmvSketch(es.head, es(1))))
     ext.injectFunction((FunctionIdentifier("graft_numclass"),
       new ExpressionInfo(classOf[StringNumClass].getName, "graft_numclass"),
       (es: Seq[Expression]) => StringNumClass(es.head)))

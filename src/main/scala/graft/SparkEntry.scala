@@ -912,6 +912,14 @@ object SparkEntry {
           explode(TextAnalysis.wordShingles(col("text"), 3)).as("sh3")),
         Seq(col("lang")), col("sh3"), sketchK = 256)),
 
+    // ---- DEDUP: all-pairs corpus-overlap matrix — per-source bottom-k
+    //      sketches from the native bounded KMV aggregate (ONE corpus
+    //      scan), pairwise estimates as k-length array arithmetic on the
+    //      sketch rows; never corpus x corpus
+    "q111_overlap_matrix" -> ((s, dir) =>
+      Dedup.corpusOverlapMatrix(t(s, dir, "documents"), "source", "text",
+        shingleN = 3, sketchK = 256)),
+
     // ---- LAYOUT: Z-order (Morton) interleaved sort key — one stored
     //      order serving range pruning on BOTH coordinates; pure
     //      shift/and/multiply tree at the scan
@@ -2797,6 +2805,42 @@ object SparkEntry {
          SELECT lang, CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
                       ELSE 255.0 * power(2.0, 60) / kth END AS est_distinct
          FROM sk""",
+
+    // overlap matrix: per-source bottom-256 distinct-hash sketches, per
+    // pair the union's bottom-256 and the KMV Jaccard numerator — the
+    // q105 estimator per (a, b) with a < b
+    "q111_overlap_matrix" ->
+      s"""WITH sh AS (SELECT source, unnest($HSHINGLES3) AS h FROM documents),
+         d AS (SELECT DISTINCT source, h FROM sh),
+         r AS (SELECT source, h,
+                      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+               FROM d),
+         sk AS (SELECT source, h FROM r WHERE rn <= 256),
+         pairs AS (SELECT a.source AS sa, b.source AS sb
+                   FROM (SELECT DISTINCT source FROM documents) a,
+                        (SELECT DISTINCT source FROM documents) b
+                   WHERE a.source < b.source),
+         uni AS (SELECT DISTINCT p.sa, p.sb, k.h
+                 FROM pairs p JOIN sk k ON k.source = p.sa OR k.source = p.sb),
+         ur AS (SELECT sa, sb, h,
+                       ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+                FROM uni),
+         ub AS (SELECT sa, sb, h FROM ur WHERE rn <= 256),
+         u2 AS (SELECT sa, sb, COUNT(*) AS union_k FROM ub GROUP BY sa, sb),
+         com AS (SELECT ub.sa, ub.sb, COUNT(*) AS n_common
+                 FROM ub
+                 JOIN sk x ON x.source = ub.sa AND x.h = ub.h
+                 JOIN sk y ON y.source = ub.sb AND y.h = ub.h
+                 GROUP BY ub.sa, ub.sb)
+         SELECT p.sa AS corpus_a, p.sb AS corpus_b,
+                COALESCE(u2.union_k, 0) AS union_k,
+                COALESCE(com.n_common, 0) AS n_common,
+                ROUND(CASE WHEN COALESCE(u2.union_k, 0) = 0 THEN 0.0
+                      ELSE COALESCE(com.n_common, 0) / u2.union_k
+                      END, 6) AS est_jaccard
+         FROM pairs p
+         LEFT JOIN u2 ON u2.sa = p.sa AND u2.sb = p.sb
+         LEFT JOIN com ON com.sa = p.sa AND com.sb = p.sb""",
 
     // Z-order key: the identical shift/and/multiply tree, generated from
     // the same code path (Layout.zkeySql)

@@ -87,6 +87,70 @@ case class KmvDistinct(
     copy(child = newLeft, kExpr = newRight)
 }
 
+/** The SET-valued sibling of [[KmvDistinct]]: per group, the bottom-k
+  * distinct hash SKETCH itself (ascending `array<bigint>`, ≤ k entries)
+  * rather than the collapsed estimate. Sketches are the persistable /
+  * composable form — union two sketches' bottom-k and you have the
+  * sketch of the union corpus (the incremental-crawl merge), intersect
+  * them against their union's bottom-k and you have the KMV Jaccard
+  * numerator ([[graft.operators.Dedup.corpusOverlapMatrix]]). Same
+  * bounded-buffer scale shape as [[KmvDistinct]]. */
+case class KmvSketch(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[LongKmvBuf] with BinaryLike[Expression] {
+
+  override def left: Expression = child
+  override def right: Expression = kExpr
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+
+  override def prettyName: String = "graft_kmv_sketch"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_kmv_sketch requires a pre-hashed BIGINT input, got ${child.dataType.sql}")
+    else if (kExpr.dataType != IntegerType || !kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("graft_kmv_sketch k must be an int literal")
+    else if (kExpr.eval() == null || kExpr.eval().asInstanceOf[Number].intValue() < 1)
+      TypeCheckResult.TypeCheckFailure("graft_kmv_sketch k must be >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): LongKmvBuf = new LongKmvBuf(k)
+
+  override def update(buf: LongKmvBuf, input: InternalRow): LongKmvBuf = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: LongKmvBuf, other: LongKmvBuf): LongKmvBuf = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: LongKmvBuf): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+
+  override def serialize(buf: LongKmvBuf): Array[Byte] = buf.toBytes
+
+  override def deserialize(bytes: Array[Byte]): LongKmvBuf =
+    LongKmvBuf.fromBytes(k, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvSketch =
+    copy(child = newLeft, kExpr = newRight)
+}
+
 /** Bounded bottom-k DISTINCT long set: a TreeSet capped at k entries —
   * insert is a no-op unless the value is new AND below the current k-th
   * smallest (or the set is not yet full). */
@@ -106,6 +170,15 @@ final class LongKmvBuf(k: Int) {
 
   def size: Int = set.size
   def kth: Long = set.last
+
+  /** Ascending snapshot of the sketch. */
+  def toArray: Array[Long] = {
+    val arr = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    arr
+  }
 
   def toBytes: Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + 8 * set.size)

@@ -1008,6 +1008,64 @@ object Dedup {
         .otherwise(col("n_common") / col("union_k")), 6).as("est_jaccard"))
   }
 
+  /** All-pairs corpus-overlap matrix — [[corpusOverlap]] generalized to
+    * every pair of corpora in ONE scan: "which training-mix sources
+    * duplicate each other, and how much?" as a (sources choose 2)-row
+    * contamination matrix. Per corpus the bottom-k distinct shingle-hash
+    * sketch is built by the native bounded aggregate
+    * ([[graft.expressions.KmvSketch]] — per-group state ≤ k longs,
+    * map-side combine, so the exchange carries sketches, never shingle
+    * sets), then every pair's estimate is pure k-length ARRAY arithmetic
+    * on the sketch rows: union bottom-k via sort+slice of the two
+    * sketches' merge, `est_jaccard = |bottomK(A∪B) ∩ S_A ∩ S_B| /
+    * |bottomK(A∪B)|` (±1/√k; exact when both corpora hold ≤ k distinct
+    * shingles — the bottom-k of a union of complete sketches is complete).
+    * The pair join is corpus-count-sized (a broadcast inequality join of
+    * sketch rows), so cost is one corpus scan + |C|²/2 sketch
+    * comparisons — never corpus × corpus. */
+  def corpusOverlapMatrix(df: DataFrame, corpusCol: String, textCol: String,
+                          shingleN: Int = 3, sketchK: Int = 256): DataFrame = {
+    require(sketchK >= 1, s"sketchK must be >= 1, got $sketchK")
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    val sk = df
+      .select(col(corpusCol).as("corpus"),
+        explode(call_function("graft_md5_hash_array",
+          wordShingles(col(textCol), shingleN), lit(15))).as("h"))
+      .groupBy("corpus")
+      .agg(call_function("graft_kmv_sketch", col("h"), lit(sketchK)).as("sk"))
+    val a = sk.select(col("corpus").as("corpus_a"), col("sk").as("ska"))
+    val b = sk.select(col("corpus").as("corpus_b"), col("sk").as("skb"))
+    a.join(broadcast(b), col("corpus_a") < col("corpus_b"))
+      .select(col("corpus_a"), col("corpus_b"),
+        graft.functions.bound(
+          kmvMerge(col("ska"), col("skb"), sketchK)) { u =>
+          val unionK = size(u).cast(LongType)
+          val nCommon = size(array_intersect(
+            array_intersect(u, col("ska")), col("skb"))).cast(LongType)
+          struct(unionK.as("union_k"), nCommon.as("n_common"),
+            round(when(unionK === 0, lit(0.0))
+              .otherwise(nCommon / unionK), 6).as("est_jaccard"))
+        }.as("ov"))
+      .select(col("corpus_a"), col("corpus_b"), col("ov.union_k"),
+        col("ov.n_common"), col("ov.est_jaccard"))
+  }
+
+  /** Sketch algebra: merge two bottom-k sketches into THE bottom-k
+    * sketch of the union corpus (exactly — the union's k smallest
+    * distinct hashes all live in one of the two sketches). This is what
+    * makes persisted sketches incremental: sketch yesterday's crawl
+    * once, merge each day's batch sketch, never re-scan history. */
+  def kmvMerge(a: Column, b: Column, sketchK: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, sketchK)
+
+  /** The KMV distinct estimate read off a sketch column (the
+    * column-level form of [[distinctCount]]'s estimator: exact below k,
+    * `(k-1)·2^60 / h_k` at k). */
+  def kmvEstimate(sk: Column, sketchK: Int): Column =
+    when(size(sk) < sketchK, size(sk).cast(DoubleType))
+      .otherwise(lit((sketchK - 1).toDouble) * lit(math.pow(2.0, 60)) /
+        element_at(sk, sketchK))
+
   /** Distinct-count estimate of an expression via the same bottom-k
     * (KMV) sketch as [[corpusOverlap]] — "how many distinct shingles /
     * tokens / urls does this corpus hold?" without a full distinct

@@ -192,4 +192,121 @@ object StatefulStreams {
       OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)(
       Encoders.scalaBoolean, rowEnc)
   }
+
+  /** Streaming per-group KMV distinct estimate — the unbounded-ingestion
+    * form of [[graft.operators.Profiling.distinctByGroup]]: state per
+    * group is the same BOUNDED bottom-k distinct-hash sketch
+    * ([[graft.expressions.LongKmvBuf]], serialized to <= 4+8k bytes), so
+    * state size never grows with the distinct universe — the property
+    * that makes running "distinct urls per source, updated per batch"
+    * viable forever. Input: `groupCol` string + `hashCol` long
+    * (pre-hashed with `TextAnalysis.hash60`, keeping the estimate
+    * identical to the batch aggregate). Emits one
+    * (group, n_seen, est_distinct) row per group per micro-batch —
+    * after an AvailableNow drain, the row with the group's max n_seen
+    * IS the batch answer (spec-pinned ≡ distinctByGroup). */
+  def distinctSketch(df: DataFrame, groupCol: String, hashCol: String,
+                     k: Int): Dataset[(String, Long, Double)] = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import graft.expressions.LongKmvBuf
+    val tupEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    val keyed = df.map(r =>
+        (String.valueOf(r.getAs[Any](groupCol)), r.getAs[Long](hashCol)))(tupEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+    val outEnc =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaDouble)
+    val fn = (g: String, rows: Iterator[(String, Long)],
+              state: GroupState[Array[Byte]]) => {
+      val bytes = state.getOption.getOrElse(Array.emptyByteArray)
+      var nSeen = 0L
+      val buf =
+        if (bytes.isEmpty) new LongKmvBuf(k)
+        else {
+          nSeen = java.nio.ByteBuffer.wrap(bytes, 0, 8).getLong
+          LongKmvBuf.fromBytes(k, bytes.drop(8))
+        }
+      rows.foreach { case (_, h) => buf.insert(h); nSeen += 1 }
+      val kmv = buf.toBytes
+      val out = java.nio.ByteBuffer.allocate(8 + kmv.length)
+      out.putLong(nSeen).put(kmv)
+      state.update(out.array())
+      val est =
+        if (buf.size < k) buf.size.toDouble
+        else (k - 1).toDouble * math.pow(2.0, 60) / buf.kth.toDouble
+      Iterator.single((g, nSeen, est))
+    }
+    keyed.flatMapGroupsWithState[Array[Byte], (String, Long, Double)](
+      OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)(
+      Encoders.BINARY, outEnc)
+  }
+
+  /** Streaming heavy-hitter CANDIDATE tracking — the unbounded form of
+    * [[graft.operators.Profiling.heavyHitters]]'s first phase: items are
+    * sharded by a deterministic hash (every occurrence of an item lands
+    * on ONE shard, so state parallelizes without breaking the
+    * guarantee), and each shard maintains a k-counter Misra-Gries
+    * summary across micro-batches. Any item whose total frequency
+    * reaches `seen/(k+1)` of its shard's stream is guaranteed present —
+    * with k = ⌈1/φ⌉, a superset of the φ-heavy hitters of everything
+    * drained so far (spec-pinned vs the exact batch answer); counts are
+    * lower bounds (true count ≤ count + seen/(k+1)). Confirm exact
+    * counts downstream against the accumulated corpus, exactly like the
+    * batch operator's second phase. Emits the shard's full current
+    * summary each batch as (shard, item, count_lb, shard_seen); after a
+    * drain, the rows carrying each shard's max shard_seen are the final
+    * summaries. */
+  def heavyHitterCandidates(df: DataFrame, itemCol: String, k: Int,
+                            shards: Int = 32): Dataset[(Int, String, Long, Long)] = {
+    require(k >= 1 && shards >= 1, s"need k>=1, shards>=1 (got $k, $shards)")
+    val tupEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    val keyed = df.map { r =>
+        val item = String.valueOf(r.getAs[Any](itemCol))
+        (math.floorMod(item.hashCode, shards), item)
+      }(tupEnc)
+      .groupByKey(_._1)(Encoders.scalaInt)
+    val outEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING,
+      Encoders.scalaLong, Encoders.scalaLong)
+    val fn = (shard: Int, rows: Iterator[(Int, String)],
+              state: GroupState[Array[Byte]]) => {
+      var seen = 0L
+      val counters = new java.util.LinkedHashMap[String, Long]()
+      state.getOption.foreach { bytes =>
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        seen = bb.getLong
+        val n = bb.getInt
+        for (_ <- 0 until n) {
+          val len = bb.getInt
+          val sb = new Array[Byte](len)
+          bb.get(sb)
+          counters.put(new String(sb, "UTF-8"), bb.getLong)
+        }
+      }
+      rows.foreach { case (_, item) =>
+        seen += 1
+        val c = counters.get(item)
+        if (c > 0L) counters.put(item, c + 1L)
+        else if (counters.size < k) counters.put(item, 1L)
+        else {
+          val it = counters.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val entries = counters.entrySet().asScala.toSeq
+      val payload = entries.map(e => (e.getKey.getBytes("UTF-8"), e.getValue))
+      val bb = java.nio.ByteBuffer.allocate(
+        12 + payload.map(p => 12 + p._1.length).sum)
+      bb.putLong(seen).putInt(payload.size)
+      payload.foreach { case (sb, c) => bb.putInt(sb.length).put(sb).putLong(c) }
+      state.update(bb.array())
+      val snapshotSeen = seen
+      entries.iterator.map(e => (shard, e.getKey, e.getValue, snapshotSeen))
+    }
+    keyed.flatMapGroupsWithState[Array[Byte], (Int, String, Long, Long)](
+      OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)(
+      Encoders.BINARY, outEnc)
+  }
 }

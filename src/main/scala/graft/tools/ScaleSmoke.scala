@@ -59,7 +59,8 @@ object ScaleSmoke {
     val docLegs = Seq("minhashCandidates", "simhashBandPairs",
       "simhashMankuPairs", "dedupClusters", "removeBoilerplate",
       "contamination", "mixtureSample", "dupSpans", "bigramLm",
-      "bloomDedup", "classifierTrain")
+      "bloomDedup", "classifierTrain", "heavyHitters", "kmvDistinct",
+      "kmvByGroup")
     for (n <- mults if docLegs.exists(enabled)) {
       val d = replicated(n).persist()
       val total = d.count()
@@ -120,6 +121,30 @@ object ScaleSmoke {
           .select((col("doc_id") * n + col("rep")).as("doc_id"), col("source"))
         graft.operators.Sampling.mixtureSample(mix, "source", "doc_id",
           Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0)).count()
+      }
+      // heavy-hitters leg: replica-suffixed tokens split every original
+      // token's share across n distinct variants, so phi scales 1/n to
+      // keep the answer population comparable; MG summaries stay
+      // per-partition-bounded (ceil(1/phi) counters) and the confirm
+      // exchange candidate-bounded — wall must track the two scans
+      // ~linearly, never the distinct-universe size
+      val hhRows = timeIf("heavyHitters") {
+        val toks = d.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+        graft.operators.Profiling.heavyHitters(toks, col("tok"), 0.002 / n).count()
+      }
+      // KMV legs: the distinct shingle universe grows ~linearly in mult
+      // while the sketch exchange stays (partitions x k)-bounded — wall
+      // must be scan-bound; the per-group native aggregate adds only a
+      // group-keyed partial/final pair with <= k longs per group state
+      val kmvEst = timeIf("kmvDistinct") {
+        val sh = d.select(explode(TextAnalysis.wordShingles(col("text"), 3)).as("s"))
+        Dedup.distinctCount(sh, col("s"), 1024).head().getDouble(2).toLong
+      }
+      val kmvGroups = timeIf("kmvByGroup") {
+        val sh = d.select((col("doc_id") % 16).as("g"),
+          explode(TextAnalysis.wordShingles(col("text"), 3)).as("s"))
+        graft.operators.Profiling.distinctByGroup(sh, Seq(col("g")), col("s"), 512).count()
       }
       // span-dedup leg: replicas are token-disjoint, so duplicated spans
       // stay within-replica and must grow EXACTLY linearly in mult; the
@@ -186,7 +211,8 @@ object ScaleSmoke {
         s"keepers=$clusters boilerRemoved=$boiler " +
         s"contaminated=$contaminated benchShingles=$benchShingles mixKept=$mixKept " +
         s"dupSpans=$spanRows dupSpansSampled=$spanSampled lmScored=$lmScored " +
-        s"bloomDropped=$bloomDropped clsfNonZero=$clsfNonZero")
+        s"bloomDropped=$bloomDropped clsfNonZero=$clsfNonZero " +
+        s"heavyHitters=$hhRows kmvEst=$kmvEst kmvGroups=$kmvGroups")
       d.unpersist()
     }
 

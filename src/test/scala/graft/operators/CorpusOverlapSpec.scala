@@ -85,4 +85,69 @@ class CorpusOverlapSpec extends AnyFunSuite {
     val many = Dedup.distinctCount(shingleRows.repartition(13), col("s"), 256).head()
     assert(one == many)
   }
+
+  test("corpusOverlapMatrix: each pair cell == the pairwise corpusOverlap") {
+    val m = Dedup.corpusOverlapMatrix(docs, "source", "text",
+        shingleN = 3, sketchK = 256)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val sources = docs.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(m.keySet == sources.combinations(2).map(p => (p(0), p(1))).toSet)
+    for (Array(sa, sb) <- sources.combinations(2)) {
+      val pw = Dedup.corpusOverlap(
+        docs.filter(col("source") === sa),
+        docs.filter(col("source") === sb), "text",
+        shingleN = 3, sketchK = 256).head()
+      assert(m((sa, sb)) == ((pw.getLong(0), pw.getLong(1), pw.getDouble(2))),
+        s"pair ($sa, $sb)")
+    }
+  }
+
+  test("corpusOverlapMatrix is exact when corpora fit the sketch; " +
+    "identical corpora read 1.0") {
+    // tiny slices (< k distinct shingles each): the estimate IS the
+    // exact Jaccard of the shingle sets
+    val tiny = docs.limit(12)
+      .withColumn("source", concat(lit("c"), col("doc_id") % 2))
+    val m = Dedup.corpusOverlapMatrix(tiny, "source", "text",
+      shingleN = 3, sketchK = 1 << 20).head()
+    val sets = tiny.select(col("source"),
+        explode(TextAnalysis.wordShingles(col("text"), 3)).as("s"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+    val inter = (sets("c0") & sets("c1")).size.toDouble
+    val uni = (sets("c0") | sets("c1")).size.toDouble
+    assert(m.getDouble(4) ==
+      math.rint(inter / uni * 1e6) / 1e6, s"matrix $m vs ${inter / uni}")
+    // duplicated corpus: overlap 1.0 on the diagonal pair
+    val dup = docs.limit(12).withColumn("source", lit("x"))
+      .unionByName(docs.limit(12).withColumn("source", lit("y")))
+    val d = Dedup.corpusOverlapMatrix(dup, "source", "text", 3, 256).head()
+    assert(d.getDouble(4) == 1.0 && d.getLong(2) == d.getLong(3))
+  }
+
+  test("kmvMerge(sketch(A), sketch(B)) == sketch(A union B) — incremental " +
+    "merge never re-scans history") {
+    val hashed = shingleRows
+      .select(TextAnalysis.hash60(col("s")).as("h"),
+        (col("s").substr(1, 1) === lit("t")).as("inA"))
+    val k = 128
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      df.agg(call_function("graft_kmv_sketch", col("h"), lit(k)).as("sk"))
+    val sa = sketchOf(hashed.filter(col("inA"))).head().getSeq[Long](0)
+    val sb = sketchOf(hashed.filter(!col("inA"))).head().getSeq[Long](0)
+    val sUnion = sketchOf(hashed).head().getSeq[Long](0)
+    val spark2 = spark
+    import spark2.implicits._
+    val merged = Seq((sa, sb)).toDF("a", "b")
+      .select(Dedup.kmvMerge(col("a"), col("b"), k).as("m"),
+        Dedup.kmvEstimate(Dedup.kmvMerge(col("a"), col("b"), k), k).as("est"))
+      .head()
+    assert(merged.getSeq[Long](0) == sUnion)
+    // and the estimate off the merged sketch == distinctCount's estimate
+    val direct = Dedup.distinctCount(shingleRows, col("s"), k).head().getDouble(2)
+    assert(math.rint(merged.getDouble(1) * 1000) / 1000 == direct)
+  }
 }

@@ -89,6 +89,64 @@ class LayoutSpec extends AnyFunSuite {
     assert(intercept[Exception](big.collect()) != null)
   }
 
+  /** Row groups of `file` whose [min,max] column-chunk statistics
+    * intersect every (col, lo, hi) box side — exactly the set a
+    * statistics-pruning reader must fetch. */
+  private def rowGroupsTouched(file: String,
+                               box: Seq[(String, Long, Long)]): (Int, Int) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val touched = blocks.count { b =>
+        box.forall { case (name, lo, hi) =>
+          val cc = b.getColumns.asScala
+            .find(_.getPath.toDotString == name).get
+          val st: org.apache.parquet.column.statistics.Statistics[_] =
+            cc.getStatistics
+          val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+          val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+          mx >= lo && mn <= hi
+        }
+      }
+      (touched, blocks.size)
+    } finally reader.close()
+  }
+
+  test("z-ordered row groups prune on BOTH axes where a linear sort serves one") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 64k points on a 256x256 grid, written as ONE file with ~1k-row row
+    // groups (tiny parquet.block.size forces frequent flushes)
+    val pts = (0 until 65536).map(i => (i / 256L, (i * 2654435761L) % 256L))
+    def writeSorted(key: org.apache.spark.sql.Column): String = {
+      val dir = Files.createTempDirectory("graft_zprune").toString
+      pts.toDF("x", "y").withColumn("k", key)
+        .coalesce(1).sortWithinPartitions("k")
+        .write.option("parquet.block.size", 8 * 1024)
+        .mode("overwrite").parquet(dir)
+      Files.list(Paths.get(dir)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get.toString
+    }
+    val linear = writeSorted(col("x")) // 1-D sort: x clustered, y random
+    val zfile = writeSorted(Layout.zkey(Seq(col("x"), col("y")), 8))
+    // a y-only slice: the x-sorted layout cannot prune it at all
+    val ySlice = Seq(("y", 10L, 20L))
+    val (linY, linN) = rowGroupsTouched(linear, ySlice)
+    val (zY, zN) = rowGroupsTouched(zfile, ySlice)
+    assert(linN >= 8 && zN >= 8, s"need multiple row groups, got $linN/$zN")
+    assert(linY == linN, "x-sorted layout reads EVERY group for a y slice")
+    assert(zY * 2 <= zN, s"z-order must skip >= half the groups ($zY/$zN)")
+    // a 2-D box: z-order prunes harder than the linear sort
+    val box = Seq(("x", 0L, 31L), ("y", 0L, 31L))
+    val (linB, _) = rowGroupsTouched(linear, box)
+    val (zB, _) = rowGroupsTouched(zfile, box)
+    assert(zB.toDouble / zN < linB.toDouble / linN,
+      s"z box fraction $zB/$zN vs linear $linB/$linN")
+  }
+
   test("writeZOrdered: every output file is internally z-key sorted") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "lang", "n_chars")

@@ -221,6 +221,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  /** documents staged as THREE files + maxFilesPerTrigger=1, so the
+    * stateful operators below are exercised across MULTIPLE micro-batches
+    * (state serialize/merge, not just one-shot). */
+  private lazy val docsMultiBatchDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_mb")
+    graft.Tables(spark, TestSpark.sfDir, "documents")
+      .repartition(3).write.mode("overwrite").parquet(dir.toString)
+    dir.toString
+  }
+
+  private def docsStream = {
+    val schema = graft.Tables(spark, TestSpark.sfDir, "documents").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsMultiBatchDir)
+  }
+
+  private def drainUpdate(df: org.apache.spark.sql.DataFrame,
+                          name: String): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("streaming KMV distinctSketch drains to the batch distinctByGroup answer") {
+    import graft.operators.{Profiling, TextAnalysis}
+    val k = 256
+    def shingled(df: org.apache.spark.sql.DataFrame) = df.select(col("lang"),
+      explode(TextAnalysis.wordShingles(col("text"), 3)).as("sh"))
+    val hashed = shingled(docsStream)
+      .select(col("lang"), TextAnalysis.hash60(col("sh")).as("h"))
+    val out = drainUpdate(
+      StatefulStreams.distinctSketch(hashed, "lang", "h", k).toDF(),
+      "kmv_stream_test")
+    // multiple micro-batches actually ran: some group emitted > 1 row
+    assert(out.groupBy("_1").count().agg(max("count")).head().getLong(0) > 1)
+    // the final emission per group (max rows-seen) IS the batch estimate
+    val finals = out.groupBy(col("_1").as("lang"))
+      .agg(max_by(col("_3"), col("_2")).as("est_distinct"),
+        max(col("_2")).as("n_seen"))
+    val batchDocs = graft.Tables(spark, TestSpark.sfDir, "documents")
+    val expected = Profiling.distinctByGroup(
+      shingled(batchDocs), Seq(col("lang")), col("sh"), k)
+    val got = finals.select(col("lang"), col("est_distinct"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // n_seen accounting: every shingle row of the group passed through
+    val rowCounts = shingled(batchDocs).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    finals.collect().foreach(r => assert(r.getLong(2) == rowCounts(r.getString(0))))
+  }
+
+  test("streaming Misra-Gries candidates superset the exact heavy hitters " +
+    "and confirm to the exact batch answer") {
+    import graft.operators.{Profiling, TextAnalysis}
+    val phi = 0.005
+    val k = 200 // ceil(1/phi): phi > 1/(k+1) keeps the MG guarantee
+    def toks(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val out = drainUpdate(
+      StatefulStreams.heavyHitterCandidates(toks(docsStream), "tok", k,
+        shards = 8).toDF(),
+      "hh_stream_test")
+    // final summary per shard = the rows carrying that shard's max seen
+    val finals = out.groupBy(col("_1").as("shard"))
+      .agg(max(col("_4")).as("seen"))
+      .join(out, col("shard") === col("_1") && col("seen") === col("_4"))
+      .select(col("_2").as("item"), col("_3").as("cnt_lb"), col("shard"),
+        col("seen"))
+    val candidates = finals.select("item").distinct()
+    // per-shard summaries are bounded by k
+    finals.groupBy("shard").count().collect()
+      .foreach(r => assert(r.getLong(1) <= k, s"shard ${r.get(0)} over k"))
+    val batchToks = toks(graft.Tables(spark, TestSpark.sfDir, "documents"))
+    val exact = Profiling.heavyHitters(batchToks, col("tok"), phi)
+    // SUPERSET guarantee: every true phi-heavy item is a candidate
+    assert(exact.select(col("item"))
+      .join(candidates, Seq("item"), "left_anti").isEmpty)
+    // MG counts are lower bounds on true counts
+    val trueCounts = batchToks.groupBy(col("tok").as("item"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(finals.join(trueCounts, "item")
+      .filter(col("cnt_lb") > col("cnt")).isEmpty)
+    // confirm phase over the accumulated corpus == the exact batch answer
+    val n = batchToks.count()
+    val confirmed = batchToks.join(broadcast(candidates),
+        col("tok") === col("item"))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= math.ceil(phi * n).toLong)
+    assert(confirmed.exceptAll(exact).isEmpty && exact.exceptAll(confirmed).isEmpty)
+  }
+
   test("stateful firstSeen dedup emits exactly one row per key") {
     val stream = Streams.readEvents(spark, eventsPath)
     val deduped = StatefulStreams.firstSeen(stream, "user_id", "event_id")
