@@ -912,6 +912,32 @@ object SparkEntry {
           explode(TextAnalysis.wordShingles(col("text"), 3)).as("sh3")),
         Seq(col("lang")), col("sh3"), sketchK = 256)),
 
+    // ---- PROFILING: histogram-binned quantiles — the bounded-state
+    //      quantile path (ONE bins-bounded exchange, error <= one bin
+    //      width) where exact percentiles buffer every group value
+    "q114_binned_quantiles" -> ((s, dir) =>
+      Profiling.binnedQuantiles(t(s, dir, "documents"), col("n_chars"),
+        lo = 0L, hi = 1024L, bins = 64, qs = Seq(0.1, 0.5, 0.9))),
+
+    // ---- SOURCE: gzipped JSONL scan — the LLM-corpus interchange
+    //      format through the real text-source path (fixture exported
+    //      once per sf dir by the engine's own writer; explicit schema,
+    //      no inference scan), aggregated back to the parquet truth
+    "q113_jsonl_scan" -> ((s, dir) => {
+      val fixture = graft.sources.Jsonl.ensureDocsFixture(s, dir)
+      graft.sources.Jsonl.readJsonl(s, fixture,
+          t(s, dir, "documents").schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
+
+    // ---- PROFILING: key-skew diagnosis — exact concentration stats
+    //      (top-1/top-10 share, pair-collision probability) deciding
+    //      whether a join key needs salting BEFORE the 100 TB shuffle;
+    //      one keyed count exchange + scalar/TakeOrdered legs
+    "q112_key_skew" -> ((s, dir) =>
+      Profiling.keySkew(t(s, dir, "events"), col("user_id"))),
+
     // ---- DEDUP: all-pairs corpus-overlap matrix — per-source bottom-k
     //      sketches from the native bounded KMV aggregate (ONE corpus
     //      scan), pairwise estimates as k-length array arithmetic on the
@@ -2805,6 +2831,61 @@ object SparkEntry {
          SELECT lang, CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
                       ELSE 255.0 * power(2.0, 60) / kth END AS est_distinct
          FROM sk""",
+
+    // binned quantiles: identical histogram + cumulative interpolation
+    // (integer counts, same IEEE multiply/divide tree; quantile literals
+    // CAST to DOUBLE so DuckDB doesn't parse them as DECIMAL)
+    "q114_binned_quantiles" ->
+      """WITH v AS (SELECT n_chars AS v FROM documents
+                    WHERE n_chars IS NOT NULL),
+         bnd AS (SELECT CASE WHEN v <= 0 THEN 0
+                             WHEN v >= 1024 THEN 63
+                             ELSE LEAST(63, CAST(FLOOR(((v - 0) * 64)
+                                    / (1024 - 0)) AS BIGINT))
+                        END AS b FROM v),
+         h AS (SELECT b, COUNT(*) AS c FROM bnd GROUP BY b),
+         ct AS (SELECT b, c,
+                       COALESCE(SUM(c) OVER (ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS cum_before
+                FROM h),
+         n AS (SELECT COUNT(*) AS n FROM v),
+         qs AS (SELECT UNNEST([CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                               CAST(0.9 AS DOUBLE)]) AS q),
+         t AS (SELECT q, q * (n - 1) AS t FROM qs CROSS JOIN n)
+         SELECT t.q,
+                0 + (ct.b + (t.t - ct.cum_before) / ct.c)
+                  * (CAST(1024 - 0 AS DOUBLE) / 64) AS est
+         FROM t JOIN ct
+           ON t.t >= ct.cum_before AND t.t < ct.cum_before + ct.c""",
+
+    // JSONL scan: the fixture is the documents table itself, so the
+    // oracle aggregates the parquet truth directly
+    "q113_jsonl_scan" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY lang""",
+
+    // key skew: exact per-key counts, integer sums, final IEEE divides
+    // (ties in the top-10 leg broken by key value on both sides)
+    "q112_key_skew" ->
+      s"""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS c
+                     FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         s AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                      COUNT(*) AS n_keys,
+                      MAX(c) AS max_key_rows,
+                      CAST(SUM(c * (c - 1)) AS BIGINT) AS p2
+               FROM c),
+         t AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS top10_rows
+               FROM (SELECT c FROM c ORDER BY c DESC, k ASC LIMIT 10))
+         SELECT n_rows, n_keys, max_key_rows,
+                CAST(max_key_rows AS DOUBLE) / n_rows AS top1_share,
+                CAST(top10_rows AS DOUBLE) / n_rows AS top10_share,
+                CASE WHEN n_rows > 1
+                     THEN CAST(p2 AS DOUBLE) /
+                          (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1))
+                     ELSE 0.0 END AS collision_prob
+         FROM s CROSS JOIN t""",
 
     // overlap matrix: per-source bottom-256 distinct-hash sketches, per
     // pair the union's bottom-256 and the KMV Jaccard numerator — the

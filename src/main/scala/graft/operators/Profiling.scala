@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 /** Corpus-frequency profiling operators that stay EXACT while keeping
   * every exchange bounded — the pre-flight analyses of a curation run
@@ -76,6 +76,97 @@ object Profiling {
       .crossJoin(broadcast(total))
       .filter(col("cnt") >= ceil(lit(minFraction) * col("n_total")))
       .select(col("item"), col("cnt"))
+  }
+
+  /** Key-skew diagnosis for a prospective join/groupBy key — the
+    * pre-flight that decides whether a 100 TB shuffle needs
+    * [[Joins.saltedEquiJoin]] / AQE skew handling BEFORE paying for it.
+    * Returns ONE row of exact concentration statistics:
+    *
+    *   - `n_rows`, `n_keys`, `max_key_rows` — raw shape;
+    *   - `top1_share`, `top10_share` — fraction of all rows owned by the
+    *     heaviest key / heaviest 10 keys (ties broken by key value, so
+    *     the number is deterministic): the direct "one task gets X% of
+    *     the shuffle" reading;
+    *   - `collision_prob` — Σ c·(c−1) / (N·(N−1)), the probability two
+    *     random rows share a key (the Simpson/HHI concentration index):
+    *     layout-independent, and exactly the pair-volume multiplier a
+    *     self-join on this key pays.
+    *
+    * All integer aggregation until final IEEE divides over exact
+    * operands — bit-identical cross-engine. Scale shape: one key-keyed
+    * count exchange (map-side combine) feeding a scalar aggregate and a
+    * TakeOrdered(10); the count frame is evaluated twice (scalar + top10
+    * legs) — cache it upstream if the input scan dominates. */
+  def keySkew(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.select(key.cast(StringType).as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val scalar = counts.agg(
+      sum("c").as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max("c").as("max_key_rows"),
+      sum(col("c") * (col("c") - 1)).as("p2"))
+    val top10 = counts.orderBy(col("c").desc, col("k").asc).limit(10)
+      .agg(coalesce(sum("c"), lit(0L)).as("top10_rows"))
+    scalar.crossJoin(top10).select(
+      col("n_rows"), col("n_keys"), col("max_key_rows"),
+      (col("max_key_rows").cast(DoubleType) / col("n_rows")).as("top1_share"),
+      (col("top10_rows").cast(DoubleType) / col("n_rows")).as("top10_share"),
+      when(col("n_rows") > 1,
+        col("p2").cast(DoubleType) /
+          (col("n_rows").cast(DoubleType) * (col("n_rows").cast(DoubleType) - 1)))
+        .otherwise(lit(0.0)).as("collision_prob"))
+  }
+
+  /** Histogram-binned quantile estimates — the bounded-state scale path
+    * where exact interpolated quantiles (q73; Spark `percentile`) buffer
+    * every value of the group: `bins` fixed-width buckets over
+    * [lo, hi), ONE bin-keyed count exchange (map-side combine, at most
+    * `bins` rows ever shuffled), then each requested quantile is read
+    * off the cumulative histogram with uniform-within-bin
+    * interpolation. The estimate for quantile q (at fractional rank
+    * t = q·(N−1), the `percentile_cont` position) lands in the same
+    * bucket as the exact answer, so the error is bounded by ONE bin
+    * width (spec-pinned) — tighten by adding bins, which costs bounded
+    * rows, not memory per value.
+    *
+    * Values outside [lo, hi) clamp to the edge bins (the histogram
+    * range is a declared contract, like any production metrics
+    * histogram). All arithmetic is integer aggregation + the same IEEE
+    * multiply/divide tree on both engines — bit-mirrorable. The
+    * cumulative window runs over ≤ `bins` rows by construction, so its
+    * single-partition execution is bounded, not a data-sized sort. */
+  def binnedQuantiles(df: DataFrame, x: Column, lo: Long, hi: Long,
+                      bins: Int, qs: Seq[Double]): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0, 1], got $qs")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val v = df.select(x.cast("long").as("v")).filter(col("v").isNotNull)
+    val binned = v.select(
+        when(col("v") <= lo, lit(0L))
+          .when(col("v") >= hi, lit((bins - 1).toLong))
+          .otherwise(least(lit((bins - 1).toLong),
+            floor((col("v") - lo) * bins / (hi - lo)).cast("long"))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    val cum = binned.withColumn("cum_before",
+      coalesce(sum("c").over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val n = v.agg(count(lit(1)).as("n"))
+    val w = (hi - lo).toDouble / bins
+    qs.toDF("q")
+      .crossJoin(broadcast(n))
+      .withColumn("t", col("q") * (col("n") - 1))
+      .join(broadcast(cum),
+        col("t") >= col("cum_before") && col("t") < col("cum_before") + col("c"))
+      .select(col("q"),
+        (lit(lo) + (col("b") + (col("t") - col("cum_before")) / col("c")) *
+          lit(w)).as("est"))
   }
 
   /** Per-group distinct-count estimates via the native bottom-k KMV

@@ -81,7 +81,27 @@ class JobBudgetSpec extends AnyFunSuite {
     "q98_pq_adc_topk" -> 20L,
     // composed build (cells + codes) + probe: 16 measured; each extra
     // job at cluster scale is a full corpus or code-table pass
-    "q99_ivfpq_probeall" -> 32L
+    "q99_ivfpq_probeall" -> 32L,
+    // bounded-TreeSet prefilter + bottom-k + scalar: 3 measured
+    "q107_distinct_estimate" -> 8L,
+    // MG candidate scan + exact confirm scan + broadcast builds: 8
+    // measured — CONSTANT by design (two corpus passes, never more)
+    "q108_heavy_hitters" -> 16L,
+    // one group-keyed KMV aggregate: 4 measured
+    "q109_group_distinct" -> 8L,
+    // pure scan-level arithmetic: 3 measured
+    "q110_zorder_key" -> 6L,
+    // one corpus scan into per-source sketches + broadcast pair join:
+    // 5 measured — an extra job here means a second corpus pass crept in
+    "q111_overlap_matrix" -> 10L,
+    // keyed count exchange + scalar + TakeOrdered legs: 5 measured
+    "q112_key_skew" -> 10L,
+    // fixture ensure (marker-cached write) + schema'd json scan + agg:
+    // 7 measured on a cold fixture; cached runs are fewer
+    "q113_jsonl_scan" -> 14L,
+    // histogram agg + bins-bounded window + two broadcast scalars: 8
+    // measured
+    "q114_binned_quantiles" -> 16L
   )
 
   for ((q, budget) <- budgets)

@@ -190,6 +190,70 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("heavyHitters == exact groupBy threshold on random item streams") {
+    val itemGen = Gen.listOfN(120,
+      Gen.frequency(5 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+        2 -> Gen.oneOf("a", "b", "c", "d", "e", "f"),
+        1 -> Gen.alphaStr.map(s => "r" + s.take(4))))
+    val phiGen = Gen.oneOf(0.02, 0.05, 0.1, 0.34)
+    for (((items, phi), trial) <- samples(Gen.zip(itemGen, phiGen), 5).zipWithIndex) {
+      val df = items.toDF("item").repartition(trial + 1)
+      val n = items.size
+      val t = math.ceil(phi * n).toLong
+      val expected = items.groupBy(identity).view
+        .mapValues(_.size.toLong).filter(_._2 >= t).toMap
+      val got = operators.Profiling.heavyHitters(df, col("item"), phi)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial phi=$phi")
+    }
+  }
+
+  test("KMV sketch == brute-force bottom-k distinct; merge is " +
+    "commutative, associative, and == the union sketch") {
+    val k = 16
+    val hGen = Gen.listOfN(60, Gen.choose(1L, 1L << 40))
+    for ((ha, trial) <- samples(Gen.zip(hGen, hGen, hGen), 4).zipWithIndex) {
+      val (a, b, c) = ha
+      def sketch(xs: Seq[Long]): Seq[Long] = {
+        val df = xs.toDF("h")
+          .agg(call_function("graft_kmv_sketch", col("h"), lit(k)))
+        df.head().getSeq[Long](0)
+      }
+      def brute(xs: Seq[Long]): Seq[Long] = xs.distinct.sorted.take(k)
+      assert(sketch(a) == brute(a), s"trial $trial")
+      def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] =
+        Seq((x, y)).toDF("a", "b")
+          .select(operators.Dedup.kmvMerge(col("a"), col("b"), k))
+          .head().getSeq[Long](0)
+      val sa = sketch(a); val sb = sketch(b); val sc = sketch(c)
+      assert(merge(sa, sb) == merge(sb, sa))
+      assert(merge(merge(sa, sb), sc) == merge(sa, merge(sb, sc)))
+      assert(merge(sa, sb) == brute(a ++ b))
+    }
+  }
+
+  test("zkey is injective on its domain and inverts to its coordinates") {
+    val bits = 9
+    val cGen = Gen.listOfN(80, Gen.zip(Gen.choose(0L, (1L << bits) - 1),
+      Gen.choose(0L, (1L << bits) - 1)))
+    for (coords <- samples(cGen, 4)) {
+      val df = coords.toDF("x", "y")
+      val got = df.select(col("x"), col("y"),
+          sources.Layout.zkey(Seq(col("x"), col("y")), bits).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // deinterleave: even key bits rebuild x, odd bits rebuild y
+      for ((x, y, z) <- got) {
+        var rx = 0L; var ry = 0L
+        for (i <- 0 until bits) {
+          rx |= ((z >> (2 * i)) & 1L) << i
+          ry |= ((z >> (2 * i + 1)) & 1L) << i
+        }
+        assert(rx == x && ry == y, s"z=$z")
+      }
+      assert(got.map(_._3).distinct.length == coords.distinct.length)
+    }
+  }
+
   test("media codecs never throw on arbitrary bytes: None or a raster, " +
     "even for signature-prefixed garbage") {
     import graft.expressions.{GifCodec, JpegCodec, PngCodec, WavCodec}

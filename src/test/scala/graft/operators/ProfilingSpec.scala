@@ -101,6 +101,78 @@ class ProfilingSpec extends AnyFunSuite {
     assert(one == many && one == est)
   }
 
+  test("keySkew == plain-Scala concentration stats; edges behave") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    val counts = ev.filter(col("user_id").isNotNull)
+      .groupBy("user_id").count().collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+    val n = counts.map(_._2).sum
+    val top10 = counts.sortBy { case (k, c) => (-c, k) }.take(10).map(_._2).sum
+    val p2 = counts.map { case (_, c) => c * (c - 1) }.sum
+    val row = Profiling.keySkew(ev, col("user_id")).head()
+    assert(row.getLong(0) == n && row.getLong(1) == counts.length)
+    assert(row.getLong(2) == counts.map(_._2).max)
+    assert(row.getDouble(3) == counts.map(_._2).max.toDouble / n)
+    assert(row.getDouble(4) == top10.toDouble / n)
+    assert(row.getDouble(5) == p2.toDouble / (n.toDouble * (n.toDouble - 1)))
+    // layout-independent
+    assert(Profiling.keySkew(ev.repartition(13), col("user_id")).head() == row)
+    // all-same key: every share 1.0, collision certainty
+    val same = Seq.fill(5)("x").toDF("k")
+    val s = Profiling.keySkew(same, col("k")).head()
+    assert(s.getDouble(3) == 1.0 && s.getDouble(4) == 1.0 && s.getDouble(5) == 1.0)
+    // single row: the n_rows > 1 guard keeps collision_prob defined
+    val one = Profiling.keySkew(Seq("x").toDF("k"), col("k")).head()
+    assert(one.getDouble(5) == 0.0 && one.getDouble(3) == 1.0)
+    // nulls are not keys
+    val withNull = Profiling.keySkew(
+      Seq(Some("a"), Some("a"), None).toDF("k"), col("k")).head()
+    assert(withNull.getLong(0) == 2 && withNull.getDouble(3) == 1.0)
+  }
+
+  test("binnedQuantiles: within one bin width of the exact percentile, " +
+    "monotone, layout-invariant, clamped") {
+    val ev = docs.select(col("n_chars"))
+    val (lo, hi, bins) = (0L, 1024L, 64)
+    val w = (hi - lo).toDouble / bins
+    val qs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val est = Profiling.binnedQuantiles(ev, col("n_chars"), lo, hi, bins, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val exact = docs.selectExpr(
+        s"percentile(n_chars, array(${qs.mkString(",")})) AS p")
+      .head().getSeq[Double](0)
+    for ((q, e) <- qs.zip(exact)) {
+      assert(math.abs(est(q) - e) <= w, s"q=$q est=${est(q)} exact=$e")
+      assert(est(q) >= lo && est(q) <= hi)
+    }
+    // monotone in q
+    val ordered = qs.map(est)
+    assert(ordered == ordered.sorted)
+    // exact integer histogram => layout-invariant
+    val many = Profiling.binnedQuantiles(ev.repartition(13), col("n_chars"),
+        lo, hi, bins, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(many == est)
+    // out-of-range values clamp to the edge bins, never escape [lo, hi]
+    val spark2 = spark
+    import spark2.implicits._
+    val wild = Seq(-500L, -1L, 0L, 5000L, 9999L).toDF("v")
+    val c = Profiling.binnedQuantiles(wild, col("v"), lo, hi, bins,
+        Seq(0.0, 1.0))
+      .collect().map(_.getDouble(1))
+    assert(c.forall(x => x >= lo && x <= hi))
+  }
+
+  test("keySkew plan: TakeOrdered top-10, never a global sort") {
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    val p = Profiling.keySkew(ev, col("user_id"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("graft_kmv_distinct: all-null group reports 0, partial agg in plan") {
     val spark2 = spark
     import spark2.implicits._
