@@ -32,9 +32,11 @@ object Profiling {
     *      partitions × |candidates| partial rows), and the φ·N
     *      threshold filter drops the superset's false candidates.
     *
-    * The input is scanned twice (candidates, confirm) — the price of
-    * exactness; both scans are embarrassingly parallel and neither ever
-    * shuffles the full distinct universe, which is what breaks
+    * The input is scanned twice with columns (candidates, confirm) plus
+    * a column-pruned count-only pass for N (parquet answers it from row
+    * counts) — the price of exactness; every pass is embarrassingly
+    * parallel and none ever shuffles the full distinct universe, which
+    * is what breaks
     * `GROUP BY value HAVING count >= t` at 100 TB when `value` has
     * billions of distincts (URLs, shingles). Output order is
     * unspecified (sort downstream if needed).

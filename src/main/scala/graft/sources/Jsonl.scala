@@ -13,19 +13,21 @@ import org.apache.spark.sql.types.StructType
   * for handing corpora to/from tokenizer and eval teams.
   *
   * Scale notes baked into the writer: gzip is NOT splittable, so one
-  * shard = one read task forever — `files` IS the read parallelism
-  * contract (size it like a bucket count: total bytes / ~256 MB). Rows
-  * are salted into exactly `files` shards (bounded output files
-  * regardless of upstream task count, like [[CorpusSink]]), field order
-  * is pinned to the DataFrame's column order, and null fields are kept
-  * (round-trip fidelity beats byte thrift at a boundary).
+  * shard = one read task forever — `files` bounds the read parallelism
+  * (size it like a bucket count: total bytes / ~256 MB). Rows are
+  * salted into AT MOST `files` shards regardless of upstream task count
+  * (an upper bound, like [[CorpusSink]]'s: two salt groups whose hashes
+  * collide mod `files` merge into one shard — never more files, maybe
+  * fewer), field order is pinned to the DataFrame's column order, and
+  * null fields are kept (round-trip fidelity beats byte thrift at a
+  * boundary).
   *
   * Reading uses an EXPLICIT schema: `spark.read.json` without one runs
   * a full inference scan over 100 TB before the real scan — the
   * canonical self-inflicted double read. */
 object Jsonl {
 
-  /** Write `df` as `files` gzipped JSONL shards under `path`. */
+  /** Write `df` as at most `files` gzipped JSONL shards under `path`. */
   def writeJsonl(df: DataFrame, path: String, files: Int,
                  saltCol: String): Unit = {
     require(files >= 1, s"files must be >= 1, got $files")
