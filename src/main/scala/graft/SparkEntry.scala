@@ -919,6 +919,15 @@ object SparkEntry {
       Profiling.binnedQuantiles(t(s, dir, "documents"), col("n_chars"),
         lo = 0L, hi = 1024L, bins = 64, qs = Seq(0.1, 0.5, 0.9))),
 
+    // ---- PROFILING: per-group binned quantiles — one (group, bin)
+    //      count exchange, group-partitioned cumulative window (<= bins
+    //      rows per partition), per-source length quantiles without
+    //      buffering any group's values
+    "q115_group_quantiles" -> ((s, dir) =>
+      Profiling.binnedQuantilesByGroup(t(s, dir, "documents"),
+        col("lang"), col("n_chars"),
+        lo = 0L, hi = 1024L, bins = 64, qs = Seq(0.1, 0.5, 0.9))),
+
     // ---- SOURCE: gzipped JSONL scan — the LLM-corpus interchange
     //      format through the real text-source path (fixture exported
     //      once per sf dir by the engine's own writer; explicit schema,
@@ -990,6 +999,24 @@ object SparkEntry {
       val cb = Similarity.pqSeedBooks(emb, "vec_id", "embedding",
         dim = 64, m = 4, ksub = 8)
       val index = Similarity.ivfPqBuild(emb, "vec_id", "embedding", seeds, cb)
+      Similarity.ivfPqProbe(index, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nprobe = 8)
+    }),
+
+    // ---- ANN: incremental IVF-PQ — index built on the even half,
+    //      odd half APPENDED under the frozen seeds/codebooks (O(batch)
+    //      encode, history never re-encoded); probe-all == q99's full
+    //      rebuild, so the oracle is shared verbatim
+    "q116_ivfpq_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeds = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+        nlist = 8, iters = 0)
+      val cb = Similarity.pqSeedBooks(emb, "vec_id", "embedding",
+        dim = 64, m = 4, ksub = 8)
+      val history = Similarity.ivfPqBuild(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", seeds, cb)
+      val index = Similarity.ivfPqAppend(history,
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
       Similarity.ivfPqProbe(index, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 5, nprobe = 8)
     }),
@@ -2832,6 +2859,31 @@ object SparkEntry {
                       ELSE 255.0 * power(2.0, 60) / kth END AS est_distinct
          FROM sk""",
 
+    // grouped binned quantiles: q114's tree with PARTITION BY g windows
+    "q115_group_quantiles" ->
+      """WITH v AS (SELECT lang AS g, n_chars AS v FROM documents
+                    WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+         bnd AS (SELECT g, CASE WHEN v <= 0 THEN 0
+                                WHEN v >= 1024 THEN 63
+                                ELSE LEAST(63, CAST(FLOOR(((v - 0) * 64)
+                                       / (1024 - 0)) AS BIGINT))
+                           END AS b FROM v),
+         h AS (SELECT g, b, COUNT(*) AS c FROM bnd GROUP BY g, b),
+         ct AS (SELECT g, b, c,
+                       COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS cum_before,
+                       SUM(c) OVER (PARTITION BY g) AS n
+                FROM h),
+         qs AS (SELECT UNNEST([CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                               CAST(0.9 AS DOUBLE)]) AS q)
+         SELECT ct.g, qs.q,
+                0 + (ct.b + (qs.q * (ct.n - 1) - ct.cum_before) / ct.c)
+                  * (CAST(1024 - 0 AS DOUBLE) / 64) AS est
+         FROM qs CROSS JOIN ct
+         WHERE qs.q * (ct.n - 1) >= ct.cum_before
+           AND qs.q * (ct.n - 1) < ct.cum_before + ct.c""",
+
     // binned quantiles: identical histogram + cumulative interpolation
     // (integer counts, same IEEE multiply/divide tree; quantile literals
     // CAST to DOUBLE so DuckDB doesn't parse them as DECIMAL)
@@ -2962,6 +3014,10 @@ object SparkEntry {
     // candidate through, so the contract is exact equality with the flat
     // ADC scan — one mirror serves both
     "q99_ivfpq_probeall" -> PQ_ADC_SQL,
+
+    // incremental IVF-PQ: append(build(even), odd) probe-all must equal
+    // the full-corpus flat ADC — q99's mirror verbatim
+    "q116_ivfpq_append" -> PQ_ADC_SQL,
 
     // unkeyed interval containment — the bucketization is internal to
     // the engine, so the mirror is the plain range predicate

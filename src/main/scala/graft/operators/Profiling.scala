@@ -171,6 +171,48 @@ object Profiling {
           lit(w)).as("est"))
   }
 
+  /** Per-GROUP [[binnedQuantiles]] — one histogram per group off a
+    * single (group, bin)-keyed count exchange, the cumulative window
+    * PARTITIONED by group (≤ `bins` rows per window partition — a real
+    * keyed window, not the global variant's bounded single-partition
+    * case), every group × quantile interpolated with the same
+    * one-bin-width error bound. This is what corpus profiling (q73)
+    * becomes at 100 TB: per-source length/token quantiles without
+    * buffering any group's values. Groups are carried as one string key
+    * column `g` (cast upstream columns as needed); output is
+    * (g, q, est) rows, groups × |qs|. */
+  def binnedQuantilesByGroup(df: DataFrame, group: Column, x: Column,
+                             lo: Long, hi: Long, bins: Int,
+                             qs: Seq[Double]): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0, 1], got $qs")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val v = df.select(group.cast(StringType).as("g"), x.cast("long").as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+    val binned = v.select(col("g"),
+        when(col("v") <= lo, lit(0L))
+          .when(col("v") >= hi, lit((bins - 1).toLong))
+          .otherwise(least(lit((bins - 1).toLong),
+            floor((col("v") - lo) * bins / (hi - lo)).cast("long"))).as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("c"))
+    val cum = binned.select(col("g"), col("b"), col("c"),
+      coalesce(sum("c").over(Window.partitionBy("g").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("cum_before"),
+      sum("c").over(Window.partitionBy("g")).as("n"))
+    val w = (hi - lo).toDouble / bins
+    qs.toDF("q")
+      .crossJoin(cum)
+      .withColumn("t", col("q") * (col("n") - 1))
+      .filter(col("t") >= col("cum_before") && col("t") < col("cum_before") + col("c"))
+      .select(col("g"), col("q"),
+        (lit(lo) + (col("b") + (col("t") - col("cum_before")) / col("c")) *
+          lit(w)).as("est"))
+  }
+
   /** Per-group distinct-count estimates via the native bottom-k KMV
     * aggregate ([[graft.expressions.KmvDistinct]]): one ordinary
     * groupBy whose per-group state is a BOUNDED k-long sketch (map-side

@@ -612,6 +612,22 @@ object Similarity {
     IvfPqIndex(seeds, cb, codes)
   }
 
+  /** Append a batch to an existing [[IvfPqIndex]] WITHOUT touching
+    * history: only the batch is cell-assigned and PQ-encoded (under the
+    * index's FROZEN seeds and codebooks — quantization parameters are
+    * immutable once an index is serving, exactly like the MinHash band
+    * index and the Bloom history bitset), and its code rows union onto
+    * the persisted ones. Because both assignments are per-row argmins
+    * against broadcast tables, the appended index is ROW-IDENTICAL to
+    * rebuilding over history ∪ batch with the same seeds/codebooks
+    * (spec-pinned) — the daily-increment path pays O(batch) encode cost,
+    * never a history re-encode. Retrain seeds/codebooks only on drift,
+    * then rebuild. */
+  def ivfPqAppend(index: IvfPqIndex, batch: DataFrame, idCol: String,
+                  vecCol: String): IvfPqIndex =
+    index.copy(codes = index.codes.unionByName(
+      ivfPqBuild(batch, idCol, vecCol, index.seeds, index.cb).codes))
+
   /** IVF-PQ probe: each query's candidates are the code rows of its
     * `nprobe` nearest coarse cells (broadcast probe set, cell equi-join);
     * their distances come from the broadcast per-query ADC LUT — m

@@ -101,7 +101,12 @@ class JobBudgetSpec extends AnyFunSuite {
     "q113_jsonl_scan" -> 14L,
     // histogram agg + bins-bounded window + two broadcast scalars: 8
     // measured
-    "q114_binned_quantiles" -> 16L
+    "q114_binned_quantiles" -> 16L,
+    // (group, bin)-keyed histogram + group-partitioned window: 6 measured
+    "q115_group_quantiles" -> 12L,
+    // build(even) + append-encode(odd) + probe: 21 measured — the append
+    // half must stay batch-sized; a history re-encode would blow this
+    "q116_ivfpq_append" -> 40L
   )
 
   for ((q, budget) <- budgets)

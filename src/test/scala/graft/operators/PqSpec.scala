@@ -158,6 +158,26 @@ class PqSpec extends AnyFunSuite {
     assert(composed.exceptAll(flat).isEmpty && flat.exceptAll(composed).isEmpty)
   }
 
+  test("ivfPqAppend == full rebuild under the frozen seeds/codebooks, " +
+    "at probe-all AND partial nprobe") {
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", 64, 16, 32, iters = 1)
+    val seeds = Similarity.kmeansTrain(emb, "vec_id", "embedding", nlist = 8, iters = 1)
+    val rebuilt = Similarity.ivfPqBuild(emb, "vec_id", "embedding", seeds, cb)
+    val appended = Similarity.ivfPqAppend(
+      Similarity.ivfPqBuild(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", seeds, cb),
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    // the code tables themselves are row-identical
+    assert(appended.codes.exceptAll(rebuilt.codes).isEmpty &&
+      rebuilt.codes.exceptAll(appended.codes).isEmpty)
+    val q = emb.filter(col("vec_id") < 10)
+    for (nprobe <- Seq(8, 3)) {
+      val a = Similarity.ivfPqProbe(appended, q, "vec_id", "embedding", 5, nprobe)
+      val b = Similarity.ivfPqProbe(rebuilt, q, "vec_id", "embedding", 5, nprobe)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"nprobe=$nprobe")
+    }
+  }
+
   test("ivfPqProbe partial nprobe: subset of probe-all, k rows per query, recall holds") {
     val cb = Similarity.pqTrain(emb, "vec_id", "embedding", 64, 16, 32, iters = 1)
     val seeds = Similarity.kmeansTrain(emb, "vec_id", "embedding", nlist = 8, iters = 1)

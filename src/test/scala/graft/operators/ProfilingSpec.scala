@@ -165,6 +165,36 @@ class ProfilingSpec extends AnyFunSuite {
     assert(c.forall(x => x >= lo && x <= hi))
   }
 
+  test("binnedQuantilesByGroup: every (group, q) within one bin width of " +
+    "that group's exact percentile; window is group-partitioned") {
+    val (lo, hi, bins) = (0L, 1024L, 64)
+    val w = (hi - lo).toDouble / bins
+    val qs = Seq(0.1, 0.5, 0.9)
+    val got = Profiling.binnedQuantilesByGroup(docs, col("lang"),
+        col("n_chars"), lo, hi, bins, qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val exact = docs.groupBy("lang")
+      .agg(expr(s"percentile(n_chars, array(${qs.mkString(",")}))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet == exact.keySet.flatMap(g => qs.map(g -> _)))
+    for ((g, ps) <- exact; (q, e) <- qs.zip(ps))
+      assert(math.abs(got((g, q)) - e) <= w, s"g=$g q=$q got=${got((g, q))} e=$e")
+    // the cumulative window must be partitioned by group (no global sort)
+    val p = Profiling.binnedQuantilesByGroup(docs, col("lang"),
+        col("n_chars"), lo, hi, bins, qs)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(g".r.findAllIn(p).nonEmpty, p)
+    // each group's answer matches running the GLOBAL operator on its slice
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    for (g <- langs.take(2)) {
+      val solo = Profiling.binnedQuantiles(docs.filter(col("lang") === g),
+          col("n_chars"), lo, hi, bins, qs)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      for (q <- qs) assert(got((g, q)) == solo(q), s"g=$g q=$q")
+    }
+  }
+
   test("keySkew plan: TakeOrdered top-10, never a global sort") {
     val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
     val p = Profiling.keySkew(ev, col("user_id"))
