@@ -740,6 +740,32 @@ object SparkEntry {
           col("n_name"),
           col("n_regionkey").cast("int").as("n_regionkey"))),
 
+    // ---- S4 at scale: DISTRIBUTED multi-file SQLite scan — one .db
+    //      shard per executor task (glob on the driver, b-tree decode in
+    //      the tasks, rows never on the driver); fixture = 3 copies of
+    //      nation.db, so the oracle is nation × 3
+    "q117_sqlite_glob" -> ((s, dir) => {
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_sqlite_shards_v1")
+      synchronized {
+        if (!new java.io.File(root, ".complete").isFile) {
+          root.mkdirs()
+          val src = java.nio.file.Paths.get(
+            "/root/repo/src/test/resources/sqlite/nation.db")
+          for (i <- 0 until 3)
+            java.nio.file.Files.copy(src,
+              root.toPath.resolve(s"shard$i.db"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.write(
+            root.toPath.resolve(".complete"), Array.emptyByteArray)
+        }
+      }
+      graft.sources.Sqlite.scanGlob(s, s"$root/shard*.db", "nation")
+        .groupBy(col("n_regionkey").cast("int").as("n_regionkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("File")).as("n_shards"))
+    }),
+
     // ---- DEDUP: full clustering pipeline — MinHash-LSH candidates
     //      (Jaccard >= 0.5) contracted to connected components via
     //      distributed large-star/small-star; every doc -> its cluster's
@@ -2542,6 +2568,13 @@ object SparkEntry {
     // the sqlite fixture is the fixed nation table (see q47 query comment)
     "q47_sqlite_scan" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // distributed multi-shard scan: 3 identical nation shards — per
+    // region 3x the row count, all 3 shard files represented
+    "q117_sqlite_glob" ->
+      """SELECT n_regionkey, 3 * COUNT(*) AS n_rows,
+                CAST(3 AS BIGINT) AS n_shards
+         FROM nation GROUP BY n_regionkey""",
 
     // q22's band construction filtered at Jaccard >= 0.5, transitively
     // closed by a recursive CTE; rep = min reachable id per component,

@@ -106,7 +106,10 @@ class JobBudgetSpec extends AnyFunSuite {
     "q115_group_quantiles" -> 12L,
     // build(even) + append-encode(odd) + probe: 21 measured — the append
     // half must stay batch-sized; a history re-encode would blow this
-    "q116_ivfpq_append" -> 40L
+    "q116_ivfpq_append" -> 40L,
+    // driver schema probe + ONE distributed decode pass: 3 measured —
+    // a per-file driver job here means rows leaked back to the driver
+    "q117_sqlite_glob" -> 6L
   )
 
   for ((q, budget) <- budgets)

@@ -31,6 +31,38 @@ class SqliteSpec extends AnyFunSuite {
     assert(db.exceptAll(pq).isEmpty && pq.exceptAll(db).isEmpty)
   }
 
+  test("scanGlob: executor-side decode of many shards == per-file scans " +
+    "unioned; provenance per file; loud errors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlite_glob")
+    for (i <- 0 until 3)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(fixture("nation.db")),
+        dir.resolve(s"shard$i.db"))
+    val glob = Sqlite.scanGlob(spark, s"$dir/shard*.db", "nation")
+    assert(glob.count() == 75)
+    // 3 distinct provenance paths, 25 rows each
+    val perFile = glob.groupBy("Path").count().collect()
+    assert(perFile.length == 3 && perFile.forall(_.getLong(1) == 25))
+    // data columns equal one single-file scan replicated 3x
+    val one = Sqlite.scan(spark, fixture("nation.db"), "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val tripled = one.unionByName(one).unionByName(one)
+    val got = glob.select("n_nationkey", "n_name", "n_regionkey")
+    assert(got.exceptAll(tripled).isEmpty && tripled.exceptAll(got).isEmpty)
+    // rows decode in the tasks: the scan RDD has one partition per file
+    assert(glob.rdd.getNumPartitions == 3)
+    // schema mismatch across files fails loudly
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(fixture("types.db")), dir.resolve("zz.db"))
+    val bad = intercept[Exception](
+      Sqlite.scanGlob(spark, s"$dir/*.db", "nation").count())
+    assert(String.valueOf(bad.getMessage).contains("not found") ||
+      String.valueOf(bad.getCause).toString.contains("not found"))
+    // empty glob fails loudly
+    assertThrows[Sqlite.SqliteError](
+      Sqlite.scanGlob(spark, s"$dir/none*.db", "nation"))
+  }
+
   test("types.db decodes every serial type and the rowid-alias pk") {
     val t = Sqlite.readTable(spark, fixture("types.db"), "t")
     assert(t.columns == Seq("pk", "i", "f", "s", "b"))
