@@ -1047,6 +1047,30 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nprobe = 8)
     }),
 
+    // ---- ANN preprocessing: L2 norms, unit-normalization, Matryoshka
+    //      truncate+renormalize — pure scan-level expressions (sqrt is
+    //      IEEE-correctly-rounded, so every value is bit-mirrorable)
+    "q118_embed_normalize" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        Similarity.l2Norm(col("embedding")).as("norm"),
+        element_at(Similarity.l2Normalize(col("embedding")), 1).as("u1"),
+        element_at(Similarity.truncateRenormalize(col("embedding"), 16), 1)
+          .as("m16"))),
+
+    // ---- ANN preprocessing: chunk->doc mean pooling — q40's exact
+    //      micro-unit per-dim mean assembled back into vectors, scored
+    //      against a probe embedding
+    "q119_mean_pool" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probe = broadcast(
+        emb.filter(col("vec_id") === 0).select(col("embedding").as("pv")))
+      Similarity.meanPoolVectors(emb, "label", "embedding")
+        .crossJoin(probe)
+        .select(col("label"), round(cosine(col("pooled"), col("pv")), 6)
+          .as("cos_probe"))
+    }),
+
     // ---- ANN: TRAINED centroids — two Lloyd's iterations refining the
     //      md5 seed table (assignment = the q49/q72 argmax contract;
     //      update = the q40 micro-quantized exact mean, cast back to
@@ -3051,6 +3075,38 @@ object SparkEntry {
     // incremental IVF-PQ: append(build(even), odd) probe-all must equal
     // the full-corpus flat ADC — q99's mirror verbatim
     "q116_ivfpq_append" -> PQ_ADC_SQL,
+
+    // embedding preprocessing: the same sequential left-folds; division
+    // and the final REAL downcast are single IEEE ops
+    "q118_embed_normalize" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings)
+         SELECT vec_id,
+           sqrt(${SUMD("list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")}) AS norm,
+           CAST(CAST(v[1] AS DOUBLE)
+             / sqrt(${SUMD("list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})
+             AS REAL) AS u1,
+           CAST(CAST(v[1] AS DOUBLE)
+             / sqrt(${SUMD("list_transform(v[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})
+             AS REAL) AS m16
+         FROM e""",
+
+    // mean pooling: q40's micro-exact per-dim mean, assembled in dim
+    // order, cosine-scored against the vec_id=0 probe
+    "q119_mean_pool" ->
+      s"""WITH comp AS (
+           SELECT label, CAST(ord - 1 AS INT) AS dim,
+             ROUND(CAST(SUM(CAST(round(CAST(embedding[ord] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                   / 1000000 / COUNT(*), 6) AS centroid
+           FROM (SELECT label, embedding,
+                        unnest(range(1, len(embedding) + 1)) AS ord
+                 FROM embeddings)
+           GROUP BY 1, 2),
+         pooled AS (
+           SELECT label, list(CAST(centroid AS REAL) ORDER BY dim) AS pv
+           FROM comp GROUP BY label),
+         probe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT p.label, ${COS("p.pv", "qv")} AS cos_probe
+         FROM pooled p CROSS JOIN probe""",
 
     // unkeyed interval containment — the bucketization is internal to
     // the engine, so the mirror is the plain range predicate

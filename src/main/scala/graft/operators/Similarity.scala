@@ -84,6 +84,46 @@ object Similarity {
           .cast(DoubleType) / 1e6 / count(lit(1)), 6).as("centroid"),
         count(lit(1)).as("n_vecs"))
 
+  /** L2 norm (double) of a float-vector column — the same sequential
+    * left-fold in double as [[graft.functions.cosineHof]], so it is
+    * bit-mirrorable as `sqrt(list_reduce(list_transform(...)))` (sqrt is
+    * IEEE-correctly-rounded, unlike ln/pow — safe cross-engine). */
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+
+  /** Unit-normalize an embedding column — the preprocessing step in
+    * front of every cosine/IVF/PQ stage (unnormalized vectors quietly
+    * skew cosine thresholds and PQ micro-unit budgets). Pure scan-level
+    * expression; the all-zero vector passes through unchanged rather
+    * than dividing by zero. */
+  def l2Normalize(v: Column): Column =
+    graft.functions.bound(l2Norm(v)) { n =>
+      when(n === 0.0, v)
+        .otherwise(transform(v, x => (x.cast(DoubleType) / n).cast("float")))
+    }
+
+  /** Matryoshka-style truncation: keep the first `dim` components and
+    * renormalize — the storage/accuracy dial of MRL-trained embeddings
+    * (a 64-d corpus probe from the same vectors that serve 8-d coarse
+    * routing). Scan-level; composes with every ANN operator here. */
+  def truncateRenormalize(v: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    l2Normalize(slice(v, 1, dim))
+  }
+
+  /** Per-group mean-pooled embedding — chunk→document pooling (average
+    * the chunk embeddings back into one document vector): the exact
+    * micro-unit per-dimension mean of [[centroidComponents]] (one
+    * (group, dim)-keyed exchange, order- and engine-independent),
+    * re-assembled into a float array in dimension order. */
+  def meanPoolVectors(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    centroidComponents(df, groupCol, vecCol)
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        _.getField("centroid").cast("float")).as("pooled"))
+
   /** Planes needed to hold expected bucket population near
     * `targetBucketSize` at corpus size `n`: buckets double per plane, so
     * planes = log2(n / target). Bounded to [4, 30] (>= 16 buckets for

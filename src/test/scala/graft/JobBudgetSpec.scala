@@ -109,7 +109,12 @@ class JobBudgetSpec extends AnyFunSuite {
     "q116_ivfpq_append" -> 40L,
     // driver schema probe + ONE distributed decode pass: 3 measured —
     // a per-file driver job here means rows leaked back to the driver
-    "q117_sqlite_glob" -> 6L
+    "q117_sqlite_glob" -> 6L,
+    // pure scan-level expressions: 3 measured
+    "q118_embed_normalize" -> 6L,
+    // (label, dim) mean exchange + pooled assembly + probe broadcast:
+    // 5 measured
+    "q119_mean_pool" -> 10L
   )
 
   for ((q, budget) <- budgets)
