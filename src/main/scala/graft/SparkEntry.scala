@@ -966,6 +966,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     }),
 
+    // ---- CURATION: canonical URL normalization — two fetch-variants
+    //      per doc (messy: upper-cased authority, :443, utm params,
+    //      fragment, trailing slash) collapse to ONE canonical key;
+    //      pure regexp chain at the scan
+    "q120_url_canonical" -> ((s, dir) => {
+      val host = concat(lit("Example"), (col("doc_id") % 7).cast("string"),
+        lit(".COM"))
+      val path = concat(lit("/Page/"), col("doc_id").cast("string"))
+      val clean = concat(lit("https://"), lower(host), path)
+      val messy = concat(lit("HTTPS://"), host, lit(":443"), path,
+        lit("/?utm_source=x&utm_medium=y#frag"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array(clean, messy)).as("url"))
+        .select(TextAnalysis.urlHost(
+          TextAnalysis.canonicalUrl(col("url"))).as("host"),
+          TextAnalysis.canonicalUrl(col("url")).as("curl"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_raw"),
+          countDistinct(col("curl")).as("n_canonical"))
+    }),
+
     // ---- PROFILING: key-skew diagnosis — exact concentration stats
     //      (top-1/top-10 share, pair-collision probability) deciding
     //      whether a join key needs salting BEFORE the 100 TB shuffle;
@@ -2974,6 +2995,43 @@ object SparkEntry {
       """SELECT lang, COUNT(*) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY lang""",
+
+    // canonical URLs: the identical regexp chain (anchored passes need no
+    // flag; the three interior-utm passes take 'g' to match Spark's
+    // always-global regexp_replace; DuckDB backrefs are \1-style)
+    "q120_url_canonical" ->
+      s"""WITH u AS (
+           SELECT doc_id, unnest([
+             'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+               || '/Page/' || CAST(doc_id AS VARCHAR),
+             'HTTPS://Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM:443'
+               || '/Page/' || CAST(doc_id AS VARCHAR)
+               || '/?utm_source=x&utm_medium=y#frag']) AS url
+           FROM documents),
+         s0 AS (SELECT regexp_replace(url, '#.*', '') AS s FROM u),
+         s1 AS (SELECT lower(regexp_extract(s,
+                    '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', 0))
+                  || substr(s, length(regexp_extract(s,
+                    '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', 0)) + 1) AS s
+                FROM s0),
+         s2 AS (SELECT regexp_replace(regexp_replace(s,
+                    '^(http://[^/:?]+):80([/?].*)?${"$"}', '\\1\\2'),
+                    '^(https://[^/:?]+):443([/?].*)?${"$"}', '\\1\\2') AS s
+                FROM s1),
+         s3 AS (SELECT regexp_replace(regexp_replace(regexp_replace(s,
+                    '([?&])utm_[^&]*&', '\\1', 'g'),
+                    '([?&])utm_[^&]*&', '\\1', 'g'),
+                    '([?&])utm_[^&]*&', '\\1', 'g') AS s
+                FROM s2),
+         s4 AS (SELECT regexp_replace(regexp_replace(regexp_replace(s,
+                    '[?&]utm_[^&]*${"$"}', ''), '\\?${"$"}', ''),
+                    '/+${"$"}', '') AS curl
+                FROM s3)
+         SELECT lower(regexp_extract(curl,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                COUNT(*) AS n_raw,
+                COUNT(DISTINCT curl) AS n_canonical
+         FROM s4 GROUP BY 1""",
 
     // key skew: exact per-key counts, integer sums, final IEEE divides
     // (ties in the top-10 leg broken by key value on both sides)

@@ -490,6 +490,45 @@ object TextAnalysis {
     when(h === "", lit(null).cast("string")).otherwise(h)
   }
 
+  /** Canonical URL normalization — the key a crawl dedups on ("the same
+    * page fetched five ways is one document"). A DECLARED, deterministic
+    * contract applied in order:
+    *
+    *   1. strip the fragment (`#...` never reaches the server);
+    *   2. lowercase scheme + authority (case-insensitive per RFC 3986),
+    *      path/query case PRESERVED;
+    *   3. drop explicit default ports (`http://h:80`, `https://h:443`;
+    *      any other port survives);
+    *   4. drop `utm_*` tracking parameters (head, middle or tail of the
+    *      query; a query left empty loses its `?`);
+    *   5. strip trailing slashes (root included — canonical form never
+    *      ends in `/`).
+    *
+    * Pure regexp-expression chain at the scan (every pattern inside the
+    * RE2 ∩ Java-regex subset — no lookaround, no backrefs — so the SQL
+    * mirror is byte-identical). Non-URL strings pass through steps 1/4/5
+    * best-effort and are otherwise unchanged; gate with [[urlHost]]
+    * null-ness when strictness matters. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val auth = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*", 0)
+    val lowered = concat(lower(auth),
+      noFrag.substr(length(auth) + 1, length(noFrag)))
+    val p80 = regexp_replace(lowered, "^(http://[^/:?]+):80([/?].*)?$", "$1$2")
+    val p443 = regexp_replace(p80, "^(https://[^/:?]+):443([/?].*)?$", "$1$2")
+    // interior utm params: a global pass consumes the '&' that would
+    // prefix an adjacent utm param, so runs of them need one pass each —
+    // 3 passes remove runs of up to 3 interior utm params (longer runs
+    // leave a residue, IDENTICALLY on both engines: the mirror applies
+    // the same fixed pass count, so equality holds regardless)
+    val u1 = regexp_replace(p443, "([?&])utm_[^&]*&", "$1")
+    val u2 = regexp_replace(u1, "([?&])utm_[^&]*&", "$1")
+    val u2b = regexp_replace(u2, "([?&])utm_[^&]*&", "$1")
+    val u3 = regexp_replace(u2b, "[?&]utm_[^&]*$", "")
+    val noQ = regexp_replace(u3, "\\?$", "")
+    regexp_replace(noQ, "/+$", "")
+  }
+
   /** Every dot-suffix of a host, most-specific first:
     * `a.b.example.com` -> `[a.b.example.com, b.example.com, example.com,
     * com]`. Fan-out is bounded by the label count (browsers cap ~127 but

@@ -114,7 +114,9 @@ class JobBudgetSpec extends AnyFunSuite {
     "q118_embed_normalize" -> 6L,
     // (label, dim) mean exchange + pooled assembly + probe broadcast:
     // 5 measured
-    "q119_mean_pool" -> 10L
+    "q119_mean_pool" -> 10L,
+    // scan-level regexp chain + one distinct-count agg: 4 measured
+    "q120_url_canonical" -> 8L
   )
 
   for ((q, budget) <- budgets)

@@ -12,6 +12,40 @@ class DomainSniffSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("canonicalUrl: the declared contract on hand-built fetch variants; " +
+    "idempotent") {
+    val rows = Seq(
+      // fragment + default port + authority case; path case preserved
+      "HTTP://WWW.Ex.COM:80/A/B?x=1#f" -> "http://www.ex.com/A/B?x=1",
+      "https://H:443/" -> "https://h",
+      // non-default ports survive
+      "https://h:8443/p/" -> "https://h:8443/p",
+      "http://h:8080/" -> "http://h:8080",
+      // utm at tail / head / interleaved / only / triple-run
+      "https://h/p?utm_a=1" -> "https://h/p",
+      "https://h/p?utm_a=1&b=2" -> "https://h/p?b=2",
+      "https://h/p?a=1&utm_b=2&c=3&utm_d=4" -> "https://h/p?a=1&c=3",
+      "https://h/p?utm_a=1&utm_b=2&utm_c=3" -> "https://h/p",
+      "https://h/p?utm_a&utm_b&utm_c&x=1" -> "https://h/p?x=1",
+      // non-utm params and their order are untouched
+      "https://h/p?zz=1&aa=2" -> "https://h/p?zz=1&aa=2",
+      // other schemes fold too; trailing multi-slash collapses
+      "FTP://Host/p" -> "ftp://host/p",
+      "https://h/p///" -> "https://h/p",
+      // non-URLs: best-effort passes only
+      "no scheme here/" -> "no scheme here",
+      "plain#frag" -> "plain")
+    val got = rows.map(_._1).toDF("url")
+      .select(col("url"), TextAnalysis.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((in, want) <- rows) assert(got(in) == want, s"in=$in")
+    // idempotence: canonical form is a fixpoint
+    val twice = rows.map(_._2).toDF("url")
+      .select(col("url"), TextAnalysis.canonicalUrl(col("url")).as("c"))
+      .collect()
+    for (r <- twice) assert(r.getString(1) == r.getString(0), r.getString(0))
+  }
+
   test("urlHost: ports/paths/queries stripped, case folded, junk is null") {
     val rows = Seq(
       "https://WWW.Example.COM/path?q=1"     -> "www.example.com",
