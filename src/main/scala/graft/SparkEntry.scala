@@ -966,6 +966,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     }),
 
+    // ---- CURATION: the published Gopher quality-rule signals + gate —
+    //      expression-only, integer counts + single IEEE divides
+    "q121_gopher_rules" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.gopherSignals(col("text")).as("g"),
+          TextAnalysis.gopherKeep(col("text")).as("keep"))
+        .select(col("doc_id"), col("g.*"), col("keep"))),
+
     // ---- CURATION: canonical URL normalization — two fetch-variants
     //      per doc (messy: upper-cased authority, :443, utm params,
     //      fragment, trailing slash) collapse to ONE canonical key;
@@ -2995,6 +3004,58 @@ object SparkEntry {
       """SELECT lang, COUNT(*) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY lang""",
+
+    // Gopher rules: same integer counts (fold with a prepended 0 so the
+    // empty-word case reduces like Spark's init-0 aggregate), single
+    // divides, same thresholds
+    "q121_gopher_rules" ->
+      s"""WITH t AS (
+           SELECT doc_id, text,
+                  list_filter($TOKS, w -> w <> '') AS ws,
+                  string_split(text, chr(10)) AS lines
+           FROM documents),
+         sig AS (
+           SELECT doc_id,
+             len(ws) AS n_words,
+             list_reduce(list_prepend(0, list_transform(ws, w -> length(w))),
+               (a, b) -> a + b) AS sum_len,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3
+               AS symbols,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+               AS bullets,
+             len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.${"$"}')))
+               AS ells,
+             len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+               AS alphas,
+             len(list_filter(ws, w -> list_contains(
+               ['the','a','of','and','to','in','is','on','for','with'],
+               lower(w)))) AS stops
+           FROM t),
+         out AS (
+           SELECT doc_id,
+             CAST(n_words AS BIGINT) AS n_words,
+             CASE WHEN n_words = 0 THEN 0.0
+                  ELSE CAST(sum_len AS DOUBLE) / n_words END AS mean_word_len,
+             CASE WHEN n_words = 0 THEN 0.0
+                  ELSE CAST(symbols AS DOUBLE) / n_words END
+               AS symbol_word_ratio,
+             CAST(bullets AS DOUBLE) / n_lines AS bullet_line_frac,
+             CAST(ells AS DOUBLE) / n_lines AS ellipsis_line_frac,
+             CASE WHEN n_words = 0 THEN 0.0
+                  ELSE CAST(alphas AS DOUBLE) / n_words END AS alpha_word_frac,
+             CAST(stops AS BIGINT) AS n_stop_hits
+           FROM sig)
+         SELECT *,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND n_stop_hits >= 2) AS keep
+         FROM out""",
 
     // canonical URLs: the identical regexp chain (anchored passes need no
     // flag; the three interior-utm passes take 'g' to match Spark's

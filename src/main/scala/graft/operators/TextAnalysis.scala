@@ -189,6 +189,64 @@ object TextAnalysis {
       round((lengthTerm + alphaTerm + stopTerm) / 3.0 * (lit(1.0) - punctPenalty * 0.5), 6)
     }
 
+  /** The published Gopher quality-rule signals (Rae et al. 2021 §A1.1)
+    * as one struct column — the de-facto standard web-corpus gate that
+    * [[qualityScore]] approximates with a composite. Expression-only
+    * (no UDF, no shuffle), every ratio a single IEEE divide over exact
+    * integer counts:
+    *
+    *   - `n_words`, `mean_word_len` — whitespace words (empty-token
+    *     free);
+    *   - `symbol_word_ratio` — ('#' count + '...' count) / words;
+    *   - `bullet_line_frac` / `ellipsis_line_frac` — fraction of lines
+    *     starting with a bullet (-, *, •) / ending with an ellipsis;
+    *   - `alpha_word_frac` — fraction of words containing a letter;
+    *   - `n_stop_hits` — occurrences of the engine's marker stopwords.
+    */
+  def gopherSignals(text: Column): Column =
+    graft.functions.bound(filter(tokens(text), w => w =!= "")) { ws =>
+      graft.functions.bound(split(text, "\n")) { lines =>
+        val nWords = size(ws).cast(LongType)
+        val nWordsD = nWords.cast(DoubleType)
+        val sumLen = aggregate(ws, lit(0L), (a, w) => a + length(w).cast(LongType))
+        val nHash = length(text) - length(replace(text, lit("#"), lit("")))
+        val nEllipsis =
+          (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+        val nLines = size(lines).cast(DoubleType)
+        val bullet = size(filter(lines, l => l.rlike("^[-*•]")))
+        val ell = size(filter(lines, l => l.rlike("\\.\\.\\.$")))
+        val alpha = size(filter(ws, w => w.rlike("[a-zA-Z]")))
+        val stops = size(filter(ws, w => lower(w).isin(stopwords: _*)))
+        struct(
+          nWords.as("n_words"),
+          when(nWords === 0, 0.0)
+            .otherwise(sumLen.cast(DoubleType) / nWordsD).as("mean_word_len"),
+          when(nWords === 0, 0.0)
+            .otherwise((nHash + nEllipsis).cast(DoubleType) / nWordsD)
+            .as("symbol_word_ratio"),
+          (bullet.cast(DoubleType) / nLines).as("bullet_line_frac"),
+          (ell.cast(DoubleType) / nLines).as("ellipsis_line_frac"),
+          when(nWords === 0, 0.0)
+            .otherwise(alpha.cast(DoubleType) / nWordsD).as("alpha_word_frac"),
+          stops.cast(LongType).as("n_stop_hits"))
+      }
+    }
+
+  /** The Gopher keep/drop gate over [[gopherSignals]] with the paper's
+    * published thresholds (50 ≤ words ≤ 100 000, mean word length in
+    * [3, 10], symbol ratio ≤ 0.1, ≤ 90% bullet lines, ≤ 30% ellipsis
+    * lines, ≥ 80% alphabetic words, ≥ 2 stopword hits). */
+  def gopherKeep(text: Column): Column =
+    graft.functions.bound(gopherSignals(text)) { g =>
+      g("n_words") >= 50 && g("n_words") <= 100000 &&
+        g("mean_word_len") >= 3.0 && g("mean_word_len") <= 10.0 &&
+        g("symbol_word_ratio") <= 0.1 &&
+        g("bullet_line_frac") <= 0.9 &&
+        g("ellipsis_line_frac") <= 0.3 &&
+        g("alpha_word_frac") >= 0.8 &&
+        g("n_stop_hits") >= 2
+    }
+
   /** Raw (non-distinct, order-preserving) word n-gram shingles — the
     * counting variant of [[wordShingles]] for repetition signals. */
   def wordShinglesAll(text: Column, n: Int): Column =

@@ -116,7 +116,9 @@ class JobBudgetSpec extends AnyFunSuite {
     // 5 measured
     "q119_mean_pool" -> 10L,
     // scan-level regexp chain + one distinct-count agg: 4 measured
-    "q120_url_canonical" -> 8L
+    "q120_url_canonical" -> 8L,
+    // expression-only signals, no shuffle: 3 measured
+    "q121_gopher_rules" -> 6L
   )
 
   for ((q, budget) <- budgets)

@@ -18,6 +18,56 @@ class CurationOpsSpec extends AnyFunSuite {
       .digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
+  test("gopherSignals == plain-Scala mirror; gate fires on the right rule") {
+    val good = ("the quick brown fox jumps over a lazy dog and runs on " +
+      "with more of the fine words in this line for good measure ") * 3
+    val docs = Seq(
+      ("good", good),
+      ("short", "too few words here"),
+      ("bullets", (1 to 60).map(i => s"- item $i of the list").mkString("\n")),
+      ("ellipsis", (1 to 10).map(i => s"the line $i trails off...").mkString("\n")),
+      ("symbols", "the " + Seq.fill(60)("#tag").mkString(" ") +
+        " of and to in is on for with"),
+      ("numeric", "the " + (1 to 60).map(_.toString).mkString(" ") +
+        " of and to in is on for with"))
+    val got = docs.toDF("id", "text")
+      .select(col("id"), TextAnalysis.gopherSignals(col("text")).as("g"),
+        TextAnalysis.gopherKeep(col("text")).as("keep"))
+      .select(col("id"), col("g.*"), col("keep"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // plain-Scala mirror for every doc
+    for ((id, text) <- docs) {
+      // Spark's tokens() trims before splitting; mirror that exactly
+      val ws2 = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      val lines = text.split("\n", -1).toSeq
+      val r = got(id)
+      assert(r.getLong(1) == ws2.size, s"$id n_words")
+      if (ws2.nonEmpty)
+        assert(r.getDouble(2) == ws2.map(_.length).sum.toDouble / ws2.size,
+          s"$id mean_word_len")
+      val nHash = text.count(_ == '#')
+      val nEll = (text.length - text.replace("...", "").length) / 3
+      if (ws2.nonEmpty)
+        assert(r.getDouble(3) == (nHash + nEll).toDouble / ws2.size,
+          s"$id symbol_ratio")
+      assert(r.getDouble(4) ==
+        lines.count(l => l.matches("[-*•].*")).toDouble / lines.size,
+        s"$id bullet_frac")
+      assert(r.getDouble(5) ==
+        lines.count(_.endsWith("...")).toDouble / lines.size, s"$id ell_frac")
+      if (ws2.nonEmpty)
+        assert(r.getDouble(6) ==
+          ws2.count(_.exists(_.isLetter)).toDouble / ws2.size, s"$id alpha")
+    }
+    // the gate: good passes; each bad doc fails its targeted rule
+    assert(got("good").getBoolean(8))
+    assert(!got("short").getBoolean(8))    // < 50 words
+    assert(!got("bullets").getBoolean(8))  // > 90% bullet lines
+    assert(!got("ellipsis").getBoolean(8)) // > 30% ellipsis lines
+    assert(!got("symbols").getBoolean(8))  // symbol ratio > 0.1
+    assert(!got("numeric").getBoolean(8))  // < 80% alphabetic words
+  }
+
   test("removeBoilerplate strips exactly the >=minDocs lines, in order") {
     // 12 docs share FOOTER (boilerplate at minDocs=10); 5 docs share
     // RARE (below threshold, kept); every doc has a unique body line.
