@@ -193,6 +193,20 @@ object StatefulStreams {
       Encoders.scalaBoolean, rowEnc)
   }
 
+  /** Streaming crawl-frontier dedup: [[firstSeen]] keyed on the
+    * CANONICAL form of a URL column
+    * ([[graft.operators.TextAnalysis.canonicalUrl]]), so the same page
+    * fetched five ways (fragment, tracking params, default port, case,
+    * trailing slash) emits exactly once — the online form of exact
+    * canonical-URL dedup. State = one boolean per canonical URL. */
+  def canonicalUrlFirstSeen(df: DataFrame, urlCol: String,
+                            tieBreak: String): Dataset[Row] =
+    firstSeen(
+      df.withColumn("__curl",
+        graft.operators.TextAnalysis.canonicalUrl(
+          org.apache.spark.sql.functions.col(urlCol))),
+      "__curl", tieBreak).drop("__curl")
+
   /** Streaming per-group KMV distinct estimate — the unbounded-ingestion
     * form of [[graft.operators.Profiling.distinctByGroup]]: state per
     * group is the same BOUNDED bottom-k distinct-hash sketch

@@ -315,6 +315,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(confirmed.exceptAll(exact).isEmpty && exact.exceptAll(confirmed).isEmpty)
   }
 
+  test("streaming canonical-URL firstSeen: every page emits once across " +
+    "fetch variants and micro-batches") {
+    import graft.operators.TextAnalysis
+    def withUrls(df: org.apache.spark.sql.DataFrame) = {
+      val host = concat(lit("Example"), (col("doc_id") % 7).cast("string"),
+        lit(".COM"))
+      val path = concat(lit("/Page/"), col("doc_id").cast("string"))
+      df.select(col("doc_id"), explode(array(
+        concat(lit("https://"), lower(host), path),
+        concat(lit("HTTPS://"), host, lit(":443"), path,
+          lit("/?utm_source=x#f")))).as("url"))
+    }
+    val out = Streams.drainToMemory(spark,
+      StatefulStreams.canonicalUrlFirstSeen(
+        withUrls(docsStream), "url", "doc_id").toDF(),
+      "curl_firstseen_test", complete = false)
+    val docs = graft.Tables(spark, TestSpark.sfDir, "documents")
+    assert(out.count() == docs.count())
+    // one distinct canonical form per emission — no variant leaked through
+    assert(out.select(TextAnalysis.canonicalUrl(col("url")))
+      .distinct().count() == docs.count())
+  }
+
   test("stateful firstSeen dedup emits exactly one row per key") {
     val stream = Streams.readEvents(spark, eventsPath)
     val deduped = StatefulStreams.firstSeen(stream, "user_id", "event_id")
