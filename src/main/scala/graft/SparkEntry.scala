@@ -966,6 +966,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     }),
 
+    // ---- SAMPLING: mixture UP-sampling — per-source epoch factors
+    //      (books-style repeats, capped at maxRepeat), fractional epoch
+    //      membership the same md5 predicate as hashSample; scan-level
+    //      explode, no shuffle. Binary-fraction rates (.5/.25) keep the
+    //      threshold arithmetic integral, hence exact cross-engine
+    "q122_mixture_upsample" -> ((s, dir) =>
+      Sampling.mixtureUpsample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id",
+        Map("src0" -> 3.5, "src1" -> 2.25, "src2" -> 10.0), maxRepeat = 8.0)
+        .select(col("doc_id"), col("source"),
+          col("epoch").cast("long").as("epoch"))),
+
     // ---- CURATION: the published Gopher quality-rule signals + gate —
     //      expression-only, integer counts + single IEEE divides
     "q121_gopher_rules" -> ((s, dir) =>
@@ -3004,6 +3017,24 @@ object SparkEntry {
       """SELECT lang, COUNT(*) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY lang""",
+
+    // mixture upsample: same rate table (10 capped at 8), same md5
+    // fractional-epoch predicate, copies unrolled via range()
+    "q122_mixture_upsample" ->
+      s"""WITH r AS (SELECT doc_id, source,
+             CASE WHEN source = 'src0' THEN 3.5
+                  WHEN source = 'src1' THEN 2.25
+                  WHEN source = 'src2' THEN 8.0
+                  ELSE 1.0 END AS rate
+           FROM documents),
+         e AS (SELECT doc_id, source,
+             CAST(FLOOR(rate) AS BIGINT)
+               + CASE WHEN ${H60("'epoch' || CAST(doc_id AS VARCHAR)")}
+                        % 1000000
+                      < CAST((rate - FLOOR(rate)) * 1000000 AS BIGINT)
+                      THEN 1 ELSE 0 END AS copies
+           FROM r)
+         SELECT doc_id, source, unnest(range(0, copies)) AS epoch FROM e""",
 
     // Gopher rules: same integer counts (fold with a prepended 0 so the
     // empty-word case reduces like Spark's init-0 aggregate), single

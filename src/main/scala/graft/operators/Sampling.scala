@@ -107,6 +107,41 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), salt, buckets) < thrCol)
   }
 
+  /** Deterministic UP-sampling — the other half of data mixing
+    * ([[mixtureSample]] thins; this repeats): each group's rows are
+    * emitted `rate_g` times in expectation, with `rate_g` the caller's
+    * per-group repeat factor (the "epochs" of LLaMA/DoReMi-style
+    * mixtures, e.g. books→3.2 epochs, web→1.0). A row emits
+    * ⌊rate⌋ whole copies plus one more iff its key hash falls under
+    * frac(rate) — the same md5 predicate as [[hashSample]], so
+    * membership of the fractional epoch is a pure function of the key:
+    * stable across runs, partitionings and engines, and each copy
+    * carries its `epoch` index (0-based) so downstream shuffles
+    * ([[trainingOrder]] salted with it) spread repeats apart.
+    * `maxRepeat` caps any group's factor (the published mixtures cap
+    * small-source epochs to bound memorization). Groups without a rate
+    * pass through at 1.0. Pure scan-level explode — no shuffle, no
+    * coordination; output size is Σ_g n_g·min(rate_g, maxRepeat)
+    * in expectation, exactly. */
+  def mixtureUpsample(df: DataFrame, groupCol: String, keyCol: String,
+                      rates: Map[String, Double], maxRepeat: Double = 8.0,
+                      salt: String = "epoch",
+                      buckets: Int = 1000000): DataFrame = {
+    // rates below 1 are thinning — that's mixtureSample's job, and a
+    // fractional-only rate would make the sequence bound negative
+    require(rates.values.forall(_ >= 1.0), "rates must be >= 1 (upsampling)")
+    require(maxRepeat >= 1.0, s"maxRepeat must be >= 1, got $maxRepeat")
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(1.0)) { case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit(math.min(r, maxRepeat))).otherwise(acc)
+      }
+    val whole = floor(rate).cast("int")
+    val fracThr = ((rate - floor(rate)) * buckets).cast("long")
+    val extra = (hashBucket(col(keyCol), salt, buckets) < fracThr).cast("int")
+    df.withColumn("epoch",
+      explode(sequence(lit(0), whole + extra - 1)))
+  }
+
   /** Deterministic global training order: every row gets a `shard` and a
     * dense `pos` within its shard, both pure functions of the key hash —
     * the reproducible "global shuffle" that randomizes document order

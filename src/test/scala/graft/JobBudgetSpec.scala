@@ -118,7 +118,9 @@ class JobBudgetSpec extends AnyFunSuite {
     // scan-level regexp chain + one distinct-count agg: 4 measured
     "q120_url_canonical" -> 8L,
     // expression-only signals, no shuffle: 3 measured
-    "q121_gopher_rules" -> 6L
+    "q121_gopher_rules" -> 6L,
+    // scan-level epoch explode, zero coordination: 3 measured
+    "q122_mixture_upsample" -> 6L
   )
 
   for ((q, budget) <- budgets)

@@ -78,6 +78,43 @@ class SamplingSpec extends AnyFunSuite {
       .filter(col("grp") =!= "a").count() == 0)
   }
 
+  test("mixtureUpsample: whole+fractional epochs, dense epoch ids, cap " +
+    "applied, unlisted groups pass once, deterministic") {
+    val rates = Map("src0" -> 3.5, "src1" -> 2.25, "src2" -> 10.0)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.mixtureUpsample(df.select("doc_id", "source"),
+        "source", "doc_id", rates, maxRepeat = 8.0)
+    val out = run(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val perDoc = out.groupBy(_._1)
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, copies) <- perDoc) {
+      val src = srcOf(id)
+      val n = copies.length
+      // epochs are dense 0..n-1
+      assert(copies.map(_._3).sorted.sameElements(0 until n), s"doc $id")
+      src match {
+        case "src0" => assert(n == 3 || n == 4, s"doc $id n=$n")
+        case "src1" => assert(n == 2 || n == 3, s"doc $id n=$n")
+        case "src2" => assert(n == 8, s"doc $id capped n=$n") // 10 -> cap 8
+        case _ => assert(n == 1, s"doc $id unlisted n=$n")
+      }
+    }
+    // fractional epochs hit ~ the fractional rate over the group
+    val n0 = perDoc.collect { case (id, c) if srcOf(id) == "src0" => c.length }
+    assert(n0.sum.toDouble / n0.size >= 3.0 && n0.sum.toDouble / n0.size <= 4.0)
+    // deterministic and layout-independent
+    val again = run(docs.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted
+    assert(again.sameElements(out.sorted))
+    // rates below 1 are rejected (thinning is mixtureSample's job)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureUpsample(docs.select("doc_id", "source"),
+        "source", "doc_id", Map("src0" -> 0.5))
+    }
+  }
+
   test("trainingOrder: every row once, positions dense per shard, stable") {
     val ordered = Sampling.trainingOrder(docs, "doc_id", shards = 8)
     assert(ordered.count() == docs.count()) // no row lost or duplicated
