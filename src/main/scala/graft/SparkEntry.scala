@@ -2320,8 +2320,8 @@ object SparkEntry {
     },
     "q40_centroids" ->
       """SELECT label, CAST(ord - 1 AS INT) AS dim,
-         ROUND(CAST(SUM(CAST(round(CAST(embedding[ord] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
-               / 1000000 / COUNT(*), 6) AS centroid,
+         CAST(round(CAST(SUM(CAST(round(CAST(embedding[ord] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+               / COUNT(*), 0) AS BIGINT) / CAST(1000000 AS DOUBLE) AS centroid,
          COUNT(*) AS n_vecs
          FROM (SELECT label, embedding,
                       unnest(range(1, len(embedding) + 1)) AS ord
@@ -3245,8 +3245,9 @@ object SparkEntry {
     "q119_mean_pool" ->
       s"""WITH comp AS (
            SELECT label, CAST(ord - 1 AS INT) AS dim,
-             ROUND(CAST(SUM(CAST(round(CAST(embedding[ord] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
-                   / 1000000 / COUNT(*), 6) AS centroid
+             CAST(round(CAST(SUM(CAST(round(CAST(embedding[ord] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*), 0) AS BIGINT) / CAST(1000000 AS DOUBLE)
+               AS centroid
            FROM (SELECT label, embedding,
                         unnest(range(1, len(embedding) + 1)) AS ord
                  FROM embeddings)
@@ -3282,8 +3283,8 @@ object SparkEntry {
            FROM embeddings e),
          u1c AS (
            SELECT cell, ord,
-                  CAST(ROUND(CAST(SUM(CAST(round(CAST(v[ord] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
-                       / 1000000 / COUNT(*), 6) AS REAL) AS x,
+                  CAST(CAST(round(CAST(SUM(CAST(round(CAST(v[ord] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                       / COUNT(*), 0) AS BIGINT) / CAST(1000000 AS DOUBLE) AS REAL) AS x,
                   COUNT(*) AS n
            FROM (SELECT cell, v, unnest(range(1, len(v) + 1)) AS ord FROM a1)
            GROUP BY 1, 2),
@@ -3299,8 +3300,8 @@ object SparkEntry {
            FROM embeddings e),
          u2c AS (
            SELECT cell, ord,
-                  CAST(ROUND(CAST(SUM(CAST(round(CAST(v[ord] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
-                       / 1000000 / COUNT(*), 6) AS REAL) AS x,
+                  CAST(CAST(round(CAST(SUM(CAST(round(CAST(v[ord] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                       / COUNT(*), 0) AS BIGINT) / CAST(1000000 AS DOUBLE) AS REAL) AS x,
                   COUNT(*) AS n
            FROM (SELECT cell, v, unnest(range(1, len(v) + 1)) AS ord FROM a2)
            GROUP BY 1, 2),

@@ -77,11 +77,16 @@ object Similarity {
     df.select(col(labelCol).as("label"),
         posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy("label", "dim")
-      // micro-unit quantized mean: round(x*1e6) summed as exact longs.
-      // Order-independent AND engine-independent (double->decimal casts
-      // round differently across engines; integer sums don't).
-      .agg(round(sum(round(col("x").cast(DoubleType) * 1e6, 0).cast("long"))
-          .cast(DoubleType) / 1e6 / count(lit(1)), 6).as("centroid"),
+      // micro-unit quantized mean: round(x*1e6) summed as exact longs,
+      // the MEAN rounded back to integer micro-units BEFORE the single
+      // /1e6 — order- and engine-independent at every step. (The earlier
+      // round(mean_double, 6) form was latently fragile: a 6-dp target
+      // is not exactly representable, and Spark rounds the decimal
+      // string where DuckDB scales the float — divergent at sf0.1.
+      // round(x, 0) targets an integer, which IS exact on both.)
+      .agg((round(sum(round(col("x").cast(DoubleType) * 1e6, 0).cast("long"))
+          .cast(DoubleType) / count(lit(1)), 0).cast("long")
+          .cast(DoubleType) / lit(1e6)).as("centroid"),
         count(lit(1)).as("n_vecs"))
 
   /** L2 norm (double) of a float-vector column — the same sequential
@@ -549,9 +554,11 @@ object Similarity {
         .join(pqAssign(corpus, idCol, vecCol, cb), Seq("__pq_id", "sub"))
         .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("d", "x")))
         .groupBy("sub", "code", "d")
-        // q40's micro-unit exact mean (see centroidComponents)
-        .agg(round(sum(round(col("x").cast(DoubleType) * 1e6, 0).cast("long"))
-            .cast(DoubleType) / 1e6 / count(lit(1)), 6).as("c"))
+        // q40's micro-unit exact mean (see centroidComponents: integer
+        // micro-round before the single /1e6, engine-exact)
+        .agg((round(sum(round(col("x").cast(DoubleType) * 1e6, 0).cast("long"))
+            .cast(DoubleType) / count(lit(1)), 0).cast("long")
+            .cast(DoubleType) / lit(1e6)).as("c"))
         .collect() // m × ksub × dsub rows — the model itself, driver-sized
       val byKey = comps.map(r =>
         (r.getInt(0), r.getLong(1), r.getInt(2)) -> r.getDouble(3).toFloat).toMap

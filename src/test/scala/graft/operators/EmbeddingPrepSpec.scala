@@ -81,8 +81,10 @@ class EmbeddingPrepSpec extends AnyFunSuite {
       .select("embedding").collect().map(_.getSeq[Float](0))
     val dims = l0.head.indices
     val ref = dims.map { d =>
-      val micro = l0.map(v => math.rint(v(d).toDouble * 1e6).toLong).sum
-      (math.rint(micro.toDouble / 1e6 / l0.length * 1e6) / 1e6).toFloat
+      val micro = l0.map(v => BigDecimal(v(d).toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+      (BigDecimal(micro.toDouble / l0.length)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong / 1e6).toFloat
     }
     assert(pooled(pooled.keySet.min) == ref)
   }

@@ -100,8 +100,9 @@ class PqSpec extends AnyFunSuite {
             val expect = (0 until 16).map { d =>
               val micro = subs.map(v => BigDecimal(v(d).toDouble * 1e6)
                 .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
-              BigDecimal(micro.toDouble / 1e6 / subs.size)
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toFloat
+              (BigDecimal(micro.toDouble / subs.size)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP)
+                .toLong / 1e6).toFloat
             }
             assert(cb1.books(s)(c) == expect, s"sub $s code $c (n=${subs.size})")
           case None =>
