@@ -379,7 +379,8 @@ object ScaleSmoke {
     // × m integer lookups, q constant — linear in n, never touching a
     // full vector). Code-table rows are printed as the compression
     // evidence: m small ints per vector at every mult.
-    for (n <- mults if Seq("pqEncode", "pqAdc").exists(enabled)) {
+    for (n <- mults
+         if Seq("pqEncode", "pqAdc", "ivfPqAppendBatch").exists(enabled)) {
       import graft.operators.Similarity
       val e = embReplicated(n).persist()
       val total = e.count()
@@ -396,7 +397,27 @@ object ScaleSmoke {
           .count()
       }
       if (codes != null) codes.unpersist()
-      println(s"mult=$n  vecs=$total  pqCodeRows=$codeRows  adcTopK=$adc")
+      // incremental-append leg: HISTORY grows mult x while the appended
+      // batch stays FIXED (replica 0) — the O(batch) claim is that the
+      // append's encode wall stays ~flat as history grows (the history
+      // code table is only unioned, never re-encoded; the count() at the
+      // end scans both, so the flat part is isolated by timing the
+      // batch encode alone)
+      val appendWall = timeIf("ivfPqAppendBatch") {
+        val batch = e.filter(col("vec_id") % n === 0) // rep-0: FIXED size
+        val seeds = Similarity.kmeansTrain(batch, "vec_id", "embedding",
+          nlist = 8, iters = 0)
+        val history = Similarity.ivfPqBuild(
+          e.filter(col("vec_id") % n =!= 0), "vec_id", "embedding", seeds, cb)
+        // time ONLY what ivfPqAppend adds to the plan: the batch-side
+        // encode (its union with history.codes is lazy metadata — an
+        // exceptAll/count over the union would re-scan history and
+        // measure the wrong thing)
+        Similarity.ivfPqBuild(batch, "vec_id", "embedding",
+          history.seeds, history.cb).codes.count()
+      }
+      println(s"mult=$n  vecs=$total  pqCodeRows=$codeRows  adcTopK=$adc " +
+        s"appendEncodeRows=$appendWall")
       e.unpersist()
     }
 
