@@ -966,6 +966,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     }),
 
+    // ---- TEXT: Unicode-script profiling — multilingual routing off
+    //      per-script character ratios (docs salted with 4 script
+    //      variants so the non-Latin counting paths are oracle-live)
+    "q123_script_profile" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), element_at(array(
+          lit("the quick brown fox 42"),
+          lit("быстрая лисица прыгает 7"),
+          lit("敏捷的狐狸跳过了懒狗"),
+          lit("الثعلب السريع يقفز")),
+          (col("doc_id") % 4 + 1).cast("int")).as("sample"))
+        .select(col("doc_id"),
+          TextAnalysis.scriptProfile(col("sample")).as("p"))
+        .select(col("doc_id"), col("p.*"))),
+
     // ---- SAMPLING: mixture UP-sampling — per-source epoch factors
     //      (books-style repeats, capped at maxRepeat), fractional epoch
     //      membership the same md5 predicate as hashSample; scan-level
@@ -3017,6 +3032,40 @@ object SparkEntry {
       """SELECT lang, COUNT(*) AS n_docs,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY lang""",
+
+    // script profile: same length-after-strip counting (RE2 spells the
+    // script classes \p{Latin}; Java \p{IsLatin} — same tables for these
+    // codepoints), same single divides and tie order
+    "q123_script_profile" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+                  ['the quick brown fox 42',
+                   'быстрая лисица прыгает 7',
+                   '敏捷的狐狸跳过了懒狗',
+                   'الثعلب السريع يقفز'][CAST(doc_id % 4 + 1 AS INT)] AS s
+           FROM documents),
+         b AS (SELECT doc_id, regexp_replace(s, '\\s', '', 'g') AS base FROM t),
+         c AS (SELECT doc_id, length(base) AS total,
+                 length(base) - length(regexp_replace(base, '\\p{Latin}', '', 'g')) AS latin,
+                 length(base) - length(regexp_replace(base, '\\p{Cyrillic}', '', 'g')) AS cyr,
+                 length(base) - length(regexp_replace(base, '\\p{Han}', '', 'g')) AS han,
+                 length(base) - length(regexp_replace(base, '\\p{Arabic}', '', 'g')) AS ar,
+                 length(base) - length(regexp_replace(base, '[0-9]', '', 'g')) AS digits
+               FROM b)
+         SELECT doc_id, CAST(total AS BIGINT) AS n_chars,
+           CASE WHEN total = 0 THEN 0.0 ELSE CAST(latin AS DOUBLE) / total END AS latin_ratio,
+           CASE WHEN total = 0 THEN 0.0 ELSE CAST(cyr AS DOUBLE) / total END AS cyrillic_ratio,
+           CASE WHEN total = 0 THEN 0.0 ELSE CAST(han AS DOUBLE) / total END AS han_ratio,
+           CASE WHEN total = 0 THEN 0.0 ELSE CAST(ar AS DOUBLE) / total END AS arabic_ratio,
+           CASE WHEN total = 0 THEN 0.0 ELSE CAST(digits AS DOUBLE) / total END AS digit_ratio,
+           CASE WHEN total = 0 THEN 'none'
+                WHEN latin >= cyr AND latin >= han AND latin >= ar
+                     AND latin > 0 THEN 'latin'
+                WHEN cyr >= han AND cyr >= ar AND cyr > 0 THEN 'cyrillic'
+                WHEN han >= ar AND han > 0 THEN 'han'
+                WHEN ar > 0 THEN 'arabic'
+                ELSE 'other' END AS script
+         FROM c""",
 
     // mixture upsample: same rate table (10 capped at 8), same md5
     // fractional-epoch predicate, copies unrolled via range()

@@ -548,6 +548,45 @@ object TextAnalysis {
     when(h === "", lit(null).cast("string")).otherwise(h)
   }
 
+  /** Unicode-script profile — the router in front of any multilingual
+    * pipeline (tokenizers, quality models and stopword lists are all
+    * script-specific; [[languageId]]'s marker words only work inside
+    * Latin script). One struct column, expression-only: per-script
+    * character ratios over the non-whitespace text (Latin, Cyrillic,
+    * Han, Arabic — the four highest-volume crawl scripts — plus ASCII
+    * digits) and a `script` label = the argmax with a fixed preference
+    * order on ties ("none" for whitespace-only text). Counts come from
+    * length-after-strip arithmetic on Unicode script classes (stable
+    * across the regex engines for all non-exotic codepoints), ratios are
+    * single IEEE divides over exact integer counts. */
+  def scriptProfile(text: Column): Column =
+    graft.functions.bound(regexp_replace(text, "\\s", "")) { base =>
+      graft.functions.bound(length(base)) { total =>
+        def cnt(cls: String): Column =
+          total - length(regexp_replace(base, cls, ""))
+        graft.functions.bound(cnt("\\p{IsLatin}")) { latin =>
+        graft.functions.bound(cnt("\\p{IsCyrillic}")) { cyr =>
+        graft.functions.bound(cnt("\\p{IsHan}")) { han =>
+        graft.functions.bound(cnt("\\p{IsArabic}")) { ar =>
+          val digits = cnt("[0-9]")
+          def ratio(c: Column): Column =
+            when(total === 0, 0.0).otherwise(c.cast(DoubleType) / total)
+          val dominant =
+            when(total === 0, "none")
+              .when(latin >= cyr && latin >= han && latin >= ar && latin > 0,
+                "latin")
+              .when(cyr >= han && cyr >= ar && cyr > 0, "cyrillic")
+              .when(han >= ar && han > 0, "han")
+              .when(ar > 0, "arabic")
+              .otherwise("other")
+          struct(total.cast(LongType).as("n_chars"),
+            ratio(latin).as("latin_ratio"), ratio(cyr).as("cyrillic_ratio"),
+            ratio(han).as("han_ratio"), ratio(ar).as("arabic_ratio"),
+            ratio(digits).as("digit_ratio"), dominant.as("script"))
+        } } } }
+      }
+    }
+
   /** Canonical URL normalization — the key a crawl dedups on ("the same
     * page fetched five ways is one document"). A DECLARED, deterministic
     * contract applied in order:

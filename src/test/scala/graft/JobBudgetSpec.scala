@@ -120,7 +120,9 @@ class JobBudgetSpec extends AnyFunSuite {
     // expression-only signals, no shuffle: 3 measured
     "q121_gopher_rules" -> 6L,
     // scan-level epoch explode, zero coordination: 3 measured
-    "q122_mixture_upsample" -> 6L
+    "q122_mixture_upsample" -> 6L,
+    // expression-only script counting, no shuffle: 3 measured
+    "q123_script_profile" -> 6L
   )
 
   for ((q, budget) <- budgets)

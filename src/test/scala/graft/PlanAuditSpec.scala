@@ -249,6 +249,41 @@ class PlanAuditSpec extends AnyFunSuite {
       plan("q91_sniff_modality"))
   }
 
+  test("overlap matrix: sketch aggregate partial+final, pair join " +
+    "broadcast, no corpus-sized join (q111)") {
+    val p = plan("q111_overlap_matrix")
+    assert(p.contains("partial_graft_kmv_sketch"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // |C|-row sketch pairs
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("JSONL scan uses the explicit schema — no inference pre-scan in " +
+    "the plan (q113)") {
+    val p = plan("q113_jsonl_scan")
+    assert(p.contains("FileScan json"), p)
+    assert(p.contains("n_chars"), p) // schema'd read, expected columns
+  }
+
+  test("binned quantiles: histogram is a partial-then-final aggregate; " +
+    "the window is bins-bounded (q114/q115)") {
+    assert("HashAggregate".r.findAllIn(plan("q114_binned_quantiles")).length >= 2)
+    // the per-group form partitions its cumulative window by the group
+    assert("hashpartitioning\\(g".r
+      .findAllIn(plan("q115_group_quantiles")).nonEmpty)
+  }
+
+  test("scan-level curation ops stay exchange-free until their one " +
+    "aggregate (q120/q121/q122)") {
+    // canonical-URL + Gopher signals + epoch explode are pure scan
+    // expressions; the only exchanges allowed are their final aggregates
+    assert("Exchange".r.findAllIn(plan("q120_url_canonical")).length <= 2,
+      plan("q120_url_canonical"))
+    assert(!plan("q121_gopher_rules").contains("Exchange"),
+      plan("q121_gopher_rules"))
+    assert(!plan("q122_mixture_upsample").contains("Exchange"),
+      plan("q122_mixture_upsample"))
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set

@@ -18,6 +18,51 @@ class CurationOpsSpec extends AnyFunSuite {
       .digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
+  test("scriptProfile == plain-Scala Unicode-script counting; dominant " +
+    "label honors the tie order") {
+    import java.lang.Character.UnicodeScript
+    val texts = Seq(
+      "latin" -> "the quick brown fox",
+      "cyrillic" -> "быстрая лисица",
+      "han" -> "敏捷的狐狸",
+      "arabic" -> "الثعلب السريع",
+      "mixed" -> "hello мир 123",
+      "digits" -> "1234 5678",
+      "blank" -> "   \n\t ",
+      "empty" -> "")
+    val got = texts.toDF("id", "text")
+      .select(col("id"), TextAnalysis.scriptProfile(col("text")).as("p"))
+      .select(col("id"), col("p.*"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((id, text) <- texts) {
+      val base = text.filterNot(_.isWhitespace)
+      def n(s: UnicodeScript) = base.count(c => UnicodeScript.of(c) == s)
+      val r = got(id)
+      assert(r.getLong(1) == base.length, s"$id n_chars")
+      if (base.nonEmpty) {
+        assert(r.getDouble(2) == n(UnicodeScript.LATIN).toDouble / base.length,
+          s"$id latin")
+        assert(r.getDouble(3) ==
+          n(UnicodeScript.CYRILLIC).toDouble / base.length, s"$id cyr")
+        assert(r.getDouble(4) == n(UnicodeScript.HAN).toDouble / base.length,
+          s"$id han")
+        assert(r.getDouble(5) == n(UnicodeScript.ARABIC).toDouble / base.length,
+          s"$id ar")
+        assert(r.getDouble(6) ==
+          base.count(c => c >= '0' && c <= '9').toDouble / base.length,
+          s"$id digits")
+      }
+    }
+    assert(got("latin").getString(7) == "latin")
+    assert(got("cyrillic").getString(7) == "cyrillic")
+    assert(got("han").getString(7) == "han")
+    assert(got("arabic").getString(7) == "arabic")
+    assert(got("mixed").getString(7) == "latin") // 5+3 latin > 3 cyrillic
+    assert(got("digits").getString(7) == "other") // no script chars at all
+    assert(got("blank").getString(7) == "none")
+    assert(got("empty").getString(7) == "none")
+  }
+
   test("gopherSignals == plain-Scala mirror; gate fires on the right rule") {
     val good = ("the quick brown fox jumps over a lazy dog and runs on " +
       "with more of the fine words in this line for good measure ") * 3
