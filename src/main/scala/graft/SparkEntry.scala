@@ -966,6 +966,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     }),
 
+    // ---- DEDUP: audit report — cluster-size histogram over q48's
+    //      mapping (the mega-cluster / loose-threshold sanity table);
+    //      two bounded group-bys beyond the cluster pipeline
+    "q124_dedup_report" -> ((s, dir) =>
+      Dedup.clusterSizeProfile(
+        Dedup.dedupClusters(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5))),
+
     // ---- TEXT: Unicode-script profiling — multilingual routing off
     //      per-script character ratios (docs salted with 4 script
     //      variants so the non-Latin counting paths are oracle-live)
@@ -1408,6 +1416,35 @@ object SparkEntry {
   private val HSHINGLES3 =
     s"list_distinct(list_transform($SHINGLES3, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))"
   /** TextAnalysis.hash60 / hash32 */
+  /** q48's MinHash-LSH + recursive-CTE connected-components mirror,
+    * shared by every oracle that consumes the cluster mapping (q48
+    * itself, the q124 audit histogram). Ends at the `cc` CTE;
+    * consumers append their final SELECT (and extra CTEs after a
+    * comma). */
+  private lazy val CC_CTE: String =
+    s"""WITH RECURSIVE sh AS (
+           SELECT doc_id AS id, $SHINGLES3 AS strsh, $HSHINGLES3 AS sh FROM documents),
+         sig AS (
+           SELECT id, sh, list_transform(range(0, 12),
+             j -> list_min(list_transform(hs, h -> ((j*2+1) * h + (j*7919+104729)) % 2147483647))) AS sig
+           FROM (SELECT id, sh, list_transform(strsh, s -> ${H32("s")}) AS hs FROM sh)),
+         bands AS (
+           SELECT id, sh, r.b,
+             ${H60("array_to_string(list_transform(sig[r.b*3+1 : r.b*3+3], x -> x::VARCHAR), ',')")} AS bkey
+           FROM sig, range(0, 4) r(b)),
+         pairs AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id
+           WHERE ${JACC("a.sh", "b.sh")} >= 0.5),
+         edges AS (
+           SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.id = e.v),
+         cc AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)"""
+
   private def H60(s: String) = s"('0x' || substr(md5($s), 1, 15))::BIGINT"
   private def H32(s: String) = s"('0x' || substr(md5($s), 1, 8))::BIGINT"
   /** Dedup.jaccard on two (already-distinct) list columns */
@@ -2662,31 +2699,23 @@ object SparkEntry {
     // closed by a recursive CTE; rep = min reachable id per component,
     // singletons map to themselves
     "q48_dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS (
-           SELECT doc_id AS id, $SHINGLES3 AS strsh, $HSHINGLES3 AS sh FROM documents),
-         sig AS (
-           SELECT id, sh, list_transform(range(0, 12),
-             j -> list_min(list_transform(hs, h -> ((j*2+1) * h + (j*7919+104729)) % 2147483647))) AS sig
-           FROM (SELECT id, sh, list_transform(strsh, s -> ${H32("s")}) AS hs FROM sh)),
-         bands AS (
-           SELECT id, sh, r.b,
-             ${H60("array_to_string(list_transform(sig[r.b*3+1 : r.b*3+3], x -> x::VARCHAR), ',')")} AS bkey
-           FROM sig, range(0, 4) r(b)),
-         pairs AS (
-           SELECT DISTINCT a.id AS id_a, b.id AS id_b
-           FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id
-           WHERE ${JACC("a.sh", "b.sh")} >= 0.5),
-         edges AS (
-           SELECT id_a AS u, id_b AS v FROM pairs
-           UNION SELECT id_b, id_a FROM pairs),
-         reach(id, r) AS (
-           SELECT u, u FROM edges
-           UNION
-           SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.id = e.v),
-         cc AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+      s"""$CC_CTE
          SELECT d.doc_id AS id, COALESCE(cc.rep, d.doc_id) AS rep,
                 COALESCE(cc.rep, d.doc_id) = d.doc_id AS keep
          FROM documents d LEFT JOIN cc ON cc.id = d.doc_id""",
+
+    // dedup audit: q48's cluster mapping histogrammed by cluster size
+    // (n_docs/n_dropped are per-size totals; a mega-cluster row at the
+    // tail is the classic loose-threshold symptom)
+    "q124_dedup_report" ->
+      s"""$CC_CTE,
+         m AS (SELECT d.doc_id AS id, COALESCE(cc.rep, d.doc_id) AS rep
+               FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+         cs AS (SELECT rep, COUNT(*) AS cluster_size FROM m GROUP BY rep)
+         SELECT cluster_size, COUNT(*) AS n_clusters,
+                CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
+                CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS n_dropped
+         FROM cs GROUP BY cluster_size""",
 
     // probe-all IVF == exact brute force: same ground truth as q24
     "q49_ivf_topk" ->

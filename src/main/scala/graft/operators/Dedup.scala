@@ -817,6 +817,24 @@ object Dedup {
       .withColumn("keep", col("id") === col("rep"))
   }
 
+  /** Dedup AUDIT report — the cluster-size histogram every dedup run is
+    * sanity-checked against before its drop set is trusted ("how many
+    * pairs/triples, is there a mega-cluster?"): one row per cluster
+    * size with the number of clusters, documents covered, and documents
+    * the keep-first rule would drop. A mega-cluster row at the tail is
+    * the classic symptom of a too-loose threshold or a boilerplate
+    * artifact. Input is [[dedupClusters]] output (or any (id, rep)
+    * mapping); two bounded group-by passes — rep-keyed then size-keyed —
+    * nothing beyond the cluster table is scanned. */
+  def clusterSizeProfile(clusters: DataFrame): DataFrame =
+    clusters.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"),
+        (count(lit(1)) * (col("cluster_size") - 1)).as("n_dropped"))
+      .select(col("cluster_size"), col("n_clusters"),
+        col("n_docs").cast(LongType), col("n_dropped").cast(LongType))
+
   /** Embedding-cosine near-dup pairs above `threshold` — exact.
     *
     * With `block` set (e.g. [[Similarity.signBucket]]) the pair space is

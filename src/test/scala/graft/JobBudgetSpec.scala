@@ -122,7 +122,10 @@ class JobBudgetSpec extends AnyFunSuite {
     // scan-level epoch explode, zero coordination: 3 measured
     "q122_mixture_upsample" -> 6L,
     // expression-only script counting, no shuffle: 3 measured
-    "q123_script_profile" -> 6L
+    "q123_script_profile" -> 6L,
+    // the q48 cluster pipeline (30 jobs, CC iterations) + two bounded
+    // group-bys: 32 measured
+    "q124_dedup_report" -> 60L
   )
 
   for ((q, budget) <- budgets)

@@ -47,4 +47,26 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 3L, true), (4L, 4L, true)))
     // exactly one keeper per cluster
   }
+
+  test("clusterSizeProfile: histogram accounting reconciles exactly with " +
+    "the mapping it audits") {
+    val clusters = Seq(
+      // one pair, one triple, three singletons
+      (1L, 1L), (2L, 1L),
+      (3L, 3L), (4L, 3L), (5L, 3L),
+      (6L, 6L), (7L, 7L), (8L, 8L)).toDF("id", "rep")
+    val prof = Dedup.clusterSizeProfile(clusters)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(prof == Map(
+      1L -> ((3L, 3L, 0L)), 2L -> ((1L, 2L, 1L)), 3L -> ((1L, 3L, 2L))))
+    // invariants on real data: docs reconcile, drops == docs - clusters
+    val real = Dedup.dedupClusters(
+      graft.Tables(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text", threshold = 0.5)
+    val p = Dedup.clusterSizeProfile(real.select("id", "rep")).collect()
+    assert(p.map(_.getLong(2)).sum == real.count())
+    assert(p.map(_.getLong(3)).sum ==
+      real.count() - real.filter(org.apache.spark.sql.functions.col("keep")).count())
+  }
 }
