@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print ONE machine-readable JSON line on stdout; sbt's
+// default LoggedOutput for forked runs prefixes every line with
+// "[info] ", which has broken the driver's BENCH_r0N.json parse three
+// rounds running. StdoutOutput passes the child's stdout through
+// verbatim, so the JSON line lands bare.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -732,10 +732,12 @@ object SparkEntry {
     // S4 SQLite scan through the pure-Scala reader of the public SQLite
     // file format (graft.sources.Sqlite — no JDBC). The fixture DB holds
     // the fixed 25-row nation table, so the parquet `nation` table is the
-    // oracle (fixture generated once from the same rows).
+    // oracle (fixture generated once from the same rows). The fixture
+    // path resolves against the working directory (sbt runs from the
+    // repo root), so any checkout location works.
     "q47_sqlite_scan" -> ((s, dir) =>
       graft.sources.Sqlite
-        .scan(s, "/root/repo/src/test/resources/sqlite/nation.db", "nation")
+        .scan(s, sqliteFixture.toString, "nation")
         .select(col("n_nationkey").cast("int").as("n_nationkey"),
           col("n_name"),
           col("n_regionkey").cast("int").as("n_regionkey"))),
@@ -750,8 +752,7 @@ object SparkEntry {
       synchronized {
         if (!new java.io.File(root, ".complete").isFile) {
           root.mkdirs()
-          val src = java.nio.file.Paths.get(
-            "/root/repo/src/test/resources/sqlite/nation.db")
+          val src = sqliteFixture
           for (i <- 0 until 3)
             java.nio.file.Files.copy(src,
               root.toPath.resolve(s"shard$i.db"),
@@ -1351,6 +1352,17 @@ object SparkEntry {
           col("top1_frac") > 0.2 || col("top3_frac") > 0.18)
     })
   )
+
+  /** The SQLite fixture (25-row nation table), resolved relative to the
+    * working directory so the queries run from any checkout location —
+    * sbt and the driver both launch from the repo root. */
+  private lazy val sqliteFixture: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(
+      "src/test/resources/sqlite/nation.db").toAbsolutePath
+    require(java.nio.file.Files.isRegularFile(p),
+      s"SQLite fixture not found at $p — run from the repo root")
+    p
+  }
 
   /** Canonical BPE merges table for q84: the output of
     * `TextAnalysis.bpeTrain(documents, 32)` on this corpus (spec-pinned

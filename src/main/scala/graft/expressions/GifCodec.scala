@@ -69,6 +69,7 @@ object GifCodec {
         }
       }
       val frames = Seq.newBuilder[Frame]
+      var nFrames = 0
       var delayCs = 0
       var transparent = -1
       var disposal = 0
@@ -147,6 +148,13 @@ object GifCodec {
               }
               y += 1
             }
+            // total-output guard: the per-canvas cap above bounds ONE
+            // frame, but a hostile file (huge canvas, thousands of 1x1
+            // frames) could still force multi-GB allocation — and an
+            // OutOfMemoryError is an Error the Exception catch below
+            // cannot absorb. Bound the SUM of decoded frame bytes.
+            if ((nFrames + 1).toLong * canvas.length > (1L << 28)) return None
+            nFrames += 1
             frames += Frame(delayCs,
               java.util.Arrays.copyOf(canvas, canvas.length))
             disposal match {

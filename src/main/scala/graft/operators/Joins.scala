@@ -131,17 +131,22 @@ object Joins {
     *
     * Contract: the right side must be per-key BOUNDED (a dimension's
     * state history, not another event stream) — each key's full history
-    * becomes one array row. For stream×stream as-of, bound the right
-    * side by watermark/window first; for the batch-only unbounded case
-    * use [[asofJoin]], whose sweep never materializes a key's history
-    * in one row. */
+    * becomes one array row, and keys above `maxRightRowsPerKey`
+    * (default 2^17) fail LOUDLY at the aggregate (scan-level
+    * raise_error, same posture as [[rangeJoin]]'s replication cap)
+    * instead of silently building a multi-GB row. For stream×stream
+    * as-of, bound the right side by watermark/window first; for the
+    * batch-only unbounded case use [[asofJoin]], whose sweep never
+    * materializes a key's history in one row. */
   def asofJoinStatic(left: DataFrame, right: DataFrame, keys: Seq[String],
                      leftTs: String, rightTs: String, payload: Seq[String],
                      tieCol: String, prefix: String = "asof_",
-                     toleranceUs: Option[Long] = None): DataFrame = {
+                     toleranceUs: Option[Long] = None,
+                     maxRightRowsPerKey: Int = 1 << 17): DataFrame = {
     require(keys.nonEmpty, "asofJoinStatic needs at least one equi-key")
     require(payload.nonEmpty, "asofJoinStatic needs at least one payload column")
     toleranceUs.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
+    require(maxRightRowsPerKey > 0, "maxRightRowsPerKey must be > 0")
 
     val entry = struct(col(rightTs).as("__rts"), col(tieCol).as("__tie"),
       struct(payload.map(col): _*).as("__p"))
@@ -149,6 +154,15 @@ object Joins {
       .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(array_sort(collect_list(entry)).as("__arr"))
+      .withColumn("__arr",
+        when(size(col("__arr")) > maxRightRowsPerKey,
+          raise_error(concat(
+            lit(s"asofJoinStatic: right side has > $maxRightRowsPerKey rows " +
+              "for key "), concat_ws(",", keys.map(col(_).cast("string")): _*),
+            lit(" — the static-right contract is a BOUNDED per-key history " +
+              "(a dimension's state, not an event stream); use asofJoin " +
+              "for unbounded right sides or raise maxRightRowsPerKey"))))
+          .otherwise(col("__arr")))
 
     val joined = left.join(ragg, keys, "left")
     val eligible = filter(col("__arr"), e => e.getField("__rts") <= col(leftTs))

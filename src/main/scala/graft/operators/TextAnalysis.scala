@@ -424,13 +424,20 @@ object TextAnalysis {
           .select(col("__did"),
             (expr("(s * 1000000) div len") - col("y") * lit(1000000000000L))
               .as("r12"))
-        // dim-sized collect: the gradient IS the model-sized table
+        // dim-sized collect: the gradient IS the model-sized table.
+        // Per-doc terms are ~1e12 magnitude, so a Long sum would wrap
+        // silently past ~10^6 docs (non-ANSI); accumulate in
+        // DECIMAL(38,0) instead — exact at any corpus size, and the
+        // final truncating division matches Long `/` (toward zero).
         val grads = feats.join(resid, Seq("__did"))
-          .select(col("j"), expr("(r12 * cnt) div len").as("gq"))
+          .select(col("j"),
+            expr("CAST((r12 * cnt) div len AS DECIMAL(38,0))").as("gq"))
           .groupBy("j").agg(sum("gq").as("sq"))
           .collect()
+        val lrDen = java.math.BigInteger.valueOf(lrDiv * n * 1000000L)
         for (r <- grads)
-          w6(r.getLong(0).toInt) -= r.getLong(1) / (lrDiv * n * 1000000L)
+          w6(r.getLong(0).toInt) -= r.getDecimal(1).toBigInteger
+            .divide(lrDen).longValueExact()
       }
     } finally feats.unpersist()
     w6

@@ -106,7 +106,7 @@ class PropertySpec extends AnyFunSuite {
       Gen.oneOf("", " ", "  ", "\t")).map { case (s, p) => p + s + p }
     val vals = samples(padded, 400)
     val df = vals.toDF("s")
-    val ref = when(trim(col("s"), " \t\n\r\f").rlike("^[+-]?[0-9]+$"), 1)
+    val ref = when(trim(col("s"), " \t\n\r\u000B\f").rlike("^[+-]?[0-9]+$"), 1)
       .otherwise(when(col("s").try_cast(DoubleType).isNotNull, 2).otherwise(3))
     val bad = df.select(col("s"),
         call_function("graft_numclass", col("s")).as("got"), ref.as("want"))
@@ -261,7 +261,7 @@ class PropertySpec extends AnyFunSuite {
       Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A),
       "GIF89a".getBytes("US-ASCII"),
       Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte),
-      "RIFF    WAVE".getBytes("US-ASCII"))
+      "RIFF\u0000\u0000\u0000\u0000WAVE".getBytes("US-ASCII"))
     val junk = Gen.zip(Gen.choose(0, sigs.size), Gen.choose(0, 400),
       Gen.choose(Long.MinValue, Long.MaxValue))
     for ((sigIdx, len, seed) <- samples(junk, 60)) {

@@ -135,6 +135,48 @@ class GifCodecSpec extends AnyFunSuite {
     assert(GifCodec.decode(truncatedLzw).isEmpty)
   }
 
+  test("total decoded output is bounded: a hostile GIF (big canvas x " +
+    "many tiny frames) returns None instead of allocating multi-GB") {
+    // 4096x4096 canvas = ~50 MB RGB per composited frame; the 2^28-byte
+    // total-output cap admits 5 frames and must reject the 6th — long
+    // before the multi-GB allocations a thousand-frame file would force
+    // (OutOfMemoryError is an Error the codec's catch cannot absorb).
+    val out = new java.io.ByteArrayOutputStream()
+    def le16w(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16w(4096); le16w(4096)
+    out.write(0xF7); out.write(0); out.write(0)
+    out.write(grayPal, 0, 768)
+    for (_ <- 0 until 6) { // six 1x1 frames: sixth crosses the cap
+      out.write(0x2C); le16w(0); le16w(0); le16w(1); le16w(1); out.write(0)
+      out.write(8)
+      val lzw = GifCodec.lzwEncode(Array[Byte](42), 8)
+      out.write(lzw.length); out.write(lzw, 0, lzw.length); out.write(0)
+    }
+    out.write(0x3B)
+    val hostile = out.toByteArray
+    assert(GifCodec.decode(hostile).isEmpty)
+    // the same container with 5 frames sits exactly at the cap: decodes
+    val ok = java.util.Arrays.copyOf(hostile, hostile.length)
+    // rebuild with 5 frames instead of truncating blindly
+    val out5 = new java.io.ByteArrayOutputStream()
+    out5.write("GIF89a".getBytes("US-ASCII"))
+    def le16w5(v: Int): Unit = { out5.write(v & 0xFF); out5.write((v >> 8) & 0xFF) }
+    le16w5(4096); le16w5(4096)
+    out5.write(0xF7); out5.write(0); out5.write(0)
+    out5.write(grayPal, 0, 768)
+    for (_ <- 0 until 5) {
+      out5.write(0x2C); le16w5(0); le16w5(0); le16w5(1); le16w5(1); out5.write(0)
+      out5.write(8)
+      val lzw = GifCodec.lzwEncode(Array[Byte](42), 8)
+      out5.write(lzw.length); out5.write(lzw, 0, lzw.length); out5.write(0)
+    }
+    out5.write(0x3B)
+    val dec5 = GifCodec.decode(out5.toByteArray)
+    assert(dec5.isDefined && dec5.get.frames.size == 5)
+    assert(ok.length > out5.size()) // sanity: the hostile file was bigger
+  }
+
   test("the frame pipeline decodes what the fixture builder encoded — " +
     "dims, sampled indices AND composited bytes match the formula") {
     val docs = graft.Tables(spark, TestSpark.sfDir, "documents").limit(40)

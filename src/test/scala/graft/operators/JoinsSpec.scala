@@ -127,6 +127,27 @@ class JoinsSpec extends AnyFunSuite {
     assert(static.exceptAll(sweep).isEmpty && sweep.exceptAll(static).isEmpty)
   }
 
+  test("asofJoinStatic errors LOUDLY on a key exceeding the per-key " +
+    "right-side cap instead of building a giant array row") {
+    val hotRight = spark.range(0, 50)
+      .select(lit(1L).as("user_id"), // one hot key, 50 rows
+        expr("timestamp_micros(id * 1000000)").as("ts"),
+        col("id").as("event_id"), lit(1.0).as("value"))
+    val l = Seq((100L, ts("2024-01-01 00:00:01"), 1L, 5.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val err = intercept[Exception] {
+      Joins.asofJoinStatic(l, hotRight, Seq("user_id"), "ts", "ts",
+        Seq("event_id", "value"), "event_id",
+        maxRightRowsPerKey = 10).collect()
+    }
+    assert(err.getMessage.contains("asofJoinStatic") &&
+      err.getMessage.contains("BOUNDED"), err.getMessage)
+    // the same data passes once the cap accommodates the key
+    assert(Joins.asofJoinStatic(l, hotRight, Seq("user_id"), "ts", "ts",
+      Seq("event_id", "value"), "event_id",
+      maxRightRowsPerKey = 50).count() === 1)
+  }
+
   test("rangeJoin == plain range predicate on real events (sf0.001)") {
     val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
     val win = 600L * 1000000L

@@ -117,7 +117,7 @@ class NativeExprSpec extends AnyFunSuite {
     val df = vals.toDF("s")
     // reference formulation: Spark's own cast for double-castability, the
     // integral regex (with parseDouble's trim) for integral
-    val ref = when(trim(col("s"), " \t\n\r\f").rlike("^[+-]?[0-9]+$"), 1)
+    val ref = when(trim(col("s"), " \t\n\r\u000B\f").rlike("^[+-]?[0-9]+$"), 1)
       .otherwise(when(col("s").try_cast(DoubleType).isNotNull, 2).otherwise(3))
     val bad = df.select(col("s"), call_function("graft_numclass", col("s")).as("got"), ref.as("want"))
       .filter(col("got") =!= col("want")).collect()

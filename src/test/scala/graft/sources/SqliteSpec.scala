@@ -63,6 +63,20 @@ class SqliteSpec extends AnyFunSuite {
       Sqlite.scanGlob(spark, s"$dir/none*.db", "nation"))
   }
 
+  test("scanGlob size contract: a file above maxFileBytes fails the " +
+    "pre-flight loudly (one .db = one sequential task) — and passes " +
+    "when the cap is raised deliberately") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlite_size")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(fixture("nation.db")), dir.resolve("a.db"))
+    val len = java.nio.file.Files.size(dir.resolve("a.db"))
+    val err = intercept[Sqlite.SqliteError](
+      Sqlite.scanGlob(spark, s"$dir/*.db", "nation", maxFileBytes = len - 1))
+    assert(err.getMessage.contains("ONE task per .db"), err.getMessage)
+    assert(Sqlite.scanGlob(spark, s"$dir/*.db", "nation",
+      maxFileBytes = len).count() == 25)
+  }
+
   test("types.db decodes every serial type and the rowid-alias pk") {
     val t = Sqlite.readTable(spark, fixture("types.db"), "t")
     assert(t.columns == Seq("pk", "i", "f", "s", "b"))
