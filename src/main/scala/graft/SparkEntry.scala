@@ -1381,22 +1381,35 @@ object SparkEntry {
 
   /** Shared recursive-CTE body mirroring `graft_bpe_count`'s greedy
     * merge loop over [[bpeCanonicalMerges]] (used by q84/q85): every
-    * DISTINCT corpus word becomes a chr(31)-delimited symbol string;
-    * each recursion step merges all non-overlapping occurrences of the
-    * lowest-ranked adjacent pair present (DuckDB replace() is
-    * left-greedy, matching the engine's sweep); `final` holds each
-    * word's surviving token count. Prepend `WITH RECURSIVE`. */
+    * DISTINCT corpus word becomes a chr(31)-delimited symbol string
+    * seeded BYTE-LEVEL — its UTF-8 bytes (hex-chunked) mapped through
+    * GPT-2's bytes_to_unicode alphabet, the same 256-entry table
+    * `BpeCodec.byteSymbols` the engine uses, here a chr()-built list
+    * literal indexed by byte value (chr(31) maps OUT of the alphabet,
+    * so the delimiter can't collide with a symbol); each recursion step
+    * merges all non-overlapping occurrences of the lowest-ranked
+    * adjacent pair present (DuckDB replace() is left-greedy, matching
+    * the engine's sweep); `final` holds each word's surviving token
+    * count. Prepend `WITH RECURSIVE`. */
   private lazy val BPE_CTE: String = {
     val mergesValues = bpeCanonicalMerges.zipWithIndex
-      .map { case ((a, b), r) => s"('$a','$b',$r)" }.mkString(",")
+      .map { case ((a, b), r) =>
+        s"('${a.replace("'", "''")}','${b.replace("'", "''")}',$r)" }
+      .mkString(",")
+    val byteCodes = graft.expressions.BpeCodec.byteSymbols
+      .map(_.codePointAt(0)).mkString(",")
     val pat = "chr(31) || m.a || chr(31) || m.b || chr(31)"
     s"""merges(a, b, r) AS (VALUES $mergesValues),
+       b2u AS (SELECT list_transform([$byteCodes], c -> chr(c)) AS syms),
        w0 AS (
          SELECT doc_id, lang, unnest($TOKS) AS w FROM documents),
        wf AS (SELECT DISTINCT w FROM w0 WHERE w <> ''),
        enc AS (
-         SELECT w, chr(31) || array_to_string(str_split(w, ''), chr(31)) || chr(31) AS s
-         FROM wf
+         SELECT w, chr(31) || array_to_string(
+             list_transform(range(1, octet_length(encode(w)) + 1),
+               i -> b2u.syms[('0x' || substr(hex(encode(w)), i*2-1, 2))::INT + 1]),
+             chr(31)) || chr(31) AS s
+         FROM wf, b2u
          UNION ALL
          SELECT e.w,
                 replace(e.s, chr(31) || ba.a || chr(31) || ba.b || chr(31),

@@ -8,13 +8,18 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Exact greedy byte-pair encoding (the GPT-2 `encoder.py` algorithm,
-  * Sennrich et al. 2016): a word starts as its sequence of Unicode code
-  * points; while any adjacent symbol pair appears in the merges table,
-  * the LOWEST-RANKED such pair is merged at every non-overlapping
-  * occurrence left to right; the token count is the surviving symbol
-  * count. Deterministic given the merges table, and — unlike the regex
-  * approximation in `TextAnalysis.bpeTokens` — exact against any real
-  * merges file.
+  * Sennrich et al. 2016), BYTE-LEVEL: a word starts as its UTF-8 bytes
+  * mapped through GPT-2's `bytes_to_unicode` alphabet (every byte a
+  * distinct printable one-char symbol); while any adjacent symbol pair
+  * appears in the merges table, the LOWEST-RANKED such pair is merged
+  * at every non-overlapping occurrence left to right; the token count
+  * is the surviving symbol count. Deterministic given the merges table,
+  * and — unlike the regex approximation in `TextAnalysis.bpeTokens` —
+  * exact against any real merges file: because the alphabet is GPT-2's
+  * own, a public model's `merges.txt` drops in with identical counts on
+  * ALL text, non-ASCII included (a word like "café" starts as
+  * [c, a, f, Ã, ©] — its 5 UTF-8 bytes — exactly as the published
+  * tokenizer sees it).
   *
   * The merges table travels in the standard GPT-2 `merges.txt` line
   * format ("a b" per line, rank = line order, `#`-prefixed headers
@@ -54,23 +59,44 @@ object BpeCodec {
     m
   }
 
-  /** Split into Unicode code points (surrogate pairs stay one symbol) —
-    * the unit both the trainer and the SQL mirror (`str_split(w, '')`)
-    * use. */
-  def splitCodePoints(w: String): ArrayBuffer[String] = {
-    val out = new ArrayBuffer[String](w.length)
+  /** GPT-2's bytes->unicode alphabet (`encoder.py bytes_to_unicode`):
+    * the 188 "printable" bytes (0x21-0x7E, 0xA1-0xAC, 0xAE-0xFF) map to
+    * their own code point; the remaining 68 (controls, space, DEL,
+    * 0x7F-0xA0, 0xAD) map to U+0100+n in ascending byte order. Every
+    * byte becomes a distinct printable one-character symbol, so merges
+    * files and symbol strings stay plain text. Index = byte value. */
+  val byteSymbols: Array[String] = {
+    val out = new Array[String](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      val printable =
+        (b >= 0x21 && b <= 0x7E) || (b >= 0xA1 && b <= 0xAC) || b >= 0xAE
+      if (printable) out(b) = String.valueOf(b.toChar)
+      else { out(b) = String.valueOf((256 + n).toChar); n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** Split a word into its byte-level symbol sequence: UTF-8 bytes, each
+    * mapped through [[byteSymbols]] — the unit the trainer, the encoder
+    * and the SQL mirror all share (and the unit GPT-2's own encoder
+    * uses, so a public merges.txt agrees on all text). */
+  def splitByteLevel(w: String): ArrayBuffer[String] = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new ArrayBuffer[String](bytes.length)
     var i = 0
-    while (i < w.length) {
-      val n = Character.charCount(w.codePointAt(i))
-      out += w.substring(i, i + n)
-      i += n
+    while (i < bytes.length) {
+      out += byteSymbols(bytes(i) & 0xFF)
+      i += 1
     }
     out
   }
 
   /** Greedy-merge one word in place; returns the surviving token count. */
   def encodeLen(word: String, ranks: java.util.HashMap[String, Integer]): Int = {
-    var syms = splitCodePoints(word)
+    var syms = splitByteLevel(word)
     if (syms.length < 2) return syms.length
     while (true) {
       // lowest-ranked adjacent pair present in the table

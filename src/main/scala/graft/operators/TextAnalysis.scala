@@ -51,7 +51,9 @@ object TextAnalysis {
 
   /** EXACT BPE token count under a real merges table (GPT-2 greedy-merge
     * semantics — [[graft.expressions.BpeCodec]]): whitespace words ->
-    * code points -> lowest-ranked adjacent pair merged (all occurrences,
+    * byte-level symbols (GPT-2's bytes->unicode alphabet, so counts
+    * agree with the published tokenizer on all text, non-ASCII
+    * included) -> lowest-ranked adjacent pair merged (all occurrences,
     * left-greedy) until fixpoint; count surviving symbols. The table
     * rides the plan as a GPT-2-format string literal, so a public
     * `merges.txt` drops in via [[bpeLoadMerges]]; [[bpeTrain]] learns
@@ -66,8 +68,10 @@ object TextAnalysis {
     graft.expressions.BpeCodec.parseMerges(content).toSeq
 
   /** Learn a BPE merges table from a corpus slice (Sennrich et al. 2016
-    * training): start from code points, repeatedly merge the pair with
-    * the highest occurrence count weighted by word frequency
+    * training): start from GPT-2's byte-level symbols (the same
+    * bytes->unicode alphabet the encoder uses, so trained tables and
+    * public merges.txt files are interchangeable), repeatedly merge the
+    * pair with the highest occurrence count weighted by word frequency
     * (lexicographically smallest pair on ties — fully deterministic),
     * stop at `numMerges` or when no pair repeats.
     *
@@ -80,13 +84,13 @@ object TextAnalysis {
     * table is the scan-scale operation. */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
                maxWords: Int = 1 << 16): Seq[(String, String)] = {
-    import graft.expressions.BpeCodec.splitCodePoints
+    import graft.expressions.BpeCodec.splitByteLevel
     val freqs = df.select(explode(tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val words = freqs.map { case (w, c) => (splitCodePoints(w), c) }
+    val words = freqs.map { case (w, c) => (splitByteLevel(w), c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var go = true
     while (go && merges.length < numMerges) {

@@ -6,7 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.expressions.BpeCodec
 
-/** Exact BPE: greedy lowest-rank merging (GPT-2 encoder semantics),
+/** Exact BPE: greedy lowest-rank merging over GPT-2's BYTE-LEVEL
+  * alphabet (bytes_to_unicode — hand-checked pins against the published
+  * table so a public merges.txt gives identical counts on all text),
   * GPT-2 merges-file format round-trip, deterministic training, and the
   * canonical-table pin that keeps the embedded q84 table equal to what
   * the trainer produces on the corpus. */
@@ -45,9 +47,31 @@ class BpeSpec extends AnyFunSuite {
     assert(count("   ", m) == 0L)
   }
 
-  test("code points, not UTF-16 chars: astral symbols are one unit") {
+  test("BYTE-level alphabet: words seed as UTF-8 bytes mapped through " +
+    "GPT-2's bytes_to_unicode, exactly as the published encoder") {
+    // the published table's fixed points and remaps (GPT-2 encoder.py):
+    // printable bytes map to themselves; controls/space/DEL/0xAD shift
+    // to U+0100+n in ascending byte order
+    assert(BpeCodec.byteSymbols('A'.toInt) == "A")
+    assert(BpeCodec.byteSymbols(0xC3) == "Ã") // Ã maps to itself
+    assert(BpeCodec.byteSymbols(0xA9) == "©") // © maps to itself
+    assert(BpeCodec.byteSymbols(32) == "Ġ")   // space -> Ġ
+    assert(BpeCodec.byteSymbols(10) == "Ċ")   // \n -> Ċ
+    assert(BpeCodec.byteSymbols(0) == "Ā")    // NUL -> Ā
+    assert(BpeCodec.byteSymbols(0xAD) == "Ń") // soft hyphen -> Ń
+    assert(BpeCodec.byteSymbols.distinct.length == 256)
+    // "café" = bytes [c a f 0xC3 0xA9] -> symbols [c, a, f, Ã, ©]:
+    // 5 tokens with no merges (GPT-2's own seeding, hand-checked
+    // against the published algorithm — NOT 4 code points)
+    assert(count("café", Nil) == 5)
+    // merges operate on the byte symbols: (Ã,©) then (c,a) -> [ca, f, Ã©]
+    assert(count("café", Seq(("Ã", "©"), ("c", "a"))) == 3)
+    // an astral symbol is 4 UTF-8 bytes -> 4 seed tokens
     val clef = new String(Character.toChars(0x1D11E)) // 2 Java chars
-    assert(count(s"x${clef}y", Nil) == 3)
+    assert(count(s"x${clef}y", Nil) == 6)
+    // a merges table that re-joins the clef's first byte pair
+    val b = clef.getBytes("UTF-8").map(x => BpeCodec.byteSymbols(x & 0xFF))
+    assert(count(s"x${clef}y", Seq((b(0), b(1)))) == 5)
   }
 
   test("GPT-2 merges file format round-trips, headers skipped") {
@@ -60,7 +84,7 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("more merges never increase the token count; zero merges count " +
-    "code points") {
+    "UTF-8 bytes") {
     val docs = graft.Tables(spark, TestSpark.sfDir, "documents").limit(60)
     val table = graft.SparkEntry.bpeCanonicalMerges
     val counts = (0 to table.length by 8).map { k =>
@@ -68,9 +92,10 @@ class BpeSpec extends AnyFunSuite {
         .head().getLong(0)
     }
     assert(counts == counts.sorted.reverse, counts)
-    val codepoints = docs.agg(sum(length(regexp_replace(col("text"), "\\s+", ""))))
+    val bytes = docs
+      .agg(sum(expr("octet_length(regexp_replace(text, '\\\\s+', ''))")))
       .head().getLong(0)
-    assert(counts.head == codepoints) // k=0: every code point a token
+    assert(counts.head == bytes) // k=0: every non-space UTF-8 byte a token
     assert(counts.last < counts.head) // the table actually compresses
   }
 
