@@ -975,6 +975,34 @@ object SparkEntry {
         Dedup.dedupClusters(t(s, dir, "documents"), "doc_id", "text",
           threshold = 0.5))),
 
+    // ---- HTML -> text extraction: the crawl-ingest FIRST stage —
+    //      deterministic page fixture over documents (chrome, nav,
+    //      entities of every class, broken markup), then chrome strip +
+    //      one-pass entity decode + block segmentation + link-density
+    //      keep rule. Pure codegen'd expressions, zero exchanges; the
+    //      oracle rebuilds the identical pages and extraction in SQL and
+    //      the extracted text must hash byte-exact.
+    "q125_html_extract" -> ((s, dir) =>
+      graft.operators.Html.syntheticPages(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          graft.operators.Html.extractText(col("html")).as("extracted"))
+        .withColumn("n_chars", length(col("extracted")))),
+
+    // ---- HTML block audit: per-page keep/drop accounting over the
+    //      blocks() view (the instrumented form of q125's filter)
+    "q126_html_blocks" -> ((s, dir) =>
+      graft.operators.Html.syntheticPages(t(s, dir, "documents"))
+        .select(col("doc_id"), graft.operators.Html.blocks(col("html")).as("bs"))
+        .select(col("doc_id"),
+          size(col("bs")).as("n_blocks"),
+          size(filter(col("bs"), b =>
+            length(b.getField("text")) >= 15 &&
+              b.getField("link_chars") <=
+                lit(0.33) * length(b.getField("text")))).as("n_kept"),
+          aggregate(transform(col("bs"),
+              b => b.getField("link_chars").cast("long")),
+            lit(0L), (a, x) => a + x).as("link_chars"))),
+
     // ---- TEXT: Unicode-script profiling — multilingual routing off
     //      per-script character ratios (docs salted with 4 script
     //      variants so the non-Latin counting paths are oracle-live)
@@ -1424,6 +1452,78 @@ object SparkEntry {
          FROM enc e
          WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE position($pat IN e.s) > 0))"""
   }
+
+  // ---- DuckDB mirror of graft.operators.Html (q125/q126): the same
+  //      staged pipeline — page fixture, chrome strip, block
+  //      segmentation at chr(30), per-block tag strip + ONE-pass entity
+  //      decode (chr(31)-marked split) + whitespace normalization,
+  //      closed-anchor link mass, keep rule. Regexes are RE2-compatible
+  //      and byte-identical to the Spark side's; the staged CTEs keep
+  //      the generated SQL linear in size (each helper's argument is a
+  //      column reference).
+  private def H_STRIP(x: String) =
+    s"regexp_replace($x, '(?s)</?[a-zA-Z!][^>]*(>|$$)', '', 'g')"
+  private def H_NORM(x: String) =
+    s"trim(regexp_replace($x, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+  private def H_BODY(p: String): String = {
+    val code = s"CASE WHEN $p LIKE '#x%' OR $p LIKE '#X%' " +
+      s"THEN ('0x' || substr($p, 3))::BIGINT ELSE substr($p, 2)::BIGINT END"
+    s"CASE WHEN $p LIKE '#%' THEN " +
+      s"(CASE WHEN $code IN (9, 10, 13) OR ($code BETWEEN 32 AND 55295) " +
+      s"OR ($code BETWEEN 57344 AND 1114111) THEN chr(CAST($code AS INT)) " +
+      s"ELSE '&' || $p || ';' END) " +
+      s"WHEN $p = 'amp' THEN '&' WHEN $p = 'lt' THEN '<' " +
+      s"WHEN $p = 'gt' THEN '>' WHEN $p = 'quot' THEN '\"' " +
+      s"WHEN $p = 'apos' THEN chr(39) WHEN $p = 'nbsp' THEN ' ' " +
+      s"ELSE '&' || $p || ';' END"
+  }
+  private def H_DECODE(s: String): String = {
+    val m = s"string_split(regexp_replace($s, " +
+      "'&(#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|amp|lt|gt|quot|apos|nbsp);', " +
+      "chr(31) || '\\1' || chr(31), 'g'), chr(31))"
+    s"array_to_string(list_transform(range(1, len($m) + 1), " +
+      s"j -> CASE WHEN j % 2 = 0 THEN ${H_BODY(s"$m[j]")} ELSE $m[j] END), '')"
+  }
+  private def H_CHROME(x: String): String = {
+    var c = s"regexp_replace($x, '[' || chr(30) || chr(31) || ']', '', 'g')"
+    c = s"regexp_replace($c, '(?s)<!--.*?(-->|$$)', '', 'g')"
+    for (tag <- Seq("script", "style", "noscript"))
+      c = s"regexp_replace($c, '(?is)<$tag\\b[^>]*(>.*?(</$tag\\s*>|$$)|$$)', '', 'g')"
+    s"regexp_replace($c, '(?s)<!\\[CDATA\\[.*?(\\]\\]>|$$)', '', 'g')"
+  }
+  private val H_BLOCK_TAGS =
+    "p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|blockquote|" +
+      "pre|section|article|aside|header|footer|nav|form|figure|figcaption|" +
+      "main|hr|br|html|head|body|title"
+  /** The page fixture — byte-identical to `Html.syntheticPages`. */
+  private val H_PAGE: String =
+    "'<!DOCTYPE html><html><head><title>Doc ' || doc_id || '</title>" +
+      "<style>p { color: red }</style><script>if (1<2) { x = \"a&amp;b\"; }</script></head>" +
+      "<body><!-- page ' || doc_id || ' --><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+      "<a href=\"/b\">More &amp; more</a></nav><h1>Doc ' || doc_id || " +
+      "' &quot;caf&#233; r&#xE9;sum&#xE9;&quot; &bogus; &#1114112;</h1><p>' || " +
+      "regexp_replace(text, ' table ', '</p><p>', 'g') || '</p><p>tiny</p>" +
+      "<![CDATA[ raw junk 1<2 ]]><footer><a href=\"/terms\">Terms</a> &copy; " +
+      "<a href=\"/p\">P</a></footer><p>tail block with a stray < bracket and an unclosed <span class=\"x'"
+  /** Ends at `hfull` (doc_id, block ordinal, normalized text, link
+    * chars, empty-text blocks dropped); consumers append their final
+    * aggregate. Prepend `WITH`. */
+  private lazy val HTML_CTE: String =
+    s"""pages AS (SELECT doc_id, $H_PAGE AS html FROM documents),
+       hseg AS (SELECT doc_id, regexp_replace(${H_CHROME("html")},
+         '(?is)</?($H_BLOCK_TAGS)\\b[^>]*(>|$$)', chr(30), 'g') AS seg FROM pages),
+       hblocks AS (SELECT doc_id, generate_subscripts(bl, 1) AS i, unnest(bl) AS b
+         FROM (SELECT doc_id, string_split(seg, chr(30)) AS bl FROM hseg)),
+       hstrip AS (SELECT doc_id, i, b, ${H_STRIP("b")} AS s FROM hblocks),
+       htext AS (SELECT doc_id, i, ${H_NORM(H_DECODE("s"))} AS txt FROM hstrip),
+       hlink AS (SELECT doc_id, i,
+         unnest(regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1)) AS l
+         FROM hblocks),
+       hltext AS (SELECT doc_id, i, length(${H_NORM(H_DECODE(H_STRIP("l")))}) AS lc FROM hlink),
+       hlsum AS (SELECT doc_id, i, SUM(lc) AS link_chars FROM hltext GROUP BY 1, 2),
+       hfull AS (SELECT t.doc_id, t.i, t.txt, COALESCE(ls.link_chars, 0) AS lc
+         FROM htext t LEFT JOIN hlsum ls ON t.doc_id = ls.doc_id AND t.i = ls.i
+         WHERE length(t.txt) > 0)"""
 
   // DuckDB-dialect oracle. CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
   // mirrors graft.functions.dsum exactly.
@@ -2741,6 +2841,28 @@ object SparkEntry {
                 CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
                 CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS n_dropped
          FROM cs GROUP BY cluster_size""",
+
+    // HTML extraction: identical page fixture, identical staged
+    // extraction (see HTML_CTE); extracted text hash-compared byte-exact
+    "q125_html_extract" ->
+      s"""WITH $HTML_CTE,
+         agg AS (SELECT doc_id, string_agg(txt, chr(10) ORDER BY i)
+                   FILTER (WHERE length(txt) >= 15 AND lc <= 0.33::DOUBLE * length(txt)) AS extracted
+                 FROM hfull GROUP BY doc_id)
+         SELECT p.doc_id, COALESCE(a.extracted, '') AS extracted,
+                CAST(length(COALESCE(a.extracted, '')) AS INT) AS n_chars
+         FROM pages p LEFT JOIN agg a ON p.doc_id = a.doc_id""",
+
+    "q126_html_blocks" ->
+      s"""WITH $HTML_CTE,
+         agg AS (SELECT doc_id, COUNT(*) AS n_blocks,
+                   COUNT(*) FILTER (WHERE length(txt) >= 15 AND lc <= 0.33::DOUBLE * length(txt)) AS n_kept,
+                   SUM(lc) AS link_chars
+                 FROM hfull GROUP BY doc_id)
+         SELECT p.doc_id, CAST(COALESCE(a.n_blocks, 0) AS INT) AS n_blocks,
+                CAST(COALESCE(a.n_kept, 0) AS INT) AS n_kept,
+                CAST(COALESCE(a.link_chars, 0) AS BIGINT) AS link_chars
+         FROM pages p LEFT JOIN agg a ON p.doc_id = a.doc_id""",
 
     // probe-all IVF == exact brute force: same ground truth as q24
     "q49_ivf_topk" ->
