@@ -281,8 +281,22 @@ object SparkEntry {
     }),
 
     // ---- TEXT: marker-word language-ID vs labeled lang (confusion counts)
+    // script-routed language ID over the corpus PLUS 6 salted clean-
+    // script samples (en / ru / zh / ar / ja-with-kana / markerless
+    // Cyrillic), so the Cyrillic argmax, the Han kana split, the Arabic
+    // label and the script-qualified "und-Cyrl" fallback are all
+    // oracle-live — clean non-Latin text never reads plain "und"
     "q19_lang_id" -> ((s, dir) => {
-      t(s, dir, "documents")
+      val d = t(s, dir, "documents")
+      val salted = d.select(lit("salt").as("lang"), element_at(array(
+        lit("the quick brown fox and the dog 42"),
+        lit("быстрая лисица и не на месте"),
+        lit("敏捷的狐狸跳过了懒狗"),
+        lit("الثعلب السريع يقفز"),
+        lit("素早い狐が犬を飛び越えた"),
+        lit("лисица прыгает быстро")),
+        (col("doc_id") % 6 + 1).cast("int")).as("text"))
+      d.select(col("lang"), col("text")).unionByName(salted)
         .withColumn("guess", TextAnalysis.langId(col("text")))
         .groupBy("lang", "guess")
         .agg(count(lit(1)).as("n_docs"))
@@ -1247,7 +1261,7 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.topNgramCount(col("text"), 1).as("top1"))
       val kept = scored.filter(col("quality") >= 0.3 &&
-        col("guess") =!= "und" &&
+        !col("guess").startsWith("und") && // drops und AND und-<Script>
         round(col("top1") / col("n_tokens"), 6) <= 0.2)
       val deduped = Dedup.exact(
         kept.withColumn("fp", TextAnalysis.fingerprint(col("text"))),
@@ -1524,6 +1538,39 @@ object SparkEntry {
        hfull AS (SELECT t.doc_id, t.i, t.txt, COALESCE(ls.link_chars, 0) AS lc
          FROM htext t LEFT JOIN hlsum ls ON t.doc_id = ls.doc_id AND t.i = ls.i
          WHERE length(t.txt) > 0)"""
+
+  // ---- DuckDB mirror of TextAnalysis.langId (script-routed): the same
+  //      strip-count script dominance as q123's mirror, then the
+  //      per-script marker argmax / script-derived labels. `txt` must be
+  //      a column reference (it is duplicated per class count).
+  private def LANGID(txt: String): String = {
+    val b = s"regexp_replace($txt, '\\s', '', 'g')"
+    def cnt(cls: String) =
+      s"(length($b) - length(regexp_replace($b, '$cls', '', 'g')))"
+    val latin = cnt("\\p{Latin}")
+    val cyr = cnt("\\p{Cyrillic}")
+    val han = cnt("\\p{Han}")
+    val ar = cnt("\\p{Arabic}")
+    def argmax(table: Map[String, Seq[String]], fb: String): String = {
+      val items = table.toSeq.sortBy(_._1).map { case (lang, ms) =>
+        s"{'hits': len(list_filter(string_split_regex(trim($txt), '\\s+'), " +
+          s"t -> t IN (${ms.map("'" + _ + "'").mkString(",")}))), 'lang': '$lang'}"
+      }.mkString(", ")
+      val best = s"list_reduce([$items], " +
+        "(a, b) -> CASE WHEN b.hits > a.hits THEN b ELSE a END)"
+      s"CASE WHEN ($best).hits = 0 THEN '$fb' ELSE ($best).lang END"
+    }
+    s"""CASE WHEN length($b) = 0 THEN 'und'
+        WHEN $latin >= $cyr AND $latin >= $han AND $latin >= $ar AND $latin > 0
+          THEN ${argmax(graft.operators.TextAnalysis.langMarkers, "und-Latn")}
+        WHEN $cyr >= $han AND $cyr >= $ar AND $cyr > 0
+          THEN ${argmax(graft.operators.TextAnalysis.cyrillicMarkers, "und-Cyrl")}
+        WHEN $han >= $ar AND $han > 0
+          THEN CASE WHEN regexp_matches($txt, '[\\p{Hiragana}\\p{Katakana}]')
+                    THEN 'ja' ELSE 'zh' END
+        WHEN $ar > 0 THEN 'ar'
+        ELSE 'und' END"""
+  }
 
   // DuckDB-dialect oracle. CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
   // mirrors graft.functions.dsum exactly.
@@ -1959,17 +2006,19 @@ object SparkEntry {
            ROUND(CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(q), 6) AS avg_quality
          FROM q GROUP BY 1""",
     "q19_lang_id" ->
-      s"""WITH g AS (
-           SELECT lang, list_reduce([
-             {'hits': len(list_filter($TOKS, t -> t IN ('der','und','die','ist'))), 'lang': 'de'},
-             {'hits': len(list_filter($TOKS, t -> t IN ('the','and','of','is'))), 'lang': 'en'},
-             {'hits': len(list_filter($TOKS, t -> t IN ('el','los','de','es'))), 'lang': 'es'},
-             {'hits': len(list_filter($TOKS, t -> t IN ('le','les','des','est'))), 'lang': 'fr'},
-             {'hits': len(list_filter($TOKS, t -> t IN ('de','shi','zai','he'))), 'lang': 'zh'}],
-             (a, b) -> CASE WHEN b.hits > a.hits THEN b ELSE a END) AS best
-           FROM documents)
-         SELECT lang, CASE WHEN best.hits = 0 THEN 'und' ELSE best.lang END AS guess,
-                COUNT(*) AS n_docs
+      s"""WITH base AS (
+           SELECT lang, text FROM documents
+           UNION ALL
+           SELECT 'salt' AS lang,
+                  ['the quick brown fox and the dog 42',
+                   'быстрая лисица и не на месте',
+                   '敏捷的狐狸跳过了懒狗',
+                   'الثعلب السريع يقفز',
+                   '素早い狐が犬を飛び越えた',
+                   'лисица прыгает быстро'][CAST(doc_id % 6 + 1 AS INT)] AS text
+           FROM documents),
+         g AS (SELECT lang, ${LANGID("text")} AS guess FROM base)
+         SELECT lang, guess, COUNT(*) AS n_docs
          FROM g GROUP BY 1, 2""",
     "q20_fingerprint" -> {
       val fp = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
@@ -3837,21 +3886,14 @@ object SparkEntry {
              GROUP BY 1, 2) GROUP BY 1),
          scored AS (
            SELECT d.doc_id, d.text, $QUALITY AS quality,
-             list_reduce([
-               {'hits': len(list_filter($TOKS, t -> t IN ('der','und','die','ist'))), 'lang': 'de'},
-               {'hits': len(list_filter($TOKS, t -> t IN ('the','and','of','is'))), 'lang': 'en'},
-               {'hits': len(list_filter($TOKS, t -> t IN ('el','los','de','es'))), 'lang': 'es'},
-               {'hits': len(list_filter($TOKS, t -> t IN ('le','les','des','est'))), 'lang': 'fr'},
-               {'hits': len(list_filter($TOKS, t -> t IN ('de','shi','zai','he'))), 'lang': 'zh'}],
-               (a, b) -> CASE WHEN b.hits > a.hits THEN b ELSE a END) AS best,
+             ${LANGID("d.text")} AS guess,
              len($TOKS) AS n_tokens, COALESCE(t1.top1, 0) AS top1
            FROM documents d LEFT JOIN t1 USING (doc_id)),
          kept AS (
-           SELECT doc_id, text, n_tokens,
-             CASE WHEN best.hits = 0 THEN 'und' ELSE best.lang END AS guess
+           SELECT doc_id, text, n_tokens, guess
            FROM scored
            WHERE quality >= 0.3
-             AND (CASE WHEN best.hits = 0 THEN 'und' ELSE best.lang END) <> 'und'
+             AND guess NOT LIKE 'und%'
              AND ROUND(top1 / n_tokens, 6) <= 0.2),
          deduped AS (
            SELECT * FROM (

@@ -303,15 +303,19 @@ object TextAnalysis {
     }
   }
 
-  /** Marker words per language for the n-gram/stopword language-ID
-    * heuristic. Deterministic and tiny by design: real deployments swap in
-    * a fastText-style model behind the same column signature. */
+  /** Marker (stopword) lists for the LATIN-script language argmax.
+    * Deterministic and tiny by design: real deployments swap in a
+    * fastText-style model behind the same column signature. */
   val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "is"),
     "de" -> Seq("der", "und", "die", "ist"),
     "es" -> Seq("el", "los", "de", "es"),
-    "fr" -> Seq("le", "les", "des", "est"),
-    "zh" -> Seq("de", "shi", "zai", "he"))
+    "fr" -> Seq("le", "les", "des", "est"))
+
+  /** Marker lists for the CYRILLIC-script argmax (same shape). */
+  val cyrillicMarkers: Map[String, Seq[String]] = Map(
+    "ru" -> Seq("и", "не", "на", "что"),
+    "uk" -> Seq("і", "що", "на", "це"))
 
   /** Count of tokens matching a marker list. */
   def markerHits(text: Column, markers: Seq[String]): Column =
@@ -320,21 +324,46 @@ object TextAnalysis {
   private def markerHitsOf(ws: Column, markers: Seq[String]): Column =
     size(filter(ws, t => t.isin(markers: _*))).cast(LongType)
 
-  /** Argmax language guess over [[langMarkers]]; ties break by language
-    * code ascending (deterministic); zero hits => "und" (undetermined). */
-  def langId(text: Column): Column = graft.functions.bound(tokens(text)) { ws =>
-    // argmax via array_max over (hits, -rank, lang) structs: ties on hits
-    // resolve to the smallest rank = earliest language in sorted order,
-    // identical to a first-wins fold. O(1) expression depth — the fold
-    // form re-referenced both subtrees per level and tripled the codegen
-    // size per language (round-1 verdict perf note).
-    val scored = langMarkers.toSeq.sortBy(_._1).zipWithIndex.map {
+  /** Argmax over a marker table; ties break by language code ascending
+    * (deterministic); zero hits => the script-derived fallback label.
+    * Argmax via array_max over (hits, -rank, lang) structs: ties on hits
+    * resolve to the smallest rank = earliest language in sorted order,
+    * identical to a first-wins fold. O(1) expression depth — the fold
+    * form re-referenced both subtrees per level and tripled the codegen
+    * size per language (round-1 verdict perf note). */
+  private def markerArgmax(ws: Column, table: Map[String, Seq[String]],
+                           fallback: String): Column = {
+    val scored = table.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((lang, ms), i) =>
         struct(markerHitsOf(ws, ms).as("hits"), lit(-i).as("negrank"),
           lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
-    when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
+    when(best.getField("hits") === 0, fallback)
+      .otherwise(best.getField("lang"))
+  }
+
+  /** Language guess, ROUTED BY SCRIPT first ([[scriptProfile]] — marker
+    * words are script-specific, so running a Latin stopword argmax on
+    * Han text can only ever say "und"): Latin-dominant text goes to the
+    * [[langMarkers]] argmax, Cyrillic-dominant to [[cyrillicMarkers]],
+    * Han-dominant is "ja" when kana is present else "zh", Arabic-
+    * dominant is "ar". Zero marker hits inside a routed script return
+    * the BCP-47-style script-qualified undetermined tag ("und-Latn" /
+    * "und-Cyrl") — downstream filters drop on prefix "und". Unrouted
+    * scripts and whitespace-only text stay "und". Pure expression,
+    * scan-level, no shuffle. */
+  def langId(text: Column): Column = graft.functions.bound(tokens(text)) { ws =>
+    graft.functions.bound(scriptProfile(text).getField("script")) { script =>
+      when(script === "latin", markerArgmax(ws, langMarkers, "und-Latn"))
+        .when(script === "cyrillic",
+          markerArgmax(ws, cyrillicMarkers, "und-Cyrl"))
+        .when(script === "han",
+          when(text.rlike("[\\p{IsHiragana}\\p{IsKatakana}]"), "ja")
+            .otherwise("zh"))
+        .when(script === "arabic", "ar")
+        .otherwise("und")
+    }
   }
 
   // ---- PII scrubbing (training-data redaction) ----

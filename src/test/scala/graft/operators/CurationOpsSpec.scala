@@ -63,6 +63,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got("empty").getString(7) == "none")
   }
 
+  test("langId routes by script: per-script marker argmax, Han kana " +
+    "split, script-qualified und fallbacks") {
+    val cases = Seq(
+      // latin argmax (en markers hit), and a markerless latin text
+      "the quick brown fox and the dog" -> "en",
+      "der hund und die katze ist da" -> "de",
+      "zxqw vbnm plok" -> "und-Latn",
+      // cyrillic argmax: ru markers; uk marker і; markerless
+      "быстрая лисица и не на месте" -> "ru",
+      "це швидка лисиця і собака" -> "uk",
+      "лисица прыгает быстро" -> "und-Cyrl",
+      // han: kana present -> ja, pure kanji -> zh
+      "敏捷的狐狸跳过了懒狗" -> "zh",
+      "素早い狐が犬を飛び越えた" -> "ja",
+      // arabic is script-labeled, no marker list needed
+      "الثعلب السريع يقفز" -> "ar",
+      // unrouted: whitespace-only and digit-only
+      "   " -> "und",
+      "12345 678" -> "und")
+    val got = cases.map(_._1).toDF("text")
+      .select(col("text"), TextAnalysis.langId(col("text")).as("g"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(got.toSeq == cases)
+  }
+
   test("gopherSignals == plain-Scala mirror; gate fires on the right rule") {
     val good = ("the quick brown fox jumps over a lazy dog and runs on " +
       "with more of the fine words in this line for good measure ") * 3
