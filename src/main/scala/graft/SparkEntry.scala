@@ -1017,6 +1017,17 @@ object SparkEntry {
               b => b.getField("link_chars").cast("long")),
             lit(0L), (a, x) => a + x).as("link_chars"))),
 
+    // ---- HTML link harvest -> canonical crawl frontier: hrefs out of
+    //      the chrome-stripped pages (entity-decoded), normalized by
+    //      canonicalUrl, counted — the full frontier pipeline in one
+    //      expression chain (relative hrefs pass through the chain
+    //      unchanged except trailing-slash stripping)
+    "q128_html_links" -> ((s, dir) =>
+      graft.operators.Html.syntheticPages(t(s, dir, "documents"))
+        .select(explode(graft.operators.Html.links(col("html"))).as("href"))
+        .select(TextAnalysis.canonicalUrl(col("href")).as("curl"))
+        .groupBy("curl").agg(count(lit(1)).as("n_links"))),
+
     // ---- TEXT: Unicode-script profiling — multilingual routing off
     //      per-script character ratios (docs salted with 4 script
     //      variants so the non-Latin counting paths are oracle-live)
@@ -1216,6 +1227,20 @@ object SparkEntry {
     // ---- SAMPLE: the same budget packer fed EXACT BPE counts — the
     //      production token budget (approximate counts can be 2x off on
     //      unseen scripts; the packer itself is count-column agnostic)
+    // FULL exact BPE encode (token sequences, not just counts): corpus
+    // token frequency top-20 under the canonical merges — the vocab-
+    // building / distribution-audit query every tokenizer pipeline
+    // runs. size(tokens) == graft_bpe_count by construction (BpeSpec).
+    "q127_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.bpeTokensExact(col("text"),
+          bpeCanonicalMerges)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("token").asc)).cast("int"))
+        .filter(col("rank") <= 20)),
+
     "q85_pack_exact" -> ((s, dir) =>
       Sampling.packBudget(t(s, dir, "documents"), Seq("lang"), "doc_id",
           TextAnalysis.bpeTokenCountExact(col("text"), bpeCanonicalMerges),
@@ -1462,7 +1487,7 @@ object SparkEntry {
            WHERE position($pat IN e.s) > 0
            ORDER BY m.r LIMIT 1) ba ON true),
        final AS (
-         SELECT w, len(str_split(trim(s, chr(31)), chr(31))) AS nt
+         SELECT w, len(str_split(trim(s, chr(31)), chr(31))) AS nt, s
          FROM enc e
          WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE position($pat IN e.s) > 0))"""
   }
@@ -1518,7 +1543,9 @@ object SparkEntry {
       "' &quot;caf&#233; r&#xE9;sum&#xE9;&quot; &bogus; &#1114112;</h1><p>' || " +
       "regexp_replace(text, ' table ', '</p><p>', 'g') || '</p><p>tiny</p>" +
       "<![CDATA[ raw junk 1<2 ]]><footer><a href=\"/terms\">Terms</a> &copy; " +
-      "<a href=\"/p\">P</a></footer><p>tail block with a stray < bracket and an unclosed <span class=\"x'"
+      "<a href=\"/p\">P</a> <a href=\"HTTPS://Ex' || (doc_id % 5) || " +
+      "'.COM:443/P?utm_source=x&amp;q=1#f\">ext</a></footer>" +
+      "<p>tail block with a stray < bracket and an unclosed <span class=\"x'"
   /** Ends at `hfull` (doc_id, block ordinal, normalized text, link
     * chars, empty-text blocks dropped); consumers append their final
     * aggregate. Prepend `WITH`. */
@@ -2516,6 +2543,18 @@ object SparkEntry {
          FROM w0 JOIN final f ON w0.w = f.w
          GROUP BY 1""",
 
+    // full encode mirror: the surviving symbol string in `final` IS the
+    // token sequence — split it, count corpus-wide, top-20
+    "q127_bpe_tokens" ->
+      s"""WITH RECURSIVE
+         $BPE_CTE,
+         wt AS (SELECT w0.w, f.s FROM w0 JOIN final f ON w0.w = f.w),
+         tok AS (SELECT unnest(string_split(trim(s, chr(31)), chr(31))) AS token FROM wt),
+         cnt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1)
+         SELECT token, n,
+                CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+         FROM cnt QUALIFY rank <= 20""",
+
     // q85: per-doc exact counts (same recursive merge loop), then the
     // identical prefix-sum binning window as q51
     "q85_pack_exact" ->
@@ -2912,6 +2951,36 @@ object SparkEntry {
                 CAST(COALESCE(a.n_kept, 0) AS INT) AS n_kept,
                 CAST(COALESCE(a.link_chars, 0) AS BIGINT) AS link_chars
          FROM pages p LEFT JOIN agg a ON p.doc_id = a.doc_id""",
+
+    // link harvest: same chrome-strip + href regex + entity decode,
+    // then the q120 canonical chain over the exploded hrefs
+    "q128_html_links" ->
+      s"""WITH pages AS (SELECT doc_id, $H_PAGE AS html FROM documents),
+         lraw AS (SELECT doc_id,
+             unnest(regexp_extract_all(${H_CHROME("html")},
+               '(?is)<a\\b[^>]*?href\\s*=\\s*"([^"]*)"', 1)) AS href
+           FROM pages),
+         ldec AS (SELECT ${H_DECODE("href")} AS u FROM lraw),
+         s0 AS (SELECT regexp_replace(u, '#.*', '') AS s FROM ldec),
+         s1 AS (SELECT lower(regexp_extract(s,
+                    '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', 0))
+                  || substr(s, length(regexp_extract(s,
+                    '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', 0)) + 1) AS s
+                FROM s0),
+         s2 AS (SELECT regexp_replace(regexp_replace(s,
+                    '^(http://[^/:?]+):80([/?].*)?${"$"}', '\\1\\2'),
+                    '^(https://[^/:?]+):443([/?].*)?${"$"}', '\\1\\2') AS s
+                FROM s1),
+         s3 AS (SELECT regexp_replace(regexp_replace(regexp_replace(s,
+                    '([?&])utm_[^&]*&', '\\1', 'g'),
+                    '([?&])utm_[^&]*&', '\\1', 'g'),
+                    '([?&])utm_[^&]*&', '\\1', 'g') AS s
+                FROM s2),
+         s4 AS (SELECT regexp_replace(regexp_replace(regexp_replace(s,
+                    '[?&]utm_[^&]*${"$"}', ''), '\\?${"$"}', ''),
+                    '/+${"$"}', '') AS curl
+                FROM s3)
+         SELECT curl, COUNT(*) AS n_links FROM s4 GROUP BY 1""",
 
     // probe-all IVF == exact brute force: same ground truth as q24
     "q49_ivf_topk" ->

@@ -94,10 +94,12 @@ object BpeCodec {
     out
   }
 
-  /** Greedy-merge one word in place; returns the surviving token count. */
-  def encodeLen(word: String, ranks: java.util.HashMap[String, Integer]): Int = {
+  /** Greedy-merge one word; returns the surviving token (symbol-string)
+    * sequence — the full GPT-2 encode, not just its length. */
+  def encodeSyms(word: String,
+                 ranks: java.util.HashMap[String, Integer]): ArrayBuffer[String] = {
     var syms = splitByteLevel(word)
-    if (syms.length < 2) return syms.length
+    if (syms.length < 2) return syms
     while (true) {
       // lowest-ranked adjacent pair present in the table
       var best = Int.MaxValue
@@ -109,7 +111,7 @@ object BpeCodec {
         if (r != null && r < best) { best = r; bestA = syms(i); bestB = syms(i + 1) }
         i += 1
       }
-      if (bestA == null) return syms.length
+      if (bestA == null) return syms
       // merge every non-overlapping occurrence, left to right
       val merged = bestA + bestB
       val out = new ArrayBuffer[String](syms.length)
@@ -120,9 +122,38 @@ object BpeCodec {
         } else { out += syms(i); i += 1 }
       }
       syms = out
-      if (syms.length < 2) return syms.length
+      if (syms.length < 2) return syms
     }
-    syms.length
+    syms
+  }
+
+  /** Surviving token count of one word (the hot path for budgets). */
+  def encodeLen(word: String, ranks: java.util.HashMap[String, Integer]): Int =
+    encodeSyms(word, ranks).length
+
+  /** Full tokenization of a whitespace-split text: every word's
+    * surviving symbol strings, concatenated in order — the complete
+    * GPT-2 encode (map through a vocab for ids). `cache` memoizes per
+    * distinct word, same posture as [[countTokens]]'s. */
+  def encodeTokens(text: String, ranks: java.util.HashMap[String, Integer],
+                   cache: java.util.HashMap[String, Array[String]]): Array[String] = {
+    val words = text.trim.split("\\s+")
+    val out = new ArrayBuffer[String](words.length * 2)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) {
+        var ts = cache.get(w)
+        if (ts == null) {
+          ts = encodeSyms(w, ranks).toArray
+          if (cache.size >= (1 << 16)) cache.clear() // bound task memory
+          cache.put(w, ts)
+        }
+        out ++= ts
+      }
+      i += 1
+    }
+    out.toArray
   }
 
   /** Exact BPE token count of a whitespace-tokenized text: the sum of
@@ -177,6 +208,48 @@ case class BpeTokenCount(left: Expression, right: Expression)
 
   override def nullSafeEval(text: Any, merges: Any): Any =
     BpeCodec.countTokens(text.asInstanceOf[UTF8String].toString, ranks, cache)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_bpe_tokens(text, mergesTable)` — the FULL exact BPE encode:
+  * every whitespace word's surviving symbol strings, concatenated in
+  * document order (ARRAY<STRING> of GPT-2 byte-level tokens; map
+  * through a vocab table for integer ids). Same greedy lowest-rank
+  * semantics and per-task word cache as [[BpeTokenCount]] — and
+  * `size(graft_bpe_tokens(t, m)) == graft_bpe_count(t, m)` by
+  * construction (one shared merge loop). */
+case class BpeTokens(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_tokens"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType == StringType && right.dataType == StringType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (STRING text, foldable STRING mergesTable), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  @transient private lazy val ranks =
+    BpeCodec.ranksOf(BpeCodec.parseMerges(
+      right.eval().asInstanceOf[UTF8String].toString))
+  @transient private lazy val cache =
+    new java.util.HashMap[String, Array[String]]()
+
+  override def nullSafeEval(text: Any, merges: Any): Any = {
+    val toks = BpeCodec.encodeTokens(
+      text.asInstanceOf[UTF8String].toString, ranks, cache)
+    val out = new Array[AnyRef](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -169,6 +169,21 @@ object Html {
     array_join(transform(kept, _.getField("text")), "\n")
   }
 
+  /** Hyperlink harvest — the crawl-frontier extraction: every DOUBLE-
+    * QUOTED href value of an `<a>` tag, in document order, entity-
+    * decoded (`href="a&amp;b"` is the URL `a&b`). Chrome is stripped
+    * first so links inside comments/scripts never leak into the
+    * frontier. Tag-level, not anchor-closure-level: an unclosed `<a
+    * href="x">` still contributes its href (its TEXT is what loses link
+    * status, see [[extractText]]). Compose with
+    * `TextAnalysis.canonicalUrl` + the domain blocklist for the full
+    * frontier pipeline. */
+  def links(html: Column): Column =
+    transform(
+      regexp_extract_all(stripChrome(html),
+        lit("(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\""), lit(1)),
+      h => decodeEntities(h))
+
   /** Deterministic HTML-page fixture over the documents table: wraps
     * each doc's text in a realistic page — head with title/style/script
     * (including `<` and quotes inside code), a comment, a link-dense
@@ -189,7 +204,9 @@ object Html {
       lit(" &quot;caf&#233; r&#xE9;sum&#xE9;&quot; &bogus; &#1114112;</h1><p>"),
       body,
       lit("</p><p>tiny</p><![CDATA[ raw junk 1<2 ]]>" +
-        "<footer><a href=\"/terms\">Terms</a> &copy; <a href=\"/p\">P</a>" +
+        "<footer><a href=\"/terms\">Terms</a> &copy; <a href=\"/p\">P</a> " +
+        "<a href=\"HTTPS://Ex"), col("doc_id") % 5,
+      lit(".COM:443/P?utm_source=x&amp;q=1#f\">ext</a>" +
         "</footer><p>tail block with a stray < bracket and an unclosed " +
         "<span class=\"x"))
     docs.select(col("doc_id"), col("lang"), page.as("html"))

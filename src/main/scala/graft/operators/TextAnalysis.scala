@@ -62,6 +62,15 @@ object TextAnalysis {
     call_function("graft_bpe_count", text,
       lit(graft.expressions.BpeCodec.formatMerges(merges)))
 
+  /** FULL exact BPE encode: the token (byte-level symbol string)
+    * sequence of `text` under a real merges table, in document order —
+    * `size(bpeTokensExact(t, m)) == bpeTokenCountExact(t, m)` by
+    * construction. Map through a vocab table (broadcast literal or
+    * join) for integer ids. Scan-level, zero exchanges. */
+  def bpeTokensExact(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("graft_bpe_tokens", text,
+      lit(graft.expressions.BpeCodec.formatMerges(merges)))
+
   /** Parse a GPT-2-format merges file's CONTENT (one "left right" pair
     * per line, rank = order, `#` headers skipped). */
   def bpeLoadMerges(content: String): Seq[(String, String)] =

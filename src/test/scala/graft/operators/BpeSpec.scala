@@ -106,6 +106,33 @@ class BpeSpec extends AnyFunSuite {
     assert(trained == graft.SparkEntry.bpeCanonicalMerges)
   }
 
+  test("full encode: token sequences in order, size(tokens) == count, " +
+    "byte-level symbols survive verbatim") {
+    import spark.implicits._
+    def toks(text: String, merges: Seq[(String, String)]): Seq[String] = {
+      val cache = new java.util.HashMap[String, Array[String]]()
+      BpeCodec.encodeTokens(text, BpeCodec.ranksOf(merges.toArray), cache).toSeq
+    }
+    val m = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    assert(toks("lower low xyz", m) == Seq("low", "er", "low", "x", "y", "z"))
+    assert(toks("", m).isEmpty)
+    // byte-level: café's accent stays two byte symbols absent a merge
+    assert(toks("café", Nil) == Seq("c", "a", "f", "Ã", "©"))
+    // the expression agrees with the codec and with graft_bpe_count
+    val table = graft.SparkEntry.bpeCanonicalMerges
+    val docs = graft.Tables(spark, TestSpark.sfDir, "documents").limit(40)
+    val rows = docs.select(
+      TextAnalysis.bpeTokensExact(col("text"), table).as("ts"),
+      TextAnalysis.bpeTokenCountExact(col("text"), table).as("n"),
+      col("text")).collect()
+    for (r <- rows) {
+      assert(r.getSeq[String](0).size.toLong == r.getLong(1))
+      val cache = new java.util.HashMap[String, Array[String]]()
+      assert(r.getSeq[String](0) == BpeCodec.encodeTokens(r.getString(2),
+        BpeCodec.ranksOf(table.toArray), cache).toSeq)
+    }
+  }
+
   test("expression == codec on fixture text (cache on and off paths)") {
     val docs = graft.Tables(spark, TestSpark.sfDir, "documents").limit(40)
     val table = graft.SparkEntry.bpeCanonicalMerges

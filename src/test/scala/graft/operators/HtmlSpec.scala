@@ -135,6 +135,21 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("links(): hrefs in document order, entity-decoded, never from " +
+    "chrome; unclosed anchors still contribute their href") {
+    import spark.implicits._
+    def links(s: String): Seq[String] =
+      Seq(s).toDF("h").select(Html.links(col("h"))).head().getSeq[String](0)
+    val html = "<script>x = '<a href=\"/evil\">'</script>" +
+      "<!-- <a href=\"/hidden\">c</a> -->" +
+      "<nav><a href=\"/\">Home</a><a class=\"z\" href=\"/a?x=1&amp;y=2\">A</a></nav>" +
+      "<p><a href=\"/open\">unclosed anchor" // no </a>, swallowed tag ok
+    assert(links(html) == Seq("/", "/a?x=1&y=2", "/open"))
+    assert(links("<p>no anchors at all</p>").isEmpty)
+    // single-quoted hrefs are outside the declared contract: not harvested
+    assert(links("<a href='/sq'>x</a>").isEmpty)
+  }
+
   test("plan: pure projection over the scan — no exchange, no UDF") {
     val docs = graft.Tables(spark, TestSpark.sfDir, "documents").limit(20)
     val plan = Html.syntheticPages(docs)
