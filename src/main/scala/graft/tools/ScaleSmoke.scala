@@ -60,7 +60,7 @@ object ScaleSmoke {
       "simhashMankuPairs", "dedupClusters", "removeBoilerplate",
       "contamination", "mixtureSample", "dupSpans", "bigramLm",
       "bloomDedup", "classifierTrain", "heavyHitters", "kmvDistinct",
-      "kmvByGroup")
+      "kmvByGroup", "htmlExtract")
     for (n <- mults if docLegs.exists(enabled)) {
       val d = replicated(n).persist()
       val total = d.count()
@@ -132,6 +132,17 @@ object ScaleSmoke {
         val toks = d.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
           .filter(col("tok") =!= "")
         graft.operators.Profiling.heavyHitters(toks, col("tok"), 0.002 / n).count()
+      }
+      // html leg: the fixture markup per doc is constant-size and the
+      // payload text grows with the corpus; extraction + link harvest
+      // are pure per-row expression chains, so wall must track the scan
+      // ~linearly — the aggregate is ONE row (total extracted chars +
+      // harvested links), nothing doc-sized leaves the executors
+      val htmlChars = timeIf("htmlExtract") {
+        graft.operators.Html.syntheticPages(d.withColumn("lang", lit("en")))
+          .agg((sum(length(graft.operators.Html.extractText(col("html")))) +
+            sum(size(graft.operators.Html.links(col("html"))))).as("t"))
+          .head().getLong(0)
       }
       // KMV legs: the distinct shingle universe grows ~linearly in mult
       // while the sketch exchange stays (partitions x k)-bounded — wall
@@ -212,7 +223,8 @@ object ScaleSmoke {
         s"contaminated=$contaminated benchShingles=$benchShingles mixKept=$mixKept " +
         s"dupSpans=$spanRows dupSpansSampled=$spanSampled lmScored=$lmScored " +
         s"bloomDropped=$bloomDropped clsfNonZero=$clsfNonZero " +
-        s"heavyHitters=$hhRows kmvEst=$kmvEst kmvGroups=$kmvGroups")
+        s"heavyHitters=$hhRows kmvEst=$kmvEst kmvGroups=$kmvGroups " +
+        s"htmlChars=$htmlChars")
       d.unpersist()
     }
 

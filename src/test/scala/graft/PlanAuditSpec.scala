@@ -284,6 +284,23 @@ class PlanAuditSpec extends AnyFunSuite {
       plan("q122_mixture_upsample"))
   }
 
+  test("HTML extraction/audit/frontier are scan-level until their one " +
+    "aggregate (q125/q126/q128); the token explode keeps map-side " +
+    "combine (q127)") {
+    // q125 is a pure per-row projection: ZERO exchanges
+    assert(!plan("q125_html_extract").contains("Exchange"),
+      plan("q125_html_extract"))
+    // q126/q128 allow only their final aggregate exchange
+    assert("Exchange".r.findAllIn(plan("q126_html_blocks")).length <= 1,
+      plan("q126_html_blocks"))
+    assert("Exchange".r.findAllIn(plan("q128_html_links")).length <= 1,
+      plan("q128_html_links"))
+    // q127: exploded tokens aggregate partially BEFORE the shuffle
+    // (vocab-bounded exchange, never token-occurrence-sized)
+    val p = plan("q127_bpe_tokens")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set

@@ -200,6 +200,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("HTML extraction + script-routed langId are stateless — the crawl " +
+    "ingest stage runs on a stream row-for-row equal to batch") {
+    import graft.operators.{Html, TextAnalysis}
+    val batchDocs = graft.Tables(spark, TestSpark.sfDir, "documents")
+    def ingest(df: org.apache.spark.sql.DataFrame) =
+      Html.syntheticPages(df).select(col("doc_id"),
+        Html.extractText(col("html")).as("text2"),
+        size(Html.links(col("html"))).as("n_links"))
+        .withColumn("guess", TextAnalysis.langId(col("text2")))
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_html_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(docsDir.toString)
+    val streamed = Streams.drainToMemory(spark, ingest(stream),
+      "html_stream_test", complete = false)
+    val batch = ingest(batchDocs)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("as-of enrichment of a stream against a static side == batch asofJoin") {
     import graft.operators.Joins
     val ev = graft.Tables(spark, TestSpark.sfDir, "events")
