@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64, aggregate}
 
-import graft.expressions.{AffineMinHash, ArrayCosine, ArrayL2Sq, BinarySlice, BpeTokenCount, BpeTokens, ExactMedian, ImageDims, KmvDistinct, KmvSketch, Md5PrefixHashArray, SignBucket, SimHash32, SimHash60, SortedLongJaccard, StringNumClass}
+import graft.expressions.{AffineMinHash, ArrayCosine, ArrayL2Sq, BinarySlice, BpeTokenCount, BpeTokenIds, BpeTokens, ExactMedian, ImageDims, KmvDistinct, KmvSketch, Md5PrefixHashArray, SignBucket, SimHash32, SimHash60, SortedLongJaccard, StringNumClass}
 
 /** Registers graft's native Catalyst expressions with a SparkSession via
   * the public extensions mechanism:
@@ -59,6 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_bpe_tokens"),
       new ExpressionInfo(classOf[BpeTokens].getName, "graft_bpe_tokens"),
       (es: Seq[Expression]) => BpeTokens(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_ids"),
+      new ExpressionInfo(classOf[BpeTokenIds].getName, "graft_bpe_ids"),
+      (es: Seq[Expression]) => BpeTokenIds(es.head, es(1), es(2))))
     ext.injectFunction((FunctionIdentifier("graft_image_dims"),
       new ExpressionInfo(classOf[ImageDims].getName, "graft_image_dims"),
       (es: Seq[Expression]) => ImageDims(es.head)))

@@ -1241,6 +1241,20 @@ object SparkEntry {
             .orderBy(col("n").desc, col("token").asc)).cast("int"))
         .filter(col("rank") <= 20)),
 
+    // BPE ids under a merges+vocab pair (encoder.json shape). The vocab
+    // deliberately DROPS the last merge's token, so the -1 unknown
+    // sentinel path is oracle-live alongside the mapped ids.
+    "q129_bpe_ids" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          explode(TextAnalysis.bpeIdsExact(col("text"), bpeCanonicalMerges,
+            graft.expressions.BpeCodec
+              .canonicalVocab(bpeCanonicalMerges).dropRight(1))).as("id"))
+        .groupBy("lang")
+        .agg(sum(col("id")).as("sum_ids"),
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("id") === -1, 1L).otherwise(0L)).as("n_unknown"))),
+
     "q85_pack_exact" -> ((s, dir) =>
       Sampling.packBudget(t(s, dir, "documents"), Seq("lang"), "doc_id",
           TextAnalysis.bpeTokenCountExact(col("text"), bpeCanonicalMerges),
@@ -2554,6 +2568,26 @@ object SparkEntry {
          SELECT token, n,
                 CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
          FROM cnt QUALIFY rank <= 20""",
+
+    // ids mirror: same token strings from the CTE, mapped through the
+    // identical (deliberately one-short) vocab as a VALUES table;
+    // unmapped tokens COALESCE to the -1 sentinel
+    "q129_bpe_ids" -> {
+      val vocabValues = graft.expressions.BpeCodec
+        .canonicalVocab(bpeCanonicalMerges).dropRight(1)
+        .map { case (t, id) => s"('${t.replace("'", "''")}',$id)" }
+        .mkString(",")
+      s"""WITH RECURSIVE
+         $BPE_CTE,
+         vocab(tok, id) AS (VALUES $vocabValues),
+         wt AS (SELECT w0.lang, f.s FROM w0 JOIN final f ON w0.w = f.w),
+         tokn AS (SELECT lang, unnest(string_split(trim(s, chr(31)), chr(31))) AS tk FROM wt),
+         ids AS (SELECT t.lang, COALESCE(v.id, -1) AS id
+                 FROM tokn t LEFT JOIN vocab v ON t.tk = v.tok)
+         SELECT lang, CAST(SUM(id) AS BIGINT) AS sum_ids, COUNT(*) AS n_tokens,
+                CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown
+         FROM ids GROUP BY 1"""
+    },
 
     // q85: per-doc exact counts (same recursive merge loop), then the
     // identical prefix-sum binning window as q51

@@ -156,6 +156,102 @@ object BpeCodec {
     out.toArray
   }
 
+  /** Parse a GPT-2 `encoder.json` vocab: a flat JSON object mapping
+    * token string -> integer id. Hand-rolled (zero-dependency) but
+    * complete for the format: standard JSON string escapes including
+    * \uXXXX (the byte-level alphabet's remapped symbols serialize that
+    * way in real files), arbitrary whitespace, negative ids rejected by
+    * downstream use not by the parser. Loud errors on malformed input. */
+  def parseVocabJson(json: String): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    var i = 0
+    val n = json.length
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"vocab json: $msg at offset $i")
+    def ws(): Unit =
+      while (i < n && Character.isWhitespace(json.charAt(i))) i += 1
+    def parseString(): String = {
+      if (i >= n || json.charAt(i) != '"') fail("expected string")
+      i += 1
+      val sb = new java.lang.StringBuilder()
+      while (i < n && json.charAt(i) != '"') {
+        val c = json.charAt(i)
+        if (c == '\\') {
+          i += 1
+          if (i >= n) fail("dangling escape")
+          json.charAt(i) match {
+            case '"' => sb.append('"')
+            case '\\' => sb.append('\\')
+            case '/' => sb.append('/')
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case 't' => sb.append('\t')
+            case 'u' =>
+              if (i + 4 >= n) fail("truncated \\u escape")
+              sb.append(Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar)
+              i += 4
+            case other => fail(s"bad escape \\$other")
+          }
+        } else sb.append(c)
+        i += 1
+      }
+      if (i >= n) fail("unterminated string")
+      i += 1
+      sb.toString
+    }
+    ws()
+    if (i >= n || json.charAt(i) != '{') fail("expected '{'")
+    i += 1
+    ws()
+    if (i < n && json.charAt(i) == '}') return m
+    var done = false
+    while (!done) {
+      ws()
+      val k = parseString()
+      ws()
+      if (i >= n || json.charAt(i) != ':') fail("expected ':'")
+      i += 1
+      ws()
+      val start = i
+      if (i < n && json.charAt(i) == '-') i += 1
+      while (i < n && Character.isDigit(json.charAt(i))) i += 1
+      if (start == i) fail("expected integer id")
+      m.put(k, Int.box(json.substring(start, i).toInt))
+      ws()
+      if (i < n && json.charAt(i) == ',') i += 1
+      else if (i < n && json.charAt(i) == '}') { i += 1; done = true }
+      else fail("expected ',' or '}'")
+    }
+    m
+  }
+
+  /** Render a vocab in the same `encoder.json` format [[parseVocabJson]]
+    * reads (round-trips; non-ASCII and control chars \uXXXX-escaped). */
+  def formatVocabJson(vocab: Seq[(String, Int)]): String = {
+    def esc(t: String): String = {
+      val sb = new java.lang.StringBuilder("\"")
+      t.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case c if c < ' ' || c > '~' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append("\"").toString
+    }
+    vocab.map { case (t, id) => s"${esc(t)}: $id" }.mkString("{", ", ", "}")
+  }
+
+  /** The canonical vocab a merges table induces, in GPT-2's structure:
+    * the 256 byte symbols get ids 0..255 (byte order), each merge's
+    * token gets 256 + its rank. A REAL encoder.json replaces this
+    * whole table; this is the self-consistent default for tables from
+    * [[graft.operators.TextAnalysis.bpeTrain]]. */
+  def canonicalVocab(merges: Seq[(String, String)]): Seq[(String, Int)] =
+    byteSymbols.toSeq.zipWithIndex ++
+      merges.zipWithIndex.map { case ((a, b), r) => (a + b, 256 + r) }
+
   /** Exact BPE token count of a whitespace-tokenized text: the sum of
     * [[encodeLen]] over its words. `cache` memoizes per distinct word —
     * corpus vocabularies repeat heavily, so the merge loop runs once per
@@ -254,4 +350,55 @@ case class BpeTokens(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_bpe_ids(text, mergesTable, vocabJson)` — exact BPE encode to
+  * INTEGER ids: [[BpeTokens]]'s token strings mapped through a vocab in
+  * the public GPT-2 `encoder.json` format (a flat JSON object
+  * {"token": id, ...}), so a published model's tokenizer pair
+  * (merges.txt + encoder.json) drops in verbatim. Tokens absent from
+  * the vocab map to -1 — a loud, countable sentinel (a REAL GPT-2
+  * vocab is closed over its merges plus the 256 byte symbols, so -1
+  * there means the files are mismatched). */
+case class BpeTokenIds(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_bpe_ids"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (first.dataType == StringType && second.dataType == StringType &&
+        second.foldable && third.dataType == StringType && third.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (STRING text, foldable STRING mergesTable, " +
+        s"foldable STRING vocabJson)")
+  }
+
+  @transient private lazy val ranks =
+    BpeCodec.ranksOf(BpeCodec.parseMerges(
+      second.eval().asInstanceOf[UTF8String].toString))
+  @transient private lazy val vocab =
+    BpeCodec.parseVocabJson(third.eval().asInstanceOf[UTF8String].toString)
+  @transient private lazy val cache =
+    new java.util.HashMap[String, Array[String]]()
+
+  override def nullSafeEval(text: Any, merges: Any, vj: Any): Any = {
+    val toks = BpeCodec.encodeTokens(
+      text.asInstanceOf[UTF8String].toString, ranks, cache)
+    val out = new Array[Int](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val id = vocab.get(toks(i))
+      out(i) = if (id == null) -1 else id.intValue()
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }

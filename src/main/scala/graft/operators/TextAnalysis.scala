@@ -71,6 +71,16 @@ object TextAnalysis {
     call_function("graft_bpe_tokens", text,
       lit(graft.expressions.BpeCodec.formatMerges(merges)))
 
+  /** Exact BPE encode to INTEGER ids under a (merges, vocab) pair —
+    * vocab in the public GPT-2 `encoder.json` shape (token -> id);
+    * unvocabed tokens -> -1. A published model's tokenizer files drop
+    * in via [[bpeLoadMerges]] + `BpeCodec.parseVocabJson`. */
+  def bpeIdsExact(text: Column, merges: Seq[(String, String)],
+                  vocab: Seq[(String, Int)]): Column =
+    call_function("graft_bpe_ids", text,
+      lit(graft.expressions.BpeCodec.formatMerges(merges)),
+      lit(graft.expressions.BpeCodec.formatVocabJson(vocab)))
+
   /** Parse a GPT-2-format merges file's CONTENT (one "left right" pair
     * per line, rank = order, `#` headers skipped). */
   def bpeLoadMerges(content: String): Seq[(String, String)] =

@@ -133,6 +133,36 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("encoder.json vocab: parse/format round-trip incl. \\u escapes " +
+    "and whitespace; ids map in order, unknown -> -1; the canonical " +
+    "vocab closes over the trainer's merges") {
+    import spark.implicits._
+    val vocab = Seq("low" -> 300, "er" -> 301, "\u0120" -> 32, "a\"b\\c" -> 5)
+    val parsed = BpeCodec.parseVocabJson(BpeCodec.formatVocabJson(vocab))
+    assert(vocab.forall { case (t, id) => parsed.get(t) == Int.box(id) })
+    // real-file shapes: \uXXXX escapes, whitespace, negative numbers
+    val real = "{\n  \"\\u0120the\": 262 , \"x\": 87, \"neg\": -3\n}"
+    assert(BpeCodec.parseVocabJson(real).get("\u0120the") == Int.box(262))
+    assert(BpeCodec.parseVocabJson(real).get("neg") == Int.box(-3))
+    assert(BpeCodec.parseVocabJson("{}").isEmpty)
+    intercept[IllegalArgumentException](BpeCodec.parseVocabJson("{\"a\" 1}"))
+    intercept[IllegalArgumentException](BpeCodec.parseVocabJson("[1,2]"))
+    // the expression maps tokens positionally; unvocabed tokens read -1
+    val m = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val ids = Seq("lower low zz").toDF("t").select(
+      TextAnalysis.bpeIdsExact(col("t"), m,
+        Seq("low" -> 7, "er" -> 8, "z" -> 9))).head().getSeq[Int](0)
+    assert(ids == Seq(7, 8, 7, 9, 9))
+    // canonicalVocab(merges) covers every token the merges can emit:
+    // zero unknowns across the corpus
+    val table = graft.SparkEntry.bpeCanonicalMerges
+    val docs = graft.Tables(spark, TestSpark.sfDir, "documents").limit(40)
+    val unk = docs.select(explode(TextAnalysis.bpeIdsExact(col("text"),
+        table, BpeCodec.canonicalVocab(table))).as("id"))
+      .filter(col("id") === -1).count()
+    assert(unk == 0)
+  }
+
   test("expression == codec on fixture text (cache on and off paths)") {
     val docs = graft.Tables(spark, TestSpark.sfDir, "documents").limit(40)
     val table = graft.SparkEntry.bpeCanonicalMerges
