@@ -1017,6 +1017,24 @@ object SparkEntry {
               b => b.getField("link_chars").cast("long")),
             lit(0L), (a, x) => a + x).as("link_chars"))),
 
+    // ---- WARC scan: the crawl first mile — the q125 pages exported
+    //      once per sf dir as gzipped WARC shards by the engine's own
+    //      writer (records re-read off the real container: version
+    //      lines, header maps, exact-length payloads, HTTP split), the
+    //      oracle rebuilds the identical page bytes from parquet
+    "q130_warc_scan" -> ((s, dir) => {
+      val root = graft.sources.Warc.ensurePagesFixture(s, dir)
+      graft.sources.Warc.readWarc(s, s"$root/*.warc.gz")
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .select(regexp_extract(col("target_uri"),
+          "corpus[.]local/([a-z]+)/", 1).as("lang"), col("body"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("body"))).as("sum_bytes"),
+          countDistinct(md5(col("body"))).as("n_uniq_pages"),
+          min(md5(col("body"))).as("min_md5"))
+    }),
+
     // ---- HTML link harvest -> canonical crawl frontier: hrefs out of
     //      the chrome-stripped pages (entity-decoded), normalized by
     //      canonicalUrl, counted — the full frontier pipeline in one
@@ -2985,6 +3003,17 @@ object SparkEntry {
                 CAST(COALESCE(a.n_kept, 0) AS INT) AS n_kept,
                 CAST(COALESCE(a.link_chars, 0) AS BIGINT) AS link_chars
          FROM pages p LEFT JOIN agg a ON p.doc_id = a.doc_id""",
+
+    // WARC round trip: the response bodies ARE the synthetic page
+    // bytes — the oracle aggregates the same pages straight from
+    // parquet (md5 over identical UTF-8 bytes on both sides)
+    "q130_warc_scan" ->
+      s"""WITH pages AS (SELECT d.lang, $H_PAGE AS html FROM documents d)
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(octet_length(encode(html))) AS BIGINT) AS sum_bytes,
+                COUNT(DISTINCT md5(html)) AS n_uniq_pages,
+                MIN(md5(html)) AS min_md5
+         FROM pages GROUP BY 1""",
 
     // link harvest: same chrome-strip + href regex + entity decode,
     // then the q120 canonical chain over the exploded hrefs

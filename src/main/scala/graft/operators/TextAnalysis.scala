@@ -373,7 +373,7 @@ object TextAnalysis {
     * scripts and whitespace-only text stay "und". Pure expression,
     * scan-level, no shuffle. */
   def langId(text: Column): Column = graft.functions.bound(tokens(text)) { ws =>
-    graft.functions.bound(scriptProfile(text).getField("script")) { script =>
+    graft.functions.bound(dominantScript(text)) { script =>
       when(script === "latin", markerArgmax(ws, langMarkers, "und-Latn"))
         .when(script === "cyrillic",
           markerArgmax(ws, cyrillicMarkers, "und-Cyrl"))
@@ -384,6 +384,31 @@ object TextAnalysis {
         .otherwise("und")
     }
   }
+
+  /** The dominant-script label alone — [[scriptProfile]]'s `script`
+    * field with the digit-ratio pass elided (the getField can't prune
+    * it through the `bound` lambda, so the router pays one fewer regex
+    * sweep per row). Labels and tie order are IDENTICAL to
+    * scriptProfile's, pinned by CurationOpsSpec. */
+  private def dominantScript(text: Column): Column =
+    graft.functions.bound(regexp_replace(text, "\\s", "")) { base =>
+      graft.functions.bound(length(base)) { total =>
+        def cnt(cls: String): Column =
+          total - length(regexp_replace(base, cls, ""))
+        graft.functions.bound(cnt("\\p{IsLatin}")) { latin =>
+        graft.functions.bound(cnt("\\p{IsCyrillic}")) { cyr =>
+        graft.functions.bound(cnt("\\p{IsHan}")) { han =>
+        graft.functions.bound(cnt("\\p{IsArabic}")) { ar =>
+          when(total === 0, "none")
+            .when(latin >= cyr && latin >= han && latin >= ar && latin > 0,
+              "latin")
+            .when(cyr >= han && cyr >= ar && cyr > 0, "cyrillic")
+            .when(han >= ar && han > 0, "han")
+            .when(ar > 0, "arabic")
+            .otherwise("other")
+        } } } }
+      }
+    }
 
   // ---- PII scrubbing (training-data redaction) ----
   // Patterns restricted to the RE2-compatible subset (no backrefs, no

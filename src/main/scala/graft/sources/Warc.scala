@@ -1,0 +1,254 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException, File, InputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** WARC (ISO 28500) — the container web crawls actually arrive in
+  * (Common Crawl and every Heritrix-descended crawler): a stream of
+  * records, each a `WARC/1.x` version line, header lines
+  * (`Name: value`), a blank line, `Content-Length` payload bytes, and a
+  * blank-line separator. `response` records carry an HTTP message whose
+  * body is the crawled document — the input to [[graft.operators.Html]]
+  * and everything downstream. Implemented from the public spec in pure
+  * JVM (header parse + exact-length payload reads + multi-member gzip
+  * via `GZIPInputStream`, which concatenates members — the `.warc.gz`
+  * convention is one gzip member per record or file).
+  *
+  * Scale posture — identical contract to [[Sqlite.scanGlob]]: gzip is
+  * not splittable and records are length-prefixed, so parallelism is
+  * ONE TASK PER FILE, which matches how crawl data ships (Common Crawl
+  * segments are ~1 GB files, thousands per crawl). The glob expands on
+  * the driver; every file is opened, streamed and parsed INSIDE its own
+  * executor task (the driver never sees a record); files above
+  * `maxFileBytes` fail the pre-flight loudly instead of becoming
+  * stragglers. The effective hadoop conf ships to the tasks as plain
+  * entries (object-store credentials survive).
+  *
+  * No reference counterpart — bearysta ingests CSV/SQLite; this extends
+  * the engine to the crawl first mile: WARC -> HTML -> text.
+  */
+object Warc {
+
+  final case class WarcError(msg: String) extends Exception(msg)
+
+  /** One parsed record: lowercased WARC header map + raw payload. */
+  final case class Record(headers: Map[String, String], payload: Array[Byte])
+
+  // ---------------------------------------------------------------- parse
+
+  /** Read one CRLF (or LF) terminated line as ISO-8859-1; None at EOF. */
+  private def readLine(in: InputStream): Option[String] = {
+    val buf = new ByteArrayOutputStream(96)
+    var b = in.read()
+    if (b < 0) return None
+    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    val bytes = buf.toByteArray
+    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+      bytes.length - 1 else bytes.length
+    Some(new String(bytes, 0, n, StandardCharsets.ISO_8859_1))
+  }
+
+  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val k = in.read(out, off, n - off)
+      if (k < 0) throw new EOFException(s"payload truncated at $off/$n")
+      off += k
+    }
+    out
+  }
+
+  /** Streaming record iterator over a (possibly multi-member gzip)
+    * WARC stream. Blank lines between records are skipped; a version
+    * line other than WARC/0.x-1.x fails loudly (a corrupt offset never
+    * silently resyncs). */
+  def readRecords(raw: InputStream): Iterator[Record] = new Iterator[Record] {
+    private val in = new BufferedInputStream(raw, 1 << 16)
+    private var nextRec: Record = _
+    private var eof = false
+
+    private def advance(): Unit = {
+      if (eof) return
+      var line = readLine(in)
+      while (line.exists(_.isEmpty)) line = readLine(in) // inter-record blanks
+      line match {
+        case None => eof = true; nextRec = null
+        case Some(v) if v.startsWith("WARC/") =>
+          var headers = Map.empty[String, String]
+          var h = readLine(in).getOrElse(throw WarcError("EOF in headers"))
+          while (h.nonEmpty) {
+            val i = h.indexOf(':')
+            if (i <= 0) throw WarcError(s"malformed header line '$h'")
+            headers += (h.substring(0, i).trim.toLowerCase ->
+              h.substring(i + 1).trim)
+            h = readLine(in).getOrElse(throw WarcError("EOF in headers"))
+          }
+          val len = headers.getOrElse("content-length",
+            throw WarcError("record without Content-Length")).toInt
+          if (len < 0) throw WarcError(s"negative Content-Length $len")
+          nextRec = Record(headers + ("warc-version" -> v), readFully(in, len))
+        case Some(other) =>
+          throw WarcError(s"expected WARC/ version line, got '${other.take(40)}'")
+      }
+    }
+
+    advance()
+    override def hasNext: Boolean = nextRec != null
+    override def next(): Record = {
+      val r = nextRec; advance(); r
+    }
+  }
+
+  /** Split an `application/http` payload into (status, body): the HTTP
+    * header block ends at the first CRLFCRLF; the status code is the
+    * second token of the status line. A payload without a header
+    * terminator is all headers (empty body); a non-HTTP payload is all
+    * body (null status). */
+  private[sources] def httpSplit(contentType: String,
+                                 payload: Array[Byte]): (Option[Int], Array[Byte]) = {
+    if (contentType == null || !contentType.startsWith("application/http"))
+      return (None, payload)
+    var i = 0
+    var split = -1
+    while (split < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n') split = i
+      i += 1
+    }
+    val headBytes = if (split < 0) payload else payload.take(split)
+    val body = if (split < 0) Array.emptyByteArray
+      else payload.drop(split + 4)
+    val status = new String(headBytes, StandardCharsets.ISO_8859_1)
+      .linesIterator.toSeq.headOption
+      .flatMap(_.split(" ").lift(1)).flatMap(_.toIntOption)
+    (status, body)
+  }
+
+  // ----------------------------------------------------------------- scan
+
+  private val Schema = StructType(Seq(
+    StructField("warc_type", StringType),
+    StructField("target_uri", StringType),
+    StructField("warc_date", StringType),
+    StructField("content_type", StringType),
+    StructField("http_status", IntegerType),
+    StructField("body", BinaryType),
+    StructField("Path", StringType, nullable = false),
+    StructField("File", StringType, nullable = false)))
+
+  /** Distributed WARC scan: one executor task per matched file, records
+    * parsed off the stream (gzip sniffed by magic bytes), `response`
+    * HTTP payloads split into status + document body. */
+  def readWarc(spark: SparkSession, pattern: String,
+               maxFileBytes: Long = 4L << 30): DataFrame = {
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      .filter(_.isFile).sortBy(_.getPath.toString)
+    if (stats.isEmpty) throw WarcError(s"no files match $pattern")
+    for (s <- stats if s.getLen > maxFileBytes) throw WarcError(
+      s"${s.getPath} is ${s.getLen} bytes > maxFileBytes=$maxFileBytes: " +
+        "readWarc runs ONE task per file (gzip is unsplittable) — ship " +
+        "crawl segments as bounded files or raise maxFileBytes explicitly")
+    val matches = stats.map(_.getPath.toString)
+    val confEntries: Array[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
+    val rdd = spark.sparkContext
+      .parallelize(matches, matches.length)
+      .mapPartitions { paths =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        paths.flatMap { pathStr =>
+          val hp = new Path(pathStr)
+          val in0 = new BufferedInputStream(
+            hp.getFileSystem(conf).open(hp), 1 << 16)
+          // gzip sniff: 1f 8b magic
+          in0.mark(2)
+          val m1 = in0.read(); val m2 = in0.read()
+          in0.reset()
+          val in = if (m1 == 0x1f && m2 == 0x8b) new GZIPInputStream(in0, 1 << 16)
+            else in0
+          val fname = new File(hp.toUri.getPath).getName
+          readRecords(in).map { r =>
+            val ct = r.headers.getOrElse("content-type", null)
+            val (status, body) = httpSplit(ct, r.payload)
+            Row(r.headers.getOrElse("warc-type", null),
+              r.headers.getOrElse("warc-target-uri", null),
+              r.headers.getOrElse("warc-date", null),
+              ct, status.map(Int.box).orNull, body, pathStr, fname)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, Schema)
+  }
+
+  // ---------------------------------------------------------------- write
+
+  /** Serialize `response` records (uri, date, html body) into one WARC
+    * byte stream (spec layout: version line, headers, CRLF, payload,
+    * CRLFCRLF). The HTTP message wraps the body with a 200 status. */
+  private[sources] def renderResponses(
+      recs: Iterator[(String, String, Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(1 << 16)
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    for ((uri, date, body) <- recs) {
+      val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+        "charset=utf-8\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1)
+      val payloadLen = http.length + body.length
+      w("WARC/1.0\r\n")
+      w("WARC-Type: response\r\n")
+      w(s"WARC-Target-URI: $uri\r\n")
+      w(s"WARC-Date: $date\r\n")
+      w("Content-Type: application/http;msgtype=response\r\n")
+      w(s"Content-Length: $payloadLen\r\n")
+      w("\r\n")
+      out.write(http)
+      out.write(body)
+      w("\r\n\r\n")
+    }
+    out.toByteArray
+  }
+
+  /** Test/bench fixture: the q125 synthetic pages exported once per sf
+    * dir as gzipped WARC shards (marker-cached across JVMs, like the
+    * JSONL fixture) — WARC-scan queries exercise the real crawl-ingest
+    * path while the oracle rebuilds the same pages from parquet. */
+  def ensurePagesFixture(spark: SparkSession, sfDir: String,
+                         files: Int = 4): String = synchronized {
+    val tag = new File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = new File(sys.props("java.io.tmpdir"), s"graft_warc_v1_$tag")
+    val marker = new File(root, ".complete")
+    if (marker.isFile) return root.getPath
+    root.mkdirs()
+    import org.apache.spark.sql.functions._
+    val pages = graft.operators.Html
+      .syntheticPages(graft.Tables(spark, sfDir, "documents"))
+      .select(
+        concat(lit("https://corpus.local/"), col("lang"), lit("/"),
+          col("doc_id")).as("uri"),
+        col("html"), pmod(col("doc_id"), lit(files.toLong)).as("shard"))
+      .collect() // fixture-sized (sf0.1 = 5k pages); one-time, marker-cached
+    for (shard <- 0 until files) {
+      val recs = pages.iterator
+        .filter(_.getLong(2) == shard)
+        .map(r => (r.getString(0), "2026-01-01T00:00:00Z",
+          r.getString(1).getBytes(StandardCharsets.UTF_8)))
+      val gz = new File(root, f"part-$shard%05d.warc.gz")
+      val os = new GZIPOutputStream(Files.newOutputStream(gz.toPath), 1 << 16)
+      try os.write(renderResponses(recs)) finally os.close()
+    }
+    Files.write(marker.toPath, Array.emptyByteArray)
+    root.getPath
+  }
+}
