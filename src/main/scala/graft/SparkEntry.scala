@@ -1035,6 +1035,26 @@ object SparkEntry {
           min(md5(col("body"))).as("min_md5"))
     }),
 
+    // ---- CRAWL-INGEST CAPSTONE: the whole first mile as ONE lazy plan
+    //      over the real container — WARC records -> HTML bodies ->
+    //      extracted text -> script-routed language ID + canonical
+    //      fingerprint -> per-language dedup stats. Catalyst sees a
+    //      single tree; the only exchange is the final aggregate.
+    "q131_crawl_pipeline" -> ((s, dir) => {
+      val root = graft.sources.Warc.ensurePagesFixture(s, dir)
+      graft.sources.Warc.readWarc(s, s"$root/*.warc.gz")
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .select(graft.operators.Html.extractText(
+          col("body").cast("string")).as("text2"))
+        .select(TextAnalysis.langId(col("text2")).as("guess"),
+          TextAnalysis.fingerprint(col("text2")).as("fp"),
+          length(col("text2")).as("n_chars"))
+        .groupBy("guess")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_uniq"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ---- HTML link harvest -> canonical crawl frontier: hrefs out of
     //      the chrome-stripped pages (entity-decoded), normalized by
     //      canonicalUrl, counted — the full frontier pipeline in one
@@ -3014,6 +3034,23 @@ object SparkEntry {
                 COUNT(DISTINCT md5(html)) AS n_uniq_pages,
                 MIN(md5(html)) AS min_md5
          FROM pages GROUP BY 1""",
+
+    // capstone mirror: q125's staged extraction, then the shared LANGID
+    // routing and q20's fingerprint over the extracted text
+    "q131_crawl_pipeline" ->
+      s"""WITH $HTML_CTE,
+         agg AS (SELECT doc_id, string_agg(txt, chr(10) ORDER BY i)
+                   FILTER (WHERE length(txt) >= 15 AND lc <= 0.33::DOUBLE * length(txt)) AS extracted
+                 FROM hfull GROUP BY doc_id),
+         ex AS (SELECT p.doc_id, COALESCE(a.extracted, '') AS extracted
+                FROM pages p LEFT JOIN agg a ON p.doc_id = a.doc_id),
+         lg AS (SELECT ${LANGID("extracted")} AS guess,
+                       md5(trim(regexp_replace(lower(extracted), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+                       length(extracted) AS n_chars
+                FROM ex)
+         SELECT guess, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_uniq,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM lg GROUP BY 1""",
 
     // link harvest: same chrome-strip + href regex + entity decode,
     // then the q120 canonical chain over the exploded hrefs
