@@ -90,10 +90,16 @@ object Warc {
               h.substring(i + 1).trim)
             h = readLine(in).getOrElse(throw WarcError("EOF in headers"))
           }
-          val len = headers.getOrElse("content-length",
-            throw WarcError("record without Content-Length")).toInt
-          if (len < 0) throw WarcError(s"negative Content-Length $len")
-          nextRec = Record(headers + ("warc-version" -> v), readFully(in, len))
+          val lenL = headers.getOrElse("content-length",
+            throw WarcError("record without Content-Length")).toLong
+          if (lenL < 0) throw WarcError(s"negative Content-Length $lenL")
+          // one record materializes in task memory: bound it loudly (a
+          // >2 GB record also can't be a JVM byte array)
+          if (lenL > (Int.MaxValue - 8).toLong) throw WarcError(
+            s"record Content-Length $lenL exceeds the single-record bound " +
+              "(records materialize per task; split oversized payloads upstream)")
+          nextRec = Record(headers + ("warc-version" -> v),
+            readFully(in, lenL.toInt))
         case Some(other) =>
           throw WarcError(s"expected WARC/ version line, got '${other.take(40)}'")
       }

@@ -79,6 +79,10 @@ class WarcSpec extends AnyFunSuite {
       new ByteArrayInputStream("NOT-WARC\r\n".getBytes)).toSeq)
     intercept[Warc.WarcError](Warc.readRecords(new ByteArrayInputStream(
       "WARC/1.0\r\nWARC-Type: response\r\n\r\n".getBytes)).toSeq)
+    // a >2GB Content-Length fails loudly before any allocation
+    val huge = intercept[Warc.WarcError](Warc.readRecords(new ByteArrayInputStream(
+      "WARC/1.0\r\nContent-Length: 3000000000\r\n\r\n".getBytes)).toSeq)
+    assert(huge.getMessage.contains("single-record bound"), huge.getMessage)
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_err")
     intercept[Warc.WarcError](Warc.readWarc(spark, s"$dir/none*.warc.gz"))
     java.nio.file.Files.write(dir.resolve("a.warc"), good)
