@@ -1009,10 +1009,8 @@ object SparkEntry {
         .select(col("doc_id"), graft.operators.Html.blocks(col("html")).as("bs"))
         .select(col("doc_id"),
           size(col("bs")).as("n_blocks"),
-          size(filter(col("bs"), b =>
-            length(b.getField("text")) >= 15 &&
-              b.getField("link_chars") <=
-                lit(0.33) * length(b.getField("text")))).as("n_kept"),
+          size(filter(col("bs"),
+            b => graft.operators.Html.keeps(b))).as("n_kept"),
           aggregate(transform(col("bs"),
               b => b.getField("link_chars").cast("long")),
             lit(0L), (a, x) => a + x).as("link_chars"))),

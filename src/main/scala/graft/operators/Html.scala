@@ -155,17 +155,25 @@ object Html {
       s => length(s.getField("text")) > 0)
   }
 
+  /** THE keep rule, on one `blocks()` struct — the single definition
+    * both [[extractText]] and any audit query (q126) share, so the
+    * instrumented keep/drop accounting can never drift from the filter
+    * it audits. */
+  def keeps(block: Column, minChars: Int = 15,
+            maxLinkDensity: Double = 0.33): Column = {
+    require(minChars >= 1, "minChars must be >= 1")
+    require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
+      s"maxLinkDensity in [0,1], got $maxLinkDensity")
+    length(block.getField("text")) >= minChars &&
+      block.getField("link_chars") <=
+        lit(maxLinkDensity) * length(block.getField("text"))
+  }
+
   /** The headline operator: extracted main text of an HTML document —
     * kept blocks joined with newlines. */
   def extractText(html: Column, minChars: Int = 15,
                   maxLinkDensity: Double = 0.33): Column = {
-    require(minChars >= 1, "minChars must be >= 1")
-    require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
-      s"maxLinkDensity in [0,1], got $maxLinkDensity")
-    val kept = filter(blocks(html), s =>
-      length(s.getField("text")) >= minChars &&
-        s.getField("link_chars") <=
-          lit(maxLinkDensity) * length(s.getField("text")))
+    val kept = filter(blocks(html), s => keeps(s, minChars, maxLinkDensity))
     array_join(transform(kept, _.getField("text")), "\n")
   }
 

@@ -132,12 +132,18 @@ object Joins {
     * Contract: the right side must be per-key BOUNDED (a dimension's
     * state history, not another event stream) — each key's full history
     * becomes one array row, and keys above `maxRightRowsPerKey`
-    * (default 2^17) fail LOUDLY at the aggregate (scan-level
-    * raise_error, same posture as [[rangeJoin]]'s replication cap)
-    * instead of silently building a multi-GB row. For stream×stream
-    * as-of, bound the right side by watermark/window first; for the
-    * batch-only unbounded case use [[asofJoin]], whose sweep never
-    * materializes a key's history in one row. */
+    * (default 2^17) fail LOUDLY at the aggregate (raise_error on the
+    * collected size, same posture as [[rangeJoin]]'s replication cap).
+    * Honest scope of that guard: it fires AFTER collect_list has
+    * materialized the key's array, so it converts the
+    * oversized-but-allocatable regime into a clear contract error; a
+    * key so hot its array cannot even allocate still dies on the
+    * aggregate itself (a true pre-flight would need a second full
+    * count-shuffle of the right side on EVERY call — not worth taxing
+    * the contract-respecting 99% for). For stream×stream as-of, bound
+    * the right side by watermark/window first; for the batch-only
+    * unbounded case use [[asofJoin]], whose sweep never materializes a
+    * key's history in one row. */
   def asofJoinStatic(left: DataFrame, right: DataFrame, keys: Seq[String],
                      leftTs: String, rightTs: String, payload: Seq[String],
                      tieCol: String, prefix: String = "asof_",

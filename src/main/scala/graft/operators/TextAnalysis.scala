@@ -385,11 +385,23 @@ object TextAnalysis {
     }
   }
 
+  /** The dominance label from the four script counts — the ONE
+    * definition [[scriptProfile]] and the langId router share, so the
+    * tie order (pinned by CurationOpsSpec) can never live in two
+    * places. */
+  private def dominanceOf(total: Column, latin: Column, cyr: Column,
+                          han: Column, ar: Column): Column =
+    when(total === 0, "none")
+      .when(latin >= cyr && latin >= han && latin >= ar && latin > 0, "latin")
+      .when(cyr >= han && cyr >= ar && cyr > 0, "cyrillic")
+      .when(han >= ar && han > 0, "han")
+      .when(ar > 0, "arabic")
+      .otherwise("other")
+
   /** The dominant-script label alone — [[scriptProfile]]'s `script`
     * field with the digit-ratio pass elided (the getField can't prune
     * it through the `bound` lambda, so the router pays one fewer regex
-    * sweep per row). Labels and tie order are IDENTICAL to
-    * scriptProfile's, pinned by CurationOpsSpec. */
+    * sweep per row). Same counts, same [[dominanceOf]] chain. */
   private def dominantScript(text: Column): Column =
     graft.functions.bound(regexp_replace(text, "\\s", "")) { base =>
       graft.functions.bound(length(base)) { total =>
@@ -399,13 +411,7 @@ object TextAnalysis {
         graft.functions.bound(cnt("\\p{IsCyrillic}")) { cyr =>
         graft.functions.bound(cnt("\\p{IsHan}")) { han =>
         graft.functions.bound(cnt("\\p{IsArabic}")) { ar =>
-          when(total === 0, "none")
-            .when(latin >= cyr && latin >= han && latin >= ar && latin > 0,
-              "latin")
-            .when(cyr >= han && cyr >= ar && cyr > 0, "cyrillic")
-            .when(han >= ar && han > 0, "han")
-            .when(ar > 0, "arabic")
-            .otherwise("other")
+          dominanceOf(total, latin, cyr, han, ar)
         } } } }
       }
     }
@@ -655,14 +661,7 @@ object TextAnalysis {
           val digits = cnt("[0-9]")
           def ratio(c: Column): Column =
             when(total === 0, 0.0).otherwise(c.cast(DoubleType) / total)
-          val dominant =
-            when(total === 0, "none")
-              .when(latin >= cyr && latin >= han && latin >= ar && latin > 0,
-                "latin")
-              .when(cyr >= han && cyr >= ar && cyr > 0, "cyrillic")
-              .when(han >= ar && han > 0, "han")
-              .when(ar > 0, "arabic")
-              .otherwise("other")
+          val dominant = dominanceOf(total, latin, cyr, han, ar)
           struct(total.cast(LongType).as("n_chars"),
             ratio(latin).as("latin_ratio"), ratio(cyr).as("cyrillic_ratio"),
             ratio(han).as("han_ratio"), ratio(ar).as("arabic_ratio"),

@@ -378,21 +378,11 @@ object Sqlite {
       StructField(c, promote(first.rows, i), nullable = true)
     })
     val dataTypes = schema.fields.map(_.dataType)
-    // ship the driver's effective hadoop conf (spark.hadoop.* — object
-    // store credentials, endpoints) to the tasks as plain entries:
-    // Configuration itself is not Java-serializable and Spark's
-    // SerializableConfiguration is spark-private
-    val confEntries: Array[(String, String)] = {
-      val it = spark.sparkContext.hadoopConfiguration.iterator()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
-      buf.toArray
-    }
+    val confEntries = TaskConf.snapshot(spark)
     val rdd = spark.sparkContext
       .parallelize(matches, matches.length)
       .mapPartitions { paths =>
-        val conf = new org.apache.hadoop.conf.Configuration(false)
-        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val conf = TaskConf.rebuild(confEntries)
         paths.flatMap { pathStr =>
           val hp = new Path(pathStr)
           val pfs = hp.getFileSystem(conf)

@@ -42,12 +42,19 @@ object Warc {
 
   // ---------------------------------------------------------------- parse
 
-  /** Read one CRLF (or LF) terminated line as ISO-8859-1; None at EOF. */
+  /** Read one CRLF (or LF) terminated line as ISO-8859-1; None at EOF.
+    * Capped at 64 KB — far above any legal WARC header line — so a
+    * mis-globbed binary blob with no newlines raises the loud WarcError
+    * instead of buffering the whole file into task memory. */
   private def readLine(in: InputStream): Option[String] = {
     val buf = new ByteArrayOutputStream(96)
     var b = in.read()
     if (b < 0) return None
-    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    while (b >= 0 && b != '\n') {
+      if (buf.size() >= (1 << 16))
+        throw WarcError("header line exceeds 64 KB — not a WARC stream")
+      buf.write(b); b = in.read()
+    }
     val bytes = buf.toByteArray
     val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
       bytes.length - 1 else bytes.length
@@ -113,24 +120,32 @@ object Warc {
   }
 
   /** Split an `application/http` payload into (status, body): the HTTP
-    * header block ends at the first CRLFCRLF; the status code is the
-    * second token of the status line. A payload without a header
-    * terminator is all headers (empty body); a non-HTTP payload is all
-    * body (null status). */
+    * header block ends at the first CRLFCRLF — or bare LFLF, which
+    * noncompliant servers in every large crawl emit and whose verbatim
+    * bytes WARC preserves (an LF-only page must not silently become an
+    * empty document). The status code is the second token of the status
+    * line. A payload without any terminator is all headers (empty
+    * body); a non-HTTP payload is all body (null status). */
   private[sources] def httpSplit(contentType: String,
                                  payload: Array[Byte]): (Option[Int], Array[Byte]) = {
     if (contentType == null || !contentType.startsWith("application/http"))
       return (None, payload)
     var i = 0
     var split = -1
-    while (split < 0 && i + 3 < payload.length) {
-      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
-        payload(i + 2) == '\r' && payload(i + 3) == '\n') split = i
+    var sepLen = 0
+    while (split < 0 && i + 1 < payload.length) {
+      if (payload(i) == '\r' && i + 3 < payload.length &&
+        payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n') {
+        split = i; sepLen = 4
+      } else if (payload(i) == '\n' && payload(i + 1) == '\n') {
+        split = i; sepLen = 2
+      }
       i += 1
     }
     val headBytes = if (split < 0) payload else payload.take(split)
     val body = if (split < 0) Array.emptyByteArray
-      else payload.drop(split + 4)
+      else payload.drop(split + sepLen)
     val status = new String(headBytes, StandardCharsets.ISO_8859_1)
       .linesIterator.toSeq.headOption
       .flatMap(_.split(" ").lift(1)).flatMap(_.toIntOption)
@@ -164,17 +179,11 @@ object Warc {
         "readWarc runs ONE task per file (gzip is unsplittable) — ship " +
         "crawl segments as bounded files or raise maxFileBytes explicitly")
     val matches = stats.map(_.getPath.toString)
-    val confEntries: Array[(String, String)] = {
-      val it = spark.sparkContext.hadoopConfiguration.iterator()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
-      buf.toArray
-    }
+    val confEntries = TaskConf.snapshot(spark)
     val rdd = spark.sparkContext
       .parallelize(matches, matches.length)
       .mapPartitions { paths =>
-        val conf = new org.apache.hadoop.conf.Configuration(false)
-        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val conf = TaskConf.rebuild(confEntries)
         paths.flatMap { pathStr =>
           val hp = new Path(pathStr)
           val in0 = new BufferedInputStream(
@@ -185,8 +194,25 @@ object Warc {
           in0.reset()
           val in = if (m1 == 0x1f && m2 == 0x8b) new GZIPInputStream(in0, 1 << 16)
             else in0
+          // the stream must close on BOTH exits: eagerly when the record
+          // iterator drains (thousands of files over a long-lived
+          // executor would otherwise exhaust fds / S3 connections), and
+          // at task end for the error path (parse failure, task kill)
+          def closeQuietly(): Unit =
+            try in.close() catch { case _: Exception => () }
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => closeQuietly()))
           val fname = new File(hp.toUri.getPath).getName
-          readRecords(in).map { r =>
+          val base = readRecords(in)
+          val records = new Iterator[Record] {
+            override def hasNext: Boolean = {
+              val h = base.hasNext
+              if (!h) closeQuietly()
+              h
+            }
+            override def next(): Record = base.next()
+          }
+          records.map { r =>
             val ct = r.headers.getOrElse("content-type", null)
             val (status, body) = httpSplit(ct, r.payload)
             Row(r.headers.getOrElse("warc-type", null),

@@ -68,6 +68,15 @@ class WarcSpec extends AnyFunSuite {
     // non-http: payload IS the body, status null
     val (s3, b3) = Warc.httpSplit("text/plain", "raw".getBytes)
     assert(s3.isEmpty && new String(b3, "UTF-8") == "raw")
+    // bare-LF header terminator (noncompliant servers, preserved
+    // verbatim by WARC): the body must NOT silently vanish
+    val (s4, b4) = Warc.httpSplit("application/http",
+      "HTTP/1.1 200 OK\nX: y\n\nlf body".getBytes("ISO-8859-1"))
+    assert(s4.contains(200) && new String(b4, "UTF-8") == "lf body")
+    // mixed: CRLF headers but LFLF terminator
+    val (s5, b5) = Warc.httpSplit("application/http",
+      "HTTP/1.1 200 OK\r\nX: y\n\nmixed".getBytes("ISO-8859-1"))
+    assert(s5.contains(200) && new String(b5, "UTF-8") == "mixed")
   }
 
   test("structural damage fails loudly: truncated payload, bad version, " +
