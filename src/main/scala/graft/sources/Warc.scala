@@ -252,34 +252,58 @@ object Warc {
     out.toByteArray
   }
 
+  /** Distributed WARC SINK: `df`'s (uri STRING, body STRING) rows as at
+    * most `files` gzipped WARC response shards under `path` — the
+    * export format for handing a curated page corpus back to
+    * crawl-side tooling, and [[readWarc]]'s round-trip partner (q130 is
+    * the oracle-checked loop). Rows salt into shards by uri (an upper
+    * bound, like the JSONL writer's); each shard streams through ONE
+    * gzip member written inside its own executor task — the driver
+    * never sees a record. `date` is caller-provided (a corpus export is
+    * stamped once, not per-JVM-clock). */
+  def writeWarc(df: DataFrame, uriCol: String, bodyCol: String,
+                path: String, files: Int, date: String): Unit = {
+    require(files >= 1, s"files must be >= 1, got $files")
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val confEntries = TaskConf.snapshot(spark)
+    val out = new Path(path)
+    out.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(out)
+    df.select(col(uriCol).cast("string").as("u"),
+        col(bodyCol).cast("string").as("b"))
+      .repartition(files, pmod(xxhash64(col("u")), lit(files.toLong)))
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val shard = new Path(path, f"part-$pid%05d.warc.gz")
+          val fs = shard.getFileSystem(TaskConf.rebuild(confEntries))
+          val os = new GZIPOutputStream(fs.create(shard, true), 1 << 16)
+          try it.foreach { r =>
+            os.write(renderResponses(Iterator((r.getString(0), date,
+              r.getString(1).getBytes(StandardCharsets.UTF_8)))))
+          } finally os.close()
+        }
+      }
+  }
+
   /** Test/bench fixture: the q125 synthetic pages exported once per sf
-    * dir as gzipped WARC shards (marker-cached across JVMs, like the
-    * JSONL fixture) — WARC-scan queries exercise the real crawl-ingest
-    * path while the oracle rebuilds the same pages from parquet. */
+    * dir as gzipped WARC shards via [[writeWarc]] (marker-cached across
+    * JVMs, like the JSONL fixture) — WARC-scan queries exercise the
+    * real crawl-ingest path while the oracle rebuilds the same pages
+    * from parquet. */
   def ensurePagesFixture(spark: SparkSession, sfDir: String,
                          files: Int = 4): String = synchronized {
     val tag = new File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-    val root = new File(sys.props("java.io.tmpdir"), s"graft_warc_v1_$tag")
+    val root = new File(sys.props("java.io.tmpdir"), s"graft_warc_v2_$tag")
     val marker = new File(root, ".complete")
     if (marker.isFile) return root.getPath
-    root.mkdirs()
     import org.apache.spark.sql.functions._
     val pages = graft.operators.Html
       .syntheticPages(graft.Tables(spark, sfDir, "documents"))
-      .select(
-        concat(lit("https://corpus.local/"), col("lang"), lit("/"),
-          col("doc_id")).as("uri"),
-        col("html"), pmod(col("doc_id"), lit(files.toLong)).as("shard"))
-      .collect() // fixture-sized (sf0.1 = 5k pages); one-time, marker-cached
-    for (shard <- 0 until files) {
-      val recs = pages.iterator
-        .filter(_.getLong(2) == shard)
-        .map(r => (r.getString(0), "2026-01-01T00:00:00Z",
-          r.getString(1).getBytes(StandardCharsets.UTF_8)))
-      val gz = new File(root, f"part-$shard%05d.warc.gz")
-      val os = new GZIPOutputStream(Files.newOutputStream(gz.toPath), 1 << 16)
-      try os.write(renderResponses(recs)) finally os.close()
-    }
+      .select(concat(lit("https://corpus.local/"), col("lang"), lit("/"),
+        col("doc_id")).as("uri"), col("html"))
+    writeWarc(pages, "uri", "html", root.getPath, files,
+      date = "2026-01-01T00:00:00Z")
     Files.write(marker.toPath, Array.emptyByteArray)
     root.getPath
   }

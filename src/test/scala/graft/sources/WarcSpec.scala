@@ -106,7 +106,12 @@ class WarcSpec extends AnyFunSuite {
     "bytes, joinable back to the corpus by uri") {
     val root = Warc.ensurePagesFixture(spark, TestSpark.sfDir)
     val df = Warc.readWarc(spark, s"$root/*.warc.gz")
-    assert(df.rdd.getNumPartitions == 4)
+    // the writer salts into AT MOST 4 shards (empty salt buckets write
+    // nothing); the scan is exactly one task per file that exists
+    val nFiles = new java.io.File(root).listFiles()
+      .count(_.getName.endsWith(".warc.gz"))
+    assert(nFiles >= 1 && nFiles <= 4, s"$nFiles shards")
+    assert(df.rdd.getNumPartitions == nFiles)
     val docs = graft.Tables(spark, TestSpark.sfDir, "documents")
     val want = graft.operators.Html.syntheticPages(docs)
       .select(concat(lit("https://corpus.local/"), col("lang"), lit("/"),
