@@ -281,21 +281,17 @@ object SparkEntry {
     }),
 
     // ---- TEXT: marker-word language-ID vs labeled lang (confusion counts)
-    // script-routed language ID over the corpus PLUS 6 salted clean-
+    // script-routed language ID over the corpus PLUS 11 salted clean-
     // script samples (en / ru / zh / ar / ja-with-kana / markerless
-    // Cyrillic), so the Cyrillic argmax, the Han kana split, the Arabic
-    // label and the script-qualified "und-Cyrl" fallback are all
-    // oracle-live — clean non-Latin text never reads plain "und"
+    // Cyrillic / ko / hi / th / el / he), so every router branch — the
+    // Cyrillic argmax, the Han kana split, each single-language script
+    // label, and the script-qualified "und-Cyrl" fallback — is
+    // oracle-live; clean non-Latin text never reads plain "und"
     "q19_lang_id" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val salted = d.select(lit("salt").as("lang"), element_at(array(
-        lit("the quick brown fox and the dog 42"),
-        lit("быстрая лисица и не на месте"),
-        lit("敏捷的狐狸跳过了懒狗"),
-        lit("الثعلب السريع يقفز"),
-        lit("素早い狐が犬を飛び越えた"),
-        lit("лисица прыгает быстро")),
-        (col("doc_id") % 6 + 1).cast("int")).as("text"))
+        langSaltSamples.map(lit): _*),
+        (col("doc_id") % langSaltSamples.length + 1).cast("int")).as("text"))
       d.select(col("lang"), col("text")).unionByName(salted)
         .withColumn("guess", TextAnalysis.langId(col("text")))
         .groupBy("lang", "guess")
@@ -1065,16 +1061,14 @@ object SparkEntry {
         .groupBy("curl").agg(count(lit(1)).as("n_links"))),
 
     // ---- TEXT: Unicode-script profiling — multilingual routing off
-    //      per-script character ratios (docs salted with 4 script
-    //      variants so the non-Latin counting paths are oracle-live)
+    //      per-script character ratios (docs salted with one sample per
+    //      routed script so every census path is oracle-live)
     "q123_script_profile" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), element_at(array(
-          lit("the quick brown fox 42"),
-          lit("быстрая лисица прыгает 7"),
-          lit("敏捷的狐狸跳过了懒狗"),
-          lit("الثعلب السريع يقفز")),
-          (col("doc_id") % 4 + 1).cast("int")).as("sample"))
+          scriptSaltSamples.map(lit): _*),
+          (col("doc_id") % scriptSaltSamples.length + 1).cast("int"))
+          .as("sample"))
         .select(col("doc_id"),
           TextAnalysis.scriptProfile(col("sample")).as("p"))
         .select(col("doc_id"), col("p.*"))),
@@ -1481,33 +1475,106 @@ object SparkEntry {
     p
   }
 
+  /** Clean-script salt samples q19 unions in under lang='salt' — one
+    * per langId router branch (en-markers / ru-markers / zh / ar /
+    * ja-with-kana / markerless-Cyrillic fallback, then the round-9
+    * single-language scripts ko / hi / th / el / he). ONE definition
+    * shared by the engine query and the oracle SQL, so the fixture can
+    * never drift between the two sides. */
+  private[graft] val langSaltSamples: Seq[String] = Seq(
+    "the quick brown fox and the dog 42",
+    "быстрая лисица и не на месте",
+    "敏捷的狐狸跳过了懒狗",
+    "الثعلب السريع يقفز",
+    "素早い狐が犬を飛び越えた",
+    "лисица прыгает быстро",
+    "빠른 여우가 게으른 개를 뛰어넘는다",
+    "तेज लोमड़ी कूदती है",
+    "สุนัขจิ้งจอกกระโดดเร็ว",
+    "η γρήγορη αλεπού πηδά ψηλά",
+    "השועל המהיר קופץ מעל הכלב")
+
+  /** The q19 salt list as a DuckDB list literal. */
+  private lazy val LANG_SALT_SQL: String =
+    langSaltSamples.map(s => s"'${s.replace("'", "''")}'")
+      .mkString("[", ",\n                   ", "]")
+
+  /** q123's script-variant salt samples — one per routed script so
+    * every counting path in the census is oracle-live. ONE definition
+    * shared by the engine query and the oracle SQL. */
+  private[graft] val scriptSaltSamples: Seq[String] = Seq(
+    "the quick brown fox 42",
+    "быстрая лисица прыгает 7",
+    "敏捷的狐狸跳过了懒狗",
+    "الثعلب السريع يقفز",
+    "빠른 여우가 게으른 개를 뛰어넘는다",
+    "तेज लोमड़ी कूदती है",
+    "สุนัขจิ้งจอกกระโดดเร็ว",
+    "η γρήγορη αλεπού πηδά ψηλά",
+    "השועל המהיר קופץ מעל הכלב")
+
+  /** The q123 salt list as a DuckDB list literal. */
+  private lazy val SCRIPT_SALT_SQL: String =
+    scriptSaltSamples.map(s => s"'${s.replace("'", "''")}'")
+      .mkString("[", ",\n                   ", "]")
+
   /** Canonical BPE merges table for q84: the output of
     * `TextAnalysis.bpeTrain(documents, 32)` on this corpus (spec-pinned
     * by BpeSpec so the embedded copy can never drift from the trainer).
     * Embedded as data — not re-trained per run — because the DuckDB
     * oracle must carry the IDENTICAL table, and because that is the
     * production shape anyway: a tokenizer's merges file is a versioned
-    * artifact, not something re-derived per query. */
+    * artifact, not something re-derived per query. Retrained in round 9
+    * over GPT-2 pre-tokens: the `Ġ`-prefixed (leading-space) merges now
+    * dominate, exactly like a real model's merges.txt. */
   private[graft] val bpeCanonicalMerges: Seq[(String, String)] = Seq(
-    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"), ("m", "er"),
-    ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
-    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"), ("at", "c"),
-    ("atc", "h"), ("b", "atch"), ("a", "n"), ("c", "an"), ("s", "can"),
-    ("c", "o"), ("c", "u"), ("co", "lu"), ("colu", "m"), ("colum", "n"),
-    ("cu", "st"), ("cust", "o"), ("custo", "mer"), ("f", "i"), ("fi", "l"))
+    ("Ġ", "s"), ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("Ġ", "c"), ("a", "s"),
+    ("Ġ", "b"), ("Ġ", "v"), ("a", "r"), ("p", "ar"),
+    ("Ġ", "f"), ("Ġ", "a"), ("Ġ", "t"), ("j", "o"),
+    ("jo", "in"), ("as", "h"), ("h", "ash"), ("Ġ", "join"),
+    ("s", "t"), ("r", "ow"), ("at", "c"), ("atc", "h"), ("a", "n"),
+    ("c", "an"), ("lu", "m"), ("lum", "n"), ("o", "lumn"), ("o", "mer"))
+
+  /** DuckDB mirror of `BpeCodec.preTokenize` — GPT-2's pre-tokenizer.
+    * RE2 has no lookahead, so the published pattern's `\s+(?!\S)`
+    * backtrack is reproduced by a sentinel pass first: insert a
+    * private-use U+E000 before the LAST whitespace char of every
+    * whitespace run that precedes non-whitespace (`regexp_replace` of
+    * `(ws)(non-ws)` — one boundary per run, never rescanned). The
+    * greedy `[ws]+` alternative then stops at the sentinel, and the
+    * freed final space glues to the following token through the ` ?`
+    * prefixes — exactly the lookahead's effect; `regexp_extract_all`
+    * skips the unmatched sentinel. The whitespace class is spelled out
+    * (Python-regex \s = Unicode White_Space + 0x1C-0x1F, all BMP) so
+    * RE2's ASCII `\s` never diverges from the engine's scanner; the
+    * sentinel is excluded from the punctuation run class. Verified
+    * token-for-token against the scanner by BpeSpec's property test
+    * (scanner == java.util.regex lookahead pattern) plus the q84/q85/
+    * q127/q129 hash gates (mirror == engine on the corpus). */
+  private val PRETOK_WS =
+    """\t\n\x{0b}\f\r\x{1c}-\x{1f} \x{85}\x{a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}"""
+  private lazy val PRETOKS: String = {
+    val pat = s"''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+|" +
+      s" ?[^$PRETOK_WS\\p{L}\\p{N}\\x{e000}]+|[$PRETOK_WS]+"
+    s"regexp_extract_all(regexp_replace(text, " +
+      s"'([$PRETOK_WS])([^$PRETOK_WS])', chr(57344) || '\\1\\2', 'g'), '$pat')"
+  }
 
   /** Shared recursive-CTE body mirroring `graft_bpe_count`'s greedy
     * merge loop over [[bpeCanonicalMerges]] (used by q84/q85): every
-    * DISTINCT corpus word becomes a chr(31)-delimited symbol string
-    * seeded BYTE-LEVEL — its UTF-8 bytes (hex-chunked) mapped through
-    * GPT-2's bytes_to_unicode alphabet, the same 256-entry table
-    * `BpeCodec.byteSymbols` the engine uses, here a chr()-built list
-    * literal indexed by byte value (chr(31) maps OUT of the alphabet,
-    * so the delimiter can't collide with a symbol); each recursion step
-    * merges all non-overlapping occurrences of the lowest-ranked
-    * adjacent pair present (DuckDB replace() is left-greedy, matching
-    * the engine's sweep); `final` holds each word's surviving token
-    * count. Prepend `WITH RECURSIVE`. */
+    * DISTINCT GPT-2 pre-token ([[PRETOKS]] — leading spaces kept, so
+    * `Ġ`-seeded symbols appear exactly as the engine's) becomes a
+    * chr(31)-delimited symbol string seeded BYTE-LEVEL — its UTF-8
+    * bytes (hex-chunked) mapped through GPT-2's bytes_to_unicode
+    * alphabet, the same 256-entry table `BpeCodec.byteSymbols` the
+    * engine uses, here a chr()-built list literal indexed by byte value
+    * (chr(31) maps OUT of the alphabet, so the delimiter can't collide
+    * with a symbol); each recursion step merges all non-overlapping
+    * occurrences of the lowest-ranked adjacent pair present (DuckDB
+    * replace() is left-greedy, matching the engine's sweep); `final`
+    * holds each pre-token's surviving token count. Prepend
+    * `WITH RECURSIVE`. */
   private lazy val BPE_CTE: String = {
     val mergesValues = bpeCanonicalMerges.zipWithIndex
       .map { case ((a, b), r) =>
@@ -1519,7 +1586,7 @@ object SparkEntry {
     s"""merges(a, b, r) AS (VALUES $mergesValues),
        b2u AS (SELECT list_transform([$byteCodes], c -> chr(c)) AS syms),
        w0 AS (
-         SELECT doc_id, lang, unnest($TOKS) AS w FROM documents),
+         SELECT doc_id, lang, unnest($PRETOKS) AS w FROM documents),
        wf AS (SELECT DISTINCT w FROM w0 WHERE w <> ''),
        enc AS (
          SELECT w, chr(31) || array_to_string(
@@ -1616,18 +1683,33 @@ object SparkEntry {
          FROM htext t LEFT JOIN hlsum ls ON t.doc_id = ls.doc_id AND t.i = ls.i
          WHERE length(t.txt) > 0)"""
 
+  /** The dominance-chain WHEN arms over strip-count script counts — the
+    * SQL rendition of `TextAnalysis.dominanceOf`, generated from the
+    * SAME `scriptOrder` list the engine routes on (earlier entries win
+    * ties, a script needs > 0 chars). `route` maps each script label to
+    * the THEN expression. */
+  private def scriptChainSql(cnt: String => String,
+                             route: String => String): String = {
+    val labels = graft.operators.TextAnalysis.scriptOrder.map(_._1)
+    val counts = labels.map(cnt)
+    labels.zipWithIndex.map { case (l, i) =>
+      val me = counts(i)
+      val cond = (counts.drop(i + 1).map(o => s"$me >= $o") :+ s"$me > 0")
+        .mkString(" AND ")
+      s"WHEN $cond THEN ${route(l)}"
+    }.mkString("\n        ")
+  }
+
   // ---- DuckDB mirror of TextAnalysis.langId (script-routed): the same
-  //      strip-count script dominance as q123's mirror, then the
-  //      per-script marker argmax / script-derived labels. `txt` must be
-  //      a column reference (it is duplicated per class count).
+  //      strip-count script dominance as q123's mirror (the engine's
+  //      one-pass census counts the identical Unicode Script classes),
+  //      then the per-script marker argmax / script-derived labels.
+  //      `txt` must be a column reference (it is duplicated per class
+  //      count).
   private def LANGID(txt: String): String = {
     val b = s"regexp_replace($txt, '\\s', '', 'g')"
-    def cnt(cls: String) =
-      s"(length($b) - length(regexp_replace($b, '$cls', '', 'g')))"
-    val latin = cnt("\\p{Latin}")
-    val cyr = cnt("\\p{Cyrillic}")
-    val han = cnt("\\p{Han}")
-    val ar = cnt("\\p{Arabic}")
+    def cnt(label: String) =
+      s"(length($b) - length(regexp_replace($b, '\\p{${label.capitalize}}', '', 'g')))"
     def argmax(table: Map[String, Seq[String]], fb: String): String = {
       val items = table.toSeq.sortBy(_._1).map { case (lang, ms) =>
         s"{'hits': len(list_filter(string_split_regex(trim($txt), '\\s+'), " +
@@ -1637,15 +1719,16 @@ object SparkEntry {
         "(a, b) -> CASE WHEN b.hits > a.hits THEN b ELSE a END)"
       s"CASE WHEN ($best).hits = 0 THEN '$fb' ELSE ($best).lang END"
     }
+    val routes: Map[String, String] = Map(
+      "latin" -> argmax(graft.operators.TextAnalysis.langMarkers, "und-Latn"),
+      "cyrillic" ->
+        argmax(graft.operators.TextAnalysis.cyrillicMarkers, "und-Cyrl"),
+      "han" -> (s"CASE WHEN regexp_matches($txt, " +
+        "'[\\p{Hiragana}\\p{Katakana}]') THEN 'ja' ELSE 'zh' END"),
+      "arabic" -> "'ar'", "hangul" -> "'ko'", "devanagari" -> "'hi'",
+      "thai" -> "'th'", "greek" -> "'el'", "hebrew" -> "'he'")
     s"""CASE WHEN length($b) = 0 THEN 'und'
-        WHEN $latin >= $cyr AND $latin >= $han AND $latin >= $ar AND $latin > 0
-          THEN ${argmax(graft.operators.TextAnalysis.langMarkers, "und-Latn")}
-        WHEN $cyr >= $han AND $cyr >= $ar AND $cyr > 0
-          THEN ${argmax(graft.operators.TextAnalysis.cyrillicMarkers, "und-Cyrl")}
-        WHEN $han >= $ar AND $han > 0
-          THEN CASE WHEN regexp_matches($txt, '[\\p{Hiragana}\\p{Katakana}]')
-                    THEN 'ja' ELSE 'zh' END
-        WHEN $ar > 0 THEN 'ar'
+        ${scriptChainSql(cnt, routes)}
         ELSE 'und' END"""
   }
 
@@ -2087,12 +2170,7 @@ object SparkEntry {
            SELECT lang, text FROM documents
            UNION ALL
            SELECT 'salt' AS lang,
-                  ['the quick brown fox and the dog 42',
-                   'быстрая лисица и не на месте',
-                   '敏捷的狐狸跳过了懒狗',
-                   'الثعلب السريع يقفز',
-                   '素早い狐が犬を飛び越えた',
-                   'лисица прыгает быстро'][CAST(doc_id % 6 + 1 AS INT)] AS text
+                  $LANG_SALT_SQL[CAST(doc_id % ${langSaltSamples.length} + 1 AS INT)] AS text
            FROM documents),
          g AS (SELECT lang, ${LANGID("text")} AS guess FROM base)
          SELECT lang, guess, COUNT(*) AS n_docs
@@ -3425,39 +3503,37 @@ object SparkEntry {
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY lang""",
 
-    // script profile: same length-after-strip counting (RE2 spells the
-    // script classes \p{Latin}; Java \p{IsLatin} — same tables for these
-    // codepoints), same single divides and tie order
-    "q123_script_profile" ->
+    // script profile: length-after-strip counting (RE2 spells the
+    // script classes \p{Latin}; the engine's one-pass census reads the
+    // same Unicode Script property), same single divides; the ratio
+    // columns and the dominance chain are GENERATED from the engine's
+    // own scriptOrder list, so tie order lives in exactly one place
+    "q123_script_profile" -> {
+      val labels = graft.operators.TextAnalysis.scriptOrder.map(_._1)
+      val cnts = labels.map { l =>
+        s"length(base) - length(regexp_replace(base, '\\p{${l.capitalize}}', '', 'g')) AS $l"
+      }.mkString(",\n                 ")
+      val ratios = labels.map { l =>
+        s"CASE WHEN total = 0 THEN 0.0 ELSE CAST($l AS DOUBLE) / total END AS ${l}_ratio"
+      }.mkString(",\n           ")
+      val chain = scriptChainSql(identity, l => s"'$l'")
       s"""WITH t AS (
            SELECT doc_id,
-                  ['the quick brown fox 42',
-                   'быстрая лисица прыгает 7',
-                   '敏捷的狐狸跳过了懒狗',
-                   'الثعلب السريع يقفز'][CAST(doc_id % 4 + 1 AS INT)] AS s
+                  $SCRIPT_SALT_SQL[CAST(doc_id % ${scriptSaltSamples.length} + 1 AS INT)] AS s
            FROM documents),
          b AS (SELECT doc_id, regexp_replace(s, '\\s', '', 'g') AS base FROM t),
          c AS (SELECT doc_id, length(base) AS total,
-                 length(base) - length(regexp_replace(base, '\\p{Latin}', '', 'g')) AS latin,
-                 length(base) - length(regexp_replace(base, '\\p{Cyrillic}', '', 'g')) AS cyr,
-                 length(base) - length(regexp_replace(base, '\\p{Han}', '', 'g')) AS han,
-                 length(base) - length(regexp_replace(base, '\\p{Arabic}', '', 'g')) AS ar,
+                 $cnts,
                  length(base) - length(regexp_replace(base, '[0-9]', '', 'g')) AS digits
                FROM b)
          SELECT doc_id, CAST(total AS BIGINT) AS n_chars,
-           CASE WHEN total = 0 THEN 0.0 ELSE CAST(latin AS DOUBLE) / total END AS latin_ratio,
-           CASE WHEN total = 0 THEN 0.0 ELSE CAST(cyr AS DOUBLE) / total END AS cyrillic_ratio,
-           CASE WHEN total = 0 THEN 0.0 ELSE CAST(han AS DOUBLE) / total END AS han_ratio,
-           CASE WHEN total = 0 THEN 0.0 ELSE CAST(ar AS DOUBLE) / total END AS arabic_ratio,
+           $ratios,
            CASE WHEN total = 0 THEN 0.0 ELSE CAST(digits AS DOUBLE) / total END AS digit_ratio,
            CASE WHEN total = 0 THEN 'none'
-                WHEN latin >= cyr AND latin >= han AND latin >= ar
-                     AND latin > 0 THEN 'latin'
-                WHEN cyr >= han AND cyr >= ar AND cyr > 0 THEN 'cyrillic'
-                WHEN han >= ar AND han > 0 THEN 'han'
-                WHEN ar > 0 THEN 'arabic'
+                $chain
                 ELSE 'other' END AS script
-         FROM c""",
+         FROM c"""
+    },
 
     // mixture upsample: same rate table (10 capped at 8), same md5
     // fractional-epoch predicate, copies unrolled via range()

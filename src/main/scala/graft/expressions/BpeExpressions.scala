@@ -8,18 +8,25 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Exact greedy byte-pair encoding (the GPT-2 `encoder.py` algorithm,
-  * Sennrich et al. 2016), BYTE-LEVEL: a word starts as its UTF-8 bytes
-  * mapped through GPT-2's `bytes_to_unicode` alphabet (every byte a
-  * distinct printable one-char symbol); while any adjacent symbol pair
+  * Sennrich et al. 2016), BYTE-LEVEL and with GPT-2's OWN PRE-TOKENIZER:
+  * text first splits with the published pre-tokenizer regex
+  * (`'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|`
+  * `\s+(?!\S)|\s+` — [[preTokenize]] is a hand-rolled scanner with those
+  * exact semantics, leading space KEPT inside the pre-token); each
+  * pre-token then starts as its UTF-8 bytes mapped through GPT-2's
+  * `bytes_to_unicode` alphabet (every byte a distinct printable one-char
+  * symbol — a leading space becomes `Ġ`); while any adjacent symbol pair
   * appears in the merges table, the LOWEST-RANKED such pair is merged
   * at every non-overlapping occurrence left to right; the token count
   * is the surviving symbol count. Deterministic given the merges table,
   * and — unlike the regex approximation in `TextAnalysis.bpeTokens` —
-  * exact against any real merges file: because the alphabet is GPT-2's
-  * own, a public model's `merges.txt` drops in with identical counts on
-  * ALL text, non-ASCII included (a word like "café" starts as
-  * [c, a, f, Ã, ©] — its 5 UTF-8 bytes — exactly as the published
-  * tokenizer sees it).
+  * exact against a real model: because both the alphabet and the
+  * pre-tokenizer are GPT-2's own, a public model's `merges.txt` (whose
+  * dominant merges are `Ġ`-prefixed) drops in and fires exactly as in
+  * the published tokenizer, non-ASCII included (" café" seeds as
+  * [Ġ, c, a, f, Ã, ©]). The one deliberate deviation surface is
+  * Unicode-table skew between JVM and CPython category data for exotic
+  * code points; contractions are lowercase-only, as published.
   *
   * The merges table travels in the standard GPT-2 `merges.txt` line
   * format ("a b" per line, rank = line order, `#`-prefixed headers
@@ -29,6 +36,90 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingle set).
   */
 object BpeCodec {
+
+  /** The pre-tokenizer's `\s` — Python `regex` module whitespace
+    * (CPython ISSPACE): Unicode White_Space plus the 0x1C-0x1F
+    * separators. All members are BMP single-unit chars. */
+  def isPreWs(cp: Int): Boolean =
+    (cp >= 0x09 && cp <= 0x0D) || (cp >= 0x1C && cp <= 0x1F) ||
+      cp == 0x20 || cp == 0x85 || cp == 0xA0 || cp == 0x1680 ||
+      (cp >= 0x2000 && cp <= 0x200A) ||
+      cp == 0x2028 || cp == 0x2029 || cp == 0x202F || cp == 0x205F ||
+      cp == 0x3000
+
+  /** Run class for the ` ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+`
+    * alternations: 1 = letter, 2 = number (Nd/Nl/No), 3 = other. */
+  private def preCls(cp: Int): Int =
+    if (Character.isLetter(cp)) 1
+    else {
+      val t = Character.getType(cp)
+      if (t == Character.DECIMAL_DIGIT_NUMBER ||
+          t == Character.LETTER_NUMBER || t == Character.OTHER_NUMBER) 2
+      else 3
+    }
+
+  /** GPT-2's pre-tokenizer as a single left-to-right scan — semantics
+    * identical to `findall` of the published pattern:
+    *
+    *   - the lowercase contractions `'s 't 're 've 'm 'll 'd` match
+    *     first, with no boundary check (exactly as the regex does);
+    *   - a single literal space glues to a following letter / number /
+    *     punctuation run (` ?\p{L}+` etc. — the `Ġword` convention);
+    *   - a whitespace run followed by non-whitespace emits all but its
+    *     last character (the `\s+(?!\S)` backtrack), leaving the last
+    *     char to glue (if a space) or stand alone (any other \s);
+    *   - a trailing whitespace run is one pre-token.
+    *
+    * The pre-tokens partition the text exactly: concatenating them
+    * yields the input. Cross-checked against `java.util.regex` running
+    * the published lookahead pattern (BpeSpec property test). */
+  def preTokenize(text: String): ArrayBuffer[String] = {
+    val out = new ArrayBuffer[String]()
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      var matched = false
+      if (c == '\'' && i + 1 < n) {
+        val c1 = text.charAt(i + 1)
+        if (c1 == 's' || c1 == 't' || c1 == 'm' || c1 == 'd') {
+          out += text.substring(i, i + 2); i += 2; matched = true
+        } else if (i + 2 < n) {
+          val c2 = text.charAt(i + 2)
+          if ((c1 == 'r' && c2 == 'e') || (c1 == 'v' && c2 == 'e') ||
+              (c1 == 'l' && c2 == 'l')) {
+            out += text.substring(i, i + 3); i += 3; matched = true
+          }
+        }
+      }
+      if (!matched) {
+        if (c == ' ' && i + 1 < n && !isPreWs(text.codePointAt(i + 1))) {
+          // glued token: the literal space + the following class run
+          val k = preCls(text.codePointAt(i + 1))
+          var j = i + 1
+          var cp = 0
+          while (j < n && { cp = text.codePointAt(j)
+                            !isPreWs(cp) && preCls(cp) == k })
+            j += Character.charCount(cp)
+          out += text.substring(i, j); i = j
+        } else if (isPreWs(text.codePointAt(i))) {
+          var j = i
+          while (j < n && isPreWs(text.codePointAt(j))) j += 1 // BMP-only class
+          if (j < n && j - i > 1) { out += text.substring(i, j - 1); i = j - 1 }
+          else { out += text.substring(i, j); i = j }
+        } else {
+          val k = preCls(text.codePointAt(i))
+          var j = i
+          var cp = 0
+          while (j < n && { cp = text.codePointAt(j)
+                            !isPreWs(cp) && preCls(cp) == k })
+            j += Character.charCount(cp)
+          out += text.substring(i, j); i = j
+        }
+      }
+    }
+    out
+  }
 
   /** Parse a GPT-2 format merges table: one "left right" pair per line,
     * rank = position; blank and `#…` lines skipped. */
@@ -131,26 +222,24 @@ object BpeCodec {
   def encodeLen(word: String, ranks: java.util.HashMap[String, Integer]): Int =
     encodeSyms(word, ranks).length
 
-  /** Full tokenization of a whitespace-split text: every word's
+  /** Full tokenization of a text: every [[preTokenize]] pre-token's
     * surviving symbol strings, concatenated in order — the complete
     * GPT-2 encode (map through a vocab for ids). `cache` memoizes per
-    * distinct word, same posture as [[countTokens]]'s. */
+    * distinct pre-token, same posture as [[countTokens]]'s. */
   def encodeTokens(text: String, ranks: java.util.HashMap[String, Integer],
                    cache: java.util.HashMap[String, Array[String]]): Array[String] = {
-    val words = text.trim.split("\\s+")
+    val words = preTokenize(text)
     val out = new ArrayBuffer[String](words.length * 2)
     var i = 0
     while (i < words.length) {
       val w = words(i)
-      if (w.nonEmpty) {
-        var ts = cache.get(w)
-        if (ts == null) {
-          ts = encodeSyms(w, ranks).toArray
-          if (cache.size >= (1 << 16)) cache.clear() // bound task memory
-          cache.put(w, ts)
-        }
-        out ++= ts
+      var ts = cache.get(w)
+      if (ts == null) {
+        ts = encodeSyms(w, ranks).toArray
+        if (cache.size >= (1 << 16)) cache.clear() // bound task memory
+        cache.put(w, ts)
       }
+      out ++= ts
       i += 1
     }
     out.toArray
@@ -252,13 +341,13 @@ object BpeCodec {
     byteSymbols.toSeq.zipWithIndex ++
       merges.zipWithIndex.map { case ((a, b), r) => (a + b, 256 + r) }
 
-  /** Exact BPE token count of a whitespace-tokenized text: the sum of
-    * [[encodeLen]] over its words. `cache` memoizes per distinct word —
-    * corpus vocabularies repeat heavily, so the merge loop runs once per
-    * word type per task, not per occurrence. */
+  /** Exact BPE token count of a text: the sum of [[encodeLen]] over its
+    * [[preTokenize]] pre-tokens. `cache` memoizes per distinct
+    * pre-token — corpus vocabularies repeat heavily, so the merge loop
+    * runs once per pre-token type per task, not per occurrence. */
   def countTokens(text: String, ranks: java.util.HashMap[String, Integer],
                   cache: java.util.HashMap[String, Integer]): Long = {
-    val words = text.trim.split("\\s+")
+    val words = preTokenize(text)
     var total = 0L
     var i = 0
     while (i < words.length) {
@@ -311,7 +400,7 @@ case class BpeTokenCount(left: Expression, right: Expression)
 }
 
 /** `graft_bpe_tokens(text, mergesTable)` — the FULL exact BPE encode:
-  * every whitespace word's surviving symbol strings, concatenated in
+  * every GPT-2 pre-token's surviving symbol strings, concatenated in
   * document order (ARRAY<STRING> of GPT-2 byte-level tokens; map
   * through a vocab table for integer ids). Same greedy lowest-rank
   * semantics and per-task word cache as [[BpeTokenCount]] — and
@@ -401,4 +490,35 @@ case class BpeTokenIds(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
+}
+
+/** `graft_bpe_pretokens(text)` — GPT-2's pre-tokenizer alone
+  * ([[BpeCodec.preTokenize]]): the pre-token strings in document order
+  * (leading spaces kept — " world" is one pre-token), partitioning the
+  * input exactly. The unit the BPE trainer aggregates over, exposed so
+  * vocabulary analyses see the same segmentation the encoder uses. */
+case class BpePreTokens(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_pretokens"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs STRING text, got ${child.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(text: Any): Any = {
+    val ws = BpeCodec.preTokenize(text.asInstanceOf[UTF8String].toString)
+    val out = new Array[AnyRef](ws.length)
+    var i = 0
+    while (i < ws.length) { out(i) = UTF8String.fromString(ws(i)); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

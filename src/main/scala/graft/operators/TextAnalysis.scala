@@ -50,14 +50,16 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast(LongType)
 
   /** EXACT BPE token count under a real merges table (GPT-2 greedy-merge
-    * semantics — [[graft.expressions.BpeCodec]]): whitespace words ->
-    * byte-level symbols (GPT-2's bytes->unicode alphabet, so counts
-    * agree with the published tokenizer on all text, non-ASCII
-    * included) -> lowest-ranked adjacent pair merged (all occurrences,
-    * left-greedy) until fixpoint; count surviving symbols. The table
-    * rides the plan as a GPT-2-format string literal, so a public
-    * `merges.txt` drops in via [[bpeLoadMerges]]; [[bpeTrain]] learns
-    * one from a corpus slice. Scan-level, zero exchanges. */
+    * semantics — [[graft.expressions.BpeCodec]]): GPT-2 pre-tokens
+    * (the published pre-tokenizer regex, leading space KEPT — so the
+    * `Ġ`-prefixed merges that dominate a real merges.txt fire exactly
+    * as in the published tokenizer) -> byte-level symbols (GPT-2's
+    * bytes->unicode alphabet) -> lowest-ranked adjacent pair merged
+    * (all occurrences, left-greedy) until fixpoint; count surviving
+    * symbols. The table rides the plan as a GPT-2-format string
+    * literal, so a public `merges.txt` drops in via [[bpeLoadMerges]];
+    * [[bpeTrain]] learns one from a corpus slice. Scan-level, zero
+    * exchanges. */
   def bpeTokenCountExact(text: Column, merges: Seq[(String, String)]): Column =
     call_function("graft_bpe_count", text,
       lit(graft.expressions.BpeCodec.formatMerges(merges)))
@@ -86,10 +88,19 @@ object TextAnalysis {
   def bpeLoadMerges(content: String): Seq[(String, String)] =
     graft.expressions.BpeCodec.parseMerges(content).toSeq
 
+  /** GPT-2's pre-tokenizer alone ([[graft.expressions.BpeCodec
+    * .preTokenize]]): the pre-token strings of `text` in document
+    * order, leading spaces kept (" world" is ONE pre-token). The unit
+    * every exact-BPE operator and [[bpeTrain]] share. */
+  def bpePreTokens(text: Column): Column =
+    call_function("graft_bpe_pretokens", text)
+
   /** Learn a BPE merges table from a corpus slice (Sennrich et al. 2016
-    * training): start from GPT-2's byte-level symbols (the same
-    * bytes->unicode alphabet the encoder uses, so trained tables and
-    * public merges.txt files are interchangeable), repeatedly merge the
+    * training): aggregate GPT-2 pre-token frequencies ([[bpePreTokens]]
+    * — the same segmentation the encoder uses, leading spaces kept),
+    * seed each pre-token as GPT-2's byte-level symbols (the same
+    * bytes->unicode alphabet, so trained tables and public merges.txt
+    * files are interchangeable), repeatedly merge the
     * pair with the highest occurrence count weighted by word frequency
     * (lexicographically smallest pair on ties — fully deterministic),
     * stop at `numMerges` or when no pair repeats.
@@ -104,7 +115,7 @@ object TextAnalysis {
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
                maxWords: Int = 1 << 16): Seq[(String, String)] = {
     import graft.expressions.BpeCodec.splitByteLevel
-    val freqs = df.select(explode(tokens(col(textCol))).as("w"))
+    val freqs = df.select(explode(bpePreTokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc).limit(maxWords)
@@ -362,59 +373,84 @@ object TextAnalysis {
       .otherwise(best.getField("lang"))
   }
 
+  /** One-pass Unicode-script census — ARRAY<BIGINT> in the
+    * [[graft.expressions.ScriptCounts]] layout (total non-whitespace,
+    * the nine routed scripts, ASCII digits, kana). ONE native
+    * expression pass per row, replacing the per-class
+    * `regexp_replace`-strip sweep the router used to pay (the round-8
+    * q19 regression); the strip-arithmetic formulation remains the SQL
+    * mirror's definition and matches count-for-count. */
+  def scriptCounts(text: Column): Column =
+    call_function("graft_script_counts", text)
+
+  /** Element of a [[scriptCounts]] array by 0-based layout index. */
+  private def sc(c: Column, idx: Int): Column = element_at(c, idx + 1)
+
+  /** The routed scripts in dominance TIE ORDER (pinned by
+    * CurationOpsSpec): the original big-four first — their relative
+    * order is round-1-stable — then the round-9 additions in crawl
+    * volume order. Each entry: (label, counts index). The label
+    * capitalized is the script's regex class name on BOTH engines
+    * (Java `\p{IsLatin}` / RE2 `\p{Latin}`), which is what keeps the
+    * SQL mirror generatable from this ONE list. */
+  private[graft] val scriptOrder: Seq[(String, Int)] = {
+    import graft.expressions.ScriptCounts._
+    Seq("latin" -> Latin, "cyrillic" -> Cyrillic, "han" -> Han,
+      "arabic" -> Arabic, "hangul" -> Hangul, "devanagari" -> Devanagari,
+      "thai" -> Thai, "greek" -> Greek, "hebrew" -> Hebrew)
+  }
+
   /** Language guess, ROUTED BY SCRIPT first ([[scriptProfile]] — marker
     * words are script-specific, so running a Latin stopword argmax on
     * Han text can only ever say "und"): Latin-dominant text goes to the
     * [[langMarkers]] argmax, Cyrillic-dominant to [[cyrillicMarkers]],
-    * Han-dominant is "ja" when kana is present else "zh", Arabic-
-    * dominant is "ar". Zero marker hits inside a routed script return
-    * the BCP-47-style script-qualified undetermined tag ("und-Latn" /
-    * "und-Cyrl") — downstream filters drop on prefix "und". Unrouted
-    * scripts and whitespace-only text stay "und". Pure expression,
+    * Han-dominant is "ja" when kana is present else "zh", and the
+    * single-language scripts label directly — Arabic "ar", Hangul "ko",
+    * Devanagari "hi", Thai "th", Greek "el", Hebrew "he". Zero marker
+    * hits inside an argmax'd script return the BCP-47-style
+    * script-qualified undetermined tag ("und-Latn" / "und-Cyrl") —
+    * downstream filters drop on prefix "und". Unrouted scripts and
+    * whitespace-only text stay "und". ONE census pass + marker lookups,
     * scan-level, no shuffle. */
   def langId(text: Column): Column = graft.functions.bound(tokens(text)) { ws =>
-    graft.functions.bound(dominantScript(text)) { script =>
-      when(script === "latin", markerArgmax(ws, langMarkers, "und-Latn"))
-        .when(script === "cyrillic",
-          markerArgmax(ws, cyrillicMarkers, "und-Cyrl"))
-        .when(script === "han",
-          when(text.rlike("[\\p{IsHiragana}\\p{IsKatakana}]"), "ja")
-            .otherwise("zh"))
-        .when(script === "arabic", "ar")
-        .otherwise("und")
+    graft.functions.bound(scriptCounts(text)) { c =>
+      graft.functions.bound(dominanceOf(c)) { script =>
+        when(script === "latin", markerArgmax(ws, langMarkers, "und-Latn"))
+          .when(script === "cyrillic",
+            markerArgmax(ws, cyrillicMarkers, "und-Cyrl"))
+          .when(script === "han",
+            when(sc(c, graft.expressions.ScriptCounts.Kana) > 0, "ja")
+              .otherwise("zh"))
+          .when(script === "arabic", "ar")
+          .when(script === "hangul", "ko")
+          .when(script === "devanagari", "hi")
+          .when(script === "thai", "th")
+          .when(script === "greek", "el")
+          .when(script === "hebrew", "he")
+          .otherwise("und")
+      }
     }
   }
 
-  /** The dominance label from the four script counts — the ONE
+  /** The dominance label from a [[scriptCounts]] census — the ONE
     * definition [[scriptProfile]] and the langId router share, so the
     * tie order (pinned by CurationOpsSpec) can never live in two
-    * places. */
-  private def dominanceOf(total: Column, latin: Column, cyr: Column,
-                          han: Column, ar: Column): Column =
-    when(total === 0, "none")
-      .when(latin >= cyr && latin >= han && latin >= ar && latin > 0, "latin")
-      .when(cyr >= han && cyr >= ar && cyr > 0, "cyrillic")
-      .when(han >= ar && han > 0, "han")
-      .when(ar > 0, "arabic")
-      .otherwise("other")
-
-  /** The dominant-script label alone — [[scriptProfile]]'s `script`
-    * field with the digit-ratio pass elided (the getField can't prune
-    * it through the `bound` lambda, so the router pays one fewer regex
-    * sweep per row). Same counts, same [[dominanceOf]] chain. */
-  private def dominantScript(text: Column): Column =
-    graft.functions.bound(regexp_replace(text, "\\s", "")) { base =>
-      graft.functions.bound(length(base)) { total =>
-        def cnt(cls: String): Column =
-          total - length(regexp_replace(base, cls, ""))
-        graft.functions.bound(cnt("\\p{IsLatin}")) { latin =>
-        graft.functions.bound(cnt("\\p{IsCyrillic}")) { cyr =>
-        graft.functions.bound(cnt("\\p{IsHan}")) { han =>
-        graft.functions.bound(cnt("\\p{IsArabic}")) { ar =>
-          dominanceOf(total, latin, cyr, han, ar)
-        } } } }
-      }
+    * places: earlier [[scriptOrder]] entries win ties, a script must
+    * have > 0 chars to claim dominance, "none" for whitespace-only
+    * text, "other" when no routed script appears. */
+  private def dominanceOf(c: Column): Column = {
+    import graft.expressions.ScriptCounts.Total
+    val chain = scriptOrder.zipWithIndex.foldLeft(
+      when(sc(c, Total) === 0, "none")) {
+      case (acc, ((label, idx), i)) =>
+        val later = scriptOrder.drop(i + 1).map(_._2)
+        val cond = later.foldLeft(sc(c, idx) > 0) { (e, l) =>
+          e && sc(c, idx) >= sc(c, l)
+        }
+        acc.when(cond, label)
     }
+    chain.otherwise("other")
+  }
 
   // ---- PII scrubbing (training-data redaction) ----
   // Patterns restricted to the RE2-compatible subset (no backrefs, no
@@ -640,34 +676,30 @@ object TextAnalysis {
 
   /** Unicode-script profile — the router in front of any multilingual
     * pipeline (tokenizers, quality models and stopword lists are all
-    * script-specific; [[languageId]]'s marker words only work inside
+    * script-specific; [[langId]]'s marker words only work inside
     * Latin script). One struct column, expression-only: per-script
     * character ratios over the non-whitespace text (Latin, Cyrillic,
-    * Han, Arabic — the four highest-volume crawl scripts — plus ASCII
-    * digits) and a `script` label = the argmax with a fixed preference
-    * order on ties ("none" for whitespace-only text). Counts come from
-    * length-after-strip arithmetic on Unicode script classes (stable
-    * across the regex engines for all non-exotic codepoints), ratios are
-    * single IEEE divides over exact integer counts. */
+    * Han, Arabic, Hangul, Devanagari, Thai, Greek, Hebrew — the
+    * highest-volume crawl scripts — plus ASCII digits) and a `script`
+    * label = the argmax with a fixed preference order on ties ("none"
+    * for whitespace-only text). Counts come from ONE [[scriptCounts]]
+    * census pass (the SQL mirror keeps the equivalent
+    * length-after-strip arithmetic — same Unicode Script property,
+    * count-identical); ratios are single IEEE divides over exact
+    * integer counts. */
   def scriptProfile(text: Column): Column =
-    graft.functions.bound(regexp_replace(text, "\\s", "")) { base =>
-      graft.functions.bound(length(base)) { total =>
-        def cnt(cls: String): Column =
-          total - length(regexp_replace(base, cls, ""))
-        graft.functions.bound(cnt("\\p{IsLatin}")) { latin =>
-        graft.functions.bound(cnt("\\p{IsCyrillic}")) { cyr =>
-        graft.functions.bound(cnt("\\p{IsHan}")) { han =>
-        graft.functions.bound(cnt("\\p{IsArabic}")) { ar =>
-          val digits = cnt("[0-9]")
-          def ratio(c: Column): Column =
-            when(total === 0, 0.0).otherwise(c.cast(DoubleType) / total)
-          val dominant = dominanceOf(total, latin, cyr, han, ar)
-          struct(total.cast(LongType).as("n_chars"),
-            ratio(latin).as("latin_ratio"), ratio(cyr).as("cyrillic_ratio"),
-            ratio(han).as("han_ratio"), ratio(ar).as("arabic_ratio"),
-            ratio(digits).as("digit_ratio"), dominant.as("script"))
-        } } } }
+    graft.functions.bound(scriptCounts(text)) { c =>
+      import graft.expressions.ScriptCounts.{Digits, Total}
+      val total = sc(c, Total)
+      def ratio(idx: Int): Column =
+        when(total === 0, 0.0)
+          .otherwise(sc(c, idx).cast(DoubleType) / total.cast(DoubleType))
+      val scriptRatios = scriptOrder.map { case (label, idx) =>
+        ratio(idx).as(s"${label}_ratio")
       }
+      struct((total.as("n_chars") +: scriptRatios) ++ Seq(
+        ratio(Digits).as("digit_ratio"),
+        dominanceOf(c).as("script")): _*)
     }
 
   /** Canonical URL normalization — the key a crawl dedups on ("the same

@@ -6,18 +6,100 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.expressions.BpeCodec
 
-/** Exact BPE: greedy lowest-rank merging over GPT-2's BYTE-LEVEL
-  * alphabet (bytes_to_unicode — hand-checked pins against the published
-  * table so a public merges.txt gives identical counts on all text),
-  * GPT-2 merges-file format round-trip, deterministic training, and the
-  * canonical-table pin that keeps the embedded q84 table equal to what
-  * the trainer produces on the corpus. */
+/** Exact BPE: GPT-2's pre-tokenizer (property-checked against a
+  * java.util.regex rendition of the PUBLISHED lookahead pattern, plus
+  * a published-model subset pin), greedy lowest-rank merging over
+  * GPT-2's BYTE-LEVEL alphabet (bytes_to_unicode — hand-checked pins
+  * against the published table), GPT-2 merges-file format round-trip,
+  * deterministic training, and the canonical-table pin that keeps the
+  * embedded q84 table equal to what the trainer produces on the
+  * corpus. */
 class BpeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private def count(text: String, merges: Seq[(String, String)]): Long =
     BpeCodec.countTokens(text,
       BpeCodec.ranksOf(merges.toArray), new java.util.HashMap[String, Integer]())
+
+  // ---- the published GPT-2 pre-tokenizer, verbatim as a Java regex
+  //      (Java supports the (?!\S) lookahead RE2 lacks): \s/\S spelled
+  //      as the explicit Python-regex whitespace class so the reference
+  //      is engine-independent. \p{L}/\p{N} are Unicode in Java.
+  private val WS = "\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\u1680" +
+    "\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000"
+  private val Gpt2Pattern = java.util.regex.Pattern.compile(
+    s"'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^$WS\\p{L}\\p{N}]+|" +
+      s"[$WS]+(?![^$WS])|[$WS]+")
+
+  private def refPreTokenize(text: String): Seq[String] = {
+    val m = Gpt2Pattern.matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
+  test("preTokenize == the published GPT-2 pre-tokenizer regex " +
+    "(lookahead included) on hand cases, fixture text and 20k random " +
+    "strings; pre-tokens partition the input exactly") {
+    val hand = Seq(
+      "", " ", "   ", "hello world", "Hello, world!",
+      "it's isn't we're I'll you've I'm he'd", "don'x 'status '",
+      "a  b", "a   b", "a\t b", "a \tb", "x\n\ny", "trailing  ",
+      "  leading", "  'll 's", "x 't", "!!'s", "price: $5.99!",
+      "многоязычный текст 123", "敏捷的狐狸 34", "tab\tsep", "a 　 b",
+      "'s's's", "CRLF\r\nline", "mix  \t x")
+    for (c <- hand) {
+      val got = BpeCodec.preTokenize(c).toSeq
+      assert(got == refPreTokenize(c), s"on <$c>")
+      assert(got.mkString == c, s"partition of <$c>")
+    }
+    val docs = graft.Tables(spark, TestSpark.sfDir, "documents").limit(50)
+      .select("text").collect().map(_.getString(0))
+    for (t <- docs) {
+      assert(BpeCodec.preTokenize(t).toSeq == refPreTokenize(t))
+      assert(BpeCodec.preTokenize(t).mkString == t)
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab c.!'stre\tll\nд文ا5 ０๙한हεא "
+    for (_ <- 0 until 20000) {
+      val s = Seq.fill(rnd.nextInt(24))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+      assert(BpeCodec.preTokenize(s).toSeq == refPreTokenize(s), s"on <$s>")
+    }
+  }
+
+  test("the leading-space convention: ' world' is ONE pre-token and " +
+    "seeds as Ġ-prefixed symbols, so a real model's Ġ merges can fire") {
+    assert(BpeCodec.preTokenize("hello world").toSeq ==
+      Seq("hello", " world"))
+    val cache = new java.util.HashMap[String, Array[String]]()
+    // PUBLISHED-MODEL SUBSET PIN: the first seven merges of GPT-2's own
+    // merges.txt ("Ġ t","Ġ a","h e","i n","r e","o n","Ġt he") and the
+    // vocab facts they induce — byte tokens sit at
+    // (byte's position in the printable-then-shifted alphabet), so
+    // "t" = 0x74 - 0x21 = 83, and the famous "Ġt"=256, "Ġthe"=262
+    // (id = 256 + merge rank for the first merges). "the the" must
+    // therefore encode to [83, 258, 262]: "the" -> [t, he] (merge
+    // rank 2 only), " the" -> Ġt -> Ġt,he -> Ġthe (ranks 0, 2, 6).
+    val gpt2head = Seq(("Ġ", "t"), ("Ġ", "a"), ("h", "e"), ("i", "n"),
+      ("r", "e"), ("o", "n"), ("Ġt", "he"))
+    val toks = BpeCodec.encodeTokens("the the",
+      BpeCodec.ranksOf(gpt2head.toArray), cache)
+    assert(toks.toSeq == Seq("t", "he", "Ġthe"), toks.toSeq)
+    import spark.implicits._
+    val ids = Seq("the the").toDF("t").select(
+      TextAnalysis.bpeIdsExact(col("t"), gpt2head,
+        Seq("t" -> 83, "he" -> 258, "Ġthe" -> 262))).head().getSeq[Int](0)
+    assert(ids == Seq(83, 258, 262))
+  }
+
+  test("graft_bpe_pretokens (the expression) == the codec scanner") {
+    val docs = graft.Tables(spark, TestSpark.sfDir, "documents").limit(40)
+    val rows = docs.select(col("text"),
+      TextAnalysis.bpePreTokens(col("text")).as("p")).collect()
+    for (r <- rows)
+      assert(r.getSeq[String](1) == BpeCodec.preTokenize(r.getString(0)).toSeq)
+  }
 
   test("greedy merge follows rank order, not text order") {
     // rank 0 (b,c) fires before (a,b) even though (a,b) appears first:
@@ -40,11 +122,17 @@ class BpeSpec extends AnyFunSuite {
     assert(count("xyz", m) == 3) // untouched: one token per code point
   }
 
-  test("whitespace words encode independently; empty text is 0 tokens") {
+  test("pre-tokens encode independently; whitespace is tokenized like " +
+    "the published encoder (glue spaces ride the word, runs survive)") {
     val m = Seq(("a", "b"))
-    assert(count("ab ab  ab", m) == 3)
+    // "ab ab  ab" pre-tokenizes to [ab, ␣ab, ␣, ␣ab]: the (a,b) merge
+    // fires in every word; glued spaces seed as Ġ (1 token each), and
+    // the two-space run contributes its lookahead-split lone space
+    assert(count("ab ab  ab", m) == 1 + 2 + 1 + 2)
+    assert(count("ab ab  ab", Seq(("a", "b"), ("Ġ", "ab"))) == 1 + 1 + 1 + 1)
     assert(count("", m) == 0L)
-    assert(count("   ", m) == 0L)
+    assert(count("   ", m) == 3L) // one trailing-run pre-token, 3 Ġ bytes
+    assert(count("   ", Seq(("Ġ", "Ġ"))) == 2L) // [ĠĠ, Ġ]
   }
 
   test("BYTE-level alphabet: words seed as UTF-8 bytes mapped through " +
@@ -92,10 +180,10 @@ class BpeSpec extends AnyFunSuite {
         .head().getLong(0)
     }
     assert(counts == counts.sorted.reverse, counts)
-    val bytes = docs
-      .agg(sum(expr("octet_length(regexp_replace(text, '\\\\s+', ''))")))
-      .head().getLong(0)
-    assert(counts.head == bytes) // k=0: every non-space UTF-8 byte a token
+    // k=0: pre-tokens PARTITION the text (whitespace included), so every
+    // UTF-8 byte is exactly one seed token
+    val bytes = docs.agg(sum(expr("octet_length(text)"))).head().getLong(0)
+    assert(counts.head == bytes)
     assert(counts.last < counts.head) // the table actually compresses
   }
 
@@ -114,7 +202,8 @@ class BpeSpec extends AnyFunSuite {
       BpeCodec.encodeTokens(text, BpeCodec.ranksOf(merges.toArray), cache).toSeq
     }
     val m = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
-    assert(toks("lower low xyz", m) == Seq("low", "er", "low", "x", "y", "z"))
+    assert(toks("lower low xyz", m) ==
+      Seq("low", "er", "Ġ", "low", "Ġ", "x", "y", "z"))
     assert(toks("", m).isEmpty)
     // byte-level: café's accent stays two byte symbols absent a merge
     assert(toks("café", Nil) == Seq("c", "a", "f", "Ã", "©"))
@@ -148,11 +237,12 @@ class BpeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](BpeCodec.parseVocabJson("{\"a\" 1}"))
     intercept[IllegalArgumentException](BpeCodec.parseVocabJson("[1,2]"))
     // the expression maps tokens positionally; unvocabed tokens read -1
+    // (the glue-space Ġ tokens are deliberately left out of this vocab)
     val m = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
     val ids = Seq("lower low zz").toDF("t").select(
       TextAnalysis.bpeIdsExact(col("t"), m,
         Seq("low" -> 7, "er" -> 8, "z" -> 9))).head().getSeq[Int](0)
-    assert(ids == Seq(7, 8, 7, 9, 9))
+    assert(ids == Seq(7, 8, -1, 7, -1, 9, 9))
     // canonicalVocab(merges) covers every token the merges can emit:
     // zero unknowns across the corpus
     val table = graft.SparkEntry.bpeCanonicalMerges

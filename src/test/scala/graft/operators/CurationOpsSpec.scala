@@ -26,6 +26,11 @@ class CurationOpsSpec extends AnyFunSuite {
       "cyrillic" -> "быстрая лисица",
       "han" -> "敏捷的狐狸",
       "arabic" -> "الثعلب السريع",
+      "hangul" -> "빠른 여우",
+      "devanagari" -> "तेज लोमड़ी",
+      "thai" -> "สุนัขจิ้งจอก",
+      "greek" -> "γρήγορη αλεπού",
+      "hebrew" -> "השועל המהיר",
       "mixed" -> "hello мир 123",
       "digits" -> "1234 5678",
       "blank" -> "   \n\t ",
@@ -34,37 +39,41 @@ class CurationOpsSpec extends AnyFunSuite {
       .select(col("id"), TextAnalysis.scriptProfile(col("text")).as("p"))
       .select(col("id"), col("p.*"))
       .collect().map(r => r.getString(0) -> r).toMap
+    val fields = Seq(
+      "latin_ratio" -> UnicodeScript.LATIN,
+      "cyrillic_ratio" -> UnicodeScript.CYRILLIC,
+      "han_ratio" -> UnicodeScript.HAN,
+      "arabic_ratio" -> UnicodeScript.ARABIC,
+      "hangul_ratio" -> UnicodeScript.HANGUL,
+      "devanagari_ratio" -> UnicodeScript.DEVANAGARI,
+      "thai_ratio" -> UnicodeScript.THAI,
+      "greek_ratio" -> UnicodeScript.GREEK,
+      "hebrew_ratio" -> UnicodeScript.HEBREW)
     for ((id, text) <- texts) {
       val base = text.filterNot(_.isWhitespace)
-      def n(s: UnicodeScript) = base.count(c => UnicodeScript.of(c) == s)
       val r = got(id)
-      assert(r.getLong(1) == base.length, s"$id n_chars")
+      assert(r.getAs[Long]("n_chars") == base.length, s"$id n_chars")
       if (base.nonEmpty) {
-        assert(r.getDouble(2) == n(UnicodeScript.LATIN).toDouble / base.length,
-          s"$id latin")
-        assert(r.getDouble(3) ==
-          n(UnicodeScript.CYRILLIC).toDouble / base.length, s"$id cyr")
-        assert(r.getDouble(4) == n(UnicodeScript.HAN).toDouble / base.length,
-          s"$id han")
-        assert(r.getDouble(5) == n(UnicodeScript.ARABIC).toDouble / base.length,
-          s"$id ar")
-        assert(r.getDouble(6) ==
+        for ((f, s) <- fields)
+          assert(r.getAs[Double](f) ==
+            base.count(c => UnicodeScript.of(c) == s).toDouble / base.length,
+            s"$id $f")
+        assert(r.getAs[Double]("digit_ratio") ==
           base.count(c => c >= '0' && c <= '9').toDouble / base.length,
           s"$id digits")
       }
     }
-    assert(got("latin").getString(7) == "latin")
-    assert(got("cyrillic").getString(7) == "cyrillic")
-    assert(got("han").getString(7) == "han")
-    assert(got("arabic").getString(7) == "arabic")
-    assert(got("mixed").getString(7) == "latin") // 5+3 latin > 3 cyrillic
-    assert(got("digits").getString(7) == "other") // no script chars at all
-    assert(got("blank").getString(7) == "none")
-    assert(got("empty").getString(7) == "none")
+    for (id <- Seq("latin", "cyrillic", "han", "arabic", "hangul",
+        "devanagari", "thai", "greek", "hebrew"))
+      assert(got(id).getAs[String]("script") == id, id)
+    assert(got("mixed").getAs[String]("script") == "latin") // 5+3 latin > 3 cyr
+    assert(got("digits").getAs[String]("script") == "other") // no script chars
+    assert(got("blank").getAs[String]("script") == "none")
+    assert(got("empty").getAs[String]("script") == "none")
   }
 
   test("langId routes by script: per-script marker argmax, Han kana " +
-    "split, script-qualified und fallbacks") {
+    "split, single-language script labels, script-qualified und fallbacks") {
     val cases = Seq(
       // latin argmax (en markers hit), and a markerless latin text
       "the quick brown fox and the dog" -> "en",
@@ -77,8 +86,16 @@ class CurationOpsSpec extends AnyFunSuite {
       // han: kana present -> ja, pure kanji -> zh
       "敏捷的狐狸跳过了懒狗" -> "zh",
       "素早い狐が犬を飛び越えた" -> "ja",
-      // arabic is script-labeled, no marker list needed
+      // single-language scripts label directly, no marker list needed
       "الثعلب السريع يقفز" -> "ar",
+      "빠른 여우가 게으른 개를 뛰어넘는다" -> "ko",
+      "तेज लोमड़ी कूदती है" -> "hi",
+      "สุนัขจิ้งจอกกระโดดเร็ว" -> "th",
+      "η γρήγορη αλεπού πηδά ψηλά" -> "el",
+      "השועל המהיר קופץ מעל הכלב" -> "he",
+      // dominance ties resolve by the pinned script order: 2 chars each
+      // of hangul vs thai -> the earlier entry (hangul) wins
+      "빠른 สุ" -> "ko",
       // unrouted: whitespace-only and digit-only
       "   " -> "und",
       "12345 678" -> "und")
