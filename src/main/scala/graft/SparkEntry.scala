@@ -1656,7 +1656,8 @@ object SparkEntry {
     "'<!DOCTYPE html><html><head><title>Doc ' || doc_id || '</title>" +
       "<style>p { color: red }</style><script>if (1<2) { x = \"a&amp;b\"; }</script></head>" +
       "<body><!-- page ' || doc_id || ' --><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
-      "<a href=\"/b\">More &amp; more</a></nav><h1>Doc ' || doc_id || " +
+      "<a href=\"/b\">More &amp; more</a> " +
+      "<a href=''/s?a=1&amp;b=2''>S</a> <a href=/u/plain>U</a></nav><h1>Doc ' || doc_id || " +
       "' &quot;caf&#233; r&#xE9;sum&#xE9;&quot; &bogus; &#1114112;</h1><p>' || " +
       "regexp_replace(text, ' table ', '</p><p>', 'g') || '</p><p>tiny</p>" +
       "<![CDATA[ raw junk 1<2 ]]><footer><a href=\"/terms\">Terms</a> &copy; " +
@@ -3128,15 +3129,20 @@ object SparkEntry {
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM lg GROUP BY 1""",
 
-    // link harvest: same chrome-strip + href regex + entity decode,
-    // then the q120 canonical chain over the exploded hrefs
+    // link harvest: same chrome-strip + three-quoting-style href regex
+    // (the quoted forms strip their delimiters) + entity decode, then
+    // the q120 canonical chain over the exploded hrefs
     "q128_html_links" ->
       s"""WITH pages AS (SELECT doc_id, $H_PAGE AS html FROM documents),
          lraw AS (SELECT doc_id,
              unnest(regexp_extract_all(${H_CHROME("html")},
-               '(?is)<a\\b[^>]*?href\\s*=\\s*"([^"]*)"', 1)) AS href
+               '(?is)<a\\b[^>]*?href[ \\t\\n\\x0B\\f\\r]*=[ \\t\\n\\x0B\\f\\r]*("[^"]*"|''[^'']*''|[^ \\t\\n\\x0B\\f\\r"''>]+)', 1)) AS v
            FROM pages),
-         ldec AS (SELECT ${H_DECODE("href")} AS u FROM lraw),
+         lstr AS (SELECT doc_id,
+             CASE WHEN v LIKE '"%' OR v LIKE '''%'
+                  THEN substr(v, 2, length(v) - 2) ELSE v END AS href
+           FROM lraw),
+         ldec AS (SELECT ${H_DECODE("href")} AS u FROM lstr),
          s0 AS (SELECT regexp_replace(u, '#.*', '') AS s FROM ldec),
          s1 AS (SELECT lower(regexp_extract(s,
                     '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', 0))

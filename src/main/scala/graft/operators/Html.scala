@@ -177,20 +177,26 @@ object Html {
     array_join(transform(kept, _.getField("text")), "\n")
   }
 
-  /** Hyperlink harvest — the crawl-frontier extraction: every DOUBLE-
-    * QUOTED href value of an `<a>` tag, in document order, entity-
-    * decoded (`href="a&amp;b"` is the URL `a&b`). Chrome is stripped
-    * first so links inside comments/scripts never leak into the
-    * frontier. Tag-level, not anchor-closure-level: an unclosed `<a
-    * href="x">` still contributes its href (its TEXT is what loses link
-    * status, see [[extractText]]). Compose with
+  /** Hyperlink harvest — the crawl-frontier extraction: every href
+    * value of an `<a>` tag in ALL THREE legal quoting styles
+    * (`href="…"`, `href='…'`, and unquoted `href=…` running to the
+    * first whitespace / quote / `>`), in document order, entity-decoded
+    * (`href="a&amp;b"` is the URL `a&b`). Chrome is stripped first so
+    * links inside comments/scripts never leak into the frontier.
+    * Tag-level, not anchor-closure-level: an unclosed `<a href="x">`
+    * still contributes its href (its TEXT is what loses link status,
+    * see [[extractText]]). Whitespace around `=` is the explicit
+    * Java-`\s` class, RE2-identical by construction. Compose with
     * `TextAnalysis.canonicalUrl` + the domain blocklist for the full
     * frontier pipeline. */
-  def links(html: Column): Column =
-    transform(
-      regexp_extract_all(stripChrome(html),
-        lit("(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\""), lit(1)),
-      h => decodeEntities(h))
+  def links(html: Column): Column = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]"
+    val raw = regexp_extract_all(stripChrome(html),
+      lit(s"(?is)<a\\b[^>]*?href$ws*=$ws*" +
+        "(\"[^\"]*\"|'[^']*'|[^ \\t\\n\\x0B\\f\\r\"'>]+)"), lit(1))
+    transform(raw, v => decodeEntities(
+      when(v.rlike("^[\"']"), v.substr(lit(2), length(v) - 2)).otherwise(v)))
+  }
 
   /** Deterministic HTML-page fixture over the documents table: wraps
     * each doc's text in a realistic page — head with title/style/script
@@ -208,7 +214,9 @@ object Html {
         "<script>if (1<2) { x = \"a&amp;b\"; }</script></head>" +
         "<body><!-- page "), col("doc_id"),
       lit(" --><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
-        "<a href=\"/b\">More &amp; more</a></nav><h1>Doc "), col("doc_id"),
+        "<a href=\"/b\">More &amp; more</a> " +
+        "<a href='/s?a=1&amp;b=2'>S</a> <a href=/u/plain>U</a></nav><h1>Doc "),
+      col("doc_id"),
       lit(" &quot;caf&#233; r&#xE9;sum&#xE9;&quot; &bogus; &#1114112;</h1><p>"),
       body,
       lit("</p><p>tiny</p><![CDATA[ raw junk 1<2 ]]>" +

@@ -294,7 +294,7 @@ object Warc {
   def ensurePagesFixture(spark: SparkSession, sfDir: String,
                          files: Int = 4): String = synchronized {
     val tag = new File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-    val root = new File(sys.props("java.io.tmpdir"), s"graft_warc_v2_$tag")
+    val root = new File(sys.props("java.io.tmpdir"), s"graft_warc_v3_$tag")
     val marker = new File(root, ".complete")
     if (marker.isFile) return root.getPath
     import org.apache.spark.sql.functions._

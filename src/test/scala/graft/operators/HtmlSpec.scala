@@ -136,7 +136,8 @@ class HtmlSpec extends AnyFunSuite {
   }
 
   test("links(): hrefs in document order, entity-decoded, never from " +
-    "chrome; unclosed anchors still contribute their href") {
+    "chrome; unclosed anchors still contribute their href; all three " +
+    "quoting styles harvested") {
     import spark.implicits._
     def links(s: String): Seq[String] =
       Seq(s).toDF("h").select(Html.links(col("h"))).head().getSeq[String](0)
@@ -146,8 +147,19 @@ class HtmlSpec extends AnyFunSuite {
       "<p><a href=\"/open\">unclosed anchor" // no </a>, swallowed tag ok
     assert(links(html) == Seq("/", "/a?x=1&y=2", "/open"))
     assert(links("<p>no anchors at all</p>").isEmpty)
-    // single-quoted hrefs are outside the declared contract: not harvested
-    assert(links("<a href='/sq'>x</a>").isEmpty)
+    // single-quoted: harvested, quotes stripped, entities decoded; a
+    // double quote inside single quotes is part of the value
+    assert(links("<a href='/sq?a=1&amp;b=2'>x</a>") == Seq("/sq?a=1&b=2"))
+    assert(links("<a href='/q\"v'>x</a>") == Seq("/q\"v"))
+    // unquoted: runs to whitespace or '>'; whitespace around '=' is fine
+    assert(links("<a href=/u/plain>x</a> <a href = \"/w\">y</a>") ==
+      Seq("/u/plain", "/w"))
+    assert(links("<a href=/u/stop next=1>x</a>") == Seq("/u/stop"))
+    // empty quoted value survives as the empty string (caller filters)
+    assert(links("<a href=\"\">x</a><a href=''>y</a>") == Seq("", ""))
+    // mixed styles keep document order
+    assert(links("<a href='/1'>a</a><a href=/2>b</a><a href=\"/3\">c</a>") ==
+      Seq("/1", "/2", "/3"))
   }
 
   test("plan: pure projection over the scan — no exchange, no UDF") {
