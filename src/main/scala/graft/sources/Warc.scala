@@ -61,22 +61,31 @@ object Warc {
     Some(new String(bytes, 0, n, StandardCharsets.ISO_8859_1))
   }
 
-  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+  /** Read up to `n` bytes; returns the buffer and how many actually
+    * arrived (short only at EOF). */
+  private def readUpTo(in: InputStream, n: Int): (Array[Byte], Int) = {
     val out = new Array[Byte](n)
     var off = 0
     while (off < n) {
       val k = in.read(out, off, n - off)
-      if (k < 0) throw new EOFException(s"payload truncated at $off/$n")
+      if (k < 0) return (out, off)
       off += k
     }
-    out
+    (out, n)
   }
 
   /** Streaming record iterator over a (possibly multi-member gzip)
     * WARC stream. Blank lines between records are skipped; a version
     * line other than WARC/0.x-1.x fails loudly (a corrupt offset never
-    * silently resyncs). */
-  def readRecords(raw: InputStream): Iterator[Record] = new Iterator[Record] {
+    * silently resyncs), as do a duplicate or non-numeric Content-Length
+    * (either can silently desynchronize the stream into a confusing
+    * error far from the cause). A payload cut short by EOF throws
+    * unless `tolerateTruncation` — then the partial record is emitted
+    * with a `warc-truncated: length` header (ISO 28500's reason code
+    * for length cuts) so the damage is visible, not silent. */
+  def readRecords(raw: InputStream,
+                  tolerateTruncation: Boolean = false): Iterator[Record] =
+    new Iterator[Record] {
     private val in = new BufferedInputStream(raw, 1 << 16)
     private var nextRec: Record = _
     private var eof = false
@@ -93,20 +102,33 @@ object Warc {
           while (h.nonEmpty) {
             val i = h.indexOf(':')
             if (i <= 0) throw WarcError(s"malformed header line '$h'")
-            headers += (h.substring(0, i).trim.toLowerCase ->
-              h.substring(i + 1).trim)
+            val k = h.substring(0, i).trim.toLowerCase
+            if (k == "content-length" && headers.contains(k))
+              throw WarcError("duplicate Content-Length header — refusing " +
+                "to guess which one frames the payload")
+            headers += (k -> h.substring(i + 1).trim)
             h = readLine(in).getOrElse(throw WarcError("EOF in headers"))
           }
-          val lenL = headers.getOrElse("content-length",
-            throw WarcError("record without Content-Length")).toLong
+          val lenStr = headers.getOrElse("content-length",
+            throw WarcError("record without Content-Length"))
+          val lenL = lenStr.toLongOption.getOrElse(
+            throw WarcError(s"bad Content-Length '$lenStr'"))
           if (lenL < 0) throw WarcError(s"negative Content-Length $lenL")
           // one record materializes in task memory: bound it loudly (a
           // >2 GB record also can't be a JVM byte array)
           if (lenL > (Int.MaxValue - 8).toLong) throw WarcError(
             s"record Content-Length $lenL exceeds the single-record bound " +
               "(records materialize per task; split oversized payloads upstream)")
-          nextRec = Record(headers + ("warc-version" -> v),
-            readFully(in, lenL.toInt))
+          val (buf, got) = readUpTo(in, lenL.toInt)
+          if (got < lenL && !tolerateTruncation)
+            throw new EOFException(s"payload truncated at $got/$lenL")
+          val hs = headers + ("warc-version" -> v)
+          nextRec =
+            if (got < lenL)
+              Record(hs + ("warc-truncated" ->
+                headers.getOrElse("warc-truncated", "length")),
+                java.util.Arrays.copyOf(buf, got))
+            else Record(hs, buf)
         case Some(other) =>
           throw WarcError(s"expected WARC/ version line, got '${other.take(40)}'")
       }
@@ -120,12 +142,14 @@ object Warc {
   }
 
   /** Split an `application/http` payload into (status, body): the HTTP
-    * header block ends at the first CRLFCRLF — or bare LFLF, which
+    * header block ends at the first CRLFCRLF — or bare LFLF, or the
+    * mixed LF+CRLF form ("…\nX: y\n\r\nbody"), all of which
     * noncompliant servers in every large crawl emit and whose verbatim
-    * bytes WARC preserves (an LF-only page must not silently become an
-    * empty document). The status code is the second token of the status
-    * line. A payload without any terminator is all headers (empty
-    * body); a non-HTTP payload is all body (null status). */
+    * bytes WARC preserves (an LF-terminated header block must not
+    * silently become an empty document). The status code is the second
+    * token of the status line. A payload without any terminator is all
+    * headers (empty body); a non-HTTP payload is all body (null
+    * status). */
   private[sources] def httpSplit(contentType: String,
                                  payload: Array[Byte]): (Option[Int], Array[Byte]) = {
     if (contentType == null || !contentType.startsWith("application/http"))
@@ -138,6 +162,9 @@ object Warc {
         payload(i + 1) == '\n' &&
         payload(i + 2) == '\r' && payload(i + 3) == '\n') {
         split = i; sepLen = 4
+      } else if (payload(i) == '\n' && i + 2 < payload.length &&
+        payload(i + 1) == '\r' && payload(i + 2) == '\n') {
+        split = i; sepLen = 3
       } else if (payload(i) == '\n' && payload(i + 1) == '\n') {
         split = i; sepLen = 2
       }
@@ -160,15 +187,23 @@ object Warc {
     StructField("warc_date", StringType),
     StructField("content_type", StringType),
     StructField("http_status", IntegerType),
+    StructField("warc_truncated", StringType),
     StructField("body", BinaryType),
     StructField("Path", StringType, nullable = false),
     StructField("File", StringType, nullable = false)))
 
   /** Distributed WARC scan: one executor task per matched file, records
     * parsed off the stream (gzip sniffed by magic bytes), `response`
-    * HTTP payloads split into status + document body. */
+    * HTTP payloads split into status + document body. `warc_truncated`
+    * surfaces the WARC-Truncated reason code (crawler-declared cuts —
+    * Common Crawl stamps `length` on its 1 MB captures); with
+    * `tolerateTruncation` a file that ENDS mid-payload also yields its
+    * partial last record flagged `length` instead of killing the task —
+    * the read-what-survives mode for damaged archives. Default remains
+    * fail-loud. */
   def readWarc(spark: SparkSession, pattern: String,
-               maxFileBytes: Long = 4L << 30): DataFrame = {
+               maxFileBytes: Long = 4L << 30,
+               tolerateTruncation: Boolean = false): DataFrame = {
     val p = new Path(pattern)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stats = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
@@ -203,7 +238,7 @@ object Warc {
           Option(org.apache.spark.TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ => closeQuietly()))
           val fname = new File(hp.toUri.getPath).getName
-          val base = readRecords(in)
+          val base = readRecords(in, tolerateTruncation)
           val records = new Iterator[Record] {
             override def hasNext: Boolean = {
               val h = base.hasNext
@@ -218,7 +253,9 @@ object Warc {
             Row(r.headers.getOrElse("warc-type", null),
               r.headers.getOrElse("warc-target-uri", null),
               r.headers.getOrElse("warc-date", null),
-              ct, status.map(Int.box).orNull, body, pathStr, fname)
+              ct, status.map(Int.box).orNull,
+              r.headers.getOrElse("warc-truncated", null),
+              body, pathStr, fname)
           }
         }
       }
@@ -229,12 +266,24 @@ object Warc {
 
   /** Serialize `response` records (uri, date, html body) into one WARC
     * byte stream (spec layout: version line, headers, CRLF, payload,
-    * CRLFCRLF). The HTTP message wraps the body with a 200 status. */
+    * CRLFCRLF). The HTTP message wraps the body with a 200 status.
+    * The uri and date land VERBATIM inside header lines, so control
+    * characters in them would corrupt record framing (a CR/LF pair ends
+    * the header block early) or inject headers that override
+    * Content-Length on read — both fail loudly here instead, matching
+    * the reader's no-silent-resync posture. */
   private[sources] def renderResponses(
       recs: Iterator[(String, String, Array[Byte])]): Array[Byte] = {
     val out = new ByteArrayOutputStream(1 << 16)
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def clean(v: String, what: String): Unit = {
+      if (v == null) throw WarcError(s"null WARC $what")
+      if (v.exists(Character.isISOControl)) throw WarcError(
+        s"control character in WARC $what '${v.take(60)}' — would corrupt " +
+          "record framing / inject headers; sanitize upstream")
+    }
     for ((uri, date, body) <- recs) {
+      clean(uri, "Target-URI"); clean(date, "Date")
       val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
         "charset=utf-8\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1)
       val payloadLen = http.length + body.length
@@ -260,7 +309,14 @@ object Warc {
     * bound, like the JSONL writer's); each shard streams through ONE
     * gzip member written inside its own executor task — the driver
     * never sees a record. `date` is caller-provided (a corpus export is
-    * stamped once, not per-JVM-clock). */
+    * stamped once, not per-JVM-clock).
+    *
+    * Commit protocol: each task writes an attempt-unique
+    * `.part-NNNNN.attempt-M.tmp` and RENAMES it into place on success —
+    * a task that dies mid-write leaves only a dot-ignored temp (cleaned
+    * on its own failure path), never a truncated shard, and a retried /
+    * speculative attempt replaces the shard atomically instead of
+    * interleaving bytes with a concurrent writer. */
   def writeWarc(df: DataFrame, uriCol: String, bodyCol: String,
                 path: String, files: Int, date: String): Unit = {
     require(files >= 1, s"files must be >= 1, got $files")
@@ -274,14 +330,24 @@ object Warc {
       .repartition(files, pmod(xxhash64(col("u")), lit(files.toLong)))
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
           val shard = new Path(path, f"part-$pid%05d.warc.gz")
+          val tmp = new Path(path,
+            f".part-$pid%05d.attempt-${tc.taskAttemptId()}%d.tmp")
           val fs = shard.getFileSystem(TaskConf.rebuild(confEntries))
-          val os = new GZIPOutputStream(fs.create(shard, true), 1 << 16)
-          try it.foreach { r =>
-            os.write(renderResponses(Iterator((r.getString(0), date,
-              r.getString(1).getBytes(StandardCharsets.UTF_8)))))
-          } finally os.close()
+          var committed = false
+          try {
+            val os = new GZIPOutputStream(fs.create(tmp, true), 1 << 16)
+            try it.foreach { r =>
+              os.write(renderResponses(Iterator((r.getString(0), date,
+                r.getString(1).getBytes(StandardCharsets.UTF_8)))))
+            } finally os.close()
+            if (fs.exists(shard)) fs.delete(shard, false)
+            if (!fs.rename(tmp, shard))
+              throw WarcError(s"could not commit $tmp -> $shard")
+            committed = true
+          } finally if (!committed) fs.delete(tmp, false)
         }
       }
   }

@@ -102,6 +102,149 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.readWarc(spark, s"$dir/a.warc").count() == 1)
   }
 
+  /** Handcrafted record of any WARC-Type (the engine's renderer only
+    * writes responses; real crawls interleave request / revisit /
+    * metadata records). */
+  private def rawRecord(typ: String, uri: String, payload: Array[Byte],
+                        extra: Seq[(String, String)] = Nil): Array[Byte] = {
+    val sb = new StringBuilder("WARC/1.0\r\n")
+    sb.append(s"WARC-Type: $typ\r\n")
+    if (uri != null) sb.append(s"WARC-Target-URI: $uri\r\n")
+    for ((k, v) <- extra) sb.append(s"$k: $v\r\n")
+    sb.append(s"Content-Length: ${payload.length}\r\n\r\n")
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1) ++ payload ++
+      "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  test("mixed record types (request/response/revisit/metadata) in both " +
+    "gzip conventions: all surface with warc_type, the response filter " +
+    "contract feeds the crawl pipeline") {
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<p>the quick brown fox and the dog run on with many fine words</p>")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val recs = Seq(
+      rawRecord("request", "https://m/x",
+        "GET /x HTTP/1.1\r\nHost: m\r\n\r\n".getBytes,
+        Seq("Content-Type" -> "application/http;msgtype=request")),
+      rawRecord("response", "https://m/x", http,
+        Seq("Content-Type" -> "application/http;msgtype=response")),
+      rawRecord("revisit", "https://m/x", Array.emptyByteArray,
+        Seq("WARC-Profile" ->
+          "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")),
+      rawRecord("metadata", "https://m/x", "fetchTimeMs: 12\r\n".getBytes,
+        Seq("Content-Type" -> "application/warc-fields")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_mixed")
+    // gzip-per-record members concatenated (the Common Crawl shape)
+    val perRec = new java.io.ByteArrayOutputStream()
+    for (r <- recs) {
+      val gz = new GZIPOutputStream(perRec); gz.write(r); gz.finish()
+    }
+    java.nio.file.Files.write(dir.resolve("perrec.warc.gz"), perRec.toByteArray)
+    // one gzip member for the whole file
+    val perFile = new java.io.ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(perFile)
+    recs.foreach(gz.write); gz.finish()
+    java.nio.file.Files.write(dir.resolve("perfile.warc.gz"), perFile.toByteArray)
+    val df = Warc.readWarc(spark, s"$dir/*.warc.gz")
+    val byType = df.groupBy("warc_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("request" -> 2L, "response" -> 2L,
+      "revisit" -> 2L, "metadata" -> 2L))
+    // the filter contract: consumers take response+200, and the crawl
+    // pipeline (extractText -> langId) runs off the bodies unchanged
+    val out = df.filter(col("warc_type") === "response" &&
+        col("http_status") === 200)
+      .select(graft.operators.Html.extractText(
+        col("body").cast("string")).as("text"))
+      .select(col("text"),
+        graft.operators.TextAnalysis.langId(col("text")).as("lang"))
+      .collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getString(0).startsWith("the quick brown fox")))
+    assert(out.forall(_.getString(1) == "en"))
+    // request/metadata payloads are bodies too (msgtype=request splits
+    // its HTTP headers; warc-fields stays raw)
+    assert(df.filter(col("warc_type") === "metadata")
+      .select(col("body").cast("string")).head().getString(0)
+      .contains("fetchTimeMs"))
+  }
+
+  test("truncation: strict mode fails loudly mid-payload; tolerant mode " +
+    "emits the partial record flagged warc_truncated='length'; a " +
+    "crawler-DECLARED WARC-Truncated header surfaces without error") {
+    val whole = render(("https://t/1", "2026-01-01T00:00:00Z", "abcdefgh"),
+      ("https://t/2", "2026-01-01T00:00:00Z", "second"))
+    val cut = whole.dropRight(40) // inside record 2's payload
+    intercept[java.io.EOFException](
+      Warc.readRecords(new ByteArrayInputStream(cut)).toSeq)
+    val tol = Warc.readRecords(new ByteArrayInputStream(cut),
+      tolerateTruncation = true).toSeq
+    assert(tol.size == 2)
+    assert(!tol.head.headers.contains("warc-truncated"))
+    assert(tol(1).headers("warc-truncated") == "length")
+    assert(tol(1).payload.length < "second".length + 60)
+    // declared truncation: Content-Length matches the stored bytes, so
+    // the record parses normally and the reason code rides along
+    val declared = rawRecord("response", "https://t/3", "part".getBytes,
+      Seq("Content-Type" -> "application/http;msgtype=response",
+        "WARC-Truncated" -> "time"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_trunc")
+    java.nio.file.Files.write(dir.resolve("d.warc"), declared)
+    java.nio.file.Files.write(dir.resolve("c.warc"), cut)
+    val df = Warc.readWarc(spark, s"$dir/d.warc")
+    assert(df.select("warc_truncated").head().getString(0) == "time")
+    // the distributed scan honors the flag too
+    val tdf = Warc.readWarc(spark, s"$dir/c.warc", tolerateTruncation = true)
+    assert(tdf.count() == 2)
+    assert(tdf.filter(col("warc_truncated") === "length").count() == 1)
+    intercept[org.apache.spark.SparkException](
+      Warc.readWarc(spark, s"$dir/c.warc").count())
+  }
+
+  test("corrupt headers fail loudly: duplicate or non-numeric " +
+    "Content-Length never silently desynchronizes") {
+    val dup = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 4\r\n" +
+      "Content-Length: 2\r\n\r\nabcd\r\n\r\n").getBytes
+    val e1 = intercept[Warc.WarcError](
+      Warc.readRecords(new ByteArrayInputStream(dup)).toSeq)
+    assert(e1.getMessage.contains("duplicate Content-Length"))
+    val bad = "WARC/1.0\r\nContent-Length: abc\r\n\r\n".getBytes
+    val e2 = intercept[Warc.WarcError](
+      Warc.readRecords(new ByteArrayInputStream(bad)).toSeq)
+    assert(e2.getMessage.contains("bad Content-Length"))
+  }
+
+  test("httpSplit accepts the mixed LF+CRLF terminator") {
+    val (s, b) = Warc.httpSplit("application/http",
+      "HTTP/1.1 200 OK\nX: y\n\r\nmixed body".getBytes("ISO-8859-1"))
+    assert(s.contains(200) && new String(b, "UTF-8") == "mixed body")
+  }
+
+  test("renderResponses rejects control characters in uri/date — header " +
+    "injection cannot corrupt an exported archive") {
+    val e = intercept[Warc.WarcError](render(
+      ("https://x/\r\nContent-Length: 0", "2026-01-01T00:00:00Z", "b")))
+    assert(e.getMessage.contains("control character"), e.getMessage)
+    intercept[Warc.WarcError](render(
+      ("https://ok/", "2026-01-01\n00:00:00Z", "b")))
+    // plain high-bit / unicode uri bytes are NOT control chars: allowed
+    render(("https://ok/café", "2026-01-01T00:00:00Z", "b"))
+  }
+
+  test("writeWarc commits via temp+rename: shards readable, no .tmp " +
+    "residue left behind") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_commit")
+    val df = Seq(("https://c/1", "<p>a</p>"), ("https://c/2", "<p>b</p>"))
+      .toDF("uri", "html")
+    Warc.writeWarc(df, "uri", "html", dir.toString, files = 2,
+      date = "2026-01-01T00:00:00Z")
+    val names = new java.io.File(dir.toString).listFiles().map(_.getName)
+    assert(!names.exists(_.endsWith(".tmp")), names.toSeq)
+    assert(names.count(_.endsWith(".warc.gz")) >= 1)
+    assert(Warc.readWarc(spark, s"$dir/*.warc.gz").count() == 2)
+  }
+
   test("fixture scan: one task per file; bodies are the synthetic page " +
     "bytes, joinable back to the corpus by uri") {
     val root = Warc.ensurePagesFixture(spark, TestSpark.sfDir)
