@@ -1049,6 +1049,31 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // ---- CRAWL FRONTIER: harvested links -> the next round's fetch
+    //      list (Crawl.frontier): canonicalize (the messy variant
+    //      collapses onto its clean twin), absolute-http(s) gate (the
+    //      relative href drops), registrable-suffix blocklist (every
+    //      *.spam.example link drops), url dedup with in-link counts,
+    //      seen-set anti-join (already-fetched pages out), per-host
+    //      politeness cap (top-5 by in-links, ties to the smaller url)
+    "q132_crawl_frontier" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val n7 = (col("doc_id") % 7).cast("string")
+      val n50 = (col("doc_id") % 50).cast("string")
+      val page = concat(lit("https://host"), n7, lit(".example/page/"), n50)
+      val messy = concat(lit("HTTPS://Host"), n7, lit(".EXAMPLE:443/page/"),
+        n50, lit("?utm_source=x#f"))
+      val bad = concat(lit("https://sub"), (col("doc_id") % 3).cast("string"),
+        lit(".spam.example/x/"), col("doc_id").cast("string"))
+      val links = d.select(
+        explode(array(page, messy, bad, lit("/relative"))).as("href"))
+      val seen = d.filter(col("doc_id") % 50 < 10)
+        .select(concat(lit("https://host"), n7, lit(".example/page/"), n50)
+          .as("url"))
+      graft.operators.Crawl.frontier(links, "href", seen,
+        blocked = Seq("spam.example"), perHostCap = 5)
+    }),
+
     // ---- HTML link harvest -> canonical crawl frontier: hrefs out of
     //      the chrome-stripped pages (entity-decoded), normalized by
     //      canonicalUrl, counted — the full frontier pipeline in one
@@ -1700,6 +1725,35 @@ object SparkEntry {
       s"WHEN $cond THEN ${route(l)}"
     }.mkString("\n        ")
   }
+
+  /** The s0..s4 canonical-URL chain (mirror of
+    * `TextAnalysis.canonicalUrl`, the q120/q128 idiom) as CTEs reading
+    * column `url` from CTE `src`; ends at `s4(curl)`. */
+  private def CANON_CTES(src: String): String =
+    s"""s0 AS (SELECT regexp_replace(url, '#.*', '') AS s FROM $src),
+         s1 AS (SELECT lower(regexp_extract(s,
+                    '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', 0))
+                  || substr(s, length(regexp_extract(s,
+                    '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', 0)) + 1) AS s
+                FROM s0),
+         s2 AS (SELECT regexp_replace(regexp_replace(s,
+                    '^(http://[^/:?]+):80([/?].*)?${"$"}', '\\1\\2'),
+                    '^(https://[^/:?]+):443([/?].*)?${"$"}', '\\1\\2') AS s
+                FROM s1),
+         s3 AS (SELECT regexp_replace(regexp_replace(regexp_replace(s,
+                    '([?&])utm_[^&]*&', '\\1', 'g'),
+                    '([?&])utm_[^&]*&', '\\1', 'g'),
+                    '([?&])utm_[^&]*&', '\\1', 'g') AS s
+                FROM s2),
+         s4 AS (SELECT regexp_replace(regexp_replace(regexp_replace(s,
+                    '[?&]utm_[^&]*${"$"}', ''), '\\?${"$"}', ''),
+                    '/+${"$"}', '') AS curl
+                FROM s3)"""
+
+  /** DuckDB rendition of `TextAnalysis.urlHost` (lowercased authority
+    * host; '' when the shape doesn't match). */
+  private def HOST_OF(x: String): String =
+    s"lower(regexp_extract($x, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))"
 
   // ---- DuckDB mirror of TextAnalysis.langId (script-routed): the same
   //      strip-count script dominance as q123's mirror (the engine's
@@ -3163,6 +3217,44 @@ object SparkEntry {
                     '/+${"$"}', '') AS curl
                 FROM s3)
          SELECT curl, COUNT(*) AS n_links FROM s4 GROUP BY 1""",
+
+    // crawl frontier: same canonical chain, absolute-http(s) + host
+    // gate, dot-suffix blocklist membership, url dedup with in-link
+    // counts, anti-join of the seen set, per-host top-5 window
+    "q132_crawl_frontier" ->
+      s"""WITH raw AS (
+           SELECT unnest([
+             'https://host' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example/page/' || CAST(doc_id % 50 AS VARCHAR),
+             'HTTPS://Host' || CAST(doc_id % 7 AS VARCHAR)
+               || '.EXAMPLE:443/page/' || CAST(doc_id % 50 AS VARCHAR)
+               || '?utm_source=x#f',
+             'https://sub' || CAST(doc_id % 3 AS VARCHAR)
+               || '.spam.example/x/' || CAST(doc_id AS VARCHAR),
+             '/relative']) AS url
+           FROM documents),
+         ${CANON_CTES("raw")},
+         gate AS (SELECT curl AS url FROM s4
+                  WHERE regexp_matches(curl, '^https?://')
+                    AND ${HOST_OF("curl")} <> ''),
+         hostd AS (SELECT url, ${HOST_OF("url")} AS host FROM gate),
+         unblocked AS (
+           SELECT url FROM hostd
+           WHERE len(list_intersect(
+             list_transform(range(1, len(string_split(host, '.')) + 1),
+               i -> array_to_string(string_split(host, '.')[i:], '.')),
+             ['spam.example'])) = 0),
+         agg AS (SELECT url, COUNT(*) AS inlinks FROM unblocked GROUP BY 1),
+         seen AS (SELECT DISTINCT
+                    'https://host' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.example/page/' || CAST(doc_id % 50 AS VARCHAR) AS url
+                  FROM documents WHERE doc_id % 50 < 10),
+         fresh AS (SELECT a.url, a.inlinks
+                   FROM agg a ANTI JOIN seen s ON a.url = s.url)
+         SELECT ${HOST_OF("url")} AS host, url, inlinks,
+                CAST(row_number() OVER (PARTITION BY ${HOST_OF("url")}
+                  ORDER BY inlinks DESC, url ASC) AS INT) AS rank
+         FROM fresh QUALIFY rank <= 5""",
 
     // probe-all IVF == exact brute force: same ground truth as q24
     "q49_ivf_topk" ->

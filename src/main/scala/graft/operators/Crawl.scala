@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier construction — the second mile of the crawl loop
+  * (after [[Html.links]] harvests raw hrefs): turn a corpus-scale pile
+  * of harvested links into the deduplicated, policy-filtered,
+  * politeness-capped fetch list the next crawl round actually requests.
+  * The shape follows the public crawl literature (RefinedWeb §3.1,
+  * C4/CCNet's URL hygiene, Heritrix frontier semantics): canonicalize,
+  * keep absolute http(s), drop blocklisted registrable suffixes, dedup
+  * to unique URLs with an in-link count (the cheap priority signal),
+  * remove already-fetched URLs, cap per host.
+  *
+  * Scale shape (the part that matters at 100 TB of harvested links):
+  *   1. canonicalize + scheme/host gate + blocklist — scan-level
+  *      codegen'd expressions ([[TextAnalysis.canonicalUrl]] /
+  *      [[TextAnalysis.urlHost]] / the [[TextAnalysis.hostSuffixes]]
+  *      inlined-array gate), pushed past nothing because they ARE the
+  *      first pass;
+  *   2. ONE url-keyed exchange for the dedup/in-link aggregate (with
+  *      map-side partial counts — the link pile collapses to unique
+  *      URLs before it moves);
+  *   3. the seen-set anti-join is url-keyed on the already-aggregated
+  *      side, so it REUSES the dedup's partitioning (no second shuffle
+  *      of the big side; AQE broadcasts a bounded seen set);
+  *   4. host is recomputed from the canonical URL AFTER dedup (a pure
+  *      regexp on unique rows, cheaper than carrying it through the
+  *      shuffle), and the per-host politeness cap is one host-keyed
+  *      window that plans as WindowGroupLimit — top-k prunes before
+  *      materialization.
+  *
+  * No reference counterpart — bearysta never crawls; this composes the
+  * engine's URL/link machinery into the operator a crawl pipeline
+  * needs between harvest and fetch.
+  */
+object Crawl {
+
+  /** Build the frontier. `links`: one row per harvested href
+    * (`urlCol`); `seen`: one column of CANONICAL urls already fetched
+    * (pass an empty frame for a fresh crawl); `blocked`: registrable
+    * domain suffixes to drop (list-membership of dot-suffixes, the
+    * [[TextAnalysis.domainBlocklistFilter]] semantics — bounded,
+    * inlined); `perHostCap`: max URLs per host per round, ranked by
+    * in-link count descending (ties to the lexicographically smaller
+    * URL — deterministic). Returns (host, url, inlinks, rank). */
+  def frontier(links: DataFrame, urlCol: String, seen: DataFrame,
+               blocked: Seq[String], perHostCap: Int): DataFrame = {
+    require(perHostCap >= 1, s"perHostCap must be >= 1, got $perHostCap")
+    require(blocked.size <= 4096,
+      s"${blocked.size} blocklist entries won't inline sanely — " +
+        "pre-filter with domainBlocklistFilterWith instead")
+    val canon = links
+      .select(TextAnalysis.canonicalUrl(col(urlCol)).as("url"))
+      .filter(col("url").rlike("^https?://"))
+      .filter(TextAnalysis.urlHost(col("url")).isNotNull)
+    val unblocked =
+      if (blocked.isEmpty) canon
+      else {
+        val bad = array(blocked.map(d => lit(d.toLowerCase)): _*)
+        canon.filter(!arrays_overlap(
+          TextAnalysis.hostSuffixes(TextAnalysis.urlHost(col("url"))), bad))
+      }
+    val agg = unblocked.groupBy("url").agg(count(lit(1)).as("inlinks"))
+    val fresh = agg.join(
+      seen.select(col(seen.columns.head).cast("string").as("url")),
+      Seq("url"), "left_anti")
+    val w = Window.partitionBy("host")
+      .orderBy(col("inlinks").desc, col("url").asc)
+    fresh
+      .select(TextAnalysis.urlHost(col("url")).as("host"),
+        col("url"), col("inlinks"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perHostCap)
+  }
+}

@@ -95,6 +95,42 @@ object TextAnalysis {
   def bpePreTokens(text: Column): Column =
     call_function("graft_bpe_pretokens", text)
 
+  /** Read a small driver-side tokenizer artifact (merges.txt /
+    * encoder.json — KB-to-MB scale, versioned files) from any
+    * Hadoop-visible path (local, HDFS, object store). Bounded at 64 MB:
+    * a "merges file" bigger than that is a mis-pointed glob, and the
+    * content rides the PLAN as a literal, so it must stay broadcast-
+    * sized. */
+  private def readSmallFile(spark: org.apache.spark.sql.SparkSession,
+                            path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen
+    require(len <= (64L << 20),
+      s"$path is $len bytes — tokenizer artifacts ride the plan as " +
+        "literals and must stay broadcast-sized (<= 64 MB)")
+    val in = fs.open(p)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Load a GPT-2 `merges.txt` from a Hadoop-visible path — the drop-in
+    * hook for a published model's tokenizer ([[bpeTokenCountExact]] /
+    * [[bpeTokensExact]] / [[bpeIdsExact]] take the result directly). */
+  def bpeLoadMergesFile(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Seq[(String, String)] =
+    bpeLoadMerges(readSmallFile(spark, path))
+
+  /** Load a GPT-2 `encoder.json` vocab from a Hadoop-visible path, in
+    * [[bpeIdsExact]]'s (token, id) shape. */
+  def bpeLoadVocabFile(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Seq[(String, Int)] = {
+    import scala.jdk.CollectionConverters._
+    graft.expressions.BpeCodec.parseVocabJson(readSmallFile(spark, path))
+      .asScala.toSeq.map { case (t, id) => (t, id.intValue) }.sortBy(_._2)
+  }
+
   /** Learn a BPE merges table from a corpus slice (Sennrich et al. 2016
     * training): aggregate GPT-2 pre-token frequencies ([[bpePreTokens]]
     * — the same segmentation the encoder uses, leading spaces kept),

@@ -93,6 +93,36 @@ class BpeSpec extends AnyFunSuite {
     assert(ids == Seq(83, 258, 262))
   }
 
+  test("a (merges.txt, encoder.json) file pair drops in from disk: " +
+    "bpeLoadMergesFile/bpeLoadVocabFile reproduce the published ids") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok")
+    // the real files' formats: #version header, Ġ merges; \u0120 escapes
+    java.nio.file.Files.write(dir.resolve("merges.txt"),
+      "#version: 0.2\n\u0120 t\n\u0120 a\nh e\ni n\nr e\no n\n\u0120t he\n"
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("encoder.json"),
+      "{\"t\": 83, \"he\": 258, \"\\u0120the\": 262}".getBytes("UTF-8"))
+    val merges = TextAnalysis.bpeLoadMergesFile(spark, s"$dir/merges.txt")
+    assert(merges.head == ("Ġ", "t") && merges.length == 7)
+    val vocab = TextAnalysis.bpeLoadVocabFile(spark, s"$dir/encoder.json")
+    assert(vocab == Seq("t" -> 83, "he" -> 258, "Ġthe" -> 262))
+    val ids = Seq("the the").toDF("t")
+      .select(TextAnalysis.bpeIdsExact(col("t"), merges, vocab))
+      .head().getSeq[Int](0)
+    assert(ids == Seq(83, 258, 262))
+    // the size bound refuses a mis-pointed path loudly
+    val big = dir.resolve("big.bin")
+    val ch = java.nio.channels.FileChannel.open(big,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try { ch.position((64L << 20) + 1); ch.write(java.nio.ByteBuffer.wrap(Array[Byte](1))) }
+    finally ch.close()
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.bpeLoadMergesFile(spark, s"$dir/big.bin"))
+    assert(e.getMessage.contains("broadcast-sized"))
+  }
+
   test("graft_bpe_pretokens (the expression) == the codec scanner") {
     val docs = graft.Tables(spark, TestSpark.sfDir, "documents").limit(40)
     val rows = docs.select(col("text"),

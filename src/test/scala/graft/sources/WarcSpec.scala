@@ -169,6 +169,21 @@ class WarcSpec extends AnyFunSuite {
       .contains("fetchTimeMs"))
   }
 
+  test("WET-shaped conversion records (text/plain, no HTTP message) read " +
+    "with the payload as the body and a null status") {
+    val wet = rawRecord("conversion", "https://w/1",
+      "already-extracted plain text\n".getBytes(StandardCharsets.UTF_8),
+      Seq("Content-Type" -> "text/plain"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_wet")
+    java.nio.file.Files.write(dir.resolve("w.warc"), wet)
+    val row = Warc.readWarc(spark, s"$dir/w.warc")
+      .select("warc_type", "http_status", "body").head()
+    assert(row.getString(0) == "conversion")
+    assert(row.isNullAt(1))
+    assert(new String(row.getAs[Array[Byte]](2), "UTF-8")
+      .startsWith("already-extracted"))
+  }
+
   test("truncation: strict mode fails loudly mid-payload; tolerant mode " +
     "emits the partial record flagged warc_truncated='length'; a " +
     "crawler-DECLARED WARC-Truncated header surfaces without error") {
