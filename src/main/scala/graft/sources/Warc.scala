@@ -62,12 +62,19 @@ object Warc {
   }
 
   /** Read up to `n` bytes; returns the buffer and how many actually
-    * arrived (short only at EOF). */
+    * arrived (short only at EOF). A truncated GZIP member makes
+    * `GZIPInputStream.read` THROW EOFException rather than return -1 —
+    * the single most common damage in shipped crawl files — so that is
+    * folded into the same short-read signal (the caller decides loud vs
+    * tolerant); genuine corruption (ZipException etc.) still
+    * propagates. */
   private def readUpTo(in: InputStream, n: Int): (Array[Byte], Int) = {
     val out = new Array[Byte](n)
     var off = 0
     while (off < n) {
-      val k = in.read(out, off, n - off)
+      val k = try in.read(out, off, n - off) catch {
+        case _: EOFException => -1
+      }
       if (k < 0) return (out, off)
       off += k
     }
@@ -90,8 +97,19 @@ object Warc {
     private var nextRec: Record = _
     private var eof = false
 
+    /** Tolerant mode also survives a gzip member truncated mid-HEADER
+      * (GZIPInputStream throws EOFException from inside readLine): the
+      * half-parsed record is dropped and the stream ends — corruption
+      * (WarcError, ZipException) still fails loudly either way. */
     private def advance(): Unit = {
       if (eof) return
+      try advanceInner() catch {
+        case _: EOFException if tolerateTruncation =>
+          eof = true; nextRec = null
+      }
+    }
+
+    private def advanceInner(): Unit = {
       var line = readLine(in)
       while (line.exists(_.isEmpty)) line = readLine(in) // inter-record blanks
       line match {

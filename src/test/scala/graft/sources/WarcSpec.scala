@@ -216,6 +216,29 @@ class WarcSpec extends AnyFunSuite {
       Warc.readWarc(spark, s"$dir/c.warc").count())
   }
 
+  test("gzip-level truncation (the shipped-file damage case): strict " +
+    "fails loudly, tolerant reads the surviving records") {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(out)
+    gz.write(render(("https://g/1", "2026-01-01T00:00:00Z", "first body"),
+      ("https://g/2", "2026-01-01T00:00:00Z", "second body here")))
+    gz.finish()
+    val whole = out.toByteArray
+    val cut = whole.dropRight(18) // inside the deflate stream / trailer
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_gzcut")
+    java.nio.file.Files.write(dir.resolve("cut.warc.gz"), cut)
+    intercept[org.apache.spark.SparkException](
+      Warc.readWarc(spark, s"$dir/cut.warc.gz").count())
+    val tol = Warc.readWarc(spark, s"$dir/cut.warc.gz",
+      tolerateTruncation = true)
+    val rows = tol.select("target_uri", "warc_truncated").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.contains("https://g/1"), rows)
+    // whatever record the cut landed in is either flagged or dropped —
+    // never silently emitted whole
+    assert(rows.get("https://g/2").forall(_ == "length"), rows)
+  }
+
   test("corrupt headers fail loudly: duplicate or non-numeric " +
     "Content-Length never silently desynchronizes") {
     val dup = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 4\r\n" +
