@@ -3184,38 +3184,21 @@ object SparkEntry {
          FROM lg GROUP BY 1""",
 
     // link harvest: same chrome-strip + three-quoting-style href regex
-    // (the quoted forms strip their delimiters) + entity decode, then
-    // the q120 canonical chain over the exploded hrefs
+    // (quoted attribute values consumed atomically before href, the
+    // quoted forms strip their delimiters) + entity decode, then the
+    // shared canonical chain over the exploded hrefs
     "q128_html_links" ->
       s"""WITH pages AS (SELECT doc_id, $H_PAGE AS html FROM documents),
          lraw AS (SELECT doc_id,
              unnest(regexp_extract_all(${H_CHROME("html")},
-               '(?is)<a\\b[^>]*?href[ \\t\\n\\x0B\\f\\r]*=[ \\t\\n\\x0B\\f\\r]*("[^"]*"|''[^'']*''|[^ \\t\\n\\x0B\\f\\r"''>]+)', 1)) AS v
+               '(?is)<a\\b(?:[^>"'']|"[^"]*"|''[^'']*'')*?[ \\t\\n\\x0B\\f\\r]href[ \\t\\n\\x0B\\f\\r]*=[ \\t\\n\\x0B\\f\\r]*("[^"]*"|''[^'']*''|[^ \\t\\n\\x0B\\f\\r"''>]+)', 1)) AS v
            FROM pages),
          lstr AS (SELECT doc_id,
              CASE WHEN v LIKE '"%' OR v LIKE '''%'
                   THEN substr(v, 2, length(v) - 2) ELSE v END AS href
            FROM lraw),
-         ldec AS (SELECT ${H_DECODE("href")} AS u FROM lstr),
-         s0 AS (SELECT regexp_replace(u, '#.*', '') AS s FROM ldec),
-         s1 AS (SELECT lower(regexp_extract(s,
-                    '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', 0))
-                  || substr(s, length(regexp_extract(s,
-                    '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', 0)) + 1) AS s
-                FROM s0),
-         s2 AS (SELECT regexp_replace(regexp_replace(s,
-                    '^(http://[^/:?]+):80([/?].*)?${"$"}', '\\1\\2'),
-                    '^(https://[^/:?]+):443([/?].*)?${"$"}', '\\1\\2') AS s
-                FROM s1),
-         s3 AS (SELECT regexp_replace(regexp_replace(regexp_replace(s,
-                    '([?&])utm_[^&]*&', '\\1', 'g'),
-                    '([?&])utm_[^&]*&', '\\1', 'g'),
-                    '([?&])utm_[^&]*&', '\\1', 'g') AS s
-                FROM s2),
-         s4 AS (SELECT regexp_replace(regexp_replace(regexp_replace(s,
-                    '[?&]utm_[^&]*${"$"}', ''), '\\?${"$"}', ''),
-                    '/+${"$"}', '') AS curl
-                FROM s3)
+         ldec AS (SELECT ${H_DECODE("href")} AS url FROM lstr),
+         ${CANON_CTES("ldec")}
          SELECT curl, COUNT(*) AS n_links FROM s4 GROUP BY 1""",
 
     // crawl frontier: same canonical chain, absolute-http(s) + host
@@ -3715,27 +3698,8 @@ object SparkEntry {
                || '/Page/' || CAST(doc_id AS VARCHAR)
                || '/?utm_source=x&utm_medium=y#frag']) AS url
            FROM documents),
-         s0 AS (SELECT regexp_replace(url, '#.*', '') AS s FROM u),
-         s1 AS (SELECT lower(regexp_extract(s,
-                    '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', 0))
-                  || substr(s, length(regexp_extract(s,
-                    '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', 0)) + 1) AS s
-                FROM s0),
-         s2 AS (SELECT regexp_replace(regexp_replace(s,
-                    '^(http://[^/:?]+):80([/?].*)?${"$"}', '\\1\\2'),
-                    '^(https://[^/:?]+):443([/?].*)?${"$"}', '\\1\\2') AS s
-                FROM s1),
-         s3 AS (SELECT regexp_replace(regexp_replace(regexp_replace(s,
-                    '([?&])utm_[^&]*&', '\\1', 'g'),
-                    '([?&])utm_[^&]*&', '\\1', 'g'),
-                    '([?&])utm_[^&]*&', '\\1', 'g') AS s
-                FROM s2),
-         s4 AS (SELECT regexp_replace(regexp_replace(regexp_replace(s,
-                    '[?&]utm_[^&]*${"$"}', ''), '\\?${"$"}', ''),
-                    '/+${"$"}', '') AS curl
-                FROM s3)
-         SELECT lower(regexp_extract(curl,
-                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+         ${CANON_CTES("u")}
+         SELECT ${HOST_OF("curl")} AS host,
                 COUNT(*) AS n_raw,
                 COUNT(DISTINCT curl) AS n_canonical
          FROM s4 GROUP BY 1""",

@@ -49,20 +49,18 @@ object Crawl {
   def frontier(links: DataFrame, urlCol: String, seen: DataFrame,
                blocked: Seq[String], perHostCap: Int): DataFrame = {
     require(perHostCap >= 1, s"perHostCap must be >= 1, got $perHostCap")
-    require(blocked.size <= 4096,
-      s"${blocked.size} blocklist entries won't inline sanely — " +
-        "pre-filter with domainBlocklistFilterWith instead")
+    require(seen.columns.nonEmpty,
+      "seen needs ONE column of canonical urls — for a fresh crawl pass " +
+        "an empty single-column frame (e.g. Seq.empty[String].toDF(\"url\"))")
     val canon = links
       .select(TextAnalysis.canonicalUrl(col(urlCol)).as("url"))
       .filter(col("url").rlike("^https?://"))
       .filter(TextAnalysis.urlHost(col("url")).isNotNull)
+    // null-host rows are already gone, so the blocklist gate's keep-null
+    // rule is vacuous here and the semantics stay ONE definition's
     val unblocked =
       if (blocked.isEmpty) canon
-      else {
-        val bad = array(blocked.map(d => lit(d.toLowerCase)): _*)
-        canon.filter(!arrays_overlap(
-          TextAnalysis.hostSuffixes(TextAnalysis.urlHost(col("url"))), bad))
-      }
+      else TextAnalysis.domainBlocklistFilter(canon, "url", blocked)
     val agg = unblocked.groupBy("url").agg(count(lit(1)).as("inlinks"))
     val fresh = agg.join(
       seen.select(col(seen.columns.head).cast("string").as("url")),

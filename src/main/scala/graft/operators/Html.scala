@@ -185,14 +185,19 @@ object Html {
     * links inside comments/scripts never leak into the frontier.
     * Tag-level, not anchor-closure-level: an unclosed `<a href="x">`
     * still contributes its href (its TEXT is what loses link status,
-    * see [[extractText]]). Whitespace around `=` is the explicit
-    * Java-`\s` class, RE2-identical by construction. Compose with
-    * `TextAnalysis.canonicalUrl` + the domain blocklist for the full
-    * frontier pipeline. */
+    * see [[extractText]]). The attribute region before `href` is
+    * scanned with quoted values consumed ATOMICALLY
+    * (`(?:[^>"']|"[^"]*"|'[^']*')*?`) and `href` must follow
+    * whitespace, so an `href=` SUBSTRING inside another attribute's
+    * quoted value (`title="see href=x"`) or a longer attribute name
+    * (`data-href`) can never pollute the frontier. Whitespace is the
+    * explicit Java-`\s` class, RE2-identical by construction. Compose
+    * with `TextAnalysis.canonicalUrl` + the domain blocklist for the
+    * full frontier pipeline. */
   def links(html: Column): Column = {
     val ws = "[ \\t\\n\\x0B\\f\\r]"
     val raw = regexp_extract_all(stripChrome(html),
-      lit(s"(?is)<a\\b[^>]*?href$ws*=$ws*" +
+      lit(s"(?is)<a\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*?${ws}href$ws*=$ws*" +
         "(\"[^\"]*\"|'[^']*'|[^ \\t\\n\\x0B\\f\\r\"'>]+)"), lit(1))
     transform(raw, v => decodeEntities(
       when(v.rlike("^[\"']"), v.substr(lit(2), length(v) - 2)).otherwise(v)))

@@ -332,9 +332,15 @@ object Warc {
     * Commit protocol: each task writes an attempt-unique
     * `.part-NNNNN.attempt-M.tmp` and RENAMES it into place on success —
     * a task that dies mid-write leaves only a dot-ignored temp (cleaned
-    * on its own failure path), never a truncated shard, and a retried /
-    * speculative attempt replaces the shard atomically instead of
-    * interleaving bytes with a concurrent writer. */
+    * on its own failure path), never a truncated shard. Concurrent
+    * attempts of the same partition (speculation, zombies) race on the
+    * delete+rename pair; the loser detects a complete sibling shard
+    * already in place and accepts it (same partition data — last
+    * complete writer wins), so neither attempt fails a healthy write.
+    * Note the replace is delete-then-rename, not one atomic op — on
+    * copy-based object stores (S3A) a reader globbing DURING the
+    * replace can see the shard missing; publish to a fresh directory
+    * when readers overlap writers. */
   def writeWarc(df: DataFrame, uriCol: String, bodyCol: String,
                 path: String, files: Int, date: String): Unit = {
     require(files >= 1, s"files must be >= 1, got $files")
@@ -354,7 +360,6 @@ object Warc {
           val tmp = new Path(path,
             f".part-$pid%05d.attempt-${tc.taskAttemptId()}%d.tmp")
           val fs = shard.getFileSystem(TaskConf.rebuild(confEntries))
-          var committed = false
           try {
             val os = new GZIPOutputStream(fs.create(tmp, true), 1 << 16)
             try it.foreach { r =>
@@ -362,10 +367,12 @@ object Warc {
                 r.getString(1).getBytes(StandardCharsets.UTF_8)))))
             } finally os.close()
             if (fs.exists(shard)) fs.delete(shard, false)
-            if (!fs.rename(tmp, shard))
+            // rename-failed + shard-present = a concurrent attempt of
+            // this same partition committed a complete shard first;
+            // accept it (the finally clears this attempt's temp)
+            if (!fs.rename(tmp, shard) && !fs.exists(shard))
               throw WarcError(s"could not commit $tmp -> $shard")
-            committed = true
-          } finally if (!committed) fs.delete(tmp, false)
+          } finally fs.delete(tmp, false) // no-op once renamed away
         }
       }
   }

@@ -160,6 +160,16 @@ class HtmlSpec extends AnyFunSuite {
     // mixed styles keep document order
     assert(links("<a href='/1'>a</a><a href=/2>b</a><a href=\"/3\">c</a>") ==
       Seq("/1", "/2", "/3"))
+    // an href= SUBSTRING inside another attribute's quoted value is NOT
+    // a link (quoted values are consumed atomically before href)...
+    assert(links("<a class=x title=\"see href=spam.example for docs\">t</a>")
+      .isEmpty)
+    assert(links("<a title='use href=/evil here' href=\"/good\">t</a>") ==
+      Seq("/good"))
+    // ...and neither is a longer attribute name ending in href
+    assert(links("<a data-href=\"/shadow\">t</a>").isEmpty)
+    assert(links("<a data-href=\"/shadow\" href=\"/real\">t</a>") ==
+      Seq("/real"))
   }
 
   test("plan: pure projection over the scan — no exchange, no UDF") {
