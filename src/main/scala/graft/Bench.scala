@@ -200,14 +200,22 @@ object Bench {
     def short(n: String) = n.takeWhile(_ != '_')
     val shorts = names.map(short)
     val useShort = shorts.distinct.size == shorts.size
-    def r2(v: Double) = (math.rint(v * 100) / 100).toString
+    // trailing ".0" stripped: "5.0" -> "5" (still a JSON number) — at
+    // 130+ queries every byte counts against the 2000-byte capture tail
+    def r2(v: Double) = {
+      val s = (math.rint(v * 100) / 100).toString
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
     val qs = names.flatMap { n =>
       headline.get(n).map(v => "\"" + (if (useShort) short(n) else n) + "\":" + r2(v))
     }.mkString("{", ",", "}")
+    // sf as the basename: the testdata prefix is constant provenance the
+    // full BENCH_LAST.json keeps, and the compact line is byte-budgeted
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     s"""{"metric":"total","value":${r2(total)},"unit":"sec","headline":"min-all",""" +
       s""""queries":$qs,"noise":$noiseStr,"tainted":$tainted,""" +
       s""""n_errors":$nErrors,"passes":$passes,"detail":"BENCH_LAST.json",""" +
-      s""""sf":"$sfDir"}"""
+      s""""sf":"$sfShort"}"""
   }
 
   /** Child-side JSON: this pass's raw cold times, warm-rerun times (the

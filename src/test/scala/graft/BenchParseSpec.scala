@@ -57,16 +57,20 @@ class BenchParseSpec extends AnyFunSuite {
   }
 
   // the stdout-facing official line must survive a byte-bounded capture:
-  // round 6's BENCH_r06.json held only a ~1.9 KB tail of the 11 KB full
-  // line ("parsed": null). The compact line carries the same headline
-  // numbers under qNN short keys and must stay under that window for the
-  // WHOLE suite, parse as JSON, and fall back to full names on collision.
+  // the capture window is EXACTLY 2000 bytes (measured: the r6-r8
+  // artifacts' "tail" fields are all len 2000; r6's 11 KB full line got
+  // cut to an unparseable tail, r8's compact line fit and parsed). The
+  // compact line carries the headline numbers under qNN short keys and
+  // must stay under that window — with margin — for the WHOLE suite at
+  // worst-case 5-char values, parse as JSON, and fall back to full
+  // names on collision.
   test("compactLine fits the capture window, parses, and keys stay unique") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val headline = names.map(n => n -> 12.34).toMap
     val line = Bench.compactLine(names, headline, 1234.56, "1.307",
       tainted = false, nErrors = 0, passes = 3, sfDir = "/root/testdata/sf0.1")
-    assert(line.length < 1800, s"compact line is ${line.length} bytes")
+    assert(line.length < 1900, s"compact line is ${line.length} bytes " +
+      "against the measured 2000-byte capture tail")
     assert(!line.contains("\n"))
     // structural parse via the same hand-rolled reader the harness trusts
     val (times, _, _, _, _) = Bench.parseChild(line)
