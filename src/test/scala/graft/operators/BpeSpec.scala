@@ -47,7 +47,11 @@ class BpeSpec extends AnyFunSuite {
       "a  b", "a   b", "a\t b", "a \tb", "x\n\ny", "trailing  ",
       "  leading", "  'll 's", "x 't", "!!'s", "price: $5.99!",
       "многоязычный текст 123", "敏捷的狐狸 34", "tab\tsep", "a 　 b",
-      "'s's's", "CRLF\r\nline", "mix  \t x")
+      "'s's's", "CRLF\r\nline", "mix  \t x",
+      // uppercase contractions do NOT match (the published pattern is
+      // lowercase-only); astral code points ride surrogate-safe
+      "IT'S X", "x𝄞y 𝄞𝄞",
+      "a 𝄞 5𝄞6")
     for (c <- hand) {
       val got = BpeCodec.preTokenize(c).toSeq
       assert(got == refPreTokenize(c), s"on <$c>")
