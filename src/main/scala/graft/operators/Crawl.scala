@@ -23,14 +23,20 @@ import org.apache.spark.sql.functions._
   *   2. ONE url-keyed exchange for the dedup/in-link aggregate (with
   *      map-side partial counts — the link pile collapses to unique
   *      URLs before it moves);
-  *   3. the seen-set anti-join is url-keyed on the already-aggregated
-  *      side, so it REUSES the dedup's partitioning (no second shuffle
-  *      of the big side; AQE broadcasts a bounded seen set);
+  *   3. the seen-set anti-join is url-keyed — declared after the
+  *      aggregate so it never inflates the shuffle, and because the
+  *      join key IS the aggregate key Catalyst is free to re-place it:
+  *      the executed plan (ExplainOne q132) pushes a broadcast
+  *      LeftAnti BELOW the aggregate, filtering seen URLs before the
+  *      shuffle; a corpus-scale seen set degrades to a url-keyed SMJ
+  *      anti that reuses the dedup partitioning — either way no second
+  *      shuffle of the big side;
   *   4. host is recomputed from the canonical URL AFTER dedup (a pure
   *      regexp on unique rows, cheaper than carrying it through the
   *      shuffle), and the per-host politeness cap is one host-keyed
-  *      window that plans as WindowGroupLimit — top-k prunes before
-  *      materialization.
+  *      window that plans as WindowGroupLimit with a PARTIAL pass
+  *      before the host exchange — top-k prunes map-side, so at most
+  *      cap rows per host per input partition ever move.
   *
   * No reference counterpart — bearysta never crawls; this composes the
   * engine's URL/link machinery into the operator a crawl pipeline
