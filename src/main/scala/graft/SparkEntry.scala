@@ -1111,6 +1111,21 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           col("epoch").cast("long").as("epoch"))),
 
+    // ---- SAMPLING: temperature-weighted mixture (n^alpha source
+    //      weighting, the published pretraining-mix knob) at alpha=0.5
+    //      — rates derived FROM the corpus counts (sqrt is exactly
+    //      rounded, fold order pinned, one floor-quantization to
+    //      micro-units), then integer-exact epoch draws; big sources
+    //      thin, small sources repeat, both paths oracle-live
+    "q133_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMixture(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", alpha = 0.5, totalFactor = 2.0, maxRepeat = 4.0)
+        .groupBy("source", "epoch")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("epoch").cast("long").as("epoch"),
+          col("n_docs"))),
+
     // ---- CURATION: the published Gopher quality-rule signals + gate —
     //      expression-only, integer counts + single IEEE divides
     "q121_gopher_rules" -> ((s, dir) =>
@@ -3615,6 +3630,34 @@ object SparkEntry {
                 ELSE 'other' END AS script
          FROM c"""
     },
+
+    // temperature mixture: the SAME float sequence as
+    // temperatureRates6 at alpha=0.5 — sqrt(n)/denom*t/n with the
+    // weight fold in source-ascending order (list_reduce starts at the
+    // first element; Scala's 0.0+w1 == w1 exactly), LEAST-capped,
+    // floor-quantized to micro-units — then integer-exact epoch draws
+    // (r6 // 1e6 whole copies + the md5-bucket fractional draw)
+    "q133_temperature_mix" ->
+      s"""WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+         tot AS (SELECT list_reduce(
+                   list_transform(list(n ORDER BY source),
+                     x -> sqrt(CAST(x AS DOUBLE))), (a, b) -> a + b) AS denom,
+                 2.0 * CAST(SUM(n) AS DOUBLE) AS t
+                 FROM cnt),
+         r AS (SELECT c.source,
+                 CAST(FLOOR(LEAST(
+                   sqrt(CAST(c.n AS DOUBLE)) / tot.denom * tot.t
+                     / CAST(c.n AS DOUBLE),
+                   4.0) * 1000000.0) AS BIGINT) AS r6
+               FROM cnt c, tot),
+         e AS (SELECT d.source, d.doc_id,
+                 (r.r6 // 1000000)
+                   + CASE WHEN ${H60("'tmix' || CAST(d.doc_id AS VARCHAR)")}
+                            % 1000000 < r.r6 % 1000000
+                          THEN 1 ELSE 0 END AS c
+               FROM documents d JOIN r ON d.source = r.source),
+         x AS (SELECT source, unnest(range(0, c)) AS epoch FROM e WHERE c >= 1)
+         SELECT source, epoch, COUNT(*) AS n_docs FROM x GROUP BY 1, 2""",
 
     // mixture upsample: same rate table (10 capped at 8), same md5
     // fractional-epoch predicate, copies unrolled via range()

@@ -142,6 +142,74 @@ object Sampling {
       explode(sequence(lit(0), whole + extra - 1)))
   }
 
+  /** Temperature-weighted mixture MICRO-RATES from per-group sizes —
+    * the published multi-source pretraining knob (GPT-3 §2.2, LLaMA
+    * §2.1 weight sources by `n_i^alpha`, alpha < 1 flattening the mix
+    * toward small sources): group weight w_i = n_i^alpha, group share
+    * w_i / Σw, target draw T = totalFactor · Σn, per-row rate
+    * r_i = share_i · T / n_i, capped at `maxRepeat`, quantized ONCE to
+    * integer micro-units (floor(r·1e6) — everything downstream is
+    * integer-exact).
+    *
+    * Cross-engine exactness contract: at alpha = 0.5 every float step
+    * is a single correctly-rounded IEEE op (sqrt is exactly rounded by
+    * spec; the weight fold runs in group-name-ascending order on both
+    * sides), so an independent engine recomputes the identical r6 from
+    * the same counts — the q133 oracle does. Other alphas use
+    * `math.pow`, whose last-bit rounding is not guaranteed identical
+    * across engines; fine for production, not for a hash-equality
+    * oracle. */
+  def temperatureRates6(counts: Seq[(String, Long)], alpha: Double,
+                        totalFactor: Double, maxRepeat: Double): Seq[(String, Long)] = {
+    require(counts.nonEmpty, "no groups to mix")
+    require(counts.forall(_._2 > 0), "group sizes must be positive")
+    require(alpha > 0 && totalFactor > 0 && maxRepeat > 0)
+    val sorted = counts.sortBy(_._1)
+    def w(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val denom = sorted.foldLeft(0.0) { case (a, (_, n)) => a + w(n) }
+    val t = totalFactor * sorted.foldLeft(0L)(_ + _._2).toDouble
+    sorted.map { case (g, n) =>
+      (g, math.floor(math.min(w(n) / denom * t / n.toDouble, maxRepeat) * 1e6).toLong)
+    }
+  }
+
+  /** Temperature mixture over a corpus: per-group rates from
+    * [[temperatureRates6]] (ONE tiny group-count aggregate runs eagerly
+    * — the rate table is the model, group-cardinality-sized), then the
+    * [[mixtureUpsample]] epoch mechanics driven by integer micro-rates:
+    * every row emits `r6 div 1e6` whole epochs plus one more when its
+    * hash bucket falls under `r6 mod 1e6` — so big sources thin
+    * (rate < 1: most rows emit nothing) and small sources repeat, both
+    * deterministic in the row key. Output adds `epoch`; rows drawn zero
+    * times disappear. Scan-level after the count: the rate rides the
+    * plan as a literal `when` chain, no join, no shuffle beyond the
+    * one count aggregate. */
+  def temperatureMixture(df: DataFrame, groupCol: String, keyCol: String,
+                         alpha: Double = 0.5, totalFactor: Double = 1.0,
+                         maxRepeat: Double = 8.0,
+                         salt: String = "tmix"): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (String.valueOf(r.get(0)), r.getLong(1))).toSeq
+    require(counts.size <= 4096,
+      s"${counts.size} groups won't inline as a rate table — pre-bucket")
+    require(!counts.exists(_._1 == "null"),
+      "null group values have no mixture weight — filter or fill first")
+    val r6 = temperatureRates6(counts, alpha, totalFactor, maxRepeat)
+      .foldLeft(lit(0L)) { case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit(r)).otherwise(acc)
+      }
+    // integer `div`, not Column./ (which is DOUBLE division) — the
+    // whole/fractional split must stay bit-exact against the oracle
+    val extra = (hashBucket(col(keyCol), salt, 1000000) < r6 % 1000000L)
+      .cast("int")
+    df.withColumn("__r6", r6)
+      .withColumn("__c", expr("CAST(__r6 div 1000000 AS INT)") + extra)
+      .filter(col("__c") >= 1) // sequence(0, -1) would DESCEND
+      .withColumn("epoch", explode(sequence(lit(0), col("__c") - 1)))
+      .drop("__r6", "__c")
+  }
+
   /** Deterministic global training order: every row gets a `shard` and a
     * dense `pos` within its shard, both pure functions of the key hash —
     * the reproducible "global shuffle" that randomizes document order

@@ -168,4 +168,49 @@ class SamplingSpec extends AnyFunSuite {
       .filter(col("split") =!= col("o_split"))
     assert(straddle.isEmpty)
   }
+
+  test("temperatureRates6: hand-checked sqrt weighting, alpha=1 is the " +
+    "uniform factor, caps and thinning quantize exactly") {
+    import graft.operators.Sampling.temperatureRates6
+    // a=100, b=400: weights 10/20, denom 30, total 500, t=2*500=1000:
+    // rate_a = 10/30*1000/100 = 10/3, rate_b = 20/30*1000/400 = 5/3
+    val r = temperatureRates6(Seq("b" -> 400L, "a" -> 100L), 0.5, 2.0, 8.0)
+    assert(r.map(_._1) == Seq("a", "b")) // sorted fold order
+    assert(r == Seq("a" -> 3333333L, "b" -> 1666666L), r)
+    // the cap clamps the flattened small source
+    assert(temperatureRates6(Seq("a" -> 100L, "b" -> 400L), 0.5, 2.0, 3.0)
+      .head == ("a" -> 3000000L))
+    // thinning: tf=0.5 -> whole parts 0, micro-fracs survive
+    assert(temperatureRates6(Seq("a" -> 100L, "b" -> 400L), 0.5, 0.5, 8.0)
+      == Seq("a" -> 833333L, "b" -> 416666L))
+    // alpha=1: every group's rate IS totalFactor (natural proportions)
+    assert(temperatureRates6(Seq("a" -> 7L, "b" -> 913L), 1.0, 2.0, 8.0)
+      .forall(_._2 == 2000000L))
+    intercept[IllegalArgumentException](temperatureRates6(Nil, 0.5, 1, 1))
+    intercept[IllegalArgumentException](
+      temperatureRates6(Seq("a" -> 0L), 0.5, 1, 1))
+  }
+
+  test("temperatureMixture: small sources repeat, big sources thin, " +
+    "draws are deterministic and epoch ids dense") {
+    import spark.implicits._
+    val df = ((0 until 40).map(i => (i.toLong, "big")) ++
+      (1000 until 1010).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    // counts 40/10, weights sqrt: ~6.32/3.16, t = 1.0*50:
+    // rate_big = (6.32/9.49)*50/40 ~ 0.833, rate_small ~ 1.667
+    val out = Sampling.temperatureMixture(df, "source", "doc_id",
+      alpha = 0.5, totalFactor = 1.0, maxRepeat = 8.0)
+    val bySrc = out.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("epoch").as("maxe"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.get(2))).toMap
+    // big thins: strictly fewer draws than rows; small repeats: more
+    assert(bySrc("big")._1 < 40 && bySrc("big")._1 > 20, bySrc)
+    assert(bySrc("small")._1 > 10, bySrc)
+    assert(bySrc("small")._2.toString.toInt >= 1) // second epoch exists
+    // determinism: the identical frame drawn twice is row-identical
+    val again = Sampling.temperatureMixture(df, "source", "doc_id",
+      alpha = 0.5, totalFactor = 1.0, maxRepeat = 8.0)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
 }
