@@ -1126,6 +1126,30 @@ object SparkEntry {
         .select(col("source"), col("epoch").cast("long").as("epoch"),
           col("n_docs"))),
 
+    // ---- STORAGE: Megatron-format indexed token shards (.bin/.idx) —
+    //      the tokenizer-to-trainer handoff. The fixture tokenizes the
+    //      corpus (canonical merges, full vocab) and writes u16 shard
+    //      pairs through the engine's own distributed sink; the query
+    //      is the engine-reads loop: per-sequence identity (md5 over
+    //      the comma-joined id string) + global token/id sums, which
+    //      the oracle recomputes from `documents` through the shared
+    //      BPE mirror — every id must round-trip the binary format
+    //      bit-exactly or the sequence hashes diverge
+    "q134_indexed_roundtrip" -> ((s, dir) => {
+      val root = graft.sources.IndexedTokens
+        .ensureTokenFixture(s, dir, bpeCanonicalMerges)
+      graft.sources.IndexedTokens.readIndexed(s, s"$root/*.idx")
+        .select(col("ids"),
+          md5(array_join(transform(col("ids"), i => i.cast("string")), ","))
+            .as("fp"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(size(col("ids"))).as("sum_tokens"),
+          sum(expr("aggregate(ids, 0L, (a, x) -> a + x)")).as("sum_ids"),
+          countDistinct(col("fp")).as("n_uniq_seqs"),
+          min(col("fp")).as("min_md5"),
+          max(col("fp")).as("max_md5"))
+    }),
+
     // ---- CURATION: the published Gopher quality-rule signals + gate —
     //      expression-only, integer counts + single IEEE divides
     "q121_gopher_rules" -> ((s, dir) =>
@@ -3658,6 +3682,43 @@ object SparkEntry {
                FROM documents d JOIN r ON d.source = r.source),
          x AS (SELECT source, unnest(range(0, c)) AS epoch FROM e WHERE c >= 1)
          SELECT source, epoch, COUNT(*) AS n_docs FROM x GROUP BY 1, 2""",
+
+    // indexed-token round trip: the ordered per-doc token-id sequence
+    // rebuilt from the shared BPE mirror — w0 restated WITH ordinals
+    // (wi = pre-token position, ti = token position inside the
+    // pre-token), ids through the FULL canonical vocab, per-doc
+    // comma-joined id string hashed exactly as the engine hashes what
+    // it read back from the .bin/.idx shards
+    "q134_indexed_roundtrip" -> {
+      val vocabValues = graft.expressions.BpeCodec
+        .canonicalVocab(bpeCanonicalMerges)
+        .map { case (t, id) => s"('${t.replace("'", "''")}',$id)" }
+        .mkString(",")
+      s"""WITH RECURSIVE
+         $BPE_CTE,
+         vocab(tok, id) AS (VALUES $vocabValues),
+         w0o AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS w
+                 FROM (SELECT doc_id, $PRETOKS AS ws FROM documents)),
+         wt AS (SELECT w0o.doc_id, w0o.wi, f.s FROM w0o JOIN final f ON w0o.w = f.w),
+         tok AS (SELECT doc_id, wi, generate_subscripts(tl, 1) AS ti, unnest(tl) AS tk
+                 FROM (SELECT doc_id, wi, str_split(trim(s, chr(31)), chr(31)) AS tl
+                       FROM wt)),
+         tid AS (SELECT t.doc_id, t.wi, t.ti, COALESCE(v.id, -1) AS id
+                 FROM tok t LEFT JOIN vocab v ON t.tk = v.tok),
+         perdoc AS (SELECT d.doc_id, COALESCE(i.seqstr, '') AS seqstr,
+                           COALESCE(i.n, 0) AS n, COALESCE(i.sumid, 0) AS sumid
+                    FROM documents d LEFT JOIN (
+                      SELECT doc_id,
+                             string_agg(CAST(id AS VARCHAR), ',' ORDER BY wi, ti)
+                               AS seqstr,
+                             COUNT(*) AS n, SUM(id) AS sumid
+                      FROM tid GROUP BY 1) i ON d.doc_id = i.doc_id)
+         SELECT COUNT(*) AS n_seqs, CAST(SUM(n) AS BIGINT) AS sum_tokens,
+                CAST(SUM(sumid) AS BIGINT) AS sum_ids,
+                COUNT(DISTINCT md5(seqstr)) AS n_uniq_seqs,
+                MIN(md5(seqstr)) AS min_md5, MAX(md5(seqstr)) AS max_md5
+         FROM perdoc"""
+    },
 
     // mixture upsample: same rate table (10 capped at 8), same md5
     // fractional-epoch predicate, copies unrolled via range()
