@@ -1150,6 +1150,42 @@ object SparkEntry {
           max(col("fp")).as("max_md5"))
     }),
 
+    // ---- CRAWL: RFC 9309 robots.txt politeness gate — the step
+    //      between frontier and fetch. Per-host robots fixtures drive
+    //      every RFC semantic live: named-group selection over the `*`
+    //      fallback (hosts 0-2: graftbot's group replaces a
+    //      Disallow-everything `*` group), wildcard + $-anchored rules
+    //      with longest-match/allow-wins precedence (hosts 3-4),
+    //      empty-rule named group = unrestricted (host 5), and the
+    //      missing-robots explicit allow (host 6 has no row). The
+    //      robots side is a 6-row broadcast; the URL side never
+    //      shuffles before its aggregate
+    "q135_robots_gate" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val urls = d.select(concat(lit("https://host"),
+        (col("doc_id") % 7).cast("string"), lit(".example/page/"),
+        (col("doc_id") % 50).cast("string")).as("url"))
+      val namedGroup = "User-agent: graftbot\nDisallow: /page/4\n" +
+        "Allow: /page/44$\nSitemap: https://x.example/sitemap.xml\n" +
+        "User-agent: *\nDisallow: /"
+      val wildcards = "User-agent: *\nDisallow: /*/1\nAllow: /page/1$\n" +
+        "Crawl-delay: 10\nDisallow: /page/33$"
+      val emptyRule = "User-agent: graftbot\nDisallow:\n" +
+        "User-agent: *\nDisallow: /page"
+      val robots = Seq(
+        ("host0.example", namedGroup), ("host1.example", namedGroup),
+        ("host2.example", namedGroup),
+        ("host3.example", wildcards), ("host4.example", wildcards),
+        ("host5.example", emptyRule)).toDF("host", "txt")
+      graft.operators.Crawl
+        .robotsFilter(urls, "url", robots, "host", "txt", "graftbot")
+        .groupBy(TextAnalysis.urlHost(col("url")).as("host"))
+        .agg(count(lit(1)).as("n_allowed"),
+          countDistinct(col("url")).as("n_uniq"),
+          min(col("url")).as("min_url"), max(col("url")).as("max_url"))
+    }),
+
     // ---- CURATION: the published Gopher quality-rule signals + gate —
     //      expression-only, integer counts + single IEEE divides
     "q121_gopher_rules" -> ((s, dir) =>
@@ -3719,6 +3755,32 @@ object SparkEntry {
                 MIN(md5(seqstr)) AS min_md5, MAX(md5(seqstr)) AS max_md5
          FROM perdoc"""
     },
+
+    // robots gate: the fixture rules hand-compiled to their RFC 9309
+    // outcomes (the SPEC pins the general matcher; this mirror pins the
+    // fixture's decisions). hosts 0-2: graftbot's named group only —
+    // /page/4* blocked except the longer Allow /page/44$; hosts 3-4:
+    // Disallow /*/1 loses to the longer Allow /page/1$ on the exact
+    // path, /page/33 blocked by its $-anchored rule; host 5: empty-rule
+    // named group = unrestricted; host 6: no robots row = allowed
+    "q135_robots_gate" ->
+      s"""WITH u AS (SELECT
+             'host' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+             '/page/' || CAST(doc_id % 50 AS VARCHAR) AS path,
+             'https://host' || CAST(doc_id % 7 AS VARCHAR) || '.example/page/'
+               || CAST(doc_id % 50 AS VARCHAR) AS url,
+             doc_id % 7 AS h
+           FROM documents),
+         k AS (SELECT host, url FROM u WHERE
+            CASE WHEN h <= 2
+                   THEN (path NOT LIKE '/page/4%') OR path = '/page/44'
+                 WHEN h IN (3, 4)
+                   THEN (NOT regexp_matches(path, '^/.*/1')
+                         OR path = '/page/1') AND path <> '/page/33'
+                 ELSE true END)
+         SELECT host, COUNT(*) AS n_allowed, COUNT(DISTINCT url) AS n_uniq,
+                MIN(url) AS min_url, MAX(url) AS max_url
+         FROM k GROUP BY 1""",
 
     // mixture upsample: same rate table (10 capped at 8), same md5
     // fractional-epoch predicate, copies unrolled via range()

@@ -79,4 +79,33 @@ object Crawl {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= perHostCap)
   }
+
+  /** RFC 9309 politeness gate — the step between frontier and fetch:
+    * keep only the `urls` rows `userAgent` may fetch under each host's
+    * robots.txt. `robots` is (host, robots.txt content) — ONE row per
+    * host, as a robots cache naturally is; a host with no row (or a
+    * null body, the fetch-failed convention) is EXPLICITLY allowed via
+    * the coalesce, per the RFC's missing-file rule.
+    *
+    * Scale shape: host/path extraction is scan-level regexp; the join
+    * is host-keyed LEFT equi — a robots cache is tiny next to a
+    * frontier (one row per host vs thousands of URLs per host), so
+    * Catalyst broadcasts it and the frontier NEVER shuffles; the
+    * decision itself is [[graft.expressions.RobotsAllowed]] with a
+    * per-task parse cache, so each robots file parses once per task,
+    * not once per URL. */
+  def robotsFilter(urls: DataFrame, urlCol: String, robots: DataFrame,
+                   hostCol: String, txtCol: String,
+                   userAgent: String): DataFrame = {
+    val r = robots.select(col(hostCol).cast("string").as("__rhost"),
+      col(txtCol).cast("string").as("__rtxt"))
+    urls
+      .withColumn("__host", TextAnalysis.urlHost(col(urlCol)))
+      .join(r, col("__host") === col("__rhost"), "left")
+      .filter(coalesce(
+        TextAnalysis.robotsAllowed(col("__rtxt"), userAgent,
+          TextAnalysis.urlPathQuery(col(urlCol))),
+        lit(true)))
+      .drop("__host", "__rhost", "__rtxt")
+  }
 }

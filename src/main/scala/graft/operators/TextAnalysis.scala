@@ -777,6 +777,23 @@ object TextAnalysis {
     regexp_replace(noQ, "/+$", "")
   }
 
+  /** Path-plus-query of a URL (`scheme://auth/path?q` -> `/path?q`,
+    * fragment dropped) — the string RFC 9309 rules match against. Empty
+    * (authority-only URL) canonicalizes to `/`. Pure regexp; gate with
+    * [[urlHost]] null-ness for non-URL strings. */
+  def urlPathQuery(url: Column): Column = {
+    val p = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** RFC 9309 robots.txt decision ([[graft.expressions.RobotsCodec]]):
+    * TRUE when `userAgent` may fetch `path` under `robotsTxt`; NULL
+    * robots -> NULL (coalesce at the join — missing robots.txt is an
+    * EXPLICIT allow, never a silent one). */
+  def robotsAllowed(robotsTxt: Column, userAgent: String, path: Column): Column =
+    call_function("graft_robots_allowed", robotsTxt, lit(userAgent), path)
+
   /** Every dot-suffix of a host, most-specific first:
     * `a.b.example.com` -> `[a.b.example.com, b.example.com, example.com,
     * com]`. Fan-out is bounded by the label count (browsers cap ~127 but

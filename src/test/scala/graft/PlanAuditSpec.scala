@@ -301,6 +301,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("robots gate broadcasts the robots cache; the URL side never " +
+    "shuffles before its partial aggregate (q135)") {
+    val p = plan("q135_robots_gate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // allowed exchanges: the robots broadcast + the countDistinct
+    // two-phase aggregate — never a shuffle of the raw URL side
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set
