@@ -1150,6 +1150,34 @@ object SparkEntry {
           max(col("fp")).as("max_md5"))
     }),
 
+    // ---- STORAGE: safetensors embedding shards — the tensor
+    //      interchange loop. The fixture exports the embeddings table
+    //      through the engine's own distributed sink (ids I64 + labels
+    //      I32 + embeddings F32 [n,d], the public header layout); the
+    //      query re-reads the shards and aggregates exploded elements
+    //      with the exact DECIMAL sum — floats must round-trip the
+    //      binary buffer bit-exactly (the spec pins raw bits; this pins
+    //      the distributed loop against parquet ground truth)
+    "q136_safetensors_roundtrip" -> ((s, dir) => {
+      val root = graft.sources.Safetensors.ensureEmbeddingsFixture(s, dir)
+      // per-vector sum = one left-to-right double fold (identical IEEE
+      // op sequence in both engines, so bit-identical — the q24
+      // pattern); the cross-vector sum then rides the proven
+      // decimal-of-double dsum. A raw float -> DECIMAL cast would NOT
+      // match: the engines round through different decimal renderings
+      graft.sources.Safetensors.readEmbeddings(s, s"$root/*.safetensors")
+        .select(col("vec_id"), col("label"),
+          expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+            "(a, x) -> a + CAST(x AS DOUBLE))").as("vs"),
+          size(col("embedding")).as("d"))
+        .groupBy((col("vec_id") % 8).as("g"))
+        .agg(countDistinct(col("vec_id")).as("n_vecs"),
+          sum(col("d").cast("long")).as("n_elems"),
+          sum(col("vec_id")).as("sum_ids"),
+          sum(col("label").cast("long")).as("sum_labels"),
+          graft.functions.dsum(col("vs")).as("sum_x"))
+    }),
+
     // ---- CRAWL: RFC 9309 robots.txt politeness gate — the step
     //      between frontier and fetch. Per-host robots fixtures drive
     //      every RFC semantic live: named-group selection over the `*`
@@ -3755,6 +3783,24 @@ object SparkEntry {
                 MIN(md5(seqstr)) AS min_md5, MAX(md5(seqstr)) AS max_md5
          FROM perdoc"""
     },
+
+    // safetensors loop: the same per-vector left-fold double sum off
+    // the parquet table the fixture exported (identical IEEE op
+    // sequence -> bit-identical per vector), then the proven
+    // decimal-of-double dsum across vectors; id/label/element-count
+    // sums integer-exact
+    "q136_safetensors_roundtrip" ->
+      s"""WITH e AS (SELECT vec_id, label, len(embedding) AS d,
+                list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(embedding, y -> CAST(y AS DOUBLE))),
+                  (a, b) -> a + b) AS vs
+              FROM embeddings)
+         SELECT vec_id % 8 AS g, COUNT(DISTINCT vec_id) AS n_vecs,
+                CAST(SUM(d) AS BIGINT) AS n_elems,
+                CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+                CAST(SUM(label) AS BIGINT) AS sum_labels,
+                ${DSUM("vs")} AS sum_x
+         FROM e GROUP BY 1""",
 
     // robots gate: the fixture rules hand-compiled to their RFC 9309
     // outcomes (the SPEC pins the general matcher; this mirror pins the
