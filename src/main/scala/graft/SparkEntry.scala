@@ -1150,6 +1150,25 @@ object SparkEntry {
           max(col("fp")).as("max_md5"))
     }),
 
+    // ---- SAMPLING: fixed-length sequence packing — the GPT-style
+    //      concat-and-chunk between tokenized docs and trainer shards:
+    //      per-lang streams of exact-BPE ids + an EOS separator (288 =
+    //      one past the canonical vocab, the <|endoftext|> convention),
+    //      cut into 128-token sequences, final partial dropped. Every
+    //      sequence's identity rides an md5 over the ordered ids, so a
+    //      single misplaced token anywhere in the stream diverges
+    "q137_pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(
+        t(s, dir, "documents").select(col("lang"), col("doc_id"),
+          TextAnalysis.bpeIdsExact(col("text"), bpeCanonicalMerges,
+            graft.expressions.BpeCodec.canonicalVocab(bpeCanonicalMerges))
+            .as("ids")),
+        Seq("lang"), "doc_id", "ids", seqLen = 128, eosId = 288)
+        .select(col("lang"), col("seq"),
+          md5(array_join(transform(col("ids"), i => i.cast("string")), ","))
+            .as("fp"),
+          expr("aggregate(ids, 0L, (a, x) -> a + x)").as("sum_ids"))),
+
     // ---- STORAGE: safetensors embedding shards — the tensor
     //      interchange loop. The fixture exports the embeddings table
     //      through the engine's own distributed sink (ids I64 + labels
@@ -3782,6 +3801,51 @@ object SparkEntry {
                 COUNT(DISTINCT md5(seqstr)) AS n_uniq_seqs,
                 MIN(md5(seqstr)) AS min_md5, MAX(md5(seqstr)) AS max_md5
          FROM perdoc"""
+    },
+
+    // sequence packing: q134's ordered per-doc id rebuild + [288] eos,
+    // the same exclusive-prefix-sum offsets (per lang, doc_id order),
+    // token positions unrolled, sequences regrouped by pos // 128 with
+    // position-ordered lists, partial tail dropped
+    "q137_pack_sequences" -> {
+      val vocabValues = graft.expressions.BpeCodec
+        .canonicalVocab(bpeCanonicalMerges)
+        .map { case (t, id) => s"('${t.replace("'", "''")}',$id)" }
+        .mkString(",")
+      s"""WITH RECURSIVE
+         $BPE_CTE,
+         vocab(tok, id) AS (VALUES $vocabValues),
+         w0o AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS w
+                 FROM (SELECT doc_id, $PRETOKS AS ws FROM documents)),
+         wt AS (SELECT w0o.doc_id, w0o.wi, f.s FROM w0o JOIN final f ON w0o.w = f.w),
+         tok AS (SELECT doc_id, wi, generate_subscripts(tl, 1) AS ti, unnest(tl) AS tk
+                 FROM (SELECT doc_id, wi, str_split(trim(s, chr(31)), chr(31)) AS tl
+                       FROM wt)),
+         tid AS (SELECT t.doc_id, t.wi, t.ti, COALESCE(v.id, -1) AS id
+                 FROM tok t LEFT JOIN vocab v ON t.tk = v.tok),
+         dids AS (SELECT d.doc_id, d.lang,
+                    COALESCE(i.ids, CAST([] AS INTEGER[])) || [288] AS ids
+                  FROM documents d LEFT JOIN (
+                    SELECT doc_id, list(id ORDER BY wi, ti) AS ids
+                    FROM tid GROUP BY 1) i ON d.doc_id = i.doc_id),
+         cum AS (SELECT lang, doc_id, ids,
+                   COALESCE(SUM(len(ids)) OVER (PARTITION BY lang
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS strt
+                 FROM dids),
+         tp AS (SELECT lang, strt + generate_subscripts(ids, 1) - 1 AS pos,
+                       unnest(ids) AS id
+                FROM cum),
+         seqs AS (SELECT lang, pos // 128 AS seq, list(id ORDER BY pos) AS ids
+                  FROM tp GROUP BY 1, 2)
+         SELECT lang, seq,
+                md5(array_to_string(
+                  list_transform(ids, x -> CAST(x AS VARCHAR)), ',')) AS fp,
+                CAST(list_reduce(list_prepend(0::BIGINT,
+                  list_transform(ids, x -> CAST(x AS BIGINT))),
+                  (a, b) -> a + b) AS BIGINT) AS sum_ids
+         FROM seqs WHERE len(ids) = 128"""
     },
 
     // safetensors loop: the same per-vector left-fold double sum off

@@ -71,6 +71,48 @@ object Sampling {
       floor(coalesce(sum(tokensCol).over(w), lit(0L)) / budget))
   }
 
+  /** Fixed-length sequence packing — the concat-and-chunk step between
+    * tokenized documents and training shards (the convention GPT-style
+    * pretraining uses: concatenate every document's ids plus an `eosId`
+    * separator in a deterministic order, then cut the stream into
+    * consecutive `seqLen`-token sequences, dropping the final partial).
+    * Returns one row per FULL sequence: the `groupCols`, `seq` (0-based
+    * within its group) and `ids` (ARRAY&lt;INT&gt;, length exactly
+    * `seqLen`) — the exact rows [[graft.sources.IndexedTokens
+    * .writeIndexed]] shards for the trainer.
+    *
+    * Scale shape: the running-offset window partitions by `groupCols`
+    * (same contract as [[packBudget]] — pick shard-sized groups, e.g. a
+    * [[trainingOrder]] shard, so one group is one task's work); the
+    * token-level exchange keyed (group, seq) IS the transformation —
+    * each output sequence interleaves tokens from adjacent documents,
+    * so that data movement is irreducible, and it is keyed by the
+    * OUTPUT unit so it never re-shuffles downstream. Order inside a
+    * sequence is reconstructed by position sort, not arrival order —
+    * deterministic under any scheduling. */
+  def packSequences(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                    idsCol: String, seqLen: Int, eosId: Int): DataFrame = {
+    require(seqLen >= 2, s"seqLen must be >= 2, got $seqLen")
+    require(groupCols.nonEmpty, "packSequences needs at least one group col")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(groupCols.map(col) :+ col(orderCol) :+
+        concat(col(idsCol).cast("array<int>"), array(lit(eosId))).as("__ids"): _*)
+      .withColumn("__start",
+        coalesce(sum(size(col("__ids")).cast("long")).over(w), lit(0L)))
+      .select(groupCols.map(col) :+ col("__start") :+
+        posexplode(col("__ids")).as(Seq("__i", "__id")): _*)
+      .select(groupCols.map(col) :+
+        ((col("__start") + col("__i")) % seqLen).as("__off") :+
+        floor((col("__start") + col("__i")) / seqLen).as("seq") :+
+        col("__id"): _*)
+      .groupBy(groupCols.map(col) :+ col("seq"): _*)
+      .agg(sort_array(collect_list(struct(col("__off"), col("__id")))).as("__st"))
+      .filter(size(col("__st")) === seqLen)
+      .select(groupCols.map(col) :+ col("seq") :+
+        transform(col("__st"), s => s("__id")).as("ids"): _*)
+  }
+
   /** Deterministic mixture resampling: downsample each group so the
     * OUTPUT follows the target `weights` proportions exactly (in
     * expectation), keeping as much data as the scarcest group allows —

@@ -54,6 +54,43 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences: exact concat-and-chunk with EOS, partial dropped") {
+    import spark.implicits._
+    // group g: docs [1,2,3], [4], [5,6] -> stream with eos=99:
+    // 1 2 3 99 4 99 5 6 99  (9 tokens) -> seqLen 4: [1,2,3,99] [4,99,5,6],
+    // trailing [99] dropped
+    val df = Seq(
+      ("g", 0L, Seq(1, 2, 3)), ("g", 1L, Seq(4)), ("g", 2L, Seq(5, 6)),
+      ("h", 0L, Seq(7, 8, 9))  // h: 7 8 9 99 -> exactly one full sequence
+    ).toDF("grp", "doc_id", "ids")
+    val out = Sampling.packSequences(df, Seq("grp"), "doc_id", "ids",
+      seqLen = 4, eosId = 99)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Int](2).toList)).sortBy(t => (t._1, t._2)).toList
+    assert(out == List(
+      ("g", 0L, List(1, 2, 3, 99)),
+      ("g", 1L, List(4, 99, 5, 6)),
+      ("h", 0L, List(7, 8, 9, 99))))
+  }
+
+  test("packSequences: every full sequence has exactly seqLen tokens and " +
+    "the stream order is reconstructed, not arrival order") {
+    import spark.implicits._
+    val docsIds = (0L until 37L).map(i =>
+      ("s", i, (0 until (i % 7).toInt).map(j => (i * 100 + j).toInt)))
+    // shuffled input: packing must depend only on orderCol
+    val df = scala.util.Random.shuffle(docsIds).toDF("grp", "doc_id", "ids")
+    val out = Sampling.packSequences(df, Seq("grp"), "doc_id", "ids",
+      seqLen = 16, eosId = -1)
+      .collect().map(r => (r.getLong(1), r.getSeq[Int](2).toList))
+      .sortBy(_._1).toList
+    val stream = docsIds.sortBy(_._2).flatMap(d => d._3 :+ -1)
+    val expected = stream.grouped(16).filter(_.size == 16).toList
+      .zipWithIndex.map { case (s, i) => (i.toLong, s.toList) }
+    assert(out == expected)
+    assert(out.forall(_._2.size == 16))
+  }
+
   test("mixtureSample hits the target proportions, binding group kept whole") {
     import spark.implicits._
     // skewed input: 300 a, 60 b, 200 c; target 1:1:2 -> b binds (C=60),
