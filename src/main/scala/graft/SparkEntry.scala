@@ -1150,6 +1150,28 @@ object SparkEntry {
           max(col("fp")).as("max_md5"))
     }),
 
+    // ---- CURATION: the published Gopher REPETITION signals + gate
+    //      (Rae et al. 2021 §A1.1 — the other half of the paper's
+    //      filter, next to q121's quality signals). Docs salted so
+    //      every family is oracle-live: %4==1 appends duplicate lines
+    //      AND paragraphs, %4==2 is top-2-gram-heavy, %4==3 repeats a
+    //      ten-word sentence (dup 5..10-grams); %4==0 stays natural.
+    //      Expression-only: integer counts + single IEEE divides
+    "q138_gopher_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 1, concat(col("text"),
+            lit("\nline one\nline one\nline one\n\npar a\n\npar a")))
+            .when(col("doc_id") % 4 === 2,
+              lit("alpha beta " + "gamma delta " * 6))
+            .when(col("doc_id") % 4 === 3,
+              lit("one two three four five six seven eight nine ten " * 3))
+            .otherwise(col("text")).as("sample"))
+        .select(col("doc_id"),
+          TextAnalysis.gopherRepetition(col("sample")).as("g"),
+          TextAnalysis.gopherRepetitionKeep(col("sample")).as("keep"))
+        .select(col("doc_id"), col("g.*"), col("keep"))),
+
     // ---- SAMPLING: fixed-length sequence packing — the GPT-style
     //      concat-and-chunk between tokenized docs and trainer shards:
     //      per-lang streams of exact-BPE ids + an EOS separator (288 =
@@ -3801,6 +3823,99 @@ object SparkEntry {
                 COUNT(DISTINCT md5(seqstr)) AS n_uniq_seqs,
                 MIN(md5(seqstr)) AS min_md5, MAX(md5(seqstr)) AS max_md5
          FROM perdoc"""
+    },
+
+    // Gopher repetition: the same declared contract — non-empty
+    // lines/paras/word-ngrams, extra-occurrence chars via sorted
+    // adjacency, top n-gram by (count, length) lex argmax, integer
+    // counts + single IEEE divides. Scalar list ops for the dup
+    // families; one explode-group per top-n family
+    "q138_gopher_repetition" -> {
+      def SLEN(l: String) =
+        s"list_reduce(list_prepend(0::BIGINT, list_transform($l, " +
+          s"x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b)"
+      def EXTRA(l: String) = {
+        val sl = s"list_sort($l)"
+        s"list_reduce(list_prepend(0::BIGINT, " +
+          s"list_transform(range(2, len($l) + 1), " +
+          s"i -> CASE WHEN $sl[i] = $sl[i-1] " +
+          s"THEN CAST(length($sl[i]) AS BIGINT) ELSE 0 END)), (a, b) -> a + b)"
+      }
+      def FRAC(num: String, den: String) =
+        s"CASE WHEN $den = 0 THEN 0.0 " +
+          s"ELSE CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END"
+      def NG(n: Int) = {
+        val cat = (0 until n).map(o => s"ws[i+$o]").mkString(" || ' ' || ")
+        s"CASE WHEN len(ws) < $n THEN CAST([] AS VARCHAR[]) " +
+          s"ELSE list_transform(range(1, len(ws) - ${n - 1} + 1), " +
+          s"i -> $cat) END"
+      }
+      val topCtes = (2 to 4).map { n =>
+        s"""t$n AS (SELECT doc_id, c * ln AS prod,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY c DESC, ln DESC) AS rn
+             FROM (SELECT doc_id, g, COUNT(*) AS c,
+                     CAST(length(g) AS BIGINT) AS ln
+                   FROM (SELECT doc_id, unnest(g$n) AS g FROM wl2)
+                   GROUP BY 1, 2))"""
+      }.mkString(",\n")
+      val gate = Seq(
+        "dup_line_frac <= 0.30", "dup_para_frac <= 0.30",
+        "dup_line_char_frac <= 0.20", "dup_para_char_frac <= 0.20",
+        "top_2gram_char_frac <= 0.20", "top_3gram_char_frac <= 0.18",
+        "top_4gram_char_frac <= 0.16") ++
+        (5 to 10).map(n => s"dup_${n}gram_char_frac <= 0.${20 - n}")
+      s"""WITH s AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 1 THEN text || chr(10) || 'line one'
+                    || chr(10) || 'line one' || chr(10) || 'line one'
+                    || chr(10) || chr(10) || 'par a' || chr(10) || chr(10)
+                    || 'par a'
+                  WHEN doc_id % 4 = 2
+                    THEN 'alpha beta ' || repeat('gamma delta ', 6)
+                  WHEN doc_id % 4 = 3 THEN
+                    repeat('one two three four five six seven eight nine ten ', 3)
+                  ELSE text END AS sample
+           FROM documents),
+         wl AS (SELECT doc_id,
+                  list_filter(string_split_regex(trim(sample), '\\s+'),
+                    w -> w <> '') AS ws,
+                  list_filter(string_split(sample, chr(10)),
+                    x -> x <> '') AS lns,
+                  list_filter(string_split(sample, chr(10) || chr(10)),
+                    x -> x <> '') AS prs
+                FROM s),
+         wl2 AS (SELECT doc_id, ws, lns, prs,
+                   ${(2 to 10).map(n => s"${NG(n)} AS g$n").mkString(", ")},
+                   ${SLEN("ws")}
+                     + GREATEST(CAST(len(ws) AS BIGINT) - 1, 0) AS stream
+                 FROM wl),
+         base AS (SELECT doc_id, stream,
+             ${FRAC("len(lns) - len(list_distinct(lns))", "len(lns)")}
+               AS dup_line_frac,
+             ${FRAC(EXTRA("lns"), SLEN("lns"))} AS dup_line_char_frac,
+             ${FRAC("len(prs) - len(list_distinct(prs))", "len(prs)")}
+               AS dup_para_frac,
+             ${FRAC(EXTRA("prs"), SLEN("prs"))} AS dup_para_char_frac,
+             ${(5 to 10).map(n =>
+               s"LEAST(${FRAC(EXTRA(s"g$n"), "stream")}, 1.0) " +
+                 s"AS dup_${n}gram_char_frac").mkString(", ")}
+           FROM wl2),
+         $topCtes,
+         fin AS (SELECT b.*,
+             ${(2 to 4).map(n =>
+               s"${FRAC(s"COALESCE(p$n.prod, 0)", "b.stream")} " +
+                 s"AS top_${n}gram_char_frac").mkString(", ")}
+           FROM base b
+             ${(2 to 4).map(n =>
+               s"LEFT JOIN (SELECT doc_id, prod FROM t$n WHERE rn = 1) p$n " +
+                 s"ON b.doc_id = p$n.doc_id").mkString("\n             ")})
+         SELECT doc_id, dup_line_frac, dup_line_char_frac, dup_para_frac,
+                dup_para_char_frac, top_2gram_char_frac, top_3gram_char_frac,
+                top_4gram_char_frac, dup_5gram_char_frac, dup_6gram_char_frac,
+                dup_7gram_char_frac, dup_8gram_char_frac, dup_9gram_char_frac,
+                dup_10gram_char_frac,
+                (${gate.mkString(" AND ")}) AS keep
+         FROM fin"""
     },
 
     // sequence packing: q134's ordered per-doc id rebuild + [288] eos,

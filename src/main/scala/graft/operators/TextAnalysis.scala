@@ -302,6 +302,119 @@ object TextAnalysis {
       }
     }
 
+  /** The published Gopher REPETITION signals (Rae et al. 2021 §A1.1 —
+    * the other half of the paper's web-corpus gate, next to
+    * [[gopherSignals]]): duplicate line / paragraph fractions and
+    * character fractions, the top word-n-gram character fraction for
+    * n = 2..4, and the duplicated word-n-gram character fraction for
+    * n = 5..10. One expression-only struct; every fraction is a single
+    * IEEE divide over exact integer counts, so the SQL mirror is
+    * bit-identical.
+    *
+    * Declared contract (the paper describes the signals, not an exact
+    * algorithm; this implementation pins one):
+    *   - lines split on `\n`, paragraphs on `\n\n`, EMPTY segments
+    *     dropped; `dup_*_frac` = (segments − distinct segments) /
+    *     segments; `dup_*_char_frac` = characters of every occurrence
+    *     beyond a value's first / total segment characters;
+    *   - words = whitespace tokens; n-grams are the space-joined
+    *     sliding windows (all occurrences, not distinct); the character
+    *     denominator is the space-joined word stream's length;
+    *   - `top_Ngram_char_frac` = (count × chars) of the most frequent
+    *     n-gram (ties: the longer one — maximizes the fraction, and
+    *     equal count+length ⇒ equal fraction either way), counted even
+    *     at frequency 1, as the published filter implementations do;
+    *   - `dup_Ngram_char_frac` sums (count − 1) × chars over duplicated
+    *     n-grams — occurrences may overlap in the text, so the ratio is
+    *     capped at 1.0 (declared, monotone).
+    * Zero-denominator cases are 0.0. */
+  def gopherRepetition(text: Column): Column = {
+    def nonEmpty(arr: Column): Column = filter(arr, s => s =!= "")
+    def sumLen(arr: Column): Column =
+      aggregate(arr, lit(0L), (a, x) => a + length(x).cast(LongType))
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, 0.0).otherwise(num.cast(DoubleType) / den.cast(DoubleType))
+    // characters of every occurrence beyond a value's first: adjacent
+    // equal pairs in the sorted array each contribute the value's length
+    def extraChars(arr: Column): Column =
+      graft.functions.bound(array_sort(arr)) { sorted =>
+        when(size(sorted) < 2, lit(0L)).otherwise(
+          aggregate(
+            zip_with(slice(sorted, lit(1), size(sorted) - 1),
+              slice(sorted, lit(2), size(sorted) - 1),
+              (a, b) => when(a === b, length(b).cast(LongType)).otherwise(lit(0L))),
+            lit(0L), (a, x) => a + x))
+      }
+    // (count, chars) of the most frequent value via one sorted-run fold
+    // (ties to the longer value); returns count * chars
+    def topChars(arr: Column): Column =
+      graft.functions.bound(array_sort(arr)) { sorted =>
+        val folded = aggregate(sorted,
+          struct(lit("").as("prev"), lit(0L).as("run"),
+            lit(0L).as("bc"), lit(0L).as("bl")),
+          (acc, x) => {
+            val same = acc("prev") === x && acc("run") > 0
+            val closes = !same && (acc("run") > acc("bc") ||
+              (acc("run") === acc("bc") &&
+                length(acc("prev")).cast(LongType) > acc("bl")))
+            struct(x.as("prev"),
+              when(same, acc("run") + 1).otherwise(lit(1L)).as("run"),
+              when(closes, acc("run")).otherwise(acc("bc")).as("bc"),
+              when(closes, length(acc("prev")).cast(LongType))
+                .otherwise(acc("bl")).as("bl"))
+          })
+        graft.functions.bound(folded) { f =>
+          val closes = f("run") > f("bc") ||
+            (f("run") === f("bc") && length(f("prev")).cast(LongType) > f("bl"))
+          when(closes, f("run") * length(f("prev")).cast(LongType))
+            .otherwise(f("bc") * f("bl"))
+        }
+      }
+    def ngrams(ws: Column, n: Int): Column =
+      when(size(ws) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(ws) - lit(n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + lit(o))): _*)))
+    def dupSeg(arr: Column, what: String): Seq[Column] =
+      Seq(frac(size(arr) - size(array_distinct(arr)), size(arr))
+        .as(s"dup_${what}_frac"),
+        frac(extraChars(arr), sumLen(arr)).as(s"dup_${what}_char_frac"))
+    graft.functions.bound(nonEmpty(tokens(text))) { ws =>
+      graft.functions.bound(nonEmpty(split(text, "\n"))) { lines =>
+        graft.functions.bound(nonEmpty(split(text, "\n\n"))) { paras =>
+          // the space-joined word stream's length — the n-gram denominator
+          val streamLen = sumLen(ws) + greatest(size(ws).cast(LongType) - 1, lit(0L))
+          val tops = (2 to 4).map(n =>
+            frac(topChars(ngrams(ws, n)), streamLen).as(s"top_${n}gram_char_frac"))
+          val dups = (5 to 10).map(n =>
+            least(frac(extraChars(ngrams(ws, n)), streamLen), lit(1.0))
+              .as(s"dup_${n}gram_char_frac"))
+          struct(dupSeg(lines, "line") ++ dupSeg(paras, "para") ++
+            tops ++ dups: _*)
+        }
+      }
+    }
+  }
+
+  /** The Gopher repetition gate over [[gopherRepetition]] with the
+    * paper's published thresholds (Table A1): duplicate line/paragraph
+    * fraction ≤ 0.30, their character fractions ≤ 0.20, top 2/3/4-gram
+    * character fraction ≤ 0.20/0.18/0.16, duplicated 5..10-gram
+    * character fraction ≤ 0.15 down to 0.10. */
+  def gopherRepetitionKeep(text: Column): Column =
+    graft.functions.bound(gopherRepetition(text)) { g =>
+      g("dup_line_frac") <= 0.30 && g("dup_para_frac") <= 0.30 &&
+        g("dup_line_char_frac") <= 0.20 && g("dup_para_char_frac") <= 0.20 &&
+        g("top_2gram_char_frac") <= 0.20 &&
+        g("top_3gram_char_frac") <= 0.18 &&
+        g("top_4gram_char_frac") <= 0.16 &&
+        g("dup_5gram_char_frac") <= 0.15 &&
+        g("dup_6gram_char_frac") <= 0.14 &&
+        g("dup_7gram_char_frac") <= 0.13 &&
+        g("dup_8gram_char_frac") <= 0.12 &&
+        g("dup_9gram_char_frac") <= 0.11 &&
+        g("dup_10gram_char_frac") <= 0.10
+    }
+
   /** The Gopher keep/drop gate over [[gopherSignals]] with the paper's
     * published thresholds (50 ≤ words ≤ 100 000, mean word length in
     * [3, 10], symbol ratio ≤ 0.1, ≤ 90% bullet lines, ≤ 30% ellipsis

@@ -105,6 +105,84 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.toSeq == cases)
   }
 
+  test("gopherRepetition == plain-Scala mirror; gate fires per rule") {
+    val docs = Seq(
+      // non-repetitive and LONG (the top-n rules count a frequency-1
+      // n-gram, so tiny docs trip them by construction — the paper
+      // bounds word count separately via gopherKeep)
+      ("plain", "alpha bravo charlie delta echo foxtrot golf hotel india " +
+        "juliett kilo lima mike november oscar papa quebec romeo sierra " +
+        "tango uniform victor whiskey xray yankee zulu one two three four " +
+        "five six seven eight nine ten eleven twelve thirteen fourteen " +
+        "fifteen sixteen seventeen eighteen nineteen twenty amber beryl " +
+        "coral dune ember"),
+      ("duplines", "alpha one\nalpha one\nbeta two\n\ngamma\n\ngamma"),
+      ("top2", "alpha beta " + ("gamma delta " * 6).trim),
+      ("dupgrams",
+        ("one two three four five six seven eight nine ten " * 3).trim),
+      ("empty", ""),
+      ("short", "one two"))
+    val got = docs.toDF("id", "text")
+      .select(col("id"), TextAnalysis.gopherRepetition(col("text")).as("g"),
+        TextAnalysis.gopherRepetitionKeep(col("text")).as("keep"))
+      .select(col("id"), col("g.*"), col("keep"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    def words(t: String) = t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    def segs(t: String, sep: String) =
+      t.split(sep, -1).toSeq.filter(_.nonEmpty)
+    def dupFrac(xs: Seq[String]) =
+      if (xs.isEmpty) 0.0 else (xs.size - xs.distinct.size).toDouble / xs.size
+    def extra(xs: Seq[String]) = xs.groupBy(identity).values
+      .map(g => (g.size - 1).toLong * g.head.length).sum
+    def dupCharFrac(xs: Seq[String]) = {
+      val tot = xs.map(_.length.toLong).sum
+      if (tot == 0) 0.0 else extra(xs).toDouble / tot
+    }
+    def ngrams(ws: Seq[String], n: Int) =
+      if (ws.size < n) Nil else ws.sliding(n).map(_.mkString(" ")).toSeq
+    def topChars(xs: Seq[String]) =
+      if (xs.isEmpty) 0L
+      else {
+        val (c, l) = xs.groupBy(identity).toSeq
+          .map { case (k, v) => (v.size.toLong, k.length.toLong) }
+          .maxBy(identity)
+        c * l
+      }
+    for ((id, text) <- docs) {
+      val ws = words(text)
+      val stream = ws.map(_.length.toLong).sum + math.max(0, ws.size - 1)
+      def f(num: Long, den: Long) = if (den == 0) 0.0 else num.toDouble / den
+      val r = got(id)
+      assert(r.getDouble(1) == dupFrac(segs(text, "\n")), s"$id dup_line_frac")
+      assert(r.getDouble(2) == dupCharFrac(segs(text, "\n")),
+        s"$id dup_line_char_frac")
+      assert(r.getDouble(3) == dupFrac(segs(text, "\n\n")), s"$id dup_para_frac")
+      assert(r.getDouble(4) == dupCharFrac(segs(text, "\n\n")),
+        s"$id dup_para_char_frac")
+      for ((n, idx) <- (2 to 4).zipWithIndex)
+        assert(r.getDouble(5 + idx) == f(topChars(ngrams(ws, n)), stream),
+          s"$id top_${n}gram")
+      for ((n, idx) <- (5 to 10).zipWithIndex)
+        assert(r.getDouble(8 + idx) ==
+          math.min(1.0, f(extra(ngrams(ws, n)), stream)), s"$id dup_${n}gram")
+    }
+    // the gate: plain/empty pass; each salted doc trips its targeted
+    // family; a 2-word doc trips the top-2gram rule by construction
+    // (its one 2-gram IS the whole stream) — word-count gating is
+    // gopherKeep's job, not this signal's
+    assert(got("plain").getBoolean(14) && got("empty").getBoolean(14))
+    assert(!got("short").getBoolean(14))
+    assert(got("short").getDouble(5) == 1.0)
+    assert(!got("duplines").getBoolean(14), "dup line/para rules")
+    assert(!got("top2").getBoolean(14), "top 2-gram rule")
+    assert(!got("dupgrams").getBoolean(14), "dup n-gram rules")
+    // ...and the right SIGNALS are the ones over threshold
+    assert(got("duplines").getDouble(1) > 0.30)
+    assert(got("top2").getDouble(5) > 0.20)
+    assert(got("dupgrams").getDouble(13) > 0.10) // dup_10gram
+  }
+
   test("gopherSignals == plain-Scala mirror; gate fires on the right rule") {
     val good = ("the quick brown fox jumps over a lazy dog and runs on " +
       "with more of the fine words in this line for good measure ") * 3
