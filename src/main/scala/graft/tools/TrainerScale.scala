@@ -38,16 +38,22 @@ object TrainerScale {
         .withColumn("rep", explode(sequence(lit(0), lit(m - 1))))
         .select((col("doc_id") * m + col("rep")).as("doc_id"),
           col("lang"), col("text"))
+      // the operator's contract: SHARD-SIZED groups (here a doc-hash
+      // bucket that grows with the corpus, so per-group work stays
+      // constant as mult rises); the repartition spreads the BPE
+      // projection across cores before the window's group exchange
       val packed = graft.operators.Sampling.packSequences(
-        rep.select(col("lang"), col("doc_id"),
-          graft.operators.TextAnalysis
-            .bpeIdsExact(col("text"), merges, vocab).as("ids")),
-        Seq("lang"), "doc_id", "ids", seqLen = 128, eosId = 288)
+        rep.repartition(col("doc_id"))
+          .select(pmod(xxhash64(col("doc_id")), lit(4L * m)).as("shard"),
+            col("doc_id"),
+            graft.operators.TextAnalysis
+              .bpeIdsExact(col("text"), merges, vocab).as("ids")),
+        Seq("shard"), "doc_id", "ids", seqLen = 128, eosId = 288)
       val idxRoot = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_trainscale_idx_$m")
       time(s"packWrite x$m") {
         graft.sources.IndexedTokens.writeIndexed(
-          packed.select(concat(col("lang"), lit(":"), col("seq")).as("k"),
+          packed.select(concat(col("shard"), lit(":"), col("seq")).as("k"),
             col("ids")),
           "ids", "k", idxRoot.getPath, 4 * m, dtype = "u16")
       }
