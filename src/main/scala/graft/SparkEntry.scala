@@ -1150,6 +1150,38 @@ object SparkEntry {
           max(col("fp")).as("max_md5"))
     }),
 
+    // ---- CURATION: C4's published line-level cleaning + page gate
+    //      (Raffel et al. 2020 §2.2) — docs salted per rule family so
+    //      every path is oracle-live: %5==1 appends droppable lines
+    //      (no terminal punct / <3 words), %5==2 a javascript line,
+    //      %5==3 a lorem-ipsum sentence (page-dropped), %5==4 a kept
+    //      line carrying a brace (page-dropped); %5==0 natural.
+    //      Integer counts + md5 of the cleaned text — hash-exact
+    "q139_c4_rules" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 1, concat(col("text"),
+            lit("\nshort line\nmenu home about us contact")))
+            .when(col("doc_id") % 5 === 2, concat(col("text"),
+              lit("\nPlease enable javascript to continue viewing.")))
+            .when(col("doc_id") % 5 === 3, concat(col("text"),
+              lit("\nlorem ipsum dolor sit amet consectetur elit.")))
+            .when(col("doc_id") % 5 === 4, concat(col("text"),
+              lit("\ncode sample with a brace { inside it.")))
+            .otherwise(col("text")).as("sample"))
+        .select(col("doc_id"), col("sample"),
+          TextAnalysis.c4LineClean(col("sample")).as("cleaned"))
+        .select(col("doc_id"),
+          size(split(col("sample"), "\n")).cast("long").as("n_lines"),
+          when(length(col("cleaned")) === 0, 0L)
+            .otherwise(size(split(col("cleaned"), "\n")).cast("long"))
+            .as("n_kept"),
+          (length(col("cleaned")) -
+            length(regexp_replace(col("cleaned"), "[.!?]", "")))
+            .cast("long").as("n_sentences"),
+          md5(col("cleaned")).as("fp"),
+          TextAnalysis.c4PageKeep(col("cleaned")).as("keep"))),
+
     // ---- CURATION: the published Gopher REPETITION signals + gate
     //      (Rae et al. 2021 §A1.1 — the other half of the paper's
     //      filter, next to q121's quality signals). Docs salted so
@@ -3823,6 +3855,50 @@ object SparkEntry {
                 COUNT(DISTINCT md5(seqstr)) AS n_uniq_seqs,
                 MIN(md5(seqstr)) AS min_md5, MAX(md5(seqstr)) AS max_md5
          FROM perdoc"""
+    },
+
+    // C4 rules: same trimmed-line keep predicate (terminal punct class,
+    // >=3 whitespace words, no 'javascript'), cleaned text re-joined
+    // with chr(10), sentence count via global regexp strip ('g' — Spark
+    // replaces globally by default), same page gate
+    "q139_c4_rules" -> {
+      val keepL = "regexp_matches(l, '[.!?\"]$') AND " +
+        "len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) >= 3 " +
+        "AND NOT contains(lower(l), 'javascript')"
+      s"""WITH s AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 1 THEN text || chr(10) || 'short line'
+                    || chr(10) || 'menu home about us contact'
+                  WHEN doc_id % 5 = 2 THEN text || chr(10)
+                    || 'Please enable javascript to continue viewing.'
+                  WHEN doc_id % 5 = 3 THEN text || chr(10)
+                    || 'lorem ipsum dolor sit amet consectetur elit.'
+                  WHEN doc_id % 5 = 4 THEN text || chr(10)
+                    || 'code sample with a brace { inside it.'
+                  ELSE text END AS sample
+           FROM documents),
+         c AS (SELECT doc_id, sample,
+                 -- DuckDB's array_to_string([]) is NULL; Spark's
+                 -- array_join([]) is '' — pin the Spark semantics
+                 COALESCE(array_to_string(list_filter(
+                   list_transform(string_split(sample, chr(10)),
+                     x -> trim(x)), l -> $keepL), chr(10)), '') AS cleaned
+               FROM s),
+         m AS (SELECT doc_id,
+                 CAST(len(string_split(sample, chr(10))) AS BIGINT) AS n_lines,
+                 CASE WHEN length(cleaned) = 0 THEN 0
+                   ELSE CAST(len(string_split(cleaned, chr(10))) AS BIGINT)
+                   END AS n_kept,
+                 CAST(length(cleaned)
+                   - length(regexp_replace(cleaned, '[.!?]', '', 'g'))
+                   AS BIGINT) AS n_sentences,
+                 md5(cleaned) AS fp, cleaned
+               FROM c)
+         SELECT doc_id, n_lines, n_kept, n_sentences, fp,
+                (n_sentences >= 5
+                 AND NOT contains(lower(cleaned), 'lorem ipsum')
+                 AND NOT contains(cleaned, '{')
+                 AND length(cleaned) > 0) AS keep
+         FROM m"""
     },
 
     // Gopher repetition: the same declared contract — non-empty

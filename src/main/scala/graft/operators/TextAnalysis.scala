@@ -302,6 +302,34 @@ object TextAnalysis {
       }
     }
 
+  /** C4's line-level cleaning (Raffel et al. 2020 §2.2, the published
+    * "Colossal Clean Crawled Corpus" rules) under a DECLARED contract:
+    * lines split on `\n` and trimmed; a line is KEPT iff it ends in a
+    * terminal punctuation mark (`.` `!` `?` or a closing `"`), has at
+    * least `minLineWords` whitespace words, and does not contain the
+    * word "javascript" (case-insensitive — the paper's boilerplate
+    * tell). Returns the kept lines re-joined with `\n` (empty string
+    * when nothing survives). Expression-only, zero shuffles. */
+  def c4LineClean(text: Column, minLineWords: Int = 3): Column =
+    graft.functions.bound(transform(split(text, "\n"), l => trim(l))) { ls =>
+      array_join(filter(ls, l =>
+        l.rlike("[.!?\"]$") &&
+          size(filter(split(l, "\\s+"), w => w =!= "")) >= minLineWords &&
+          !lower(l).contains("javascript")), "\n")
+    }
+
+  /** C4's page-level gate over the [[c4LineClean]]ed text: keep iff the
+    * cleaned page still has at least `minSentences` sentences (declared:
+    * terminal `.` `!` `?` occurrences), does not contain "lorem ipsum"
+    * (case-insensitive), does not contain a curly brace `{` (the
+    * paper's code tell), and is non-empty. */
+  def c4PageKeep(cleaned: Column, minSentences: Int = 5): Column =
+    graft.functions.bound(cleaned) { c =>
+      (length(c) - length(regexp_replace(c, "[.!?]", ""))) >= minSentences &&
+        !lower(c).contains("lorem ipsum") &&
+        !c.contains("{") && length(c) > 0
+    }
+
   /** The published Gopher REPETITION signals (Rae et al. 2021 §A1.1 —
     * the other half of the paper's web-corpus gate, next to
     * [[gopherSignals]]): duplicate line / paragraph fractions and

@@ -105,6 +105,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.toSeq == cases)
   }
 
+  test("c4LineClean keeps exactly the contract lines; c4PageKeep gates " +
+    "sentences/lorem/brace/empty") {
+    val text = Seq(
+      "This is a fine first sentence.",   // kept
+      "menu home about us contact",       // no terminal punctuation
+      "Hi there.",                        // < 3 words
+      "Please enable JavaScript to view this page.", // javascript tell
+      "\"A quoted line can end on its quote.\"",     // closing-quote terminal
+      "  padded line survives the trim.  ",          // trimmed, then kept
+      "Another good sentence ends here!").mkString("\n")
+    val got = Seq(("d", text)).toDF("id", "text")
+      .select(TextAnalysis.c4LineClean(col("text")).as("c"))
+      .collect().head.getString(0)
+    assert(got == Seq(
+      "This is a fine first sentence.",
+      "\"A quoted line can end on its quote.\"",
+      "padded line survives the trim.",
+      "Another good sentence ends here!").mkString("\n"))
+
+    def keep(t: String): Boolean =
+      Seq(("d", t)).toDF("id", "text")
+        .select(TextAnalysis.c4PageKeep(TextAnalysis.c4LineClean(col("text"))))
+        .collect().head.getBoolean(0)
+    val five = "One good line number one.\nTwo good line number two.\n" +
+      "Three good line number three.\nFour good line number four.\n" +
+      "Five good line number five."
+    assert(keep(five))
+    assert(!keep(five.replaceFirst("number one", "lorem ipsum")))
+    assert(!keep(five.replaceFirst("number one", "brace { code")))
+    assert(!keep("Only four sentences live here. Two. And three. Four."
+      .replace(". ", ".\n"))) // 4 sentences < 5
+    assert(!keep("menu\nnav\nfooter")) // everything dropped -> empty
+    // a page whose KEPT lines pass but raw text had a brace on a
+    // DROPPED line: the gate sees only the cleaned text
+    assert(keep(five + "\nbrace { here"))
+  }
+
   test("gopherRepetition == plain-Scala mirror; gate fires per rule") {
     val docs = Seq(
       // non-repetitive and LONG (the top-n rules count a frequency-1
