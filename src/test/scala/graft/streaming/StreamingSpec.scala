@@ -222,6 +222,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("curation gates are stateless — Gopher repetition, C4 rules and the " +
+    "robots decision run on a stream row-for-row equal to batch") {
+    import graft.operators.TextAnalysis
+    val batchDocs = graft.Tables(spark, TestSpark.sfDir, "documents")
+    val robotsTxt = "User-agent: *\nDisallow: /page/1\nAllow: /page/12$"
+    def gates(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        TextAnalysis.gopherRepetitionKeep(col("text")).as("rep_keep"),
+        TextAnalysis.c4PageKeep(TextAnalysis.c4LineClean(col("text")))
+          .as("c4_keep"),
+        TextAnalysis.robotsAllowed(lit(robotsTxt), "graftbot",
+          concat(lit("/page/"), (col("doc_id") % 20).cast("string")))
+          .as("robots_ok"))
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_gate_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(docsDir.toString)
+    val streamed = Streams.drainToMemory(spark, gates(stream),
+      "gate_stream_test", complete = false)
+    val batch = gates(batchDocs)
+    assert(streamed.count() > 0)
+    // both robots outcomes must be live in the fixture
+    assert(batch.filter(col("robots_ok")).count() > 0 &&
+      batch.filter(!col("robots_ok")).count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("as-of enrichment of a stream against a static side == batch asofJoin") {
     import graft.operators.Joins
     val ev = graft.Tables(spark, TestSpark.sfDir, "events")
