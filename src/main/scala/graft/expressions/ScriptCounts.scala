@@ -1,7 +1,8 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -27,10 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * [4]=Arabic, [5]=Hangul, [6]=Devanagari, [7]=Thai, [8]=Greek,
   * [9]=Hebrew, [10]=ASCII digits, [11]=kana (Hiragana+Katakana).
   */
-case class ScriptCounts(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  import ScriptCounts._
+case class ScriptCounts(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_script_counts"
@@ -42,8 +40,28 @@ case class ScriptCounts(child: Expression)
       s"$prettyName needs STRING text, got ${child.dataType.simpleString}")
   }
 
-  override def nullSafeEval(text: Any): Any = {
-    val s = text.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(text: Any): Any =
+    ScriptCounts.census(text.asInstanceOf[UTF8String])
+
+  /** Real codegen (the CodegenFallback form re-evaluated the child via
+    * interpretation per row and boxed it — the residual q19 cost): the
+    * generated code passes the already-computed UTF8String straight to
+    * the static census, keeping the projection inside whole-stage
+    * codegen. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ScriptCounts$$.MODULE$$.census($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ScriptCounts {
+
+  /** The census itself — shared by interpreted eval and the generated
+    * code (called static via `ScriptCounts$.MODULE$`). */
+  def census(text: UTF8String): ArrayData = {
+    val s = text.toString
     val c = new Array[Long](N)
     var i = 0
     val n = s.length
@@ -72,14 +90,9 @@ case class ScriptCounts(child: Expression)
       }
       i += Character.charCount(cp)
     }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(c)
+    ArrayData.toArrayData(c)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object ScriptCounts {
   // array layout (0-based; add 1 for Spark's 1-based element_at)
   val Total = 0
   val Latin = 1
