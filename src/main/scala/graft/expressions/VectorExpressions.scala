@@ -3,7 +3,6 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -114,17 +113,24 @@ case class ArrayL2Sq(left: Expression, right: Expression)
   * majority vote (+1/-1, set on >= 0).
   *
   * One native pass replaces an interpreted 32-lambda × n-token expression
-  * tree. CodegenFallback: the eval body is a tight compiled Scala loop
-  * (md5 dominates), which surrounding operators still codegen around.
+  * tree. Whole-stage codegen via an instance reference: the generated
+  * code hands the already-computed token array straight to `compute`
+  * (the old CodegenFallback form re-evaluated the child interpreted
+  * per row — measured 40% of the scan cost on q19's sibling census).
   */
-case class SimHash32(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash32(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash32"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash32", this, classOf[SimHash32].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](32)
     val n = arr.numElements()
@@ -161,14 +167,19 @@ case class SimHash32(child: Expression)
   * the first 15 md5 hex digits (== [[graft.operators.TextAnalysis.hash60]],
   * so the ANSI-SQL mirror is exact); 60 bits = 6 bands x 10 bits for the
   * pigeonhole multi-index. */
-case class SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash60(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash60"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash60", this, classOf[SimHash60].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](60)
     val n = arr.numElements()
@@ -206,15 +217,26 @@ case class SimHash60(child: Expression)
   * column/SQL formulation, one native pass instead of k interpreted
   * lambda sweeps. */
 case class AffineMinHash(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
 
   private val P = 2147483647L
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[AffineMinHash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() == 0) { ${ev.isNull} = true; }
+      else { ${ev.value} = $ref.compute($c); }""")
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
+    if (hs.numElements() == 0) null else compute(hs)
+  }
+
+  def compute(hs: ArrayData): ArrayData = {
     val n = hs.numElements()
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
@@ -228,8 +250,7 @@ case class AffineMinHash(child: Expression, k: Int)
       }
       i += 1
     }
-    if (n == 0) null
-    else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -242,14 +263,20 @@ case class AffineMinHash(child: Expression, k: Int)
   * than `array_intersect` + `array_union`, which build hash tables and
   * output arrays per pair. Value identical to the set formulation. */
 case class SortedLongJaccard(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_jaccard_sorted"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaccard", this, classOf[SortedLongJaccard].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  def compute(x: ArrayData, y: ArrayData): Double = {
     val n = x.numElements(); val m = y.numElements()
     var i = 0; var j = 0; var inter = 0
     while (i < n && j < m) {
@@ -274,10 +301,15 @@ case class SortedLongJaccard(left: Expression, right: Expression)
   * hashes per ROW, which dominates everything. Accumulation order matches
   * the sequential left-fold of the column/SQL mirror exactly. */
 case class SignBucket(child: Expression, planes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_signbucket"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signbucket", this, classOf[SignBucket].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
@@ -293,8 +325,9 @@ case class SignBucket(child: Expression, planes: Int)
       }
     })
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  def compute(v: ArrayData): Long = {
     val n = v.numElements()
     val signs = signMatrix(n)
     var bucket = 0L
@@ -500,13 +533,19 @@ object BinarySlice {
   * element). One digest instance per row instead of one interpreted
   * lambda + hex-string round-trip per element. */
 case class Md5PrefixHashArray(child: Expression, nibbles: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_md5_hash_array"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5arr", this, classOf[Md5PrefixHashArray].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): ArrayData = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val n = arr.numElements()
     val out = new Array[Long](n)
