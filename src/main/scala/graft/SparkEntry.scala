@@ -1150,6 +1150,31 @@ object SparkEntry {
           max(col("fp")).as("max_md5"))
     }),
 
+    // ---- TEXT: tokenizer fertility audit — tokens/word and bytes/
+    //      token per language under the exact BPE, the standard check a
+    //      tokenizer gets before a pretraining run (high fertility on a
+    //      language = the vocab underserves it). Integer sums, each
+    //      ratio ONE IEEE divide at the end — cross-engine exact
+    "q140_tokenizer_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          size(filter(TextAnalysis.tokens(col("text")), w => w =!= ""))
+            .cast("long").as("n_words"),
+          TextAnalysis.bpeTokenCountExact(col("text"), bpeCanonicalMerges)
+            .as("n_tokens"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("sum_words"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_bytes")).as("sum_bytes"))
+        .select(col("lang"), col("n_docs"), col("sum_words"),
+          col("sum_tokens"), col("sum_bytes"),
+          (col("sum_tokens").cast("double") / col("sum_words").cast("double"))
+            .as("fertility"),
+          (col("sum_bytes").cast("double") / col("sum_tokens").cast("double"))
+            .as("bytes_per_token"))),
+
     // ---- CURATION: C4's published line-level cleaning + page gate
     //      (Raffel et al. 2020 §2.2) — docs salted per rule family so
     //      every path is oracle-live: %5==1 appends droppable lines
@@ -3856,6 +3881,30 @@ object SparkEntry {
                 MIN(md5(seqstr)) AS min_md5, MAX(md5(seqstr)) AS max_md5
          FROM perdoc"""
     },
+
+    // tokenizer fertility: per-lang exact-BPE token sums through the
+    // shared mirror, whitespace word and UTF-8 byte sums, one divide
+    // per ratio over the exact integer sums
+    "q140_tokenizer_fertility" ->
+      s"""WITH RECURSIVE
+         $BPE_CTE,
+         wt AS (SELECT w0.lang, f.nt FROM w0 JOIN final f ON w0.w = f.w),
+         tok AS (SELECT lang, CAST(SUM(nt) AS BIGINT) AS sum_tokens
+                 FROM wt GROUP BY 1),
+         base AS (SELECT lang, COUNT(*) AS n_docs,
+                    CAST(SUM(len(list_filter($TOKS, w -> w <> '')))
+                      AS BIGINT) AS sum_words,
+                    CAST(SUM(octet_length(encode(text))) AS BIGINT)
+                      AS sum_bytes
+                  FROM documents GROUP BY 1)
+         SELECT b.lang, b.n_docs, b.sum_words,
+                COALESCE(t.sum_tokens, 0) AS sum_tokens, b.sum_bytes,
+                CAST(COALESCE(t.sum_tokens, 0) AS DOUBLE)
+                  / CAST(b.sum_words AS DOUBLE) AS fertility,
+                CAST(b.sum_bytes AS DOUBLE)
+                  / CAST(COALESCE(t.sum_tokens, 0) AS DOUBLE)
+                  AS bytes_per_token
+         FROM base b LEFT JOIN tok t ON b.lang = t.lang""",
 
     // C4 rules: same trimmed-line keep predicate (terminal punct class,
     // >=3 whitespace words, no 'javascript'), cleaned text re-joined
