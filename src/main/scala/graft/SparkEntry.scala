@@ -1049,6 +1049,27 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // ---- STORAGE: WET round trip — the extracted-text shard format
+    //      crawls publish next to their WARCs (Common Crawl's
+    //      .warc.wet.gz: conversion records, text/plain bodies). The
+    //      fixture exports the pages' extracted text through the
+    //      engine's own WET sink; the query re-reads the conversion
+    //      records and aggregates per lang — text must survive the
+    //      record framing byte-exactly or the md5s diverge
+    "q141_wet_roundtrip" -> ((s, dir) => {
+      val root = graft.sources.Warc.ensureWetFixture(s, dir)
+      graft.sources.Warc.readWarc(s, s"$root/*.warc.gz")
+        .filter(col("warc_type") === "conversion")
+        .select(regexp_extract(col("target_uri"),
+          "corpus[.]local/([a-z]+)/", 1).as("lang"),
+          col("body").cast("string").as("txt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("txt"))).as("sum_chars"),
+          countDistinct(md5(col("txt"))).as("n_uniq"),
+          min(md5(col("txt"))).as("min_md5"))
+    }),
+
     // ---- CRAWL FRONTIER: harvested links -> the next round's fetch
     //      list (Crawl.frontier): canonicalize (the messy variant
     //      collapses onto its clean twin), absolute-http(s) gate (the
@@ -3383,6 +3404,22 @@ object SparkEntry {
          SELECT guess, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_uniq,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM lg GROUP BY 1""",
+
+    // WET loop: q131's staged extraction rebuilt from parquet, grouped
+    // by the documents' own lang (the fixture encodes it in the uri)
+    "q141_wet_roundtrip" ->
+      s"""WITH $HTML_CTE,
+         agg AS (SELECT doc_id, string_agg(txt, chr(10) ORDER BY i)
+                   FILTER (WHERE length(txt) >= 15 AND lc <= 0.33::DOUBLE * length(txt)) AS extracted
+                 FROM hfull GROUP BY doc_id),
+         ex AS (SELECT p.doc_id, COALESCE(a.extracted, '') AS extracted
+                FROM pages p LEFT JOIN agg a ON p.doc_id = a.doc_id)
+         SELECT d.lang, COUNT(*) AS n_docs,
+                CAST(SUM(length(extracted)) AS BIGINT) AS sum_chars,
+                COUNT(DISTINCT md5(extracted)) AS n_uniq,
+                MIN(md5(extracted)) AS min_md5
+         FROM ex JOIN documents d ON ex.doc_id = d.doc_id
+         GROUP BY 1""",
 
     // link harvest: same chrome-strip + three-quoting-style href regex
     // (quoted attribute values consumed atomically before href, the

@@ -319,6 +319,35 @@ object Warc {
     out.toByteArray
   }
 
+  /** Serialize extracted-text records in the WET convention (ISO 28500
+    * `conversion` records, `Content-Type: text/plain`, no HTTP message —
+    * the body IS the text). Same framing and control-character
+    * rejection as [[renderResponses]]. */
+  private[sources] def renderConversions(
+      recs: Iterator[(String, String, Array[Byte])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(1 << 16)
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def clean(v: String, what: String): Unit = {
+      if (v == null) throw WarcError(s"null WARC $what")
+      if (v.exists(Character.isISOControl)) throw WarcError(
+        s"control character in WARC $what '${v.take(60)}' — would corrupt " +
+          "record framing / inject headers; sanitize upstream")
+    }
+    for ((uri, date, body) <- recs) {
+      clean(uri, "Target-URI"); clean(date, "Date")
+      w("WARC/1.0\r\n")
+      w("WARC-Type: conversion\r\n")
+      w(s"WARC-Target-URI: $uri\r\n")
+      w(s"WARC-Date: $date\r\n")
+      w("Content-Type: text/plain\r\n")
+      w(s"Content-Length: ${body.length}\r\n")
+      w("\r\n")
+      out.write(body)
+      w("\r\n\r\n")
+    }
+    out.toByteArray
+  }
+
   /** Distributed WARC SINK: `df`'s (uri STRING, body STRING) rows as at
     * most `files` gzipped WARC response shards under `path` — the
     * export format for handing a curated page corpus back to
@@ -342,7 +371,31 @@ object Warc {
     * replace can see the shard missing; publish to a fresh directory
     * when readers overlap writers. */
   def writeWarc(df: DataFrame, uriCol: String, bodyCol: String,
-                path: String, files: Int, date: String): Unit = {
+                path: String, files: Int, date: String): Unit =
+    writeRecordShards(df, uriCol, bodyCol, path, files) { (uri, body) =>
+      renderResponses(Iterator((uri, date, body)))
+    }
+
+  /** Distributed WET SINK — the extracted-TEXT shard format crawls
+    * publish next to their WARCs (Common Crawl's `.warc.wet.gz`):
+    * `WARC-Type: conversion` records with `Content-Type: text/plain`
+    * bodies, one per page. The natural export of the engine's
+    * WARC → HTML → text mile, and [[readWarc]] reads it back
+    * (`warc_type = 'conversion'`, `http_status` null — there is no HTTP
+    * message to split). Same shard/commit machinery as [[writeWarc]]. */
+  def writeWet(df: DataFrame, uriCol: String, textCol: String,
+               path: String, files: Int, date: String): Unit =
+    writeRecordShards(df, uriCol, textCol, path, files) { (uri, body) =>
+      renderConversions(Iterator((uri, date, body)))
+    }
+
+  /** Shared sink machinery (see [[writeWarc]] for the commit-protocol
+    * contract): salt rows into at most `files` gzip shards by `uriCol`,
+    * render each row with `renderOne` inside its own executor task,
+    * commit via attempt-unique temp + rename. */
+  private def writeRecordShards(df: DataFrame, uriCol: String,
+                                bodyCol: String, path: String, files: Int)(
+      renderOne: (String, Array[Byte]) => Array[Byte]): Unit = {
     require(files >= 1, s"files must be >= 1, got $files")
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
@@ -363,8 +416,8 @@ object Warc {
           try {
             val os = new GZIPOutputStream(fs.create(tmp, true), 1 << 16)
             try it.foreach { r =>
-              os.write(renderResponses(Iterator((r.getString(0), date,
-                r.getString(1).getBytes(StandardCharsets.UTF_8)))))
+              os.write(renderOne(r.getString(0),
+                r.getString(1).getBytes(StandardCharsets.UTF_8)))
             } finally os.close()
             if (fs.exists(shard)) fs.delete(shard, false)
             // rename-failed + shard-present = a concurrent attempt of
@@ -375,6 +428,27 @@ object Warc {
           } finally fs.delete(tmp, false) // no-op once renamed away
         }
       }
+  }
+
+  /** Test/bench fixture: the synthetic pages' EXTRACTED TEXT exported
+    * once per sf dir as gzipped WET shards via [[writeWet]] —
+    * marker-cached like [[ensurePagesFixture]]. */
+  def ensureWetFixture(spark: SparkSession, sfDir: String,
+                       files: Int = 4): String = synchronized {
+    val tag = new File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = new File(sys.props("java.io.tmpdir"), s"graft_wet_v1_$tag")
+    val marker = new File(root, ".complete")
+    if (marker.isFile) return root.getPath
+    import org.apache.spark.sql.functions._
+    val wet = graft.operators.Html
+      .syntheticPages(graft.Tables(spark, sfDir, "documents"))
+      .select(concat(lit("https://corpus.local/"), col("lang"), lit("/"),
+        col("doc_id")).as("uri"),
+        graft.operators.Html.extractText(col("html")).as("txt"))
+    writeWet(wet, "uri", "txt", root.getPath, files,
+      date = "2026-01-01T00:00:00Z")
+    Files.write(marker.toPath, Array.emptyByteArray)
+    root.getPath
   }
 
   /** Test/bench fixture: the q125 synthetic pages exported once per sf

@@ -184,6 +184,27 @@ class WarcSpec extends AnyFunSuite {
       .startsWith("already-extracted"))
   }
 
+  test("writeWet -> readWarc round-trips conversion records byte-exactly") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      ("https://w/1", "plain text with unicode: café résumé — ☃"),
+      ("https://w/2", ""), // empty extraction survives as a zero-length body
+      ("https://w/3", "line one\nline two\r\nline three"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet_rt").toString
+    Warc.writeWet(texts.toDF("uri", "txt"), "uri", "txt", dir, files = 2,
+      date = "2026-01-01T00:00:00Z")
+    val got = Warc.readWarc(spark, s"$dir/*.warc.gz")
+      .select("warc_type", "target_uri", "content_type", "http_status", "body")
+      .collect()
+    assert(got.forall(_.getString(0) == "conversion"))
+    assert(got.forall(_.getString(2) == "text/plain"))
+    assert(got.forall(_.isNullAt(3))) // no HTTP message to split
+    val byUri = got.map(r =>
+      r.getString(1) -> new String(r.getAs[Array[Byte]](4), "UTF-8")).toMap
+    assert(byUri == texts.toMap)
+  }
+
   test("truncation: strict mode fails loudly mid-payload; tolerant mode " +
     "emits the partial record flagged warc_truncated='length'; a " +
     "crawler-DECLARED WARC-Truncated header surfaces without error") {
