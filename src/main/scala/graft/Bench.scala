@@ -200,10 +200,13 @@ object Bench {
     def short(n: String) = n.takeWhile(_ != '_')
     val shorts = names.map(short)
     val useShort = shorts.distinct.size == shorts.size
-    // trailing ".0" stripped: "5.0" -> "5" (still a JSON number) — at
-    // 130+ queries every byte counts against the 2000-byte capture tail
+    // trailing ".0" stripped: "5.0" -> "5" (still a JSON number), and
+    // values past 10s round to ONE dp ("14.5" — 0.1 s resolution is
+    // plenty at that magnitude) — at 140+ queries every byte counts
+    // against the 2000-byte capture tail
     def r2(v: Double) = {
-      val s = (math.rint(v * 100) / 100).toString
+      val scale = if (v >= 10.0) 10 else 100
+      val s = (math.rint(v * scale) / scale).toString
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
     val qs = names.flatMap { n =>
@@ -211,11 +214,12 @@ object Bench {
     }.mkString("{", ",", "}")
     // sf as the basename: the testdata prefix is constant provenance the
     // full BENCH_LAST.json keeps, and the compact line is byte-budgeted
+    // ("headline"/"detail" were dropped at 142 queries for the same
+    // reason — BENCH_LAST.json still records min-all provenance in full)
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    s"""{"metric":"total","value":${r2(total)},"unit":"sec","headline":"min-all",""" +
+    s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
       s""""queries":$qs,"noise":$noiseStr,"tainted":$tainted,""" +
-      s""""n_errors":$nErrors,"passes":$passes,"detail":"BENCH_LAST.json",""" +
-      s""""sf":"$sfShort"}"""
+      s""""n_errors":$nErrors,"passes":$passes,"sf":"$sfShort"}"""
   }
 
   /** Child-side JSON: this pass's raw cold times, warm-rerun times (the

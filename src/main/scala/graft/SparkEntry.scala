@@ -1171,6 +1171,26 @@ object SparkEntry {
           max(col("fp")).as("max_md5"))
     }),
 
+    // ---- CURATION CAPSTONE: the corpus card — per-source pass rates
+    //      through all three published web-filter families (Gopher
+    //      quality, Gopher repetition, C4) over the NATURAL text, plus
+    //      the combined funnel. The per-doc gates are pure scan
+    //      expressions; the only exchange is the final source aggregate
+    "q142_corpus_card" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.gopherKeep(col("text")).as("gk"),
+          TextAnalysis.gopherRepetitionKeep(col("text")).as("rk"),
+          TextAnalysis.c4PageKeep(TextAnalysis.c4LineClean(col("text")))
+            .as("ck"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("gk"), 1L).otherwise(0L)).as("n_gopher"),
+          sum(when(col("rk"), 1L).otherwise(0L)).as("n_repetition"),
+          sum(when(col("ck"), 1L).otherwise(0L)).as("n_c4"),
+          sum(when(col("gk") && col("rk") && col("ck"), 1L).otherwise(0L))
+            .as("n_all"))),
+
     // ---- TEXT: tokenizer fertility audit — tokens/word and bytes/
     //      token per language under the exact BPE, the standard check a
     //      tokenizer gets before a pretraining run (high fertility on a
@@ -1855,6 +1875,103 @@ object SparkEntry {
          FROM enc e
          WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE position($pat IN e.s) > 0))"""
   }
+
+  // ---- DuckDB fragment builders shared by the Gopher-repetition
+  //      mirrors (q138 and the q142 corpus card) and the C4 mirrors
+  //      (q139/q142): scalar list folds for the dup families, per-n
+  //      explode-group argmax for the top families; integer counts,
+  //      single IEEE divides.
+  private def R_SLEN(l: String) =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform($l, " +
+      s"x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b)"
+  private def R_EXTRA(l: String) = {
+    val sl = s"list_sort($l)"
+    s"list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(range(2, len($l) + 1), " +
+      s"i -> CASE WHEN $sl[i] = $sl[i-1] " +
+      s"THEN CAST(length($sl[i]) AS BIGINT) ELSE 0 END)), (a, b) -> a + b)"
+  }
+  private def R_FRAC(num: String, den: String) =
+    s"CASE WHEN $den = 0 THEN 0.0 " +
+      s"ELSE CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END"
+  private def R_NG(n: Int) = {
+    val cat = (0 until n).map(o => s"ws[i+$o]").mkString(" || ' ' || ")
+    s"CASE WHEN len(ws) < $n THEN CAST([] AS VARCHAR[]) " +
+      s"ELSE list_transform(range(1, len(ws) - ${n - 1} + 1), " +
+      s"i -> $cat) END"
+  }
+  /** CTE chain from a CTE named `s`(doc_id, sample) to `fin`(doc_id,
+    * every [[graft.operators.TextAnalysis.gopherRepetition]] fraction).
+    * Append after the `s` definition; finish with a SELECT over fin. */
+  private lazy val REP_MIRROR_CTES: String = {
+    val topCtes = (2 to 4).map { n =>
+      s"""t$n AS (SELECT doc_id, c * ln AS prod,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY c DESC, ln DESC) AS rn
+           FROM (SELECT doc_id, g, COUNT(*) AS c,
+                   CAST(length(g) AS BIGINT) AS ln
+                 FROM (SELECT doc_id, unnest(g$n) AS g FROM wl2)
+                 GROUP BY 1, 2))"""
+    }.mkString(",\n")
+    s"""wl AS (SELECT doc_id,
+                list_filter(string_split_regex(trim(sample), '\\s+'),
+                  w -> w <> '') AS ws,
+                list_filter(string_split(sample, chr(10)),
+                  x -> x <> '') AS lns,
+                list_filter(string_split(sample, chr(10) || chr(10)),
+                  x -> x <> '') AS prs
+              FROM s),
+       wl2 AS (SELECT doc_id, ws, lns, prs,
+                 ${(2 to 10).map(n => s"${R_NG(n)} AS g$n").mkString(", ")},
+                 ${R_SLEN("ws")}
+                   + GREATEST(CAST(len(ws) AS BIGINT) - 1, 0) AS stream
+               FROM wl),
+       base AS (SELECT doc_id, stream,
+           ${R_FRAC("len(lns) - len(list_distinct(lns))", "len(lns)")}
+             AS dup_line_frac,
+           ${R_FRAC(R_EXTRA("lns"), R_SLEN("lns"))} AS dup_line_char_frac,
+           ${R_FRAC("len(prs) - len(list_distinct(prs))", "len(prs)")}
+             AS dup_para_frac,
+           ${R_FRAC(R_EXTRA("prs"), R_SLEN("prs"))} AS dup_para_char_frac,
+           ${(5 to 10).map(n =>
+             s"LEAST(${R_FRAC(R_EXTRA(s"g$n"), "stream")}, 1.0) " +
+               s"AS dup_${n}gram_char_frac").mkString(", ")}
+         FROM wl2),
+       $topCtes,
+       fin AS (SELECT b.*,
+           ${(2 to 4).map(n =>
+             s"${R_FRAC(s"COALESCE(p$n.prod, 0)", "b.stream")} " +
+               s"AS top_${n}gram_char_frac").mkString(", ")}
+         FROM base b
+           ${(2 to 4).map(n =>
+             s"LEFT JOIN (SELECT doc_id, prod FROM t$n WHERE rn = 1) p$n " +
+               s"ON b.doc_id = p$n.doc_id").mkString("\n           ")})"""
+  }
+  /** The Table-A1 threshold conjunction over fin's column names. */
+  private val REP_GATE: String = (Seq(
+    "dup_line_frac <= 0.30", "dup_para_frac <= 0.30",
+    "dup_line_char_frac <= 0.20", "dup_para_char_frac <= 0.20",
+    "top_2gram_char_frac <= 0.20", "top_3gram_char_frac <= 0.18",
+    "top_4gram_char_frac <= 0.16") ++
+    (5 to 10).map(n => s"dup_${n}gram_char_frac <= 0.${20 - n}"))
+    .mkString(" AND ")
+  /** The C4 trimmed-line keep predicate over a lambda var `l`. */
+  private val C4_KEEP_LINE: String =
+    "regexp_matches(l, '[.!?\"]$') AND " +
+      "len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) >= 3 " +
+      "AND NOT contains(lower(l), 'javascript')"
+  /** The C4-cleaned text of `sampleCol` (kept lines re-joined; DuckDB's
+    * array_to_string([]) is NULL, Spark's array_join([]) is '' — pin
+    * the Spark semantics). */
+  private def C4_CLEAN(sampleCol: String): String =
+    s"COALESCE(array_to_string(list_filter(" +
+      s"list_transform(string_split($sampleCol, chr(10)), x -> trim(x)), " +
+      s"l -> $C4_KEEP_LINE), chr(10)), '')"
+  /** The C4 page gate over a cleaned-text column reference. */
+  private def C4_KEEP(c: String): String =
+    s"(length($c) - length(regexp_replace($c, '[.!?]', '', 'g')) >= 5 " +
+      s"AND NOT contains(lower($c), 'lorem ipsum') " +
+      s"AND NOT contains($c, '{') AND length($c) > 0)"
 
   // ---- DuckDB mirror of graft.operators.Html (q125/q126): the same
   //      staged pipeline — page fixture, chrome strip, block
@@ -3919,6 +4036,66 @@ object SparkEntry {
          FROM perdoc"""
     },
 
+    // corpus card: the three gate mirrors composed — q121's quality
+    // conjunction, the shared repetition CTEs over unsalted text, the
+    // shared C4 clean+gate — joined per doc, counted per source
+    "q142_corpus_card" ->
+      s"""WITH s AS (SELECT doc_id, text AS sample FROM documents),
+         $REP_MIRROR_CTES,
+         rk AS (SELECT doc_id, ($REP_GATE) AS rk FROM fin),
+         gt AS (SELECT doc_id, text,
+                  list_filter($TOKS, w -> w <> '') AS ws,
+                  string_split(text, chr(10)) AS lines
+                FROM documents),
+         gsig AS (SELECT doc_id,
+             len(ws) AS n_words,
+             list_reduce(list_prepend(0, list_transform(ws, w -> length(w))),
+               (a, b) -> a + b) AS sum_len,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3
+               AS symbols,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+               AS bullets,
+             len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.${"$"}')))
+               AS ells,
+             len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+               AS alphas,
+             len(list_filter(ws, w -> list_contains(
+               ['the','a','of','and','to','in','is','on','for','with'],
+               lower(w)))) AS stops
+           FROM gt),
+         gk AS (SELECT doc_id,
+             (n_words >= 50 AND n_words <= 100000
+              AND (CASE WHEN n_words = 0 THEN 0.0
+                   ELSE CAST(sum_len AS DOUBLE) / n_words END) >= 3.0
+              AND (CASE WHEN n_words = 0 THEN 0.0
+                   ELSE CAST(sum_len AS DOUBLE) / n_words END) <= 10.0
+              AND (CASE WHEN n_words = 0 THEN 0.0
+                   ELSE CAST(symbols AS DOUBLE) / n_words END) <= 0.1
+              AND CAST(bullets AS DOUBLE) / n_lines <= 0.9
+              AND CAST(ells AS DOUBLE) / n_lines <= 0.3
+              AND (CASE WHEN n_words = 0 THEN 0.0
+                   ELSE CAST(alphas AS DOUBLE) / n_words END) >= 0.8
+              AND stops >= 2) AS gk
+           FROM gsig),
+         cc AS (SELECT doc_id, ${C4_CLEAN("text")} AS cleaned FROM documents),
+         ck AS (SELECT doc_id, ${C4_KEEP("cleaned")} AS ck FROM cc)
+         SELECT d.source, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN g.gk THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_gopher,
+                CAST(SUM(CASE WHEN r.rk THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_repetition,
+                CAST(SUM(CASE WHEN c.ck THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_c4,
+                CAST(SUM(CASE WHEN g.gk AND r.rk AND c.ck THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_all
+         FROM documents d
+           JOIN gk g ON d.doc_id = g.doc_id
+           JOIN rk r ON d.doc_id = r.doc_id
+           JOIN ck c ON d.doc_id = c.doc_id
+         GROUP BY 1""",
+
     // tokenizer fertility: per-lang exact-BPE token sums through the
     // shared mirror, whitespace word and UTF-8 byte sums, one divide
     // per ratio over the exact integer sums
@@ -3992,41 +4169,7 @@ object SparkEntry {
     // adjacency, top n-gram by (count, length) lex argmax, integer
     // counts + single IEEE divides. Scalar list ops for the dup
     // families; one explode-group per top-n family
-    "q138_gopher_repetition" -> {
-      def SLEN(l: String) =
-        s"list_reduce(list_prepend(0::BIGINT, list_transform($l, " +
-          s"x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b)"
-      def EXTRA(l: String) = {
-        val sl = s"list_sort($l)"
-        s"list_reduce(list_prepend(0::BIGINT, " +
-          s"list_transform(range(2, len($l) + 1), " +
-          s"i -> CASE WHEN $sl[i] = $sl[i-1] " +
-          s"THEN CAST(length($sl[i]) AS BIGINT) ELSE 0 END)), (a, b) -> a + b)"
-      }
-      def FRAC(num: String, den: String) =
-        s"CASE WHEN $den = 0 THEN 0.0 " +
-          s"ELSE CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END"
-      def NG(n: Int) = {
-        val cat = (0 until n).map(o => s"ws[i+$o]").mkString(" || ' ' || ")
-        s"CASE WHEN len(ws) < $n THEN CAST([] AS VARCHAR[]) " +
-          s"ELSE list_transform(range(1, len(ws) - ${n - 1} + 1), " +
-          s"i -> $cat) END"
-      }
-      val topCtes = (2 to 4).map { n =>
-        s"""t$n AS (SELECT doc_id, c * ln AS prod,
-               ROW_NUMBER() OVER (PARTITION BY doc_id
-                 ORDER BY c DESC, ln DESC) AS rn
-             FROM (SELECT doc_id, g, COUNT(*) AS c,
-                     CAST(length(g) AS BIGINT) AS ln
-                   FROM (SELECT doc_id, unnest(g$n) AS g FROM wl2)
-                   GROUP BY 1, 2))"""
-      }.mkString(",\n")
-      val gate = Seq(
-        "dup_line_frac <= 0.30", "dup_para_frac <= 0.30",
-        "dup_line_char_frac <= 0.20", "dup_para_char_frac <= 0.20",
-        "top_2gram_char_frac <= 0.20", "top_3gram_char_frac <= 0.18",
-        "top_4gram_char_frac <= 0.16") ++
-        (5 to 10).map(n => s"dup_${n}gram_char_frac <= 0.${20 - n}")
+    "q138_gopher_repetition" ->
       s"""WITH s AS (SELECT doc_id,
              CASE WHEN doc_id % 4 = 1 THEN text || chr(10) || 'line one'
                     || chr(10) || 'line one' || chr(10) || 'line one'
@@ -4038,47 +4181,14 @@ object SparkEntry {
                     repeat('one two three four five six seven eight nine ten ', 3)
                   ELSE text END AS sample
            FROM documents),
-         wl AS (SELECT doc_id,
-                  list_filter(string_split_regex(trim(sample), '\\s+'),
-                    w -> w <> '') AS ws,
-                  list_filter(string_split(sample, chr(10)),
-                    x -> x <> '') AS lns,
-                  list_filter(string_split(sample, chr(10) || chr(10)),
-                    x -> x <> '') AS prs
-                FROM s),
-         wl2 AS (SELECT doc_id, ws, lns, prs,
-                   ${(2 to 10).map(n => s"${NG(n)} AS g$n").mkString(", ")},
-                   ${SLEN("ws")}
-                     + GREATEST(CAST(len(ws) AS BIGINT) - 1, 0) AS stream
-                 FROM wl),
-         base AS (SELECT doc_id, stream,
-             ${FRAC("len(lns) - len(list_distinct(lns))", "len(lns)")}
-               AS dup_line_frac,
-             ${FRAC(EXTRA("lns"), SLEN("lns"))} AS dup_line_char_frac,
-             ${FRAC("len(prs) - len(list_distinct(prs))", "len(prs)")}
-               AS dup_para_frac,
-             ${FRAC(EXTRA("prs"), SLEN("prs"))} AS dup_para_char_frac,
-             ${(5 to 10).map(n =>
-               s"LEAST(${FRAC(EXTRA(s"g$n"), "stream")}, 1.0) " +
-                 s"AS dup_${n}gram_char_frac").mkString(", ")}
-           FROM wl2),
-         $topCtes,
-         fin AS (SELECT b.*,
-             ${(2 to 4).map(n =>
-               s"${FRAC(s"COALESCE(p$n.prod, 0)", "b.stream")} " +
-                 s"AS top_${n}gram_char_frac").mkString(", ")}
-           FROM base b
-             ${(2 to 4).map(n =>
-               s"LEFT JOIN (SELECT doc_id, prod FROM t$n WHERE rn = 1) p$n " +
-                 s"ON b.doc_id = p$n.doc_id").mkString("\n             ")})
+         $REP_MIRROR_CTES
          SELECT doc_id, dup_line_frac, dup_line_char_frac, dup_para_frac,
                 dup_para_char_frac, top_2gram_char_frac, top_3gram_char_frac,
                 top_4gram_char_frac, dup_5gram_char_frac, dup_6gram_char_frac,
                 dup_7gram_char_frac, dup_8gram_char_frac, dup_9gram_char_frac,
                 dup_10gram_char_frac,
-                (${gate.mkString(" AND ")}) AS keep
-         FROM fin"""
-    },
+                ($REP_GATE) AS keep
+         FROM fin""",
 
     // sequence packing: q134's ordered per-doc id rebuild + [288] eos,
     // the same exclusive-prefix-sum offsets (per lang, doc_id order),

@@ -66,7 +66,10 @@ class BenchParseSpec extends AnyFunSuite {
   // names on collision.
   test("compactLine fits the capture window, parses, and keys stay unique") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val headline = names.map(n => n -> 12.34).toMap
+    // worst realistic shape: sub-10s queries print 4-char "9.87"-style
+    // values, the (rare) 10s+ ones print 1-dp "14.5" — pin the budget
+    // with EVERY query at the sub-10s worst case
+    val headline = names.map(n => n -> 9.87).toMap
     val line = Bench.compactLine(names, headline, 1234.56, "1.307",
       tainted = false, nErrors = 0, passes = 3, sfDir = "/root/testdata/sf0.1")
     assert(line.length < 1900, s"compact line is ${line.length} bytes " +
@@ -76,10 +79,13 @@ class BenchParseSpec extends AnyFunSuite {
     val (times, _, _, _, _) = Bench.parseChild(line)
     assert(times.size == names.size, s"${times.size} keys vs ${names.size} queries")
     assert(times.keySet == names.map(_.takeWhile(_ != '_')).toSet)
-    assert(times.values.forall(_ == 12.34))
-    assert(line.contains("\"value\":1234.56") &&
-      line.contains("\"headline\":\"min-all\"") &&
-      line.contains("\"detail\":\"BENCH_LAST.json\""))
+    assert(times.values.forall(_ == 9.87))
+    assert(line.contains("\"value\":1234.6")) // 10s+: one dp
+    // 10s+ values shed their second dp; small values keep both
+    val mixed = Bench.compactLine(Seq("q01_a", "q02_b"),
+      Map("q01_a" -> 14.55, "q02_b" -> 0.47), 15.02, "1.0",
+      tainted = false, nErrors = 0, passes = 3, sfDir = "x")
+    assert(mixed.contains("\"q01\":14.6") && mixed.contains("\"q02\":0.47"))
     // short-prefix collision => full names (never silently merged keys)
     val clash = Seq("q01_a", "q01_b")
     val clashLine = Bench.compactLine(clash, clash.map(_ -> 1.0).toMap, 2.0,
