@@ -310,6 +310,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
   }
 
+  test("round-9 curation/pack family: gates are scan-level, packing " +
+    "shuffles ONCE (q137-q140, q142)") {
+    // per-doc gate outputs: zero exchanges — the signals never shuffle
+    assert(!plan("q138_gopher_repetition").contains("Exchange"),
+      plan("q138_gopher_repetition"))
+    assert(!plan("q139_c4_rules").contains("Exchange"),
+      plan("q139_c4_rules"))
+    // aggregated forms: exactly their one group-by exchange
+    assert("Exchange".r.findAllIn(plan("q140_tokenizer_fertility")).length <= 1,
+      plan("q140_tokenizer_fertility"))
+    assert("Exchange".r.findAllIn(plan("q142_corpus_card")).length <= 1,
+      plan("q142_corpus_card"))
+    // packSequences: the window's group exchange is the ONLY one — the
+    // token-level regroup rides the same partitioning (no re-shuffle)
+    assert("Exchange".r.findAllIn(plan("q137_pack_sequences")).length <= 1,
+      plan("q137_pack_sequences"))
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set
