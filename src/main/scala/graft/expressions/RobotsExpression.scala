@@ -60,7 +60,14 @@ object RobotsCodec {
     * `#` comments stripped; parsing is forgiving of junk lines (the RFC
     * requires crawlers to tolerate them) but rule SEMANTICS stay
     * strict. */
+  /** RFC 9309 §2.4: a crawler MUST parse at least 500 KiB and MAY
+    * ignore the rest — the cap that keeps a hostile multi-megabyte
+    * robots.txt from ballooning the per-task rule cache. */
+  private val MaxRobotsBytes = 500 * 1024
+
   def rulesFor(txt: String, userAgent: String): Vector[Rule] = {
+    val bounded = if (txt.length <= MaxRobotsBytes) txt
+      else txt.substring(0, MaxRobotsBytes)
     val ua = userAgent.trim.toLowerCase
     final case class Group(agents: Set[String], rules: Vector[(Boolean, String)])
     val groups = Vector.newBuilder[Group]
@@ -71,7 +78,7 @@ object RobotsCodec {
       if (agents.nonEmpty) groups += Group(agents, rules)
       agents = Set.empty; rules = Vector.empty
     }
-    for (raw <- txt.linesIterator) {
+    for (raw <- bounded.linesIterator) {
       val line = raw.takeWhile(_ != '#').trim
       val ci = line.indexOf(':')
       if (ci > 0) {

@@ -355,7 +355,13 @@ object TextAnalysis {
     *   - `dup_Ngram_char_frac` sums (count − 1) × chars over duplicated
     *     n-grams — occurrences may overlap in the text, so the ratio is
     *     capped at 1.0 (declared, monotone).
-    * Zero-denominator cases are 0.0. */
+    * Zero-denominator cases are 0.0.
+    *
+    * Memory shape: the nine n-gram views materialize transiently per
+    * row (Σn ≈ 50× the document's bytes) — run AFTER a document-length
+    * gate (the [[gopherKeep]] 100k-word cap bounds this at ~60 MB for
+    * the most pathological kept doc; ungated multi-GB rows would not be
+    * safe here, nor anywhere else in a row-oriented engine). */
   def gopherRepetition(text: Column): Column = {
     def nonEmpty(arr: Column): Column = filter(arr, s => s =!= "")
     def sumLen(arr: Column): Column =

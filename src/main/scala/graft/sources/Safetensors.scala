@@ -212,6 +212,14 @@ object Safetensors {
           it.foreach { r =>
             if (r.isNullAt(2)) throw SafetensorsError(
               s"null embedding at id=${r.getLong(0)} — filter nulls upstream")
+            // the shard buffers per task: bound LOUDLY (a declared
+            // limit beats an allocator OOM) — 1 GiB of vector bytes or
+            // 64 M rows, whichever first; raise `files` to shrink shards
+            if (vecBytes.size() > (1 << 30) || ids.length >= (1 << 26))
+              throw SafetensorsError(
+                s"shard ${ids.length} rows / ${vecBytes.size()} vector " +
+                  "bytes exceeds the per-task buffer bound — write more " +
+                  "shards (raise files)")
             val v = r.getSeq[Float](2)
             if (dim < 0) dim = v.length
             else if (v.length != dim) throw SafetensorsError(

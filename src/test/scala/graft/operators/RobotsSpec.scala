@@ -97,6 +97,15 @@ class RobotsSpec extends AnyFunSuite {
     assert(!ok("Disallow: /a\nUser-agent: *\nDisallow: /b", "x", "/b"))
   }
 
+  test("robots.txt parses at most 500 KiB (RFC 9309 §2.4) — rules past " +
+    "the cap are ignored, rules before it survive") {
+    val filler = "# padding comment line\n" * (500 * 1024 / 23 + 1)
+    val txt = "User-agent: *\nDisallow: /early\n" + filler +
+      "User-agent: *\nDisallow: /late\n"
+    assert(!ok(txt, "bot", "/early/x"))
+    assert(ok(txt, "bot", "/late/x")) // beyond the cap: never parsed
+  }
+
   test("urlPathQuery extracts path+query, drops fragments, defaults to /") {
     val s = spark
     import s.implicits._
