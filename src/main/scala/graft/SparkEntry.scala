@@ -1070,6 +1070,27 @@ object SparkEntry {
           min(md5(col("txt"))).as("min_md5"))
     }),
 
+    // ---- STORAGE: CDX-indexed random access — Common Crawl's actual
+    //      shape (one gzip member per record + a CDX sidecar): the
+    //      fixture exports the pages via writeWarcIndexed; the query
+    //      reads the CDX, keeps a ~10% deterministic md5 slice of the
+    //      urls, POINT-READS just those members (fetchRecords — one
+    //      ranged read per document, never a shard scan) and
+    //      aggregates the fetched pages per lang
+    "q143_cdx_fetch" -> ((s, dir) => {
+      val root = graft.sources.Warc.ensureIndexedPagesFixture(s, dir)
+      val cdx = graft.sources.Warc.readCdx(s, root)
+        .filter(Sampling.hashBucket(col("url"), "cdx", 1000000) < 100000)
+      graft.sources.Warc.fetchRecords(cdx, root)
+        .select(regexp_extract(col("target_uri"),
+          "corpus[.]local/([a-z]+)/", 1).as("lang"), col("body"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("body"))).as("sum_bytes"),
+          countDistinct(md5(col("body"))).as("n_uniq"),
+          min(md5(col("body"))).as("min_md5"))
+    }),
+
     // ---- CRAWL FRONTIER: harvested links -> the next round's fetch
     //      list (Crawl.frontier): canonicalize (the messy variant
     //      collapses onto its clean twin), absolute-http(s) gate (the
@@ -3521,6 +3542,23 @@ object SparkEntry {
          SELECT guess, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_uniq,
                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM lg GROUP BY 1""",
+
+    // CDX point reads: same page bytes rebuilt from parquet, same md5
+    // url slice (the hashBucket mirror), same q130-style aggregates —
+    // a mis-addressed or corrupted member diverges the body hashes
+    "q143_cdx_fetch" ->
+      s"""WITH pages AS (SELECT d.lang,
+             'https://corpus.local/' || d.lang || '/'
+               || CAST(d.doc_id AS VARCHAR) AS url,
+             $H_PAGE AS html
+           FROM documents d),
+         keep AS (SELECT lang, html FROM pages
+                  WHERE ${H60("'cdx' || url")} % 1000000 < 100000)
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(octet_length(encode(html))) AS BIGINT) AS sum_bytes,
+                COUNT(DISTINCT md5(html)) AS n_uniq,
+                MIN(md5(html)) AS min_md5
+         FROM keep GROUP BY 1""",
 
     // WET loop: q131's staged extraction rebuilt from parquet, grouped
     // by the documents' own lang (the fixture encodes it in the uri)

@@ -389,6 +389,181 @@ object Warc {
       renderConversions(Iterator((uri, date, body)))
     }
 
+  /** Distributed WARC sink in the RANDOM-ACCESS convention: ONE GZIP
+    * MEMBER PER RECORD (what Common Crawl actually ships) plus a CDX
+    * index sidecar per shard (`part-NNNNN.cdx.gz`: one JSON line per
+    * record with the public CDXJ payload fields `url`/`offset`/
+    * `length`/`filename`, offset+length in COMPRESSED bytes). A
+    * member-per-record archive lets a consumer fetch one document with
+    * one ranged read — the access pattern CDX exists for — while
+    * [[readWarc]] still streams the whole shard (multi-member gzip
+    * concatenates). Same salt/temp+rename machinery as [[writeWarc]];
+    * the data shard commits BEFORE its index, so a visible index always
+    * points at complete data. */
+  def writeWarcIndexed(df: DataFrame, uriCol: String, bodyCol: String,
+                       path: String, files: Int, date: String): Unit = {
+    require(files >= 1, s"files must be >= 1, got $files")
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val confEntries = TaskConf.snapshot(spark)
+    val out = new Path(path)
+    out.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(out)
+    df.select(col(uriCol).cast("string").as("u"),
+        col(bodyCol).cast("string").as("b"))
+      .repartition(files, pmod(xxhash64(col("u")), lit(files.toLong)))
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val conf = TaskConf.rebuild(confEntries)
+          def commit(name: String, tmpName: String)(
+              write: java.io.OutputStream => Unit): Unit = {
+            val dest = new Path(path, name)
+            val tmp = new Path(path, tmpName)
+            val fs = dest.getFileSystem(conf)
+            try {
+              val os = fs.create(tmp, true)
+              try write(os) finally os.close()
+              if (fs.exists(dest)) fs.delete(dest, false)
+              if (!fs.rename(tmp, dest) && !fs.exists(dest))
+                throw WarcError(s"could not commit $tmp -> $dest")
+            } finally fs.delete(tmp, false)
+          }
+          val fname = f"part-$pid%05d.warc.gz"
+          val att = tc.taskAttemptId()
+          val index = new scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+          commit(fname, f".part-$pid%05d.warc.attempt-$att%d.tmp") { raw =>
+            val bos = new java.io.BufferedOutputStream(raw, 1 << 16)
+            var offset = 0L
+            it.foreach { r =>
+              val uri = r.getString(0)
+              val member = new ByteArrayOutputStream(1 << 14)
+              val gz = new GZIPOutputStream(member, 1 << 14)
+              gz.write(renderResponses(Iterator((uri, date,
+                r.getString(1).getBytes(StandardCharsets.UTF_8)))))
+              gz.finish()
+              val bytes = member.toByteArray
+              bos.write(bytes)
+              index += ((uri, offset, bytes.length.toLong))
+              offset += bytes.length
+            }
+            bos.flush()
+          }
+          commit(f"part-$pid%05d.cdx.gz",
+            f".part-$pid%05d.cdx.attempt-$att%d.tmp") { raw =>
+            val gz = new GZIPOutputStream(raw, 1 << 14)
+            def jesc(s: String): String = s.flatMap {
+              case '"' => "\\\""
+              case '\\' => "\\\\"
+              case c if c < ' ' => f"\\u${c.toInt}%04x"
+              case c => c.toString
+            }
+            index.foreach { case (uri, off, len) =>
+              gz.write((s"""{"url":"${jesc(uri)}","offset":$off,""" +
+                s""""length":$len,"filename":"$fname"}""" + "\n")
+                .getBytes(StandardCharsets.UTF_8))
+            }
+            gz.finish()
+          }
+        }
+      }
+  }
+
+  private val CdxSchema = StructType(Seq(
+    StructField("url", StringType),
+    StructField("offset", LongType, nullable = false),
+    StructField("length", LongType, nullable = false),
+    StructField("filename", StringType, nullable = false)))
+
+  /** Scan the CDX sidecars under `dir` into (url, offset, length,
+    * filename) — the lookup table in front of [[fetchRecords]]. */
+  def readCdx(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.schema(StructType(CdxSchema.map(_.copy(nullable = true))))
+      .json(s"$dir/part-*.cdx.gz")
+      .select(col("url"), col("offset").cast("long").as("offset"),
+        col("length").cast("long").as("length"), col("filename"))
+  }
+
+  /** RANDOM-ACCESS record fetch: for each (filename, offset, length)
+    * row of a CDX selection, seek into the shard and decompress just
+    * that member — the point-read path a 100 TB archive needs when a
+    * consumer wants 0.1% of documents (streaming every shard would read
+    * 1000× the bytes). Rows group by shard (one open per file per
+    * task), offsets read in ascending order (forward seeks only).
+    * Returns the same (warc_type, target_uri, warc_date, content_type,
+    * http_status, body) row shape as [[readWarc]]. */
+  def fetchRecords(cdx: DataFrame, warcDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = cdx.sparkSession
+    val confEntries = TaskConf.snapshot(spark)
+    val rows = cdx
+      .select(col("filename").cast("string"), col("offset").cast("long"),
+        col("length").cast("long"))
+      .repartition(col("filename"))
+      .sortWithinPartitions("filename", "offset")
+    val schema = StructType(Schema.dropRight(2) :+
+      StructField("File", StringType, nullable = false))
+    val rdd = rows.rdd.mapPartitions { it =>
+      val conf = TaskConf.rebuild(confEntries)
+      var curName: String = null
+      var in: org.apache.hadoop.fs.FSDataInputStream = null
+      def closeQuietly(): Unit =
+        if (in != null) { try in.close() catch { case _: Exception => () } }
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => closeQuietly()))
+      it.map { r =>
+        val (fname, off, len) = (r.getString(0), r.getLong(1), r.getLong(2))
+        if (fname != curName) {
+          closeQuietly()
+          val p = new Path(warcDir, fname)
+          in = p.getFileSystem(conf).open(p)
+          curName = fname
+        }
+        if (len > (64L << 20)) throw WarcError(
+          s"CDX length $len for $fname@$off exceeds the 64 MiB single-member " +
+            "bound — not a per-record member")
+        val buf = new Array[Byte](len.toInt)
+        in.readFully(off, buf) // positioned read: no backward-seek hazard
+        val recs = readRecords(new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(buf))).toSeq
+        if (recs.size != 1) throw WarcError(
+          s"member $fname@$off holds ${recs.size} records — a CDX entry " +
+            "must address exactly one")
+        val rec = recs.head
+        val ct = rec.headers.getOrElse("content-type", null)
+        val (status, body) = httpSplit(ct, rec.payload)
+        Row(rec.headers.getOrElse("warc-type", null),
+          rec.headers.getOrElse("warc-target-uri", null),
+          rec.headers.getOrElse("warc-date", null),
+          ct, status.map(Int.box).orNull,
+          rec.headers.getOrElse("warc-truncated", null),
+          body, fname)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Test/bench fixture: the synthetic pages exported once per sf dir
+    * in the per-record-gzip + CDX convention via [[writeWarcIndexed]].
+    */
+  def ensureIndexedPagesFixture(spark: SparkSession, sfDir: String,
+                                files: Int = 4): String = synchronized {
+    val tag = new File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = new File(sys.props("java.io.tmpdir"), s"graft_warccdx_v1_$tag")
+    val marker = new File(root, ".complete")
+    if (marker.isFile) return root.getPath
+    import org.apache.spark.sql.functions._
+    val pages = graft.operators.Html
+      .syntheticPages(graft.Tables(spark, sfDir, "documents"))
+      .select(concat(lit("https://corpus.local/"), col("lang"), lit("/"),
+        col("doc_id")).as("uri"), col("html"))
+    writeWarcIndexed(pages, "uri", "html", root.getPath, files,
+      date = "2026-01-01T00:00:00Z")
+    Files.write(marker.toPath, Array.emptyByteArray)
+    root.getPath
+  }
+
   /** Shared sink machinery (see [[writeWarc]] for the commit-protocol
     * contract): salt rows into at most `files` gzip shards by `uriCol`,
     * render each row with `renderOne` inside its own executor task,

@@ -205,6 +205,42 @@ class WarcSpec extends AnyFunSuite {
     assert(byUri == texts.toMap)
   }
 
+  test("writeWarcIndexed: per-record gzip members + CDX sidecar; " +
+    "fetchRecords point-reads exactly the addressed members; the whole " +
+    "shard still streams") {
+    val s = spark
+    import s.implicits._
+    val pages = (0 until 40).map(i => (s"https://c/$i", s"<p>page $i</p>"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdx").toString
+    Warc.writeWarcIndexed(pages.toDF("uri", "html"), "uri", "html",
+      dir, files = 3, date = "2026-01-01T00:00:00Z")
+    val cdx = Warc.readCdx(spark, dir)
+    assert(cdx.count() == 40)
+    // offsets + lengths tile each shard exactly (member-per-record)
+    for ((fname, rows) <- cdx.collect()
+        .groupBy(_.getAs[String]("filename"))) {
+      val sorted = rows.sortBy(_.getAs[Long]("offset"))
+      var expect = 0L
+      for (r <- sorted) {
+        assert(r.getAs[Long]("offset") == expect, s"$fname gap")
+        expect += r.getAs[Long]("length")
+      }
+      assert(expect == new java.io.File(dir, fname).length, s"$fname tail")
+    }
+    // point-read a subset: exactly those documents come back, bodies intact
+    val want = cdx.filter(col("url").endsWith("7"))
+    val got = Warc.fetchRecords(want, dir)
+      .select("target_uri", "http_status", "body").collect()
+      .map(r => r.getString(0) ->
+        new String(r.getAs[Array[Byte]](2), "UTF-8")).toMap
+    assert(got.keySet == pages.map(_._1).filter(_.endsWith("7")).toSet)
+    assert(got("https://c/7") == "<p>page 7</p>")
+    // the same shards still stream end-to-end through readWarc
+    val streamed = Warc.readWarc(spark, s"$dir/part-*.warc.gz")
+    assert(streamed.count() == 40)
+    assert(streamed.filter(col("http_status") === 200).count() == 40)
+  }
+
   test("truncation: strict mode fails loudly mid-payload; tolerant mode " +
     "emits the partial record flagged warc_truncated='length'; a " +
     "crawler-DECLARED WARC-Truncated header surfaces without error") {
