@@ -328,6 +328,21 @@ class PlanAuditSpec extends AnyFunSuite {
       plan("q137_pack_sequences"))
   }
 
+  test("binary-format round trips: one-task-per-shard scans feed their " +
+    "aggregate directly (q134/q136/q141/q143)") {
+    // scan -> (countDistinct two-phase) aggregate: at most 2 exchanges,
+    // and never an exchange of the raw record stream before the partial
+    for (q <- Seq("q134_indexed_roundtrip", "q136_safetensors_roundtrip",
+      "q141_wet_roundtrip")) {
+      assert("Exchange hashpartitioning".r.findAllIn(plan(q)).length <= 2,
+        s"$q:\n${plan(q)}")
+    }
+    // CDX fetch adds its one per-shard regroup of the (tiny) index side
+    assert("Exchange hashpartitioning".r
+      .findAllIn(plan("q143_cdx_fetch")).length <= 3,
+      plan("q143_cdx_fetch"))
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set
