@@ -23,6 +23,50 @@ object SparkEntry {
     queries("q01_group_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- GRAPH: integer-exact PageRank over a synthetic link graph —
+    //      frontier prioritization (nodes 47-52 are dangling: dst-only).
+    //      Fixed-point BIGINT arithmetic end to end, so the 5-iteration
+    //      power method is bit-stable under any partitioning and the
+    //      oracle unrolls the same integer recurrence as chained CTEs
+    "q144_pagerank" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val e = d.select((col("doc_id") % 47).as("src"),
+          ((col("doc_id") * 7 + 3) % 53).as("dst"))
+        .union(d.select(((col("doc_id") * 3) % 47).as("src"),
+          ((col("doc_id") * 13 + 1) % 53).as("dst")))
+      graft.operators.Crawl.pageRank(e, "src", "dst", iterations = 5)
+        .select(col("node"), col("rank"))
+    }),
+
+    // ---- MM DEDUP: perceptual image near-dup — REAL PNGs decoded,
+    //      dHash'd (9x8 gradient sign grid -> 64-bit sketch), banded
+    //      Hamming<=2 self-join (pigeonhole-exact at 4 bands), then a
+    //      per-asset dup census. The oracle recomputes every dHash from
+    //      the pixel formula and brute-forces the pair scan
+    "q145_image_dhash" -> ((s, dir) => {
+      val pairs = Multimodal.dhashNearDups(
+        Multimodal.syntheticPixelAssets(t(s, dir, "documents")),
+        maxHamming = 2, bands = 4)
+      pairs.select(col("id_a").as("asset_id"), col("hamming"))
+        .union(pairs.select(col("id_b").as("asset_id"), col("hamming")))
+        .groupBy("asset_id")
+        .agg(count(lit(1)).as("n_dups"), min(col("hamming")).as("closest"))
+    }),
+
+    // ---- DEDUP: exact prefix-filtered Jaccard self-join (PPJoin) —
+    //      no blocking key, total recall at t=0.5; corpus = documents
+    //      plus a tail-mutated twin per even doc, so every kept doc has
+    //      a known near-dup and the oracle can brute-force the truth
+    "q146_prefix_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      val mut = d.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(col("text"), lit(" graft dup probe tail")).as("text"))
+      Dedup.prefixJaccardPairs(d.union(mut), "doc_id", "text",
+        n = 3, threshold = 0.5)
+    }),
+
     // ---- A1/A2: the core group-aggregate (bearysta aggregate.py:719-727)
     "q01_group_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -2315,7 +2359,93 @@ object SparkEntry {
     SUMD(s"list_transform(range(0, 60), b -> CASE WHEN $votes >= 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)")
   }
 
+  /** q144's mirror: the SAME integer fixed-point recurrence as
+    * [[graft.operators.Crawl.pageRank]], unrolled as one chained CTE per
+    * iteration (DuckDB `//` floors like Spark `div` truncates — equal on
+    * the all-non-negative rank domain). Sums are CAST back to BIGINT
+    * because DuckDB's sum(BIGINT) widens to HUGEINT. */
+  private lazy val PAGERANK_SQL: String = {
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (
+           SELECT n.node,
+                  CAST((1000000000000 // (SELECT count(*) FROM nodes)) * 15 // 100
+                       + 85 * coalesce(s.s, 0) // 100 AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, CAST(sum(r.rank // od.outdeg) AS BIGINT) AS s
+             FROM e JOIN od USING (src) JOIN r${i - 1} r ON r.node = e.src
+             GROUP BY e.dst) s ON s.node = n.node)"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+         SELECT DISTINCT src, dst FROM (
+           SELECT doc_id % 47 AS src, (doc_id * 7 + 3) % 53 AS dst
+           FROM documents
+           UNION ALL
+           SELECT (doc_id * 3) % 47, (doc_id * 13 + 1) % 53 FROM documents)),
+       nodes AS (SELECT DISTINCT src AS node FROM e
+                 UNION SELECT DISTINCT dst FROM e),
+       od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       r0 AS (SELECT node,
+                     1000000000000 // (SELECT count(*) FROM nodes) AS rank
+              FROM nodes),
+       $iters
+       SELECT node, rank FROM r5"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q144_pagerank" -> PAGERANK_SQL,
+
+    // dHash recomputed from the pixel FORMULA (the engine decoded real
+    // PNGs): grid(x,y) = (id*31 + (y*h//8)*w + (x*w//9)) % 256, bit
+    // y*8+x = [grid(x+1,y) > grid(x,y)]. Bit 63 lands via signed
+    // two's-complement addition (min-BIGINT) because 1<<63 would
+    // overflow; pairs are the brute-force quadratic scan the banded
+    // join must equal exactly (pigeonhole: hamming<=2 < 4 bands)
+    "q145_image_dhash" ->
+      """WITH a AS (
+           SELECT doc_id AS id,
+                  CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+                  CAST(doc_id % 11 + 4 AS BIGINT) AS h
+           FROM documents),
+         bits AS (
+           SELECT id, list_transform(range(64), b ->
+             CASE WHEN (id*31 + ((b//8)*h//8)*w + ((b%8+1)*w//9)) % 256
+                     > (id*31 + ((b//8)*h//8)*w + ((b%8)*w//9)) % 256
+                  THEN 1 ELSE 0 END) AS bt
+           FROM a),
+         hs AS (
+           SELECT id,
+                  CAST(list_sum(list_transform(range(63),
+                    b -> CAST(bt[b+1] AS BIGINT) << b)) AS BIGINT)
+                  + CAST(bt[64] AS BIGINT) * (-9223372036854775807 - 1) AS dh
+           FROM bits),
+         nd AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+                  bit_count(xor(a.dh, b.dh)) AS ham
+           FROM hs a JOIN hs b ON a.id < b.id
+           WHERE bit_count(xor(a.dh, b.dh)) <= 2)
+         SELECT asset_id, CAST(count(*) AS BIGINT) AS n_dups,
+                CAST(min(ham) AS BIGINT) AS closest
+         FROM (SELECT id_a AS asset_id, ham FROM nd
+               UNION ALL SELECT id_b, ham FROM nd)
+         GROUP BY asset_id""",
+
+    // brute-force truth for the prefix-filtered join: every pair of the
+    // salted corpus with word-3-gram Jaccard >= 0.5 — the filter's
+    // total-recall claim means the clever plan must equal this scan
+    "q146_prefix_jaccard" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' graft dup probe tail'
+           FROM documents WHERE doc_id % 2 = 0),
+         sh AS (
+           SELECT doc_id AS id, $HSHINGLES3 AS sh FROM corpus),
+         nonempty AS (SELECT id, sh FROM sh WHERE len(sh) > 0)
+         SELECT a.id AS id_a, b.id AS id_b,
+                ${JACC("a.sh", "b.sh")} AS jaccard
+         FROM nonempty a JOIN nonempty b ON a.id < b.id
+         WHERE ${JACC("a.sh", "b.sh")} >= 0.5""",
+
     "q01_group_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${DSUM("l_quantity")} AS sum_qty,

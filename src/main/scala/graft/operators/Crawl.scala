@@ -80,6 +80,75 @@ object Crawl {
       .filter(col("rank") <= perHostCap)
   }
 
+  /** Integer-exact PageRank over a link graph — the frontier
+    * PRIORITIZATION signal (Page et al. '99; what OPIC/Heritrix-style
+    * crawl schedulers rank fetch queues with, and what in-link count —
+    * [[frontier]]'s cheap proxy — approximates). Fixed `iterations` of
+    * the power method with damping `dampingPct`/100.
+    *
+    * All arithmetic is SCALED FIXED-POINT over BIGINT (rank mass in
+    * units of `scale`/N, floor division at every step), never floating
+    * point: integer sums are associative, so the result is bit-stable
+    * under any partitioning / aggregation order — the property that
+    * makes a distributed rank oracle-comparable at all (a double-summed
+    * rank differs in ulps between engines AND between runs). Per
+    * iteration: `rank'(u) = teleport + dampingPct * Σ_v→u
+    * floor(rank(v)/outdeg(v)) / 100` with `teleport =
+    * floor(scale/N) * (100-dampingPct) / 100`; all values non-negative,
+    * so truncating and flooring division agree across engines. Dangling
+    * nodes (no out-edges) receive rank but leak their mass — the
+    * documented simplification (total mass decays toward teleport-only;
+    * rank ORDER, the crawl-relevant output, is unaffected for connected
+    * regions). Multi-edges collapse via distinct; self-loops are kept.
+    *
+    * Scale shape: the edge list is the only corpus-sized thing and it
+    * shuffles ONCE (the distinct + outdeg join, persisted); each
+    * iteration is then one src-keyed equi-join (ranks are N-sized, far
+    * smaller than edges — AQE broadcasts them under the threshold, and
+    * a web-scale N degrades to an SMJ reusing the edge partitioning)
+    * plus one dst-keyed partial-aggregated exchange of (node, long).
+    * Lineage is cut per iteration with a lazy localCheckpoint, the
+    * [[Dedup.connectedComponents]] idiom — without it Catalyst
+    * re-analyzes a plan two layers deeper every round. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 5, dampingPct: Int = 85,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0, 100], got $dampingPct")
+    require(scale >= 1000000L, s"scale too small for rank resolution: $scale")
+    import org.apache.spark.storage.StorageLevel
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge list")
+    val base = scale / n
+    val teleport = base * (100 - dampingPct) / 100
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.select(col("node"), lit(base).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("rank"))
+        .localCheckpoint(false)
+    }
+    ranks
+  }
+
   /** RFC 9309 politeness gate — the step between frontier and fetch:
     * keep only the `urls` rows `userAgent` may fetch under each host's
     * robots.txt. `robots` is (host, robots.txt content) — ONE row per

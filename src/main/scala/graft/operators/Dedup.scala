@@ -671,6 +671,76 @@ object Dedup {
       .select("blk", "id_a", "id_b", "jaccard")
   }
 
+  /** EXACT set-similarity self-join via the prefix filter (Chaudhuri et
+    * al. ICDE'06; the PPJoin family, Xiao et al. WWW'08) — near-dup
+    * pairs with word-`n`-gram Jaccard >= `threshold`, with NO blocking
+    * key and NO recall loss. Unlike [[minhashCandidates]] (probabilistic
+    * recall) or [[ngramJaccardPairs]] (needs a caller-supplied block
+    * column), the prefix filter is content-derived and provably
+    * complete: order every shingle set by a global total order
+    * (document frequency ascending, then hash — rarest first), keep
+    * only each set's first `|x| - ceil(t*|x|) + 1` shingles as its
+    * PREFIX, and observe that two sets with Jaccard >= t MUST share a
+    * prefix shingle (if neither prefix intersects the other set, the
+    * overlap is too small for t — the standard pigeonhole argument).
+    * Candidates therefore come from an equi-join on prefix shingles
+    * only; the symmetric length filter (`t*|x| <= |y| <= |x|/t`,
+    * necessary for Jaccard >= t) prunes before the exact
+    * [[jaccardSorted]] verify.
+    *
+    * Scale shape: the inverted index this join builds contains only
+    * PREFIX postings — rarest-first ordering makes those the shortest
+    * lists in the corpus (a stopword shingle shared by millions of
+    * documents lands in essentially nobody's prefix), which is the
+    * whole reason this is the VLDB-standard exact similarity join. Two
+    * corpus-sized exchanges total: the df aggregate (map-side partial
+    * over shingle keys) and the prefix-keyed candidate join; the verify
+    * runs on candidate rows only. At 100 TB, threshold picks the cost:
+    * t=0.8 keeps ~20% of shingles per doc as prefix; skewed shingles
+    * self-resolve (high df => ordered last => never in a prefix).
+    *
+    * Returns (id_a, id_b, jaccard). No reference counterpart —
+    * extension surface for the dedup pillar. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sets = df.repartition(par).select(col(idCol).as("id"),
+      array_sort(array_distinct(call_function("graft_md5_hash_array",
+        TextAnalysis.wordShingles(col(textCol), n), lit(15)))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // global df per shingle hash — the total order that makes prefixes
+    // rare. Joined back per occurrence (shingle-keyed; never collected).
+    val dfreq = sets.select(explode(col("sh")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // rarest-first reassembly: array_sort on (df, tok) structs is a
+    // lexicographic struct sort — deterministic, ties on df break by
+    // hash value, one definition shared with the SQL mirror
+    val ordered = sets
+      .select(col("id"), col("sh"), explode(col("sh")).as("tok"))
+      .join(dfreq, "tok")
+      .groupBy("id")
+      .agg(first(col("sh")).as("sh"),
+        array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+    val prefixLen = (size(col("sh")) -
+      ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
+    val pref = ordered
+      .select(col("id"), col("sh"),
+        explode(slice(transform(col("ord"), s => s("tok")),
+          lit(1), prefixLen)).as("tok"))
+    val a = pref.select(col("tok"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = pref.select(col("tok"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(size(col("sh_a")) * lit(threshold) <= size(col("sh_b")) &&
+        size(col("sh_b")) * lit(threshold) <= size(col("sh_a")))
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .distinct()
+  }
+
   /** Embedding-cosine near-dup via banded sign-LSH with Hamming-1
     * multi-probe (the scale path). One `bands*bandBits`-plane sign sketch
     * per vector is sliced into `bands` keys; the probe side additionally

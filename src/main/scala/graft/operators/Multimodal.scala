@@ -538,6 +538,116 @@ object Multimodal {
     * path ([[resamplePixels]] / [[decodeFrames]] / [[audioFeatures]] /
     * [[decodePixels]]). Unknown signatures sniff as
     * `application/octet-stream`; null payloads stay null. */
+  /** Schema of [[imageDHash]]'s output. */
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = true)))
+
+  /** Perceptual difference-hash (dHash) of an image payload — the
+    * standard 64-bit near-duplicate sketch for image corpora (public
+    * algorithm: Krawetz's dHash / pHash family): decode the REAL
+    * compressed stream (PNG via [[graft.expressions.PngCodec]], baseline
+    * JPEG via [[graft.expressions.JpegCodec]], routed by magic bytes),
+    * reduce to 8-bit grayscale (integer luma `(299r+587g+114b)/1000` for
+    * 3-channel rasters — exact, mirrorable), nearest-neighbor resample
+    * to a fixed 9x8 grid (same `x*w/ow` floor sampling as
+    * [[resamplePixels]], so the SQL mirror shares one formula), then one
+    * bit per horizontally-adjacent pixel pair: bit `y*8+x` is set iff
+    * `gray(x+1,y) > gray(x,y)` (unsigned, strict). Gradient direction
+    * survives brightness/contrast shifts and resizes — the reason dHash
+    * (not a byte hash) is the image-dedup workhorse. Payloads that
+    * don't decode yield a null hash. Partition-local, no shuffle.
+    *
+    * No reference counterpart — bearysta has no image path; extension
+    * surface for the multimodal-corpus pillar. */
+  def imageDHash(mm: DataFrame): DataFrame = {
+    mm.select(col("asset_id"), col("payload")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val ras: Option[graft.expressions.PngCodec.Raster] =
+          if (payload == null || payload.length < 8) None
+          else if ((payload(0) & 0xFF) == 0x89 && payload(1) == 0x50)
+            graft.expressions.PngCodec.decode(payload)
+          else if ((payload(0) & 0xFF) == 0xFF && (payload(1) & 0xFF) == 0xD8)
+            graft.expressions.JpegCodec.decode(payload)
+          else None
+        ras match {
+          case None => Row(id, null)
+          case Some(img) =>
+            val gray =
+              if (img.channels == 1) img
+              else {
+                val g = new Array[Byte](img.width * img.height)
+                var i = 0
+                while (i < g.length) {
+                  val b = i * img.channels
+                  g(i) = (((img.pixels(b) & 0xFF) * 299 +
+                    (img.pixels(b + 1) & 0xFF) * 587 +
+                    (img.pixels(b + 2) & 0xFF) * 114) / 1000).toByte
+                  i += 1
+                }
+                graft.expressions.PngCodec.Raster(img.width, img.height, 1, g)
+              }
+            val grid = graft.expressions.PngCodec.resampleNearest(gray, 9, 8)
+            var hash = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if ((grid.pixels(y * 9 + x + 1) & 0xFF) >
+                  (grid.pixels(y * 9 + x) & 0xFF))
+                  hash |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, Long.box(hash))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(dhashSchema))
+  }
+
+  /** Image near-duplicate pairs via banded dHash — the multimodal twin
+    * of [[Dedup.simhashBandPairs]]: each 64-bit [[imageDHash]] splits
+    * into `bands` contiguous bit-slices (band keys), candidates agree
+    * exactly on >= 1 band (per-band equi-join), and the full Hamming
+    * distance verifies `maxHamming`. Pigeonhole exactness: `maxHamming
+    * < bands` means any qualifying pair leaves >= 1 band untouched, so
+    * recall is TOTAL at the declared threshold — the banded join equals
+    * the quadratic brute-force scan, at inverted-index cost.
+    *
+    * Scale shape: decode+hash is scan-level partition-local work; the
+    * only data that shuffles is (band key, id, 8-byte hash) x bands —
+    * never pixels, never payloads. Band keys are content-derived, so
+    * bucket population tracks visual diversity; at billion-image scale
+    * raise `bands` (wider slices stay exact while `maxHamming < bands`)
+    * or pre-partition by a coarse perceptual prefix. Returns
+    * (id_a, id_b, hamming), composable with
+    * [[Dedup.connectedComponents]] for cluster-level dedup. */
+  def dhashNearDups(mm: DataFrame, maxHamming: Int = 2,
+                    bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"exactness needs maxHamming < bands, got $maxHamming >= $bands")
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val hashed = imageDHash(mm).filter(col("dhash").isNotNull)
+    val keys = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("dhash"), b * bandBits).bitwiseAND(lit(mask))
+          .as("key"))): _*)
+    val keyed = hashed.select(col("asset_id").as("id"), col("dhash"),
+      explode(keys).as("bk"))
+    val a = keyed.select(col("bk"), col("id").as("id_a"), col("dhash").as("dh_a"))
+    val b = keyed.select(col("bk"), col("id").as("id_b"), col("dhash").as("dh_b"))
+    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", Dedup.hamming(col("dh_a"), col("dh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+
   def sniffModality(payload: Column): Column = {
     def magic(off: Int, hexSig: String): Column =
       substring(payload, off, hexSig.length / 2) === unhex(lit(hexSig))

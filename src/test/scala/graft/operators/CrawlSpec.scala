@@ -68,6 +68,61 @@ class CrawlSpec extends AnyFunSuite {
         .selectExpr("CAST(null AS STRING) AS url").limit(0), Nil, 0))
   }
 
+  // ---- pageRank: integer fixed-point power method ----
+
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int,
+                      damping: Int = 85): Map[Long, Long] =
+    Crawl.pageRank(edges.toDF("s", "d"), "s", "d", iterations = iters,
+        dampingPct = damping)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRank: a 2-cycle is a fixpoint at exactly scale/2 each — " +
+    "mass conserved, bit-stable") {
+    // base = 5e11; teleport = 75e9; rank' = 75e9 + 85*5e11/100 = 5e11
+    for (iters <- Seq(1, 3, 7)) {
+      val r = ranksOf(Seq((1L, 2L), (2L, 1L)), iters)
+      assert(r == Map(1L -> 500000000000L, 2L -> 500000000000L), s"iters=$iters")
+    }
+  }
+
+  test("pageRank: hand-computed star with a dangling sink (1->3, 2->3)") {
+    // N=3, base=333333333333, teleport = base*15/100 = 49999999999
+    // iter1: r3 = 49999999999 + (85*666666666666) div 100 = 616666666665
+    // iter2: r3 = 49999999999 + (85*(2*49999999999)) div 100 = 134999999997
+    // (3 is dangling: its mass leaks, the documented simplification)
+    val after1 = ranksOf(Seq((1L, 3L), (2L, 3L)), iters = 1)
+    assert(after1 == Map(1L -> 49999999999L, 2L -> 49999999999L,
+      3L -> 616666666665L))
+    val after2 = ranksOf(Seq((1L, 3L), (2L, 3L)), iters = 2)
+    assert(after2 == Map(1L -> 49999999999L, 2L -> 49999999999L,
+      3L -> 134999999997L))
+  }
+
+  test("pageRank: multi-edges collapse; in-degree drives rank order; " +
+    "damping 0 is teleport-only") {
+    // node 3 has two in-edges (one duplicated 3x), node 2 has one
+    val edges = Seq((1L, 3L), (1L, 3L), (1L, 3L), (2L, 3L), (3L, 2L),
+      (2L, 1L), (3L, 1L))
+    val r = ranksOf(edges, iters = 5)
+    assert(r(3L) > r(2L), s"in-degree 2 should outrank in-degree 1: $r")
+    // duplicates collapsed: 1's outdeg is 1 (edge 1->3 once), so its
+    // full (floored) mass flows to 3 each round — same result as the
+    // dedup'd edge list
+    val dedup = ranksOf(Seq((1L, 3L), (2L, 3L), (3L, 2L), (2L, 1L), (3L, 1L)), 5)
+    assert(r == dedup)
+    val flat = ranksOf(edges, iters = 3, damping = 0)
+    assert(flat.values.toSet.size == 1, s"damping 0 must flatten: $flat")
+  }
+
+  test("pageRank: guards reject bad knobs and empty graphs") {
+    intercept[IllegalArgumentException](ranksOf(Seq((1L, 2L)), iters = 0))
+    intercept[IllegalArgumentException](
+      Crawl.pageRank(Seq((1L, 2L)).toDF("s", "d"), "s", "d", dampingPct = 101))
+    intercept[IllegalArgumentException](
+      Crawl.pageRank(Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d")
+        .collect())
+  }
+
   test("plan: no cartesian; the politeness cap plans as a group-limit " +
     "(top-k prunes before materialization)") {
     val links = graft.Tables(spark, TestSpark.sfDir, "documents")
