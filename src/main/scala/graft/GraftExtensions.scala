@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64, aggregate}
 
-import graft.expressions.{AffineMinHash, ArrayCosine, ArrayL2Sq, BinarySlice, BpePreTokens, BpeTokenCount, BpeTokenIds, BpeTokens, ExactMedian, ImageDims, KmvDistinct, KmvSketch, Md5PrefixHashArray, RobotsAllowed, ScriptCounts, SignBucket, SimHash32, SimHash60, SortedLongJaccard, StringNumClass}
+import graft.expressions.{AffineMinHash, ArrayCosine, ArrayL2Sq, BinarySlice, BpePreTokens, BpeTokenCount, BpeTokenIds, BpeTokens, ExactMedian, FixMojibake, ImageDims, KmvDistinct, KmvSketch, Md5PrefixHashArray, NfcNormalize, RobotsAllowed, ScriptCounts, SignBucket, SimHash32, SimHash60, SortedLongJaccard, StringNumClass}
 
 /** Registers graft's native Catalyst expressions with a SparkSession via
   * the public extensions mechanism:
@@ -71,6 +71,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_script_counts"),
       new ExpressionInfo(classOf[ScriptCounts].getName, "graft_script_counts"),
       (es: Seq[Expression]) => ScriptCounts(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_fix_mojibake"),
+      new ExpressionInfo(classOf[FixMojibake].getName, "graft_fix_mojibake"),
+      (es: Seq[Expression]) => FixMojibake(es.head)))
     ext.injectFunction((FunctionIdentifier("graft_image_dims"),
       new ExpressionInfo(classOf[ImageDims].getName, "graft_image_dims"),
       (es: Seq[Expression]) => ImageDims(es.head)))

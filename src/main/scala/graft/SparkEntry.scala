@@ -67,6 +67,46 @@ object SparkEntry {
         n = 3, threshold = 0.5)
     }),
 
+    // ---- CRAWL: SURT keys (the Internet Archive / Common Crawl CDX
+    //      sort convention) — clean and messy fetch variants of the
+    //      same page, plus a www. host spelling, collapse through
+    //      canonicalUrl+surtKey to ONE domain-sorted key; non-URLs
+    //      yield the null group
+    "q147_surt_key" -> ((s, dir) => {
+      val n5 = (col("doc_id") % 5).cast("string")
+      val n20 = (col("doc_id") % 20).cast("string")
+      val clean = concat(lit("https://news"), n5, lit(".example.com/a/"), n20)
+      val www = concat(lit("HTTPS://WWW.News"), n5,
+        lit(".Example.COM:443/a/"), n20, lit("?utm_source=x#f"))
+      t(s, dir, "documents")
+        .select(explode(array(clean, www, lit("/relative"))).as("url"))
+        .select(TextAnalysis.surtKey(
+          TextAnalysis.canonicalUrl(col("url"))).as("surt"))
+        .groupBy("surt").agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- TEXT REPAIR: mojibake inverse-decode + NFC normalization —
+    //      the two encoding fixes a crawl corpus needs before any
+    //      hashing; both are codegen'd scan expressions. The mojibake
+    //      oracle pins the case matrix as literals; the NFC oracle is a
+    //      TRUE cross-engine check (DuckDB's own nfc_normalize)
+    "q148_fix_encoding" -> ((s, dir) => {
+      val moji = element_at(array(mojibakeSamples.map(p => lit(p._1)): _*),
+        (col("doc_id") % mojibakeSamples.length + 1).cast("int"))
+      val nfd = element_at(array(nfdSamples.map(lit): _*),
+        (col("doc_id") % nfdSamples.length + 1).cast("int"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), moji.as("broken"), nfd.as("decomposed"))
+        .select(col("doc_id"),
+          TextAnalysis.fixMojibake(col("broken")).as("repaired"),
+          TextAnalysis.nfcNormalize(col("decomposed")).as("composed"),
+          // idempotence surfaced in-row: repairing the repaired text
+          // and composing the composed text must be no-ops
+          (TextAnalysis.fixMojibake(TextAnalysis.fixMojibake(col("broken")))
+            === TextAnalysis.fixMojibake(col("broken"))).as("repair_stable"),
+          length(col("decomposed")).as("nfd_len"))
+    }),
+
     // ---- A1/A2: the core group-aggregate (bearysta aggregate.py:719-727)
     "q01_group_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1850,6 +1890,42 @@ object SparkEntry {
     scriptSaltSamples.map(s => s"'${s.replace("'", "''")}'")
       .mkString("[", ",\n                   ", "]")
 
+  /** q148's mojibake case matrix: (broken, repaired) pairs — UTF-8
+    * mis-decoded as Windows-1252, including CP1252-graphics sequences
+    * (the 0x80-0x9F row), Cyrillic, one DOUBLE-encoded char (two repair
+    * passes), pure-ASCII passthrough, and a lone 0xC3 'A-tilde' that
+    * must survive untouched (strict re-decode fails on the truncated
+    * sequence). Unicode escapes, not raw glyphs: the pair table IS the
+    * contract and must never depend on editor/source encoding. The
+    * engine runs the general inverse-decode algorithm; the oracle pins
+    * this matrix as literals (the q123 salt pattern). */
+  private val mojibakeSamples: Seq[(String, String)] = Seq(
+    ("caf\u00c3\u00a9",
+      "caf\u00e9"),
+    ("don\u00e2\u20ac\u2122t stop",
+      "don\u2019t stop"),
+    ("na\u00c3\u00afve",
+      "na\u00efve"),
+    ("\u00d0\u00bf\u00d1\u20ac\u00d0\u00b8\u00d0\u00b2\u00d0\u00b5\u00d1\u201a",
+      "\u043f\u0440\u0438\u0432\u0435\u0442"),
+    ("\u00c3\u0192\u00c2\u00a9 twice",
+      "\u00e9 twice"),
+    ("plain ascii text",
+      "plain ascii text"),
+    ("lone \u00c3 stays",
+      "lone \u00c3 stays"))
+
+  /** q148's NFD inputs (combining marks that NFC must compose). */
+  private val nfdSamples: Seq[String] = Seq(
+    "e\u0301clair",
+    "Cafe\u0301",
+    "A\u030angstro\u0308m",
+    "plain")
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(s => s"'${s.replace("'", "''")}'")
+      .mkString("[", ",\n                   ", "]")
+
   /** Canonical BPE merges table for q84: the output of
     * `TextAnalysis.bpeTrain(documents, 32)` on this corpus (spec-pinned
     * by BpeSpec so the embedded copy can never drift from the trainer).
@@ -2445,6 +2521,35 @@ object SparkEntry {
                 ${JACC("a.sh", "b.sh")} AS jaccard
          FROM nonempty a JOIN nonempty b ON a.id < b.id
          WHERE ${JACC("a.sh", "b.sh")} >= 0.5""",
+
+    // SURT mirror recomputed from the generating formula (both fetch
+    // variants collapse to one key; %5 is determined by %20, so the key
+    // space is the 20 residues); the relative URL is the null group
+    "q147_surt_key" ->
+      """SELECT surt, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT 'com,example,news' || CAST(doc_id % 5 AS VARCHAR)
+                  || ')/a/' || CAST(doc_id % 20 AS VARCHAR) AS surt
+           FROM documents CROSS JOIN range(2)
+           UNION ALL
+           SELECT NULL FROM documents)
+         GROUP BY surt""",
+
+    // mojibake repairs pinned as the literal case matrix (the engine
+    // ran the general inverse-decode); NFC via DuckDB's own
+    // nfc_normalize — a true cross-engine UAX #15 check
+    "q148_fix_encoding" -> {
+      val rep = sqlList(mojibakeSamples.map(_._2))
+      val nfd = sqlList(nfdSamples)
+      s"""SELECT doc_id,
+           $rep[CAST(doc_id % ${mojibakeSamples.length} AS INT) + 1] AS repaired,
+           nfc_normalize(
+             $nfd[CAST(doc_id % ${nfdSamples.length} AS INT) + 1]) AS composed,
+           true AS repair_stable,
+           CAST(length(
+             $nfd[CAST(doc_id % ${nfdSamples.length} AS INT) + 1]) AS INT)
+             AS nfd_len
+         FROM documents"""
+    },
 
     "q01_group_agg" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -934,6 +934,38 @@ object TextAnalysis {
     when(p === "", lit("/")).otherwise(p)
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform — the Internet
+    * Archive / Common Crawl CDX index convention): host labels reversed
+    * and comma-joined, `www.` dropped (the CC canonicalizer's rule),
+    * scheme dropped, then `)` + path-and-query —
+    * `https://www.news.example.com/a?q=1` → `com,example,news)/a?q=1`.
+    * SURT keys sort all of a registrable domain's URLs contiguously,
+    * which is what makes a petabyte CDX index range-scannable by domain;
+    * feed [[canonicalUrl]] output for fetch-variant collapse first.
+    * Pure built-in expression chain (split/reverse/join), codegen'd at
+    * the scan; non-URLs (null [[urlHost]]) yield null. */
+  def surtKey(url: Column): Column = {
+    val host = regexp_replace(urlHost(url), "^www\\.", "")
+    when(host.isNull, lit(null).cast("string"))
+      .otherwise(concat(
+        array_join(reverse(split(host, "\\.")), ","),
+        lit(")"),
+        urlPathQuery(url)))
+  }
+
+  /** Unicode NFC normalization ([[graft.expressions.NfcNormalize]]) —
+    * run before shingling/hashing so NFD and NFC spellings of the same
+    * text dedup together. */
+  def nfcNormalize(text: Column): Column =
+    call_function("graft_nfc", text)
+
+  /** Mojibake repair ([[graft.expressions.FixMojibake]]): UTF-8 that
+    * was mis-decoded as Windows-1252 upstream ("cafÃ©") is inverted
+    * back to the intended text ("café"); non-mojibake passes through
+    * untouched. The ftfy move, as a codegen'd scan expression. */
+  def fixMojibake(text: Column): Column =
+    call_function("graft_fix_mojibake", text)
+
   /** RFC 9309 robots.txt decision ([[graft.expressions.RobotsCodec]]):
     * TRUE when `userAgent` may fetch `path` under `robotsTxt`; NULL
     * robots -> NULL (coalesce at the join — missing robots.txt is an

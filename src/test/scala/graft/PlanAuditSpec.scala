@@ -343,6 +343,24 @@ class PlanAuditSpec extends AnyFunSuite {
       plan("q143_cdx_fetch"))
   }
 
+  test("encoding repair is a single codegen'd scan stage (q148); the " +
+    "SURT collapse allows only its final aggregate (q147)") {
+    val enc = plan("q148_fix_encoding")
+    assert(!enc.contains("Exchange"), enc)
+    assert(enc.contains("*(1) Project [doc_id"), enc)
+    assert("Exchange".r.findAllIn(plan("q147_surt_key")).length <= 1,
+      plan("q147_surt_key"))
+  }
+
+  test("prefix-filtered jaccard join stays equi-join-shaped: bounded " +
+    "exchanges, no shuffle proportional to the pair space (q146)") {
+    val p = plan("q146_prefix_jaccard")
+    // df aggregate (2-phase), ordered reassembly, prefix candidate join,
+    // pair distinct — each a key-partitioned exchange, NEVER a cross
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 8, p)
+    assert(p.contains("Join"), p)
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set
