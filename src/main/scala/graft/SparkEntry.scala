@@ -53,6 +53,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_dups"), min(col("hamming")).as("closest"))
     }),
 
+    // ---- MM DEDUP capstone: dHash pairs → distributed connected
+    //      components → cluster-size census. The fixture's gradient
+    //      corpus chains into one giant component plus five same-shape
+    //      clusters — exactly the transitive-closure behavior a real
+    //      image-dedup pass must survive (CC is the alternating-star
+    //      algorithm, never a driver traversal)
+    "q149_image_dedup_cc" -> ((s, dir) => {
+      val assets = Multimodal.syntheticPixelAssets(t(s, dir, "documents"))
+      val pairs = Multimodal.dhashNearDups(assets, maxHamming = 2, bands = 4)
+      val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      assets.select(col("asset_id"))
+        .join(cc, col("asset_id") === col("id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("rep"), col("asset_id")).as("rep"))
+        .groupBy("rep").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // ---- DEDUP: exact prefix-filtered Jaccard self-join (PPJoin) —
     //      no blocking key, total recall at t=0.5; corpus = documents
     //      plus a tail-mutated twin per even doc, so every kept doc has
@@ -2504,6 +2522,45 @@ object SparkEntry {
          FROM (SELECT id_a AS asset_id, ham FROM nd
                UNION ALL SELECT id_b, ham FROM nd)
          GROUP BY asset_id""",
+
+    // q145's dHash formula + brute-force pair scan, then transitive
+    // closure via the recursive reach CTE (the q48 pattern) and the
+    // same census the engine computes with alternating-star CC
+    "q149_image_dedup_cc" ->
+      """WITH RECURSIVE a AS (
+           SELECT doc_id AS id,
+                  CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+                  CAST(doc_id % 11 + 4 AS BIGINT) AS h
+           FROM documents),
+         bits AS (
+           SELECT id, list_transform(range(64), b ->
+             CASE WHEN (id*31 + ((b//8)*h//8)*w + ((b%8+1)*w//9)) % 256
+                     > (id*31 + ((b//8)*h//8)*w + ((b%8)*w//9)) % 256
+                  THEN 1 ELSE 0 END) AS bt
+           FROM a),
+         hs AS (
+           SELECT id,
+                  CAST(list_sum(list_transform(range(63),
+                    b -> CAST(bt[b+1] AS BIGINT) << b)) AS BIGINT)
+                  + CAST(bt[64] AS BIGINT) * (-9223372036854775807 - 1) AS dh
+           FROM bits),
+         nd AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM hs a JOIN hs b ON a.id < b.id
+           WHERE bit_count(xor(a.dh, b.dh)) <= 2),
+         edges AS (SELECT id_a AS u, id_b AS v FROM nd
+                   UNION SELECT id_b, id_a FROM nd),
+         reach(id, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.id = e.v),
+         cc AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         mapped AS (
+           SELECT a.id, coalesce(cc.rep, a.id) AS rep
+           FROM a LEFT JOIN cc ON cc.id = a.id),
+         sizes AS (SELECT rep, count(*) AS csize FROM mapped GROUP BY rep)
+         SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM sizes GROUP BY csize""",
 
     // brute-force truth for the prefix-filtered join: every pair of the
     // salted corpus with word-3-gram Jaccard >= 0.5 — the filter's
