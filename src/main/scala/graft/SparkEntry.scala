@@ -53,6 +53,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_dups"), min(col("hamming")).as("closest"))
     }),
 
+    // ---- OPS: corpus snapshot diff — the crawl-to-crawl delta report:
+    //      ids dropped (%17), content-mutated (%5), newly added (%13
+    //      twins at +1e6) classify as removed/changed/added against the
+    //      md5 content fingerprint; each side reduces to (id, hash) at
+    //      the scan, ONE id-keyed full-outer join
+    "q150_corpus_diff" -> ((s, dir) => {
+      val prev = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val cur = prev
+        .filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .union(prev.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("text"), col("source")))
+      Profiling.corpusDiff(prev, cur, "doc_id", Seq("text", "source"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+    }),
+
     // ---- MM DEDUP capstone: dHash pairs → distributed connected
     //      components → cluster-size census. The fixture's gradient
     //      corpus chains into one giant component plus five same-shape
@@ -2522,6 +2541,34 @@ object SparkEntry {
          FROM (SELECT id_a AS asset_id, ham FROM nd
                UNION ALL SELECT id_b, ham FROM nd)
          GROUP BY asset_id""",
+
+    // the same fingerprint (md5 over chr(1)-joined content) and the
+    // same full-outer classification, mirrored end to end
+    "q150_corpus_diff" ->
+      """WITH cur AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+                    AS text,
+                  source
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, text, source FROM documents
+           WHERE doc_id % 13 = 0),
+         p AS (SELECT doc_id AS id,
+                      md5(concat_ws(chr(1), coalesce(text, ''),
+                                    coalesce(source, ''))) AS hp
+               FROM documents),
+         c AS (SELECT doc_id AS id,
+                      md5(concat_ws(chr(1), coalesce(text, ''),
+                                    coalesce(source, ''))) AS hc
+               FROM cur),
+         j AS (SELECT hp, hc FROM p FULL OUTER JOIN c ON p.id = c.id)
+         SELECT CASE WHEN hp IS NULL THEN 'added'
+                     WHEN hc IS NULL THEN 'removed'
+                     WHEN hp = hc THEN 'unchanged'
+                     ELSE 'changed' END AS status,
+                CAST(count(*) AS BIGINT) AS n
+         FROM j GROUP BY 1""",
 
     // q145's dHash formula + brute-force pair scan, then transitive
     // closure via the recursive reach CTE (the q48 pattern) and the

@@ -228,4 +228,35 @@ object Profiling {
         TextAnalysis.hash60(expr.cast(StringType)), lit(sketchK))
         .as("est_distinct"))
   }
+
+  /** Snapshot diff — the crawl-to-crawl (or curation-run-to-run) delta
+    * report every corpus-versioning workflow needs: per document id,
+    * whether it was `added`, `removed`, `changed`, or `unchanged`
+    * between two corpus versions, judged by an md5 content fingerprint
+    * over `contentCols` (md5 of the columns joined on U+0001 — the
+    * engine-wide oracle-mirrorable hash; null columns render as empty,
+    * documented). Returns (id, status, side-coalesced content hash).
+    *
+    * Scale shape: each side reduces to (id, 32-char hash) AT THE SCAN —
+    * content never survives past the projection — then ONE id-keyed
+    * full-outer join; with both snapshots bucketed by id
+    * ([[graft.sources.BucketedStore]]) even that exchange disappears.
+    * Callers aggregate `groupBy(status)` for the report line, keep the
+    * row form for the changed-id work-list, or anti-join `removed` into
+    * a tombstone feed. No reference counterpart — extension surface. */
+  def corpusDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+                 contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "corpusDiff needs >= 1 content column")
+    def keyed(df: DataFrame, h: String) = df.select(
+      col(idCol).cast("long").as("id"),
+      md5(concat_ws("\u0001", contentCols.map(c =>
+        coalesce(col(c).cast(StringType), lit(""))): _*)).as(h))
+    keyed(prev, "h_prev").join(keyed(cur, "h_cur"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("h_prev").isNull, "added")
+          .when(col("h_cur").isNull, "removed")
+          .when(col("h_prev") === col("h_cur"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("h_cur"), col("h_prev")).as("content_hash"))
+  }
 }

@@ -216,4 +216,37 @@ class ProfilingSpec extends AnyFunSuite {
       col("sh"), 64).queryExecution.executedPlan.toString
     assert(p.contains("partial_graft_kmv_distinct"), p)
   }
+
+  test("corpusDiff classifies added/removed/changed/unchanged, treats " +
+    "null content as empty, and keys the join by id only") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val prev = Seq(
+      (1L, Some("a"), "s1"),  // unchanged
+      (2L, Some("b"), "s1"),  // text change
+      (3L, Some("c"), "s1"),  // removed
+      (4L, None: Option[String], "s1"),  // null -> "x": changed
+      (5L, Some("e"), "s1")   // source change
+    ).toDF("id", "text", "source")
+    val cur = Seq(
+      (1L, Some("a"), "s1"),
+      (2L, Some("B"), "s1"),
+      (4L, Some("x"), "s1"),
+      (5L, Some("e"), "s2"),
+      (6L, Some("f"), "s1")   // added
+    ).toDF("id", "text", "source")
+    val out = Profiling.corpusDiff(prev, cur, "id", Seq("text", "source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "changed", 6L -> "added"))
+    // the separator prevents column-boundary collisions: ("ab","c")
+    // must NOT equal ("a","bc")
+    val l = Seq((1L, "ab", "c")).toDF("id", "text", "source")
+    val r = Seq((1L, "a", "bc")).toDF("id", "text", "source")
+    val shifted = Profiling.corpusDiff(l, r, "id", Seq("text", "source"))
+      .collect().map(_.getString(1)).toSeq
+    assert(shifted == Seq("changed"))
+    intercept[IllegalArgumentException](
+      Profiling.corpusDiff(l, r, "id", Nil))
+  }
 }
