@@ -222,6 +222,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("encoding repair + SURT keys are stateless — mojibake fix, NFC " +
+    "and the CDX key run on a stream row-for-row equal to batch") {
+    import graft.operators.TextAnalysis
+    val batchDocs = graft.Tables(spark, TestSpark.sfDir, "documents")
+    def repair(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      TextAnalysis.fixMojibake(
+        concat(lit("caf\u00c3\u00a9 "), col("text"))).as("fixed"),
+      TextAnalysis.nfcNormalize(
+        concat(lit("e\u0301"), col("text"))).as("composed"),
+      TextAnalysis.surtKey(concat(lit("https://www.h"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example/p/"), col("doc_id").cast("string"))).as("surt"))
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_enc_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(docsDir.toString)
+    val streamed = Streams.drainToMemory(spark, repair(stream),
+      "enc_stream_test", complete = false)
+    val batch = repair(batchDocs)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("curation gates are stateless — Gopher repetition, C4 rules and the " +
     "robots decision run on a stream row-for-row equal to batch") {
     import graft.operators.TextAnalysis
