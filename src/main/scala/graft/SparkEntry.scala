@@ -47,8 +47,10 @@ object SparkEntry {
       val pairs = Multimodal.dhashNearDups(
         Multimodal.syntheticPixelAssets(t(s, dir, "documents")),
         maxHamming = 2, bands = 4)
-      pairs.select(col("id_a").as("asset_id"), col("hamming"))
-        .union(pairs.select(col("id_b").as("asset_id"), col("hamming")))
+      // explode, not union-of-two-selects: the union form evaluates the
+      // whole banded join TWICE (no common subplan survives the aliases)
+      pairs.select(explode(array(col("id_a"), col("id_b"))).as("asset_id"),
+          col("hamming"))
         .groupBy("asset_id")
         .agg(count(lit(1)).as("n_dups"), min(col("hamming")).as("closest"))
     }),

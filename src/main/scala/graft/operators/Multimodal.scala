@@ -637,8 +637,13 @@ object Multimodal {
       struct(lit(b).as("band"),
         shiftright(col("dhash"), b * bandBits).bitwiseAND(lit(mask))
           .as("key"))): _*)
+    // repartition by band key BEFORE aliasing the two join sides (the
+    // simhashMankuPairs idiom): the exchange below the aliases is
+    // identical, so it is planned ONCE and reused — without it each
+    // side re-runs the decode+hash mapPartitions chain
     val keyed = hashed.select(col("asset_id").as("id"), col("dhash"),
       explode(keys).as("bk"))
+      .repartition(col("bk"))
     val a = keyed.select(col("bk"), col("id").as("id_a"), col("dhash").as("dh_a"))
     val b = keyed.select(col("bk"), col("id").as("id_b"), col("dhash").as("dh_b"))
     a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
