@@ -637,13 +637,13 @@ object Multimodal {
       struct(lit(b).as("band"),
         shiftright(col("dhash"), b * bandBits).bitwiseAND(lit(mask))
           .as("key"))): _*)
-    // repartition by band key BEFORE aliasing the two join sides (the
-    // simhashMankuPairs idiom): the exchange below the aliases is
-    // identical, so it is planned ONCE and reused — without it each
-    // side re-runs the decode+hash mapPartitions chain
+    // NO explicit repartition before the self-join: measured A/B at
+    // sf0.1 (interleaved, noise 1.0) — an eager .repartition(bk) costs
+    // q145 7.9s vs 7.1s and q149 14.5s vs 11.0s, because the extra
+    // exchange of the 4x-banded rows exceeds anything it saves; the
+    // join's own requirement plans the partitioning where it's needed
     val keyed = hashed.select(col("asset_id").as("id"), col("dhash"),
       explode(keys).as("bk"))
-      .repartition(col("bk"))
     val a = keyed.select(col("bk"), col("id").as("id_a"), col("dhash").as("dh_a"))
     val b = keyed.select(col("bk"), col("id").as("id_b"), col("dhash").as("dh_b"))
     a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
