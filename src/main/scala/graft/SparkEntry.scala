@@ -55,6 +55,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_dups"), min(col("hamming")).as("closest"))
     }),
 
+    // ---- EVAL: exact binary AUC over a tie-heavy synthetic scorer
+    //      (20 integer score levels, label correlated through two
+    //      residue systems) — Mann–Whitney rank-sum with average-rank
+    //      ties, all-integer until the one final divide
+    "q151_classifier_auc" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        (col("doc_id") % 20).cast("double").as("score"),
+        ((col("doc_id") % 20) + (col("doc_id") % 7) >= 12)
+          .cast("long").as("label"))
+      Profiling.binaryAuc(d, col("score"), col("label"))
+    }),
+
     // ---- OPS: corpus snapshot diff — the crawl-to-crawl delta report:
     //      ids dropped (%17), content-mutated (%5), newly added (%13
     //      twins at +1e6) classify as removed/changed/added against the
@@ -2543,6 +2555,30 @@ object SparkEntry {
          FROM (SELECT id_a AS asset_id, ham FROM nd
                UNION ALL SELECT id_b, ham FROM nd)
          GROUP BY asset_id""",
+
+    // same rank-sum identity, same integer S2, same single divide
+    "q151_classifier_auc" ->
+      """WITH d AS (
+           SELECT CAST(doc_id % 20 AS DOUBLE) AS s,
+                  CASE WHEN (doc_id % 20) + (doc_id % 7) >= 12
+                       THEN 1 ELSE 0 END AS y
+           FROM documents),
+         g AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
+                      CAST(sum(y) AS BIGINT) AS p
+               FROM d GROUP BY s),
+         r AS (SELECT *, coalesce(CAST(sum(c) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS cum FROM g),
+         a AS (SELECT CAST(sum(p) AS BIGINT) AS np,
+                      CAST(sum(c) - sum(p) AS BIGINT) AS nn,
+                      CAST(sum(p * (2*cum + c + 1)) AS BIGINT) AS s2
+               FROM r)
+         SELECT np AS n_pos, nn AS n_neg,
+                CASE WHEN np > 0 AND nn > 0
+                     THEN CAST(s2 - np*(np+1) AS DOUBLE)
+                          / CAST(2*np*nn AS DOUBLE)
+                     ELSE NULL END AS auc
+         FROM a""",
 
     // the same fingerprint (md5 over chr(1)-joined content) and the
     // same full-outer classification, mirrored end to end

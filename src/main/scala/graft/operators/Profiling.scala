@@ -229,6 +229,49 @@ object Profiling {
         .as("est_distinct"))
   }
 
+  /** EXACT binary AUC — the quality-classifier evaluation metric (the
+    * probability a random positive outscores a random negative),
+    * computed distributed via the Mann–Whitney rank-sum identity with
+    * textbook average-rank tie handling. One row out:
+    * (n_pos, n_neg, auc).
+    *
+    * Derivation that keeps it bit-mirrorable: group rows by EXACT score
+    * value (one key-keyed exchange with map-side combine → (score,
+    * rows c, positives p)); walking scores ascending, a score-group's
+    * average rank is `cum + (c+1)/2` (cum = rows strictly below), so
+    * the positives' rank-sum DOUBLED is the all-integer
+    * `S2 = Σ p·(2·cum + c + 1)` and
+    * `AUC = (S2 − np·(np+1)) / (2·np·nn)` — integer aggregation end to
+    * end, then ONE IEEE divide of exact operands: bit-identical on any
+    * engine, any partitioning. Degenerate inputs (no positives or no
+    * negatives) yield null.
+    *
+    * Scale shape: the only data-sized exchange is the score groupBy;
+    * the cumulative window then runs over DISTINCT scores on one
+    * partition — bounded by score cardinality, same contract as
+    * [[binnedQuantiles]]'s cumulative (a well-behaved classifier emits
+    * bounded-precision scores; quantize first if yours doesn't). */
+  def binaryAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df
+      .select(score.cast(DoubleType).as("s"), label.cast("long").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .groupBy("s").agg(count(lit(1)).as("c"), sum("y").as("p"))
+    val below = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = g
+      .withColumn("cum", coalesce(sum(col("c")).over(below), lit(0L)))
+      .agg(
+        sum(col("p")).as("n_pos"),
+        (sum(col("c")) - sum(col("p"))).as("n_neg"),
+        sum(col("p") * (lit(2L) * col("cum") + col("c") + lit(1L))).as("s2"))
+    agg.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        (col("s2") - col("n_pos") * (col("n_pos") + 1)).cast(DoubleType) /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast(DoubleType))
+        .otherwise(lit(null).cast(DoubleType)).as("auc"))
+  }
+
   /** Snapshot diff — the crawl-to-crawl (or curation-run-to-run) delta
     * report every corpus-versioning workflow needs: per document id,
     * whether it was `added`, `removed`, `changed`, or `unchanged`

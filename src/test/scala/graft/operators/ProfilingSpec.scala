@@ -249,4 +249,34 @@ class ProfilingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Profiling.corpusDiff(l, r, "id", Nil))
   }
+
+  test("binaryAuc: hand-checked tie case, perfect/inverted separation, " +
+    "all-ties 0.5, degenerate null") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    def auc(rows: Seq[(Double, Long)]): Option[Double] = {
+      val r = Profiling.binaryAuc(rows.toDF("s", "y"), col("s"), col("y"))
+        .collect().head
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    // ranks asc with average-rank ties: scores (1,1,2,3), labels
+    // (0,1,0,1): positive ranks 1.5 + 4 = 5.5 -> AUC (5.5-3)/4 = 0.625
+    assert(auc(Seq((1.0, 0L), (1.0, 1L), (2.0, 0L), (3.0, 1L)))
+      .contains(0.625))
+    assert(auc(Seq((0.1, 0L), (0.2, 0L), (0.8, 1L), (0.9, 1L))).contains(1.0))
+    assert(auc(Seq((0.9, 0L), (0.8, 0L), (0.2, 1L), (0.1, 1L))).contains(0.0))
+    assert(auc(Seq((0.5, 0L), (0.5, 1L), (0.5, 0L), (0.5, 1L))).contains(0.5))
+    assert(auc(Seq((0.5, 1L), (0.7, 1L))).isEmpty)
+    // agreement with the O(n^2) definition on a pseudo-random set:
+    // AUC = (wins + ties/2) / (np*nn) over all positive-negative pairs
+    val data = (0 until 200).map { i =>
+      ((i * 37 % 23).toDouble, if ((i * 37 % 23) + (i % 5) >= 13) 1L else 0L)
+    }
+    val pos = data.filter(_._2 == 1L).map(_._1)
+    val neg = data.filter(_._2 == 0L).map(_._1)
+    val wins = (for (p0 <- pos; n0 <- neg)
+      yield if (p0 > n0) 1.0 else if (p0 == n0) 0.5 else 0.0).sum
+    val expected = wins / (pos.size.toDouble * neg.size.toDouble)
+    assert(auc(data).exists(a => math.abs(a - expected) < 1e-12))
+  }
 }
