@@ -67,6 +67,17 @@ object SparkEntry {
       Profiling.binaryAuc(d, col("score"), col("label"))
     }),
 
+    // ---- EVAL: calibration report — 10 equal-width score buckets,
+    //      integer counts + midpoint constants + one divide per bin;
+    //      the probability-quality companion to q151's ranking check
+    "q152_calibration" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        ((col("doc_id") % 97).cast("double") / 97.0).as("score"),
+        ((col("doc_id") % 97) + (col("doc_id") % 13) >= 55)
+          .cast("long").as("label"))
+      Profiling.calibrationBins(d, col("score"), col("label"), bins = 10)
+    }),
+
     // ---- OPS: corpus snapshot diff — the crawl-to-crawl delta report:
     //      ids dropped (%17), content-mutated (%5), newly added (%13
     //      twins at +1e6) classify as removed/changed/added against the
@@ -2555,6 +2566,23 @@ object SparkEntry {
          FROM (SELECT id_a AS asset_id, ham FROM nd
                UNION ALL SELECT id_b, ham FROM nd)
          GROUP BY asset_id""",
+
+    // same bins, same integer counts, same midpoint/rate divides
+    "q152_calibration" ->
+      """WITH d AS (
+           SELECT CAST(doc_id % 97 AS DOUBLE) / 97.0 AS s,
+                  CASE WHEN (doc_id % 97) + (doc_id % 13) >= 55
+                       THEN 1 ELSE 0 END AS y
+           FROM documents),
+         b AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin, y
+               FROM d),
+         g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(y) AS BIGINT) AS np
+               FROM b GROUP BY bin)
+         SELECT bin, (CAST(bin AS DOUBLE) + 0.5) / 10 AS bin_mid,
+                n, np AS n_pos,
+                CAST(np AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
+         FROM g""",
 
     // same rank-sum identity, same integer S2, same single divide
     "q151_classifier_auc" ->

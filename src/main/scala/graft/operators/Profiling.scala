@@ -272,6 +272,33 @@ object Profiling {
         .otherwise(lit(null).cast(DoubleType)).as("auc"))
   }
 
+  /** Calibration (reliability) report for a [0, 1] classifier score —
+    * [[binaryAuc]]'s companion: AUC says the RANKING is right,
+    * calibration says the PROBABILITIES are. `bins` equal-width buckets
+    * over [0, 1); per bucket: row count, positive count, the observed
+    * positive rate (ONE IEEE divide of exact integers — bit-mirrorable)
+    * and the bucket midpoint to plot it against (a constant, not a
+    * float mean whose summation order would diverge cross-engine;
+    * score 1.0 clamps into the top bucket). Empty buckets are absent —
+    * callers outer-join a bin spine if they need the zero rows.
+    * Scale shape: ONE bin-keyed map-side-combined exchange, at most
+    * `bins` rows ever move. */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val b = least(floor(score.cast(DoubleType) * bins).cast("long"),
+      lit(bins - 1L))
+    df.select(b.as("bin"), label.cast("long").as("y"))
+      .filter(col("bin").isNotNull && col("y").isNotNull)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+      .select(col("bin"),
+        ((col("bin").cast(DoubleType) + 0.5) / bins).as("bin_mid"),
+        col("n"), col("n_pos"),
+        (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("pos_rate"))
+  }
+
   /** Snapshot diff — the crawl-to-crawl (or curation-run-to-run) delta
     * report every corpus-versioning workflow needs: per document id,
     * whether it was `added`, `removed`, `changed`, or `unchanged`

@@ -279,4 +279,22 @@ class ProfilingSpec extends AnyFunSuite {
     val expected = wins / (pos.size.toDouble * neg.size.toDouble)
     assert(auc(data).exists(a => math.abs(a - expected) < 1e-12))
   }
+
+  test("calibrationBins: clamping, observed rates, absent empty bins") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val rows = Seq((0.05, 0L), (0.05, 1L), (0.95, 1L), (1.0, 1L), (0.55, 0L))
+    val out = Profiling.calibrationBins(rows.toDF("s", "y"),
+        col("s"), col("y"), bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // score 1.0 clamps into bin 9; bins with no rows are absent
+    assert(out.keySet == Set(0L, 5L, 9L))
+    assert(out(0L) == ((0.05, 2L, 1L, 0.5)))
+    assert(out(5L) == ((0.55, 1L, 0L, 0.0)))
+    assert(out(9L) == ((0.95, 2L, 2L, 1.0)))
+    intercept[IllegalArgumentException](
+      Profiling.calibrationBins(rows.toDF("s", "y"), col("s"), col("y"), 0))
+  }
 }
