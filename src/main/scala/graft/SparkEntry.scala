@@ -55,6 +55,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_dups"), min(col("hamming")).as("closest"))
     }),
 
+    // ---- CRAWL capstone: PageRank-prioritized fetch order — the full
+    //      scheduler mile: harvested links → frontier (dedup + in-link
+    //      counts + per-host politeness cap) → host-graph PageRank →
+    //      global fetch order (host rank, then in-links, ties by url).
+    //      The host graph (a → 3a+1 and a → a²+1 mod 7) has asymmetric
+    //      in-degree, so ranks genuinely differ across hosts
+    "q153_ranked_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val a = col("doc_id") % 7
+      val b = (a * 3 + 1) % 7
+      val c2 = (a * a + 1) % 7
+      val u1 = concat(lit("https://h"), b.cast("string"),
+        lit(".example/p/"), (col("doc_id") % 50).cast("string"))
+      val u2 = concat(lit("https://h"), c2.cast("string"),
+        lit(".example/q/"), (col("doc_id") % 31).cast("string"))
+      val frontier = graft.operators.Crawl.frontier(
+        d.select(explode(array(u1, u2)).as("href")), "href",
+        Seq.empty[String].toDF("url"), Nil, perHostCap = 10)
+      val pr = graft.operators.Crawl.pageRank(
+        d.select(a.as("src"), b.as("dst"))
+          .union(d.select(a.as("src"), c2.as("dst"))),
+        "src", "dst", iterations = 3)
+        .select(col("node"), col("rank").as("host_rank"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("host_rank").desc, col("inlinks").desc, col("url").asc)
+      frontier
+        .join(pr, regexp_extract(col("host"), "^h([0-9]+)\\.", 1)
+          .cast("long") === col("node"))
+        .select(col("url"), col("host"), col("inlinks"), col("host_rank"))
+        .withColumn("fetch_rank", row_number().over(w))
+        .filter(col("fetch_rank") <= 20)
+    }),
+
     // ---- EVAL: exact binary AUC over a tie-heavy synthetic scorer
     //      (20 integer score levels, label correlated through two
     //      residue systems) — Mann–Whitney rank-sum with average-rank
@@ -2497,13 +2531,16 @@ object SparkEntry {
     SUMD(s"list_transform(range(0, 60), b -> CASE WHEN $votes >= 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)")
   }
 
-  /** q144's mirror: the SAME integer fixed-point recurrence as
-    * [[graft.operators.Crawl.pageRank]], unrolled as one chained CTE per
-    * iteration (DuckDB `//` floors like Spark `div` truncates — equal on
-    * the all-non-negative rank domain). Sums are CAST back to BIGINT
-    * because DuckDB's sum(BIGINT) widens to HUGEINT. */
-  private lazy val PAGERANK_SQL: String = {
-    val iters = (1 to 5).map { i =>
+  /** [[graft.operators.Crawl.pageRank]]'s mirror builder: the SAME
+    * integer fixed-point recurrence, unrolled as one chained CTE per
+    * iteration (DuckDB `//` floors like Spark `div` truncates — equal
+    * on the all-non-negative rank domain). Sums are CAST back to BIGINT
+    * because DuckDB's sum(BIGINT) widens to HUGEINT. `rawEdges` is any
+    * SELECT yielding (src, dst); the final CTE is `r$iterations`
+    * (node, rank) — append the consumer after a comma or select from
+    * it. */
+  private def pageRankCtes(rawEdges: String, iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
       s"""r$i AS (
            SELECT n.node,
                   CAST((1000000000000 // (SELECT count(*) FROM nodes)) * 15 // 100
@@ -2513,21 +2550,24 @@ object SparkEntry {
              FROM e JOIN od USING (src) JOIN r${i - 1} r ON r.node = e.src
              GROUP BY e.dst) s ON s.node = n.node)"""
     }.mkString(",\n")
-    s"""WITH e AS (
-         SELECT DISTINCT src, dst FROM (
-           SELECT doc_id % 47 AS src, (doc_id * 7 + 3) % 53 AS dst
-           FROM documents
-           UNION ALL
-           SELECT (doc_id * 3) % 47, (doc_id * 13 + 1) % 53 FROM documents)),
+    s"""e AS (SELECT DISTINCT src, dst FROM ($rawEdges)),
        nodes AS (SELECT DISTINCT src AS node FROM e
                  UNION SELECT DISTINCT dst FROM e),
        od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        r0 AS (SELECT node,
                      1000000000000 // (SELECT count(*) FROM nodes) AS rank
               FROM nodes),
-       $iters
-       SELECT node, rank FROM r5"""
+       $iters"""
   }
+
+  private lazy val PAGERANK_SQL: String =
+    s"""WITH ${pageRankCtes(
+      """SELECT doc_id % 47 AS src, (doc_id * 7 + 3) % 53 AS dst
+           FROM documents
+           UNION ALL
+           SELECT (doc_id * 3) % 47, (doc_id * 13 + 1) % 53 FROM documents""",
+      5)}
+       SELECT node, rank FROM r5"""
 
   def oracleSql: Map[String, String] = Map(
     "q144_pagerank" -> PAGERANK_SQL,
@@ -2566,6 +2606,46 @@ object SparkEntry {
          FROM (SELECT id_a AS asset_id, ham FROM nd
                UNION ALL SELECT id_b, ham FROM nd)
          GROUP BY asset_id""",
+
+    // frontier mirror (canonical urls are identity-clean here; in-link
+    // counts + per-host cap) composed with the pageRankCtes builder on
+    // the host graph, then the same global fetch order
+    "q153_ranked_frontier" -> {
+      val hostEdges =
+        """SELECT doc_id % 7 AS src, (3*(doc_id%7)+1) % 7 AS dst
+           FROM documents
+           UNION ALL
+           SELECT doc_id % 7, ((doc_id%7)*(doc_id%7)+1) % 7 FROM documents"""
+      s"""WITH links AS (
+           SELECT 'https://h' || CAST((3*(doc_id%7)+1) % 7 AS VARCHAR)
+                  || '.example/p/' || CAST(doc_id % 50 AS VARCHAR) AS url
+           FROM documents
+           UNION ALL
+           SELECT 'https://h' || CAST(((doc_id%7)*(doc_id%7)+1) % 7 AS VARCHAR)
+                  || '.example/q/' || CAST(doc_id % 31 AS VARCHAR)
+           FROM documents),
+         agg AS (SELECT url, CAST(count(*) AS BIGINT) AS inlinks
+                 FROM links GROUP BY url),
+         fr AS (SELECT regexp_extract(url, '^https://(h[0-9]+\\.example)', 1)
+                         AS host,
+                       url, inlinks,
+                       row_number() OVER (
+                         PARTITION BY regexp_extract(url,
+                           '^https://(h[0-9]+\\.example)', 1)
+                         ORDER BY inlinks DESC, url ASC) AS prank
+                FROM agg),
+         capped AS (SELECT host, url, inlinks FROM fr WHERE prank <= 10),
+         ${pageRankCtes(hostEdges, 3)},
+         j AS (SELECT c.url, c.host, c.inlinks, r.rank AS host_rank
+               FROM capped c JOIN r3 r
+                 ON CAST(regexp_extract(c.host, '^h([0-9]+)', 1) AS BIGINT)
+                    = r.node),
+         o AS (SELECT *, CAST(row_number() OVER (
+                 ORDER BY host_rank DESC, inlinks DESC, url ASC) AS INT)
+                 AS fetch_rank FROM j)
+         SELECT url, host, inlinks, host_rank, fetch_rank
+         FROM o WHERE fetch_rank <= 20"""
+    },
 
     // same bins, same integer counts, same midpoint/rate divides
     "q152_calibration" ->
