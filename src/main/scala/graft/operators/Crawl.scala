@@ -109,7 +109,12 @@ object Crawl {
     * plus one dst-keyed partial-aggregated exchange of (node, long).
     * Lineage is cut per iteration with a lazy localCheckpoint, the
     * [[Dedup.connectedComponents]] idiom — without it Catalyst
-    * re-analyzes a plan two layers deeper every round. */
+    * re-analyzes a plan two layers deeper every round.
+    *
+    * Node ids must be NUMERIC (cast to long): string keys (hosts, urls)
+    * are hashed/mapped to ids first — q153 shows the host→id mapping —
+    * because a silent string→long cast would null-drop every edge. The
+    * guard below fails loudly if the cast lost rows. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5, dampingPct: Int = 85,
                scale: Long = 1000000000000L): DataFrame = {
@@ -121,18 +126,27 @@ object Crawl {
     import org.apache.spark.storage.StorageLevel
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    // fail loudly on null node ids (input nulls, or a cast that
+    // destroyed a string key) instead of silently dropping their
+    // edges. The check is woven into the kept src column — a separate
+    // dropped guard column would be pruned before it ever evaluated
+    val eChecked = e.select(
+      when(col("src").isNull || col("dst").isNull,
+        raise_error(lit("pageRank: null node id (non-numeric key cast " +
+          "to long?) — map string keys to numeric ids first (see q153)")))
+        .otherwise(col("src")).as("src"),
+      col("dst"))
+    val nodes = eChecked.select(col("src").as("node"))
+      .union(eChecked.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
     val base = scale / n
     val teleport = base * (100 - dampingPct) / 100
-    val withDeg = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    val withDeg = eChecked
+      .join(eChecked.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.select(col("node"), lit(base).as("rank"))
     for (_ <- 1 to iterations) {

@@ -317,8 +317,11 @@ object Profiling {
   def corpusDiff(prev: DataFrame, cur: DataFrame, idCol: String,
                  contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "corpusDiff needs >= 1 content column")
+    // id keeps its source type (string/long/uuid all equate fine); a
+    // cast here would silently null out non-numeric ids and misreport
+    // every such doc as added+removed
     def keyed(df: DataFrame, h: String) = df.select(
-      col(idCol).cast("long").as("id"),
+      col(idCol).as("id"),
       md5(concat_ws("\u0001", contentCols.map(c =>
         coalesce(col(c).cast(StringType), lit(""))): _*)).as(h))
     keyed(prev, "h_prev").join(keyed(cur, "h_cur"), Seq("id"), "full_outer")

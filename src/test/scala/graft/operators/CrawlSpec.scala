@@ -114,6 +114,23 @@ class CrawlSpec extends AnyFunSuite {
     assert(flat.values.toSet.size == 1, s"damping 0 must flatten: $flat")
   }
 
+  test("pageRank: non-numeric and null node ids fail loudly instead of " +
+    "silently dropping edges") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // string keys: ANSI mode's cast already refuses (CAST_INVALID_INPUT)
+    val e1 = intercept[Exception](
+      Crawl.pageRank(Seq(("hostA", "hostB")).toDF("s", "d"), "s", "d",
+        iterations = 1).collect())
+    assert(msgs(e1).exists(m => m.contains("CAST_INVALID_INPUT") ||
+      m.contains("map string keys to numeric ids")), e1)
+    // genuine null ids: ANSI casts pass them through — the guard fires
+    val e2 = intercept[Exception](
+      Crawl.pageRank(Seq((Some(1L), Some(2L)), (None, Some(3L)))
+        .toDF("s", "d"), "s", "d", iterations = 1).collect())
+    assert(msgs(e2).exists(_.contains("null node id")), e2)
+  }
+
   test("pageRank: guards reject bad knobs and empty graphs") {
     intercept[IllegalArgumentException](ranksOf(Seq((1L, 2L)), iters = 0))
     intercept[IllegalArgumentException](
