@@ -43,6 +43,19 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"FAIL {name}: rows {len(g)} != {len(w)}")
                 n_bad += 1
                 continue
+            # dtype kinds must agree: the driver hashes rendered values,
+            # so an oracle float64 (e.g. DuckDB window-SUM -> HUGEINT ->
+            # pandas float) vs Spark int64 hash-mismatches even when the
+            # values compare equal below. Fail loudly here.
+            kind_bad = [c for c in w.columns
+                        if {w[c].dtype.kind, g[c].dtype.kind} == {"i", "f"}]
+            if kind_bad:
+                for c in kind_bad:
+                    print(f"FAIL {name}: dtype mismatch on '{c}' "
+                          f"(oracle {w[c].dtype} vs spark {g[c].dtype}) — "
+                          f"CAST the mirror (HUGEINT renders as float64)")
+                n_bad += 1
+                continue
             # exact compare, NaN == NaN; object cols compared as str
             diff_cols = []
             for c in w.columns:

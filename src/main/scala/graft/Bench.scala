@@ -62,6 +62,17 @@ package graft
   * artifact as evidence ("pass_times"; warm in "pass_warm") so
   * compiler/JIT drift remains attributable separately.
   *
+  * Wall-clock budget (round-10): the driver's round-9 run hit its cap
+  * (rc=124) at 153 queries x 3 passes x 8-query chunks. Three measures,
+  * none changing the min-all headline rule: (1) chunk size 14 — fork
+  * overhead is ~14.5 s/JVM and dominated the wall; (2) warm reruns on
+  * the first two passes only (two warm draws feed min-all; round-9's
+  * third changed no headline beyond noise); (3) the final pass skips
+  * queries already measured under SPARK_GRAFT_BENCH_SETTLE_SEC (1.0 s)
+  * in an earlier pass — sub-second queries keep min-of-2, everything
+  * expensive or unstable keeps the full protocol. Settled queries show
+  * 2-entry pass_times arrays in the artifact.
+  *
   * Failures are NEVER swallowed: a failing query records value -1 and its
   * exception in "errors", so a crashing query is distinguishable from a
   * fast one and the total only sums successes.
@@ -298,6 +309,13 @@ object Bench {
     }
     val canary = timeCanary(spark)
     val warmMin = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_MIN", "2.0").toDouble
+    // warm reruns only on the first WARM_PASSES passes (default 2): two
+    // warm draws already feed the min-all headline (a third changed no
+    // round-9 headline by more than noise) and the last pass is the
+    // adaptive one (see main) — round-10 wall-clock budget measure, the
+    // driver's round-9 run died at its cap (rc=124)
+    val warmPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_PASSES", "2").toInt
+    val warmThisPass = pass <= warmPasses
     val names = selectedNames
     for (name <- names if !errors.contains(name)) {
       val t0 = System.nanoTime()
@@ -318,7 +336,7 @@ object Bench {
       spark.catalog.clearCache() // recipe queries cache child frames
       // warm rerun (see header): same full plan construction + scan, hot
       // compiler — the headline number for anything non-trivial
-      if (warmMin >= 0 && times.get(name).exists(t => t >= warmMin)) {
+      if (warmMin >= 0 && warmThisPass && times.get(name).exists(t => t >= warmMin)) {
         val w0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir).count()
@@ -468,12 +486,33 @@ object Bench {
     }
 
     // fork a fresh JVM per CHUNK of queries (see header); chunk boundaries
-    // rotate between passes so no query is always last-in-chunk
-    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "8").toInt
+    // rotate between passes so no query is always last-in-chunk.
+    // Chunk size 14 (was 8 through round 9): per-fork overhead measured
+    // ~14.5 s (round-8 driver wall 1713 s over 51 forks vs ~975 s of
+    // query time), so halving the fork count buys ~450 s of wall — and a
+    // 14-query chunk stays far below the ~40-execution code-cache
+    // degradation point with the children's 2g reserved cache.
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "14").toInt
+    // Adaptive FINAL pass (round-10 wall-budget measure): queries whose
+    // best cold time over the earlier passes is already under
+    // SETTLE_SEC are "settled" — a third cold draw moved no round-9
+    // sub-second headline by more than 0.31 s while costing ~60 s of
+    // measured time plus ~half the final pass's forks. Expensive or
+    // still-unmeasured queries keep the full min-of-3 protocol (the
+    // round-4 postmortem's phantom-regression class lives there).
+    val settleSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_SEC", "1.0").toDouble
     var forked = true
     for (pass <- 1 to passes if forked) {
-      val offset = ((pass - 1) * chunkSize / math.max(passes, 1)) % math.max(names.size, 1)
-      val rotated = names.drop(offset) ++ names.take(offset)
+      val passNames =
+        if (pass == passes && passes >= 3)
+          names.filter(n => !errors.contains(n) &&
+            !passTimes.get(n).exists(ts => ts.nonEmpty && ts.min < settleSec))
+        else names
+      if (passNames.size < names.size)
+        System.err.println(s"[bench] final pass: ${passNames.size} unsettled " +
+          s"queries (${names.size - passNames.size} settled under ${settleSec}s)")
+      val offset = ((pass - 1) * chunkSize / math.max(passes, 1)) % math.max(passNames.size, 1)
+      val rotated = passNames.drop(offset) ++ passNames.take(offset)
       for (chunk <- rotated.grouped(chunkSize) if forked) {
         forkPass(pass, chunk) match {
           case Some((qs, ws, js, canary, es)) => record(qs, ws, js, canary, es)
