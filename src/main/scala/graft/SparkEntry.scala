@@ -2549,11 +2549,20 @@ object SparkEntry {
     * (node, rank) — append the consumer after a comma or select from
     * it. */
   private def pageRankCtes(rawEdges: String, iterations: Int): String = {
+    // d$i = the dangling-mass equal share entering iteration i: floored
+    // sum of rank at nodes with no out-edges, // N — the engine's one
+    // scalar aggregate per iteration, as a chained integer CTE
     val iters = (1 to iterations).map { i =>
-      s"""r$i AS (
+      s"""d$i AS (
+           SELECT CAST(coalesce(sum(r.rank), 0)
+                       // (SELECT count(*) FROM nodes) AS BIGINT) AS share
+           FROM r${i - 1} r LEFT JOIN od ON od.src = r.node
+           WHERE od.src IS NULL),
+         r$i AS (
            SELECT n.node,
                   CAST((1000000000000 // (SELECT count(*) FROM nodes)) * 15 // 100
-                       + 85 * coalesce(s.s, 0) // 100 AS BIGINT) AS rank
+                       + 85 * (coalesce(s.s, 0) + (SELECT share FROM d$i))
+                         // 100 AS BIGINT) AS rank
            FROM nodes n LEFT JOIN (
              SELECT e.dst AS node, CAST(sum(r.rank // od.outdeg) AS BIGINT) AS s
              FROM e JOIN od USING (src) JOIN r${i - 1} r ON r.node = e.src

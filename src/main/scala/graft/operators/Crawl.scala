@@ -96,10 +96,16 @@ object Crawl {
     * floor(rank(v)/outdeg(v)) / 100` with `teleport =
     * floor(scale/N) * (100-dampingPct) / 100`; all values non-negative,
     * so truncating and flooring division agree across engines. Dangling
-    * nodes (no out-edges) receive rank but leak their mass — the
-    * documented simplification (total mass decays toward teleport-only;
-    * rank ORDER, the crawl-relevant output, is unaffected for connected
-    * regions). Multi-edges collapse via distinct; self-loops are kept.
+    * nodes (no out-edges — on a real frontier graph, MOST nodes, since
+    * unfetched URLs have no harvested links yet) get their mass
+    * redistributed: each iteration takes ONE scalar aggregate
+    * `D = Σ rank over dangling nodes` and every node's damped share
+    * gains `floor(D/N)` — the standard dangling-mass term, kept
+    * integer-exact (only the `D mod N` floor residue, < N rank units
+    * out of `scale`, still leaks per iteration). Without it total mass
+    * decays toward teleport-only and cross-component rank comparisons
+    * skew at scale. Multi-edges collapse via distinct; self-loops are
+    * kept.
     *
     * Scale shape: the edge list is the only corpus-sized thing and it
     * shuffles ONCE (the distinct + outdeg join, persisted); each
@@ -143,6 +149,18 @@ object Crawl {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
+    // the dangling set lives in its OWN frame (rather than a has_out
+    // flag folded into nodes/ranks): the hot per-iteration joins keep
+    // exactly the dangling-free plan shape and cached-frame width, and
+    // graphs without dangling nodes skip the term at zero plan cost
+    val danglingNodes = nodes
+      .join(eChecked.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // graphs where every node has out-edges (cycles, host graphs) skip
+    // the mass term entirely — its share is identically zero
+    val nDangling = danglingNodes.count()
+    if (nDangling == 0L) danglingNodes.unpersist()
     val base = scale / n
     val teleport = base * (100 - dampingPct) / 100
     val withDeg = eChecked
@@ -154,13 +172,38 @@ object Crawl {
         .join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("rank"))
-        .localCheckpoint(false)
+      val joined = nodes.join(contrib, Seq("node"), "left")
+      val next =
+        if (nDangling == 0L)
+          joined.select(col("node"),
+            (lit(teleport) +
+              expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("rank"))
+        else {
+          // dangling-mass term: one 1-row aggregate per iteration (long
+          // sum — associative, order-independent), floor-divided into an
+          // equal share and broadcast-crossJoined into the update. Kept
+          // LAZY (a driver-side collect here serializes the iteration
+          // pipeline into per-iteration job barriers — measured 1.6x on
+          // q144)
+          val dShare = ranks.join(danglingNodes, Seq("node"))
+            .agg(expr(s"coalesce(sum(rank), 0L) div $n").as("__dshare"))
+          joined.crossJoin(broadcast(dShare))
+            .select(col("node"),
+              (lit(teleport) +
+                expr(s"($dampingPct * (coalesce(s, 0L) + __dshare)) div 100"))
+                .as("rank"))
+        }
+      ranks = next.localCheckpoint(false)
     }
-    ranks
+    // eager checkpoint before unpersisting: the final iteration's lazy
+    // checkpoint hasn't run yet and its plan still joins through
+    // `nodes`; materializing here lets the caches be dropped so a
+    // long-lived session doesn't accumulate blocks across pageRank calls
+    val out = ranks.localCheckpoint()
+    nodes.unpersist()
+    withDeg.unpersist()
+    if (nDangling > 0L) danglingNodes.unpersist()
+    out
   }
 
   /** RFC 9309 politeness gate — the step between frontier and fetch:

@@ -85,17 +85,40 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
-  test("pageRank: hand-computed star with a dangling sink (1->3, 2->3)") {
-    // N=3, base=333333333333, teleport = base*15/100 = 49999999999
-    // iter1: r3 = 49999999999 + (85*666666666666) div 100 = 616666666665
-    // iter2: r3 = 49999999999 + (85*(2*49999999999)) div 100 = 134999999997
-    // (3 is dangling: its mass leaks, the documented simplification)
+  test("pageRank: hand-computed star with a dangling sink (1->3, 2->3) — " +
+    "dangling mass redistributes") {
+    // N=3, base=333333333333, teleport = base*15/100 = 49999999999.
+    // Node 3 is dangling; its mass D feeds every node floor(D/3).
+    // iter1: D=base, share=111111111111
+    //   r1=r2 = 49999999999 + (85*111111111111) div 100 = 144444444443
+    //   r3    = 49999999999 + (85*(666666666666+111111111111)) div 100
+    //         = 711111111109
+    // iter2: D=711111111109, share=237037037036
+    //   r1=r2 = 49999999999 + (85*237037037036) div 100 = 251481481479
+    //   r3    = 49999999999 + (85*(288888888886+237037037036)) div 100
+    //         = 497037037032
     val after1 = ranksOf(Seq((1L, 3L), (2L, 3L)), iters = 1)
-    assert(after1 == Map(1L -> 49999999999L, 2L -> 49999999999L,
-      3L -> 616666666665L))
+    assert(after1 == Map(1L -> 144444444443L, 2L -> 144444444443L,
+      3L -> 711111111109L))
     val after2 = ranksOf(Seq((1L, 3L), (2L, 3L)), iters = 2)
-    assert(after2 == Map(1L -> 49999999999L, 2L -> 49999999999L,
-      3L -> 134999999997L))
+    assert(after2 == Map(1L -> 251481481479L, 2L -> 251481481479L,
+      3L -> 497037037032L))
+  }
+
+  test("pageRank: total mass is conserved on dangling-heavy graphs " +
+    "(only floor residues leak)") {
+    // a frontier-shaped graph: 3 fetched hubs pointing at 9 unfetched
+    // (dangling) leaves — without the dangling term, total mass decayed
+    // toward teleport-only within a few iterations (round-9 caveat)
+    val edges = for (h <- 0L to 2L; l <- 0L to 2L) yield (h, 10L + h * 3 + l)
+    val r = ranksOf(edges, iters = 10)
+    val total = r.values.sum
+    // per iteration the floors lose < 2N + E units of the 1e12 scale
+    assert(total > 1000000000000L - 1000L && total <= 1000000000000L,
+      s"mass not conserved: $total")
+    // dangling leaves still outrank nothing unfairly: hubs get the
+    // teleport + redistributed share only (no in-edges)
+    assert(r(10L) > r(0L), r)
   }
 
   test("pageRank: multi-edges collapse; in-degree drives rank order; " +
