@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64, aggregate}
 
-import graft.expressions.{AffineMinHash, ArrayCosine, ArrayL2Sq, BinarySlice, BpePreTokens, BpeTokenCount, BpeTokenIds, BpeTokens, ExactMedian, FixMojibake, ImageDims, KmvDistinct, KmvSketch, Md5PrefixHashArray, NfcNormalize, RobotsAllowed, ScriptCounts, SignBucket, SimHash32, SimHash60, SortedLongJaccard, StringNumClass}
+import graft.expressions.{AffineMinHash, ArrayCosine, ArrayL2Sq, BinarySlice, BpePreTokens, BpeTokenCount, BpeTokenIds, BpeTokens, ExactMedian, FixMojibake, ImageDims, KmvDistinct, KmvSketch, Md5PrefixHashArray, NfcNormalize, RobotsAllowed, ScriptCounts, SignBucket, SimHash32, SimHash60, SortedLongJaccard, SpTokenIds, SpTokens, StringNumClass}
 
 /** Registers graft's native Catalyst expressions with a SparkSession via
   * the public extensions mechanism:
@@ -65,6 +65,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_bpe_pretokens"),
       new ExpressionInfo(classOf[BpePreTokens].getName, "graft_bpe_pretokens"),
       (es: Seq[Expression]) => BpePreTokens(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_sp_tokens"),
+      new ExpressionInfo(classOf[SpTokens].getName, "graft_sp_tokens"),
+      (es: Seq[Expression]) => SpTokens(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_sp_ids"),
+      new ExpressionInfo(classOf[SpTokenIds].getName, "graft_sp_ids"),
+      (es: Seq[Expression]) => SpTokenIds(es.head, es(1), es(2))))
     ext.injectFunction((FunctionIdentifier("graft_robots_allowed"),
       new ExpressionInfo(classOf[RobotsAllowed].getName, "graft_robots_allowed"),
       (es: Seq[Expression]) => RobotsAllowed(es.head, es(1), es(2))))

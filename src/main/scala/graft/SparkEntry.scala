@@ -1762,6 +1762,26 @@ object SparkEntry {
           count(lit(1)).as("n_tokens"),
           sum(when(col("id") === -1, 1L).otherwise(0L)).as("n_unknown"))),
 
+    // ---- TEXT: SentencePiece-convention BPE ids — the Llama-family
+    //      tokenizer shape beside q129's GPT-2: Metaspace pre-tokens,
+    //      character-alphabet greedy merges, <0xNN> byte fallback for
+    //      every out-of-vocab symbol (no unk on the id path). Each
+    //      doc's identity rides an md5 over the ORDERED id stream, so
+    //      one misplaced token — or one wrong fallback byte — diverges
+    "q154_sp_ids" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.spIdsExact(col("text"), spCanonicalMerges,
+            graft.expressions.SpCodec.canonicalSpVocab(spCanonicalMerges))
+            .as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          expr("size(filter(ids, x -> x < 256))").cast("long")
+            .as("n_fallback"),
+          expr("aggregate(ids, 0L, (a, x) -> a + x)").as("sum_ids"),
+          md5(array_join(transform(col("ids"), i => i.cast("string")), ","))
+            .as("fp"))),
+
     "q85_pack_exact" -> ((s, dir) =>
       Sampling.packBudget(t(s, dir, "documents"), Seq("lang"), "doc_id",
           TextAnalysis.bpeTokenCountExact(col("text"), bpeCanonicalMerges),
@@ -2048,6 +2068,20 @@ object SparkEntry {
     ("jo", "in"), ("as", "h"), ("h", "ash"), ("Ġ", "join"),
     ("s", "t"), ("r", "ow"), ("at", "c"), ("atc", "h"), ("a", "n"),
     ("c", "an"), ("lu", "m"), ("lum", "n"), ("o", "lumn"), ("o", "mer"))
+
+  /** The SentencePiece-convention sibling of [[bpeCanonicalMerges]]:
+    * a fixed merges table over the ▁-marked CHARACTER alphabet
+    * ([[graft.expressions.SpCodec]] semantics — Metaspace pre-tokens,
+    * no byte-level remap). Hand-chained so common corpus words become
+    * single pieces ("▁the", "▁table", "▁a", "▁join") while everything
+    * else part-merges and byte-falls-back — the pruned-production-vocab
+    * shape. Embedded as data for the same reason as the GPT-2 table:
+    * the DuckDB oracle must carry the IDENTICAL table. */
+  private[graft] val spCanonicalMerges: Seq[(String, String)] = Seq(
+    ("▁", "t"), ("▁t", "h"), ("▁th", "e"), ("▁t", "a"), ("b", "l"),
+    ("bl", "e"), ("▁ta", "ble"), ("▁", "a"), ("j", "o"), ("jo", "i"),
+    ("joi", "n"), ("▁", "join"), ("▁", "s"), ("▁s", "m"), ("r", "o"),
+    ("ro", "w"), ("▁", "row"))
 
   /** DuckDB mirror of `BpeCodec.preTokenize` — GPT-2's pre-tokenizer.
     * RE2 has no lookahead, so the published pattern's `\s+(?!\S)`
@@ -3604,6 +3638,83 @@ object SparkEntry {
     // ids mirror: same token strings from the CTE, mapped through the
     // identical (deliberately one-short) vocab as a VALUES table;
     // unmapped tokens COALESCE to the -1 sentinel
+    // SentencePiece mirror: Metaspace pre-tokens (prepend ▁, spaces→▁,
+    // split keeping ▁ on the following piece), the same recursive
+    // greedy-merge scaffold as BPE_CTE but over CHARACTER symbols, then
+    // vocab lookup where a miss expands to the token's UTF-8 bytes —
+    // whose canonical ids ARE the byte values, so the fallback maps
+    // straight off hex(encode(tok)). Ids ordered (piece, token, byte).
+    "q154_sp_ids" -> {
+      val mergesValues = spCanonicalMerges.zipWithIndex
+        .map { case ((a, b), r) =>
+          s"('${a.replace("'", "''")}','${b.replace("'", "''")}',$r)" }
+        .mkString(",")
+      val prodValues = spCanonicalMerges.zipWithIndex
+        .map { case ((a, b), r) =>
+          s"('${(a + b).replace("'", "''")}',${256 + r})" }
+        .mkString(",")
+      val pat = "chr(31) || m.a || chr(31) || m.b || chr(31)"
+      s"""WITH RECURSIVE
+         spm(a, b, r) AS (VALUES $mergesValues),
+         spv(tok, id) AS (VALUES $prodValues),
+         mk AS (SELECT doc_id, '▁' || replace(text, ' ', '▁') AS s
+                FROM documents),
+         pcs AS (SELECT doc_id,
+                   list_transform(
+                     list_slice(string_split(s, '▁'), 2,
+                       len(string_split(s, '▁'))),
+                     p -> '▁' || p) AS ps
+                 FROM mk),
+         w0o AS (SELECT doc_id, generate_subscripts(ps, 1) AS pi,
+                        unnest(ps) AS w
+                 FROM pcs),
+         wf AS (SELECT DISTINCT w FROM w0o),
+         enc AS (
+           SELECT w, chr(31) || array_to_string(
+               regexp_split_to_array(w, ''), chr(31)) || chr(31) AS s
+           FROM wf
+           UNION ALL
+           SELECT e.w,
+                  replace(e.s, chr(31) || ba.a || chr(31) || ba.b || chr(31),
+                          chr(31) || ba.a || ba.b || chr(31)) AS s
+           FROM enc e
+           JOIN LATERAL (
+             SELECT m.a, m.b FROM spm m
+             WHERE position($pat IN e.s) > 0
+             ORDER BY m.r LIMIT 1) ba ON true),
+         fin AS (
+           SELECT w, s FROM enc e
+           WHERE NOT EXISTS (SELECT 1 FROM spm m
+                             WHERE position($pat IN e.s) > 0)),
+         tok AS (SELECT o.doc_id, o.pi, generate_subscripts(tl, 1) AS ti,
+                        unnest(tl) AS tk
+                 FROM (SELECT w0o.doc_id, w0o.pi,
+                         str_split(trim(f.s, chr(31)), chr(31)) AS tl
+                       FROM w0o JOIN fin f ON w0o.w = f.w) o),
+         idl AS (SELECT t.doc_id, t.pi, t.ti,
+                   CASE WHEN v.id IS NOT NULL THEN [v.id]
+                        ELSE list_transform(
+                          range(1, octet_length(encode(t.tk)) + 1),
+                          i -> ('0x' || substr(hex(encode(t.tk)),
+                                 i*2-1, 2))::INT) END AS l
+                 FROM tok t LEFT JOIN spv v ON t.tk = v.tok),
+         ids AS (SELECT doc_id, pi, ti, generate_subscripts(l, 1) AS bi,
+                        unnest(l) AS id
+                 FROM idl),
+         per AS (SELECT doc_id, list(id ORDER BY pi, ti, bi) AS il
+                 FROM ids GROUP BY doc_id)
+         SELECT doc_id,
+                CAST(len(il) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(il, x -> x < 256)) AS BIGINT)
+                  AS n_fallback,
+                CAST(list_reduce(list_prepend(0::BIGINT,
+                  list_transform(il, x -> CAST(x AS BIGINT))),
+                  (a, b) -> a + b) AS BIGINT) AS sum_ids,
+                md5(array_to_string(
+                  list_transform(il, x -> CAST(x AS VARCHAR)), ',')) AS fp
+         FROM per"""
+    },
+
     "q129_bpe_ids" -> {
       val vocabValues = graft.expressions.BpeCodec
         .canonicalVocab(bpeCanonicalMerges).dropRight(1)

@@ -188,8 +188,17 @@ object BpeCodec {
   /** Greedy-merge one word; returns the surviving token (symbol-string)
     * sequence — the full GPT-2 encode, not just its length. */
   def encodeSyms(word: String,
-                 ranks: java.util.HashMap[String, Integer]): ArrayBuffer[String] = {
-    var syms = splitByteLevel(word)
+                 ranks: java.util.HashMap[String, Integer]): ArrayBuffer[String] =
+    mergeSyms(splitByteLevel(word), ranks)
+
+  /** The greedy lowest-rank merge loop over an arbitrary initial symbol
+    * sequence — shared by the GPT-2 encoder (byte-level symbols) and the
+    * SentencePiece-convention encoder ([[SpCodec]], character symbols):
+    * the merge machinery is identical, only the alphabet and the
+    * pre-tokenizer differ. Mutates and returns `syms`' buffer. */
+  def mergeSyms(syms0: ArrayBuffer[String],
+                ranks: java.util.HashMap[String, Integer]): ArrayBuffer[String] = {
+    var syms = syms0
     if (syms.length < 2) return syms
     while (true) {
       // lowest-ranked adjacent pair present in the table

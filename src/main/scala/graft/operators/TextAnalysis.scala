@@ -88,6 +88,24 @@ object TextAnalysis {
   def bpeLoadMerges(content: String): Seq[(String, String)] =
     graft.expressions.BpeCodec.parseMerges(content).toSeq
 
+  /** SentencePiece-convention encode to final piece strings
+    * ([[graft.expressions.SpCodec]]): Metaspace pre-tokens, character
+    * alphabet, the same greedy merge loop as GPT-2. Scan-level, zero
+    * exchanges. */
+  def spTokensExact(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("graft_sp_tokens", text,
+      lit(graft.expressions.BpeCodec.formatMerges(merges)))
+
+  /** SentencePiece-convention encode to INTEGER ids with `<0xNN>` byte
+    * fallback for out-of-vocab symbols — with
+    * [[graft.expressions.SpCodec.canonicalSpVocab]] every text encodes
+    * (no unk). Scan-level, zero exchanges. */
+  def spIdsExact(text: Column, merges: Seq[(String, String)],
+                 vocab: Seq[(String, Int)]): Column =
+    call_function("graft_sp_ids", text,
+      lit(graft.expressions.BpeCodec.formatMerges(merges)),
+      lit(graft.expressions.BpeCodec.formatVocabJson(vocab)))
+
   /** GPT-2's pre-tokenizer alone ([[graft.expressions.BpeCodec
     * .preTokenize]]): the pre-token strings of `text` in document
     * order, leading spaces kept (" world" is ONE pre-token). The unit
