@@ -158,6 +158,26 @@ object SparkEntry {
         .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
     }),
 
+    // ---- DEDUP: incremental connected components — the daily-ingest
+    //      clustering contract: build CC over the even-doc batch, fold
+    //      the odd-doc batch in via ccAppend (the existing star forest
+    //      re-enters the contraction as already-contracted edges, so
+    //      cost tracks the delta), and the result must equal a FULL
+    //      rebuild over every pair — which is exactly what the oracle
+    //      computes by transitive closure. The affine edge map
+    //      u -> 13u+7 mod 120 makes even edges small fragments that the
+    //      odd batch stitches into full cycles, so the append genuinely
+    //      merges components rather than replaying them
+    "q155_cc_append" -> ((s, dir) => {
+      def pairsOf(d: org.apache.spark.sql.DataFrame) =
+        d.select((col("doc_id") % 120).as("id_a"),
+          ((col("doc_id") * 13 + 7) % 120).as("id_b"))
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val base = Dedup.connectedComponents(
+        pairsOf(docs.filter(col("doc_id") % 2 === 0)))
+      Dedup.ccAppend(base, pairsOf(docs.filter(col("doc_id") % 2 === 1)))
+    }),
+
     // ---- DEDUP: exact prefix-filtered Jaccard self-join (PPJoin) —
     //      no blocking key, total recall at t=0.5; corpus = documents
     //      plus a tail-mutated twin per even doc, so every kept doc has
@@ -2806,6 +2826,22 @@ object SparkEntry {
          sizes AS (SELECT rep, count(*) AS csize FROM mapped GROUP BY rep)
          SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters
          FROM sizes GROUP BY csize""",
+
+    // full-rebuild truth for the incremental CC: transitive closure by
+    // recursive reach over EVERY pair (even and odd batches together),
+    // min-id representatives — ccAppend's rebuild-equivalence contract
+    "q155_cc_append" ->
+      """WITH RECURSIVE p AS (
+           SELECT doc_id % 120 AS u, (doc_id * 13 + 7) % 120 AS v
+           FROM documents),
+         edges AS (SELECT u, v FROM p WHERE u <> v
+                   UNION SELECT v, u FROM p WHERE u <> v),
+         reach(id, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.id = e.v)
+         SELECT id, CAST(min(r) AS BIGINT) AS rep
+         FROM reach GROUP BY id""",
 
     // brute-force truth for the prefix-filtered join: every pair of the
     // salted corpus with word-3-gram Jaccard >= 0.5 — the filter's

@@ -869,6 +869,36 @@ object Dedup {
       .distinct()
   }
 
+  /** INCREMENTAL connected components — the daily-ingest contract
+    * ([[minhashAppend]] / the q68/q116 incremental family, applied to
+    * clustering): fold a batch of NEW pairs into an EXISTING (id, rep)
+    * mapping without re-running CC over the full historical pair set.
+    *
+    * The existing mapping IS a star forest (one edge per non-root node,
+    * rep = component min — exactly [[connectedComponents]]' fixpoint
+    * shape), so it re-enters the alternating-star loop as edges that are
+    * already one contraction from converged: the loop's per-round work
+    * tracks `|existing stars| + |newPairs|` — the contracted corpus plus
+    * the delta — never the historical pair count, and rounds only chase
+    * the chains the NEW pairs introduce. Because reps are component
+    * minima, `ccAppend(connectedComponents(a), b)` equals
+    * `connectedComponents(a ∪ b)` EXACTLY (min labels are associative
+    * across batches) — the rebuild-equivalence q155 pins against the
+    * oracle's full-corpus transitive closure.
+    *
+    * `existing`: 2 columns (id, rep) — [[connectedComponents]] or
+    * [[dedupClusters]] output (self rows for singletons are fine; they
+    * drop as self-loops and re-emerge only if the delta connects them).
+    * `newPairs`: 2 columns (id_a, id_b), any orientation. */
+  def ccAppend(existing: DataFrame, newPairs: DataFrame,
+               maxIter: Int = 25): DataFrame = {
+    val stars = existing.select(col(existing.columns.head).as("u"),
+      col(existing.columns(1)).as("v"))
+    val delta = newPairs.select(col(newPairs.columns.head).as("u"),
+      col(newPairs.columns(1)).as("v"))
+    connectedComponents(stars.unionByName(delta), maxIter)
+  }
+
   /** Dedup clustering end-to-end: MinHash-LSH candidates above a Jaccard
     * threshold, contracted to clusters; every document gets its cluster
     * representative (min id) and a keep flag. The full scale pipeline:

@@ -73,6 +73,36 @@ object GraphSimScale {
         println(s"    nodes=$cnt rankMass=$mass")
       }
 
+      if (enabled("ccAppend")) {
+        // daily-ingest clustering: 64-long chain components over n
+        // nodes (deep enough that a rebuild pays ~log2(64) alternating-
+        // star rounds), then fold in a 1k-pair delta bridging random
+        // blocks. The append re-enters the loop with one already-
+        // contracted star edge per non-root node, so its rounds chase
+        // only the delta's chains — compare against the full rebuild
+        // over base + delta at each mult. (connectedComponents runs its
+        // loop EAGERLY — per-round signature actions — so timing wraps
+        // the call, and count() just reads the final star set.)
+        val n = 100000L * m
+        val base = spark.range(n).filter(col("id") % 64 =!= 63)
+          .select(col("id").as("u"), (col("id") + 1).as("v"))
+        val delta = spark.range(1000)
+          .select(pmod(xxhash64(col("id")), lit(n)).as("u"),
+            pmod(xxhash64(col("id"), lit(7)), lit(n)).as("v"))
+        val pre = time(s"ccBuildBase x$m") {
+          val p = Dedup.connectedComponents(base)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          p.count()
+          p
+        }
+        val nApp = time(s"ccAppend x$m")(
+          graft.operators.Dedup.ccAppend(pre, delta).count())
+        val nFull = time(s"ccRebuild x$m")(
+          Dedup.connectedComponents(base.unionAll(delta)).count())
+        println(s"    appendRows=$nApp rebuildRows=$nFull")
+        pre.unpersist()
+      }
+
       if (enabled("dhashNearDups")) {
         val baseAssets = 20000L
         val pxSchema = StructType(Seq(

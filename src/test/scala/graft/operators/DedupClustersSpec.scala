@@ -35,6 +35,39 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
 
+  test("ccAppend(build(even), odd) equals the full rebuild exactly") {
+    // an affine functional graph u -> 13u+7 mod 60: even-residue edges
+    // build small alternating fragments, odd-residue edges stitch them
+    // into the full cycles — the append genuinely merges components
+    val all = (0L until 60L).map(u => (u, (u * 13 + 7) % 60))
+    val even = all.filter(_._1 % 2 == 0)
+    val odd = all.filter(_._1 % 2 == 1)
+    val base = Dedup.connectedComponents(even.toDF("id_a", "id_b"))
+    val got = Dedup.ccAppend(base, odd.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == cc(all: _*))
+    // sanity: the append DID merge (fewer components than the even build)
+    val evenReps = base.select("rep").distinct().count()
+    assert(got.values.toSet.size < evenReps)
+  }
+
+  test("ccAppend: empty delta is identity; empty base is a plain build; " +
+    "one delta edge bridges two prior components") {
+    val base = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
+    val same = Dedup.ccAppend(base, Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(same == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val fresh = Dedup.ccAppend(
+      Seq.empty[(Long, Long)].toDF("id", "rep"),
+      Seq((5L, 6L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fresh == Map(5L -> 5L, 6L -> 5L))
+    val bridged = Dedup.ccAppend(base, Seq((3L, 10L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bridged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L))
+  }
+
   test("dedupClusters maps singletons to themselves and flags keepers") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
