@@ -178,6 +178,29 @@ object SparkEntry {
       Dedup.ccAppend(base, pairsOf(docs.filter(col("doc_id") % 2 === 1)))
     }),
 
+    // ---- DEDUP: content-defined exact-substring spans (the Lee et al.
+    //      ExactSubstr family, shuffle-shaped) — every doc chunked at
+    //      md5-defined token anchors, chunk CONTENT grouped corpus-wide,
+    //      non-first duplicated runs stitched to maximal spans. The
+    //      fixture plants a 60-token slice of every %10 doc at an
+    //      OFF-BOUNDARY offset (7 into the source, behind 7 pads in the
+    //      twin): content-defined anchors travel with the content, so
+    //      the copies' chunks align at any offset — deterministically,
+    //      where duplicateSpans' sampleMod knob is probabilistic
+    "q156_exact_substr" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val twins = d
+        .select(col("doc_id"),
+          expr("filter(split(trim(text), '\\\\s+'), w -> w <> '')").as("ws"))
+        .filter(col("doc_id") % 10 === 0 && size(col("ws")) >= 70)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("pad0 pad1 pad2 pad3 pad4 pad5 pad6 "),
+            array_join(slice(col("ws"), 8, 60), " ")).as("text"))
+      Dedup.exactSubstrSpans(
+        d.select(col("doc_id"), col("text")).unionByName(twins),
+        "doc_id", "text", minTokens = 24, gap = 8)
+    }),
+
     // ---- DEDUP: exact prefix-filtered Jaccard self-join (PPJoin) —
     //      no blocking key, total recall at t=0.5; corpus = documents
     //      plus a tail-mutated twin per even doc, so every kept doc has
@@ -2842,6 +2865,61 @@ object SparkEntry {
            SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.id = e.v)
          SELECT id, CAST(min(r) AS BIGINT) AS rep
          FROM reach GROUP BY id""",
+
+    // content-defined chunk mirror: identical md5-anchor rule (first 8
+    // hex digits as an integer, % gap), identical chunking, the same
+    // corpus-wide content grouping with the doc*2^32+pos first-
+    // occurrence rule, the same gaps-and-islands stitch. min over the
+    // packed BIGINT key never promotes; the island SUM (HUGEINT) is
+    // only a group key, never an output column
+    "q156_exact_substr" ->
+      """WITH corpus AS (
+           SELECT doc_id AS id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000,
+                  'pad0 pad1 pad2 pad3 pad4 pad5 pad6 ' ||
+                  array_to_string(list_slice(ws, 8, 67), ' ')
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                     w -> w <> '') AS ws
+                 FROM documents)
+           WHERE doc_id % 10 = 0 AND len(ws) >= 70),
+         tk AS (SELECT id,
+                  list_filter(string_split_regex(text, '\s+'),
+                    w -> w <> '') AS ws
+                FROM corpus
+                WHERE len(list_filter(string_split_regex(text, '\s+'),
+                    w -> w <> '')) >= 1),
+         bsl AS (SELECT id, ws,
+                   [0] || list_filter(range(1, len(ws)),
+                     i -> ('0x' || substr(md5(ws[i + 1]), 1, 8))::BIGINT
+                          % 8 = 0) || [len(ws)] AS b
+                 FROM tk),
+         ch AS (SELECT id, CAST(b[j] AS BIGINT) AS s,
+                       CAST(b[j + 1] AS BIGINT) AS e,
+                       array_to_string(list_slice(ws, b[j] + 1, b[j + 1]),
+                         ' ') AS chunk
+                FROM bsl, LATERAL unnest(range(1, len(b))) AS u(j)),
+         occ AS (SELECT chunk, count(*) AS n,
+                        min(id * 4294967296 + s) AS fk
+                 FROM ch GROUP BY chunk),
+         dup AS (SELECT ch.id, ch.s, ch.e
+                 FROM ch JOIN occ USING (chunk)
+                 WHERE occ.n >= 2 AND ch.id * 4294967296 + ch.s <> occ.fk),
+         lg AS (SELECT id, s, e,
+                  lag(e) OVER (PARTITION BY id ORDER BY s) AS pe
+                FROM dup),
+         isl AS (SELECT id, s, e,
+                   SUM(CASE WHEN s <> pe THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY id ORDER BY s) AS island
+                 FROM lg)
+         SELECT id AS doc_id,
+                CAST(min(s) AS BIGINT) AS span_start,
+                CAST(max(e) - 1 AS BIGINT) AS span_end,
+                CAST(max(e) - min(s) AS BIGINT) AS n_tokens,
+                CAST(count(*) AS BIGINT) AS n_chunks
+         FROM isl GROUP BY id, island
+         HAVING max(e) - min(s) >= 24""",
 
     // brute-force truth for the prefix-filtered join: every pair of the
     // salted corpus with word-3-gram Jaccard >= 0.5 — the filter's

@@ -1083,6 +1083,97 @@ object Dedup {
           .as("n_tokens_removed"))
   }
 
+  /** EXACT duplicated-substring spans via CONTENT-DEFINED chunking —
+    * the deterministic scale path beside [[duplicateSpans]] (the Lee et
+    * al. "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr family, re-expressed for a shuffle engine instead of a
+    * single-memory suffix array).
+    *
+    * Anchors are content-defined: token position i (0-based, i >= 1)
+    * starts a new chunk when `md5(token) % gap == 0` (the first 8 hex
+    * digits as an integer — md5 so the DuckDB oracle computes the
+    * IDENTICAL anchors). A repeated substring therefore carries its
+    * internal anchors WITH it at any offset in any document, its
+    * internal chunks align exactly, and detection is DETERMINISTIC —
+    * the contrast with [[duplicateSpans]]' `sampleMod` knob, which buys
+    * the same ~1/gap shuffle reduction but mod-samples window hashes,
+    * so a span of m windows is MISSED with probability
+    * (1-1/sampleMod)^m (ExactSubstrSpec constructs a real corpus where
+    * sampleMod=16 provably returns nothing while this operator at
+    * gap=16 finds the planted repeat).
+    *
+    * What is detected: maximal runs of full chunks whose CONTENT (the
+    * chunk text itself — grouped on the string, no hash trust anywhere)
+    * occurs >= 2 times corpus-wide, first occurrence excluded (the
+    * doc*2^32+pos packing, [[duplicateSpans]]' keep rule), filtered to
+    * `minTokens`. The un-detected residue of a true repeat is only its
+    * partial HEAD/TAIL chunks — less than the local chunk length at
+    * each end (expected `gap` tokens) — so size `minTokens` about
+    * 2*gap below the repeat length being hunted.
+    *
+    * Plan shape: chunking is one scan-level projection (token-array
+    * lambdas, codegen'd); occurrence counting is ONE hash aggregate on
+    * the chunk text; flagging joins back on that same key
+    * (co-partitioned); span fusion is a per-doc sort window. Rows
+    * through the shuffle: one per CHUNK (~tokens/gap), not one per
+    * token — the deterministic answer to sampleMod.
+    *
+    * Output: (doc_id, span_start, span_end, n_tokens, n_chunks) —
+    * token indices 0-based, span_end inclusive. */
+  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+                       minTokens: Int = 50, gap: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minTokens >= 1, s"minTokens must be >= 1 (got $minTokens)")
+    require(gap >= 2, s"gap must be >= 2 (got $gap)")
+    // same id-packing contract (and loud guard) as duplicateSpans
+    val rawId = col(idCol).cast(LongType)
+    val guardedId = when(rawId.isNull || rawId < 0 || rawId >= lit(2147483648L),
+        raise_error(concat(
+          lit(s"exactSubstrSpans: $idCol must be an integer in [0, 2^31) " +
+            "for span-key packing, got "),
+          coalesce(col(idCol).cast("string"), lit("null")))).cast(LongType))
+      .otherwise(rawId)
+    val toks = df
+      .select(guardedId.as("id"),
+        expr(s"filter(split($textCol, '\\\\s+'), w -> w <> '')").as("ws"))
+      .filter(size(col("ws")) >= 1)
+    // boundary list: 0, every content-defined anchor, size — adjacent
+    // pairs are the chunks. All inside one projection.
+    val anchored = toks.withColumn("bs",
+      concat(array(lit(0)),
+        expr(s"""filter(sequence(0, size(ws) - 1), i -> i >= 1 AND
+             pmod(cast(conv(substr(md5(cast(element_at(ws, i + 1) as binary)),
+               1, 8), 16, 10) as bigint), $gap) = 0)"""),
+        array(size(col("ws")))))
+    val chunks = anchored
+      .select(col("id"), col("ws"),
+        explode(expr("""transform(sequence(1, size(bs) - 1),
+            j -> struct(element_at(bs, j) as s, element_at(bs, j + 1) as e))"""))
+          .as("c"))
+      .select(col("id"),
+        col("c.s").cast(LongType).as("s"), col("c.e").cast(LongType).as("e"),
+        expr("array_join(slice(ws, c.s + 1, c.e - c.s), ' ')").as("chunk"))
+    val occ = chunks.groupBy("chunk").agg(
+      count(lit(1)).as("n"),
+      min(col("id") * lit(4294967296L) + col("s")).as("fk"))
+    val dup = chunks.join(occ, "chunk")
+      .filter(col("n") >= 2 &&
+        col("id") * lit(4294967296L) + col("s") =!= col("fk"))
+      .select("id", "s", "e")
+    val byDoc = Window.partitionBy("id").orderBy("s")
+    dup
+      .withColumn("brk",
+        when(col("s") =!= lag("e", 1).over(byDoc), 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(byDoc))
+      .groupBy(col("id"), col("island"))
+      .agg(min("s").as("span_start"), (max("e") - 1L).as("span_end"),
+        (max("e") - min("s")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"))
+      .filter(col("n_tokens") >= minTokens)
+      .select(col("id").as("doc_id"), col("span_start"), col("span_end"),
+        col("n_tokens"), col("n_chunks"))
+  }
+
   /** Corpus-overlap estimate between two document sets via bottom-k
     * (KMV) shingle sketches — "how much of crawl B is already in crawl
     * A?" / "does the training mix overlap the eval pool?" answered
