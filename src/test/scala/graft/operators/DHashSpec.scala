@@ -78,8 +78,15 @@ class DHashSpec extends AnyFunSuite {
       Seq((k.toLong, pngOf(w, h, base)), (k + 100L, pngOf(w, h, twin)))
     }
     val df = assets.toDF("asset_id", "payload")
+    // getLong on a null dhash would silently read 0 and corrupt the
+    // brute-force truth set — a fixture PNG failing to decode must fail
+    // the test loudly instead
     val hashes = Multimodal.imageDHash(df).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map { r =>
+        assert(!r.isNullAt(1), s"fixture PNG ${r.getLong(0)} failed to decode")
+        r.getLong(0) -> r.getLong(1)
+      }.toMap
+    assert(hashes.size == assets.size, "every fixture asset must hash")
     for (maxHam <- Seq(0, 2, 3)) {
       val brute = (for {
         (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
