@@ -492,7 +492,7 @@ object Bench {
     // query time), so halving the fork count buys ~450 s of wall — and a
     // 14-query chunk stays far below the ~40-execution code-cache
     // degradation point with the children's 2g reserved cache.
-    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "14").toInt
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "16").toInt
     // Adaptive FINAL pass (round-10 wall-budget measure): queries whose
     // best cold time over the earlier passes is already under
     // SETTLE_SEC are "settled" — a third cold draw moved no round-9
@@ -500,14 +500,30 @@ object Bench {
     // measured time plus ~half the final pass's forks. Expensive or
     // still-unmeasured queries keep the full min-of-3 protocol (the
     // round-4 postmortem's phantom-regression class lives there).
-    val settleSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_SEC", "1.0").toDouble
+    val settleSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_SEC", "2.0").toDouble
+    // wall-budget safety valve: the driver kills the whole run at a
+    // hard cap (round 9: rc=124, NO artifact — the worst outcome). If
+    // the earlier passes already consumed the budget (a contention
+    // window inflating everything ~1.4x was measured on this host),
+    // SKIP the final pass rather than risk the kill: every query
+    // already has 2 cold (+ up to 2 warm) draws, and a complete
+    // min-of-2 artifact beats a dead min-of-3 one.
+    val wallBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_BUDGET", "1450").toDouble
+    val t0 = System.nanoTime()
     var forked = true
     for (pass <- 1 to passes if forked) {
+      val elapsed = (System.nanoTime() - t0) / 1e9
       val passNames =
-        if (pass == passes && passes >= 3)
-          names.filter(n => !errors.contains(n) &&
-            !passTimes.get(n).exists(ts => ts.nonEmpty && ts.min < settleSec))
-        else names
+        if (pass == passes && passes >= 3) {
+          if (elapsed > wallBudget) {
+            System.err.println(f"[bench] final pass SKIPPED: $elapsed%.0fs " +
+              f"elapsed exceeds the $wallBudget%.0fs wall budget " +
+              "(contention window) — artifact keeps min over 2 passes")
+            Nil
+          } else
+            names.filter(n => !errors.contains(n) &&
+              !passTimes.get(n).exists(ts => ts.nonEmpty && ts.min < settleSec))
+        } else names
       if (passNames.size < names.size)
         System.err.println(s"[bench] final pass: ${passNames.size} unsettled " +
           s"queries (${names.size - passNames.size} settled under ${settleSec}s)")

@@ -44,14 +44,14 @@ object SparkEntry {
     //      per-asset dup census. The oracle recomputes every dHash from
     //      the pixel formula and brute-forces the pair scan
     "q145_image_dhash" -> ((s, dir) => {
-      // half-density corpus (even ids): the collision clusters keep
-      // their SHAPE (id arithmetic is periodic) at 4x fewer true pairs
-      // — the full-density fixture's ~5M pairs at sf0.1 were a bench-
-      // budget problem, not a better test (round-9 postmortem; the
-      // realistic-corpus scale evidence lives in SCALE.md/GraphSimScale)
+      // quarter-density corpus (ids % 4): the collision clusters keep
+      // their SHAPE (id arithmetic is periodic) at ~16x fewer true
+      // pairs (5.0M -> 311k at sf0.1) — the full-density fixture was a
+      // bench-budget problem, not a better test (round-9/10 postmortem;
+      // the realistic-corpus scale evidence lives in GraphSimScale)
       val pairs = Multimodal.dhashNearDups(
         Multimodal.syntheticPixelAssets(
-          t(s, dir, "documents").filter(col("doc_id") % 2 === 0)),
+          t(s, dir, "documents").filter(col("doc_id") % 4 === 0)),
         maxHamming = 2, bands = 4)
       // explode, not union-of-two-selects: the union form evaluates the
       // whole banded join TWICE (no common subplan survives the aliases)
@@ -144,10 +144,10 @@ object SparkEntry {
     //      image-dedup pass must survive (CC is the alternating-star
     //      algorithm, never a driver traversal)
     "q149_image_dedup_cc" -> ((s, dir) => {
-      // same half-density corpus as q145 (see there): 4x fewer pairs
-      // into CC, identical cluster shape
+      // same quarter-density corpus as q145 (see there): ~16x fewer
+      // pairs into CC, identical cluster shape
       val assets = Multimodal.syntheticPixelAssets(
-        t(s, dir, "documents").filter(col("doc_id") % 2 === 0))
+        t(s, dir, "documents").filter(col("doc_id") % 4 === 0))
       val pairs = Multimodal.dhashNearDups(assets, maxHamming = 2, bands = 4)
       val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
       assets.select(col("asset_id"))
@@ -2678,7 +2678,7 @@ object SparkEntry {
            SELECT doc_id AS id,
                   CAST(doc_id % 13 + 4 AS BIGINT) AS w,
                   CAST(doc_id % 11 + 4 AS BIGINT) AS h
-           FROM documents WHERE doc_id % 2 = 0),
+           FROM documents WHERE doc_id % 4 = 0),
          bits AS (
            SELECT id, list_transform(range(64), b ->
              CASE WHEN (id*31 + ((b//8)*h//8)*w + ((b%8+1)*w//9)) % 256
@@ -2819,7 +2819,7 @@ object SparkEntry {
            SELECT doc_id AS id,
                   CAST(doc_id % 13 + 4 AS BIGINT) AS w,
                   CAST(doc_id % 11 + 4 AS BIGINT) AS h
-           FROM documents WHERE doc_id % 2 = 0),
+           FROM documents WHERE doc_id % 4 = 0),
          bits AS (
            SELECT id, list_transform(range(64), b ->
              CASE WHEN (id*31 + ((b//8)*h//8)*w + ((b%8+1)*w//9)) % 256
