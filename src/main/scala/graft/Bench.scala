@@ -69,9 +69,20 @@ package graft
   * the first two passes only (two warm draws feed min-all; round-9's
   * third changed no headline beyond noise); (3) the final pass skips
   * queries already measured under SPARK_GRAFT_BENCH_SETTLE_SEC (1.0 s)
-  * in an earlier pass — sub-second queries keep min-of-2, everything
-  * expensive or unstable keeps the full protocol. Settled queries show
+  * in an earlier pass — sub-threshold queries keep min-of-2,
+  * everything expensive keeps the full protocol. Settled queries show
   * 2-entry pass_times arrays in the artifact.
+  *
+  * Two contention-window degradation tiers on top (the driver kills at
+  * a hard cap and leaves NO artifact — round 9's rc=124 — so a reduced
+  * complete artifact always beats a dead full one): pass 2 runs
+  * cold-only when pass 1 exceeded SPARK_GRAFT_BENCH_WARM_CUTOFF (800 s
+  * — a bad window inflates both query time and the number of queries
+  * crossing the warm threshold), and the final pass is skipped
+  * entirely when the earlier passes exceeded
+  * SPARK_GRAFT_BENCH_WALL_BUDGET (1450 s). Both print loudly to
+  * stderr; quiet windows trigger neither (measured full quiet run
+  * ≈ 1350 s).
   *
   * Failures are NEVER swallowed: a failing query records value -1 and its
   * exception in "errors", so a crashing query is distinguishable from a
@@ -212,11 +223,12 @@ object Bench {
     val shorts = names.map(short)
     val useShort = shorts.distinct.size == shorts.size
     // trailing ".0" stripped: "5.0" -> "5" (still a JSON number), and
-    // values past 10s round to ONE dp ("14.5" — 0.1 s resolution is
-    // plenty at that magnitude) — at 140+ queries every byte counts
-    // against the 2000-byte capture tail
+    // values of 1 s and above round to ONE dp ("1.4", "14.5" — 0.05 s
+    // resolution is far below this host's ambient noise) while
+    // sub-second values keep 2 dp for relative precision — at 157
+    // queries every byte counts against the 2000-byte capture tail
     def r2(v: Double) = {
-      val scale = if (v >= 10.0) 10 else 100
+      val scale = if (v >= 1.0) 10 else 100
       val s = (math.rint(v * scale) / scale).toString
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
@@ -228,7 +240,9 @@ object Bench {
     // ("headline"/"detail" were dropped at 142 queries for the same
     // reason — BENCH_LAST.json still records min-all provenance in full)
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
+    // "unit" dropped at 157 queries (constant provenance the full
+    // BENCH_LAST.json keeps — the compact line is byte-budgeted)
+    s"""{"metric":"total","value":${r2(total)},""" +
       s""""queries":$qs,"noise":$noiseStr,"tainted":$tainted,""" +
       s""""n_errors":$nErrors,"passes":$passes,"sf":"$sfShort"}"""
   }
@@ -372,7 +386,7 @@ object Bench {
 
   /** One forked fresh-JVM run over `chunk`: (times, warm, jobs, canary,
     * errors), or None if the child could not run. */
-  private def forkPass(pass: Int, chunk: Seq[String])
+  private def forkPass(pass: Int, chunk: Seq[String], noWarm: Boolean = false)
       : Option[(Map[String, Double], Map[String, Double], Map[String, Long], Double, Map[String, String])] = {
     val javaHome = sys.props.get("java.home").map(h => s"$h/bin/java").getOrElse("java")
     val opens = Seq(
@@ -394,6 +408,7 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
       pb.environment().put("SPARK_GRAFT_BENCH_PASS", pass.toString)
       pb.environment().put("SPARK_GRAFT_BENCH_ONLY", chunk.mkString(","))
+      if (noWarm) pb.environment().put("SPARK_GRAFT_BENCH_WARM_PASSES", "0")
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
@@ -527,10 +542,21 @@ object Bench {
       if (passNames.size < names.size)
         System.err.println(s"[bench] final pass: ${passNames.size} unsettled " +
           s"queries (${names.size - passNames.size} settled under ${settleSec}s)")
+      // second degradation tier: when pass 1 already ran long (a
+      // contention window inflates both query time AND how many
+      // queries cross the warm threshold — measured 109 warm runs vs
+      // ~70 quiet), pass 2 runs cold-only. One warm draw per big query
+      // (pass 1's) still feeds min-all; the bound on passes 1-2 is
+      // what keeps the valve below the driver's kill cap.
+      val warmCutoff = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_CUTOFF", "800").toDouble
+      val noWarm = pass >= 2 && elapsed > warmCutoff
+      if (noWarm)
+        System.err.println(f"[bench] pass $pass runs cold-only: " +
+          f"$elapsed%.0fs elapsed exceeds the $warmCutoff%.0fs warm cutoff")
       val offset = ((pass - 1) * chunkSize / math.max(passes, 1)) % math.max(passNames.size, 1)
       val rotated = passNames.drop(offset) ++ passNames.take(offset)
       for (chunk <- rotated.grouped(chunkSize) if forked) {
-        forkPass(pass, chunk) match {
+        forkPass(pass, chunk, noWarm) match {
           case Some((qs, ws, js, canary, es)) => record(qs, ws, js, canary, es)
           case None => forked = false
         }

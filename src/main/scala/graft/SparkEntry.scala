@@ -1825,6 +1825,23 @@ object SparkEntry {
           md5(array_join(transform(col("ids"), i => i.cast("string")), ","))
             .as("fp"))),
 
+    // ---- SAMPLING × TEXT: sequence packing over the SENTENCEPIECE
+    //      tokenizer — q137's concat-and-chunk trainer mile driven by
+    //      the Llama-convention id stream (eos 273 = one past the
+    //      canonical SP vocab), so packing is proven against BOTH
+    //      published tokenizer families end-to-end
+    "q157_sp_pack" -> ((s, dir) =>
+      Sampling.packSequences(
+        t(s, dir, "documents").select(col("lang"), col("doc_id"),
+          TextAnalysis.spIdsExact(col("text"), spCanonicalMerges,
+            graft.expressions.SpCodec.canonicalSpVocab(spCanonicalMerges))
+            .as("ids")),
+        Seq("lang"), "doc_id", "ids", seqLen = 128, eosId = 273)
+        .select(col("lang"), col("seq"),
+          md5(array_join(transform(col("ids"), i => i.cast("string")), ","))
+            .as("fp"),
+          expr("aggregate(ids, 0L, (a, x) -> a + x)").as("sum_ids"))),
+
     "q85_pack_exact" -> ((s, dir) =>
       Sampling.packBudget(t(s, dir, "documents"), Seq("lang"), "doc_id",
           TextAnalysis.bpeTokenCountExact(col("text"), bpeCanonicalMerges),
@@ -2197,6 +2214,75 @@ object SparkEntry {
          SELECT w, len(str_split(trim(s, chr(31)), chr(31))) AS nt, s
          FROM enc e
          WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE position($pat IN e.s) > 0))"""
+  }
+
+  /** CTE chain from `documents` to `per`(doc_id, il) — the complete
+    * SentencePiece-convention encode ([[graft.expressions.SpCodec]]
+    * semantics): Metaspace pre-tokens (mk/pcs, ▁ kept on the following
+    * piece, order carried as pi), distinct pieces char-split and
+    * greedy-merged by the recursive enc scaffold (the BPE_CTE pattern
+    * over CHARACTER symbols), vocab lookup with `<0xNN>` byte fallback
+    * where the fallback ids ARE the byte values (straight off
+    * hex(encode(tok))), ids ordered (piece, token, byte). Shared by
+    * q154 (id streams) and q157 (SP-driven packing). */
+  private lazy val SP_IDS_CTES: String = {
+    val mergesValues = spCanonicalMerges.zipWithIndex
+      .map { case ((a, b), r) =>
+        s"('${a.replace("'", "''")}','${b.replace("'", "''")}',$r)" }
+      .mkString(",")
+    val prodValues = spCanonicalMerges.zipWithIndex
+      .map { case ((a, b), r) =>
+        s"('${(a + b).replace("'", "''")}',${256 + r})" }
+      .mkString(",")
+    val pat = "chr(31) || m.a || chr(31) || m.b || chr(31)"
+    s"""spm(a, b, r) AS (VALUES $mergesValues),
+       spv(tok, id) AS (VALUES $prodValues),
+       mk AS (SELECT doc_id, '▁' || replace(text, ' ', '▁') AS s
+              FROM documents),
+       pcs AS (SELECT doc_id,
+                 list_transform(
+                   list_slice(string_split(s, '▁'), 2,
+                     len(string_split(s, '▁'))),
+                   p -> '▁' || p) AS ps
+               FROM mk),
+       w0o AS (SELECT doc_id, generate_subscripts(ps, 1) AS pi,
+                      unnest(ps) AS w
+               FROM pcs),
+       wf AS (SELECT DISTINCT w FROM w0o),
+       enc AS (
+         SELECT w, chr(31) || array_to_string(
+             regexp_split_to_array(w, ''), chr(31)) || chr(31) AS s
+         FROM wf
+         UNION ALL
+         SELECT e.w,
+                replace(e.s, chr(31) || ba.a || chr(31) || ba.b || chr(31),
+                        chr(31) || ba.a || ba.b || chr(31)) AS s
+         FROM enc e
+         JOIN LATERAL (
+           SELECT m.a, m.b FROM spm m
+           WHERE position($pat IN e.s) > 0
+           ORDER BY m.r LIMIT 1) ba ON true),
+       fin AS (
+         SELECT w, s FROM enc e
+         WHERE NOT EXISTS (SELECT 1 FROM spm m
+                           WHERE position($pat IN e.s) > 0)),
+       tok AS (SELECT o.doc_id, o.pi, generate_subscripts(tl, 1) AS ti,
+                      unnest(tl) AS tk
+               FROM (SELECT w0o.doc_id, w0o.pi,
+                       str_split(trim(f.s, chr(31)), chr(31)) AS tl
+                     FROM w0o JOIN fin f ON w0o.w = f.w) o),
+       idl AS (SELECT t.doc_id, t.pi, t.ti,
+                 CASE WHEN v.id IS NOT NULL THEN [v.id]
+                      ELSE list_transform(
+                        range(1, octet_length(encode(t.tk)) + 1),
+                        i -> ('0x' || substr(hex(encode(t.tk)),
+                               i*2-1, 2))::INT) END AS l
+               FROM tok t LEFT JOIN spv v ON t.tk = v.tok),
+       ids AS (SELECT doc_id, pi, ti, generate_subscripts(l, 1) AS bi,
+                      unnest(l) AS id
+               FROM idl),
+       per AS (SELECT doc_id, list(id ORDER BY pi, ti, bi) AS il
+               FROM ids GROUP BY doc_id)"""
   }
 
   // ---- DuckDB fragment builders shared by the Gopher-repetition
@@ -3758,65 +3844,9 @@ object SparkEntry {
     // vocab lookup where a miss expands to the token's UTF-8 bytes —
     // whose canonical ids ARE the byte values, so the fallback maps
     // straight off hex(encode(tok)). Ids ordered (piece, token, byte).
-    "q154_sp_ids" -> {
-      val mergesValues = spCanonicalMerges.zipWithIndex
-        .map { case ((a, b), r) =>
-          s"('${a.replace("'", "''")}','${b.replace("'", "''")}',$r)" }
-        .mkString(",")
-      val prodValues = spCanonicalMerges.zipWithIndex
-        .map { case ((a, b), r) =>
-          s"('${(a + b).replace("'", "''")}',${256 + r})" }
-        .mkString(",")
-      val pat = "chr(31) || m.a || chr(31) || m.b || chr(31)"
+    "q154_sp_ids" ->
       s"""WITH RECURSIVE
-         spm(a, b, r) AS (VALUES $mergesValues),
-         spv(tok, id) AS (VALUES $prodValues),
-         mk AS (SELECT doc_id, '▁' || replace(text, ' ', '▁') AS s
-                FROM documents),
-         pcs AS (SELECT doc_id,
-                   list_transform(
-                     list_slice(string_split(s, '▁'), 2,
-                       len(string_split(s, '▁'))),
-                     p -> '▁' || p) AS ps
-                 FROM mk),
-         w0o AS (SELECT doc_id, generate_subscripts(ps, 1) AS pi,
-                        unnest(ps) AS w
-                 FROM pcs),
-         wf AS (SELECT DISTINCT w FROM w0o),
-         enc AS (
-           SELECT w, chr(31) || array_to_string(
-               regexp_split_to_array(w, ''), chr(31)) || chr(31) AS s
-           FROM wf
-           UNION ALL
-           SELECT e.w,
-                  replace(e.s, chr(31) || ba.a || chr(31) || ba.b || chr(31),
-                          chr(31) || ba.a || ba.b || chr(31)) AS s
-           FROM enc e
-           JOIN LATERAL (
-             SELECT m.a, m.b FROM spm m
-             WHERE position($pat IN e.s) > 0
-             ORDER BY m.r LIMIT 1) ba ON true),
-         fin AS (
-           SELECT w, s FROM enc e
-           WHERE NOT EXISTS (SELECT 1 FROM spm m
-                             WHERE position($pat IN e.s) > 0)),
-         tok AS (SELECT o.doc_id, o.pi, generate_subscripts(tl, 1) AS ti,
-                        unnest(tl) AS tk
-                 FROM (SELECT w0o.doc_id, w0o.pi,
-                         str_split(trim(f.s, chr(31)), chr(31)) AS tl
-                       FROM w0o JOIN fin f ON w0o.w = f.w) o),
-         idl AS (SELECT t.doc_id, t.pi, t.ti,
-                   CASE WHEN v.id IS NOT NULL THEN [v.id]
-                        ELSE list_transform(
-                          range(1, octet_length(encode(t.tk)) + 1),
-                          i -> ('0x' || substr(hex(encode(t.tk)),
-                                 i*2-1, 2))::INT) END AS l
-                 FROM tok t LEFT JOIN spv v ON t.tk = v.tok),
-         ids AS (SELECT doc_id, pi, ti, generate_subscripts(l, 1) AS bi,
-                        unnest(l) AS id
-                 FROM idl),
-         per AS (SELECT doc_id, list(id ORDER BY pi, ti, bi) AS il
-                 FROM ids GROUP BY doc_id)
+         $SP_IDS_CTES
          SELECT doc_id,
                 CAST(len(il) AS BIGINT) AS n_tokens,
                 CAST(len(list_filter(il, x -> x < 256)) AS BIGINT)
@@ -3826,9 +3856,38 @@ object SparkEntry {
                   (a, b) -> a + b) AS BIGINT) AS sum_ids,
                 md5(array_to_string(
                   list_transform(il, x -> CAST(x AS VARCHAR)), ',')) AS fp
-         FROM per"""
-    },
+         FROM per""",
 
+    // SP-driven sequence packing: q154's per-doc ordered id streams
+    // fed through q137's packing chain (per-lang exclusive prefix sum,
+    // position unroll, 128-token regroup, partial tail dropped). seq
+    // rides the window-SUM chain -> CAST AS BIGINT (the round-9
+    // HUGEINT/float64 lesson)
+    "q157_sp_pack" ->
+      s"""WITH RECURSIVE
+         $SP_IDS_CTES,
+         dids AS (SELECT d.doc_id, d.lang,
+                    COALESCE(p.il, CAST([] AS INTEGER[])) || [273] AS ids
+                  FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id),
+         cum AS (SELECT lang, doc_id, ids,
+                   COALESCE(SUM(len(ids)) OVER (PARTITION BY lang
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS strt
+                 FROM dids),
+         tp AS (SELECT lang, strt + generate_subscripts(ids, 1) - 1 AS pos,
+                       unnest(ids) AS id
+                FROM cum),
+         seqs AS (SELECT lang, CAST(pos // 128 AS BIGINT) AS seq,
+                         list(id ORDER BY pos) AS ids
+                  FROM tp GROUP BY 1, 2)
+         SELECT lang, seq,
+                md5(array_to_string(
+                  list_transform(ids, x -> CAST(x AS VARCHAR)), ',')) AS fp,
+                CAST(list_reduce(list_prepend(0::BIGINT,
+                  list_transform(ids, x -> CAST(x AS BIGINT))),
+                  (a, b) -> a + b) AS BIGINT) AS sum_ids
+         FROM seqs WHERE len(ids) = 128""",
     "q129_bpe_ids" -> {
       val vocabValues = graft.expressions.BpeCodec
         .canonicalVocab(bpeCanonicalMerges).dropRight(1)

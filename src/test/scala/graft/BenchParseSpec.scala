@@ -66,10 +66,10 @@ class BenchParseSpec extends AnyFunSuite {
   // names on collision.
   test("compactLine fits the capture window, parses, and keys stay unique") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // worst realistic shape: sub-10s queries print 4-char "9.87"-style
-    // values, the (rare) 10s+ ones print 1-dp "14.5" — pin the budget
-    // with EVERY query at the sub-10s worst case
-    val headline = names.map(n => n -> 9.87).toMap
+    // worst byte shape: every query at a 4-char sub-second value
+    // ("0.99" — values of 1 s+ print 1 dp, 3 chars, so sub-second 2-dp
+    // values are the widest) — pin the budget with EVERY query there
+    val headline = names.map(n => n -> 0.99).toMap
     val line = Bench.compactLine(names, headline, 1234.56, "1.307",
       tainted = false, nErrors = 0, passes = 3, sfDir = "/root/testdata/sf0.1")
     assert(line.length < 1900, s"compact line is ${line.length} bytes " +
@@ -79,8 +79,12 @@ class BenchParseSpec extends AnyFunSuite {
     val (times, _, _, _, _) = Bench.parseChild(line)
     assert(times.size == names.size, s"${times.size} keys vs ${names.size} queries")
     assert(times.keySet == names.map(_.takeWhile(_ != '_')).toSet)
-    assert(times.values.forall(_ == 9.87))
+    assert(times.values.forall(_ == 0.99))
     assert(line.contains("\"value\":1234.6")) // 10s+: one dp
+    // 1s-10s values shed their second dp too (round-10 byte budget)
+    val mid = Bench.compactLine(Seq("q01_a"), Map("q01_a" -> 1.38), 1.38,
+      "1.0", tainted = false, nErrors = 0, passes = 3, sfDir = "x")
+    assert(mid.contains("\"q01\":1.4"), mid)
     // 10s+ values shed their second dp; small values keep both
     val mixed = Bench.compactLine(Seq("q01_a", "q02_b"),
       Map("q01_a" -> 14.55, "q02_b" -> 0.47), 15.02, "1.0",
