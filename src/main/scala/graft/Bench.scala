@@ -73,16 +73,19 @@ package graft
   * everything expensive keeps the full protocol. Settled queries show
   * 2-entry pass_times arrays in the artifact.
   *
-  * Two contention-window degradation tiers on top (the driver kills at
-  * a hard cap and leaves NO artifact — round 9's rc=124 — so a reduced
-  * complete artifact always beats a dead full one): pass 2 runs
-  * cold-only when pass 1 exceeded SPARK_GRAFT_BENCH_WARM_CUTOFF (800 s
-  * — a bad window inflates both query time and the number of queries
-  * crossing the warm threshold), and the final pass is skipped
+  * Three contention-window degradation tiers on top (the driver kills
+  * at a hard cap and leaves NO artifact — round 9's rc=124 — so a
+  * reduced complete artifact always beats a dead full one): pass 2
+  * runs cold-only when pass 1 exceeded SPARK_GRAFT_BENCH_WARM_CUTOFF
+  * (800 s — a bad window inflates both query time and the number of
+  * queries crossing the warm threshold); the final pass is skipped
   * entirely when the earlier passes exceeded
-  * SPARK_GRAFT_BENCH_WALL_BUDGET (1450 s). Both print loudly to
-  * stderr; quiet windows trigger neither (measured full quiet run
-  * ≈ 1350 s).
+  * SPARK_GRAFT_BENCH_WALL_BUDGET (1450 s); and past
+  * SPARK_GRAFT_BENCH_HARD_CAP (1700 s) no further chunk forks at all
+  * (a freak starvation event — one query measured at 30x its normal
+  * wall under hypervisor steal — can blow the budget mid-pass). All
+  * print loudly to stderr; quiet windows trigger none (measured full
+  * quiet run ≈ 1350 s).
   *
   * Failures are NEVER swallowed: a failing query records value -1 and its
   * exception in "errors", so a crashing query is distinguishable from a
@@ -524,8 +527,10 @@ object Bench {
     // already has 2 cold (+ up to 2 warm) draws, and a complete
     // min-of-2 artifact beats a dead min-of-3 one.
     val wallBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_BUDGET", "1450").toDouble
+    val hardCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_HARD_CAP", "1700").toDouble
     val t0 = System.nanoTime()
     var forked = true
+    var hardStopped = false
     for (pass <- 1 to passes if forked) {
       val elapsed = (System.nanoTime() - t0) / 1e9
       val passNames =
@@ -555,8 +560,19 @@ object Bench {
           f"$elapsed%.0fs elapsed exceeds the $warmCutoff%.0fs warm cutoff")
       val offset = ((pass - 1) * chunkSize / math.max(passes, 1)) % math.max(passNames.size, 1)
       val rotated = passNames.drop(offset) ++ passNames.take(offset)
-      for (chunk <- rotated.grouped(chunkSize) if forked) {
-        forkPass(pass, chunk, noWarm) match {
+      for (chunk <- rotated.grouped(chunkSize) if forked && !hardStopped) {
+        // third tier: a freak starvation event (one query measured 30x
+        // its normal wall under hypervisor steal) can blow the budget
+        // MID-pass — past the hard cap, stop forking entirely. Every
+        // query already has pass-1 evidence; a min-of-1 tail in a
+        // window that bad beats the driver's kill.
+        if (pass >= 2 && (System.nanoTime() - t0) / 1e9 > hardCap) {
+          System.err.println(f"[bench] HARD CAP: " +
+            f"${(System.nanoTime() - t0) / 1e9}%.0fs elapsed exceeds " +
+            f"$hardCap%.0fs — remaining chunks skipped, artifact keeps " +
+            "all recorded passes")
+          hardStopped = true
+        } else forkPass(pass, chunk, noWarm) match {
           case Some((qs, ws, js, canary, es)) => record(qs, ws, js, canary, es)
           case None => forked = false
         }
