@@ -361,6 +361,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Join"), p)
   }
 
+  test("SentencePiece encode is expression-only at the scan — zero " +
+    "exchanges (q154)") {
+    assert(!plan("q154_sp_ids").contains("Exchange"))
+  }
+
+  test("content-defined substring dedup is keyed end to end: chunk-text " +
+    "aggregate + equi-join back, doc window (q156)") {
+    val p = plan("q156_exact_substr")
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert(!p.toLowerCase.contains("nestedloop"), p)
+    // chunk agg, join-back re-exchange, doc window, span group — each
+    // key-partitioned; a refactor must not silently add a shuffle
+    assert("Exchange".r.findAllIn(p).length <= 6, p)
+  }
+
+  test("SP-driven packing shuffles on the group key only (q157)") {
+    val p = plan("q157_sp_pack")
+    val keys = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("lang", "seq")), s"exchanges on $keys\n$p")
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set
