@@ -320,8 +320,15 @@ object Bench {
         // (q46/q64/q69) otherwise pay ~2x cold-JIT on their first pass —
         // measured 51.6 s vs 23.4 s warm for q46 at sf0.1. q36 is the
         // smallest end-to-end recipe eval (~1 s) and touches every path.
-        SparkEntry.queries("q36_recipe_pipeline")(spark, sfDir).count()
-        spark.catalog.clearCache()
+        // Only when this chunk actually holds recipe-machinery queries —
+        // for the other ~half of the chunks it is pure fork overhead
+        // (round-10 wall budget; ~20 forks per run)
+        val recipeQs = ((1 to 16) ++ Seq(36, 37, 44, 45, 46, 53) ++
+          (57 to 64) :+ 69 :+ 79).map(i => f"q$i%02d").toSet
+        if (selectedNames.exists(n => recipeQs(n.takeWhile(_ != '_')))) {
+          SparkEntry.queries("q36_recipe_pipeline")(spark, sfDir).count()
+          spark.catalog.clearCache()
+        }
       } catch { case _: Throwable => () }
     }
     val canary = timeCanary(spark)
@@ -526,7 +533,11 @@ object Bench {
     // SKIP the final pass rather than risk the kill: every query
     // already has 2 cold (+ up to 2 warm) draws, and a complete
     // min-of-2 artifact beats a dead min-of-3 one.
-    val wallBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_BUDGET", "1450").toDouble
+    // 1550: the quietest round-10 window finished passes 1-2 at 1470 s
+    // — a 1450 budget skipped its final pass by 20 s. The final pass is
+    // itself per-chunk bounded by the 1700 s hard cap below, so the
+    // budget can sit this close without risking the driver's kill.
+    val wallBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_BUDGET", "1550").toDouble
     val hardCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_HARD_CAP", "1700").toDouble
     val t0 = System.nanoTime()
     var forked = true
