@@ -64,11 +64,11 @@ package graft
   *
   * Wall-clock budget (round-10): the driver's round-9 run hit its cap
   * (rc=124) at 153 queries x 3 passes x 8-query chunks. Three measures,
-  * none changing the min-all headline rule: (1) chunk size 14 — fork
+  * none changing the min-all headline rule: (1) chunk size 16 — fork
   * overhead is ~14.5 s/JVM and dominated the wall; (2) warm reruns on
   * the first two passes only (two warm draws feed min-all; round-9's
   * third changed no headline beyond noise); (3) the final pass skips
-  * queries already measured under SPARK_GRAFT_BENCH_SETTLE_SEC (1.0 s)
+  * queries already measured under SPARK_GRAFT_BENCH_SETTLE_SEC (2.0 s)
   * in an earlier pass — sub-threshold queries keep min-of-2,
   * everything expensive keeps the full protocol. Settled queries show
   * 2-entry pass_times arrays in the artifact.
@@ -80,7 +80,7 @@ package graft
   * (800 s — a bad window inflates both query time and the number of
   * queries crossing the warm threshold); the final pass is skipped
   * entirely when the earlier passes exceeded
-  * SPARK_GRAFT_BENCH_WALL_BUDGET (1450 s); and past
+  * SPARK_GRAFT_BENCH_WALL_BUDGET (1550 s); and past
   * SPARK_GRAFT_BENCH_HARD_CAP (1700 s) no further chunk forks at all
   * (a freak starvation event — one query measured at 30x its normal
   * wall under hypervisor steal — can blow the budget mid-pass). All
@@ -512,7 +512,7 @@ object Bench {
 
     // fork a fresh JVM per CHUNK of queries (see header); chunk boundaries
     // rotate between passes so no query is always last-in-chunk.
-    // Chunk size 14 (was 8 through round 9): per-fork overhead measured
+    // Chunk size 16 (was 8 through round 9, 14 briefly in round 10): per-fork overhead measured
     // ~14.5 s (round-8 driver wall 1713 s over 51 forks vs ~975 s of
     // query time), so halving the fork count buys ~450 s of wall — and a
     // 14-query chunk stays far below the ~40-execution code-cache
