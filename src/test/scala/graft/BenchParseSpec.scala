@@ -97,6 +97,67 @@ class BenchParseSpec extends AnyFunSuite {
     assert(clashLine.contains("\"q01_a\":") && clashLine.contains("\"q01_b\":"))
   }
 
+  // Per-chunk starvation taint (round 11): the round-10 driver artifact
+  // recorded q147 at 133.3 s (quiet-window 1.1 s) with "tainted":false —
+  // the starvation hit 1-2 chunks of ~34, below the global p90/p10
+  // ratio's resolution. The per-chunk instrument must flag exactly the
+  // queries whose headline exists ONLY under a canary-outlier chunk,
+  // and a re-forked quiet draw must clear them.
+  test("starvedSuspects flags headline draws from canary-outlier chunks; a quiet re-fork clears them") {
+    // ~the round-10 shape: 30 quiet chunks at ~0.2 s, one starved at 2.4 s
+    val canaries = Seq.fill(30)(0.2) :+ 2.4
+    val names = Seq("q147_surt", "q46_dag", "q01_agg")
+    // q147: its only draws (cold + warm) came from the starved chunk
+    // q46: slow draw from the starved chunk, but a quiet chunk
+    //      reproduced the headline — trustworthy, NOT suspect
+    // q01: all draws quiet
+    val times = Map(
+      "q147_surt" -> Seq(133.3, 140.1),
+      "q46_dag" -> Seq(68.4, 16.5),
+      "q01_agg" -> Seq(0.5, 0.52))
+    val tCan = Map(
+      "q147_surt" -> Seq(2.4, 2.4),
+      "q46_dag" -> Seq(2.4, 0.2),
+      "q01_agg" -> Seq(0.2, 0.2))
+    val warm = Map("q147_surt" -> Seq(135.0))
+    val wCan = Map("q147_surt" -> Seq(2.4))
+    assert(Bench.starvedSuspects(names, times, tCan, warm, wCan,
+      canaries, 1.5) === Seq("q147_surt"))
+    // the targeted re-fork: one quiet-chunk draw for q147 clears it even
+    // though the new draw's 1.1 s IS now the headline from a quiet chunk
+    val times2 = times.updated("q147_surt", times("q147_surt") :+ 1.1)
+    val tCan2 = tCan.updated("q147_surt", tCan("q147_surt") :+ 0.21)
+    assert(Bench.starvedSuspects(names, times2, tCan2, warm, wCan,
+      canaries :+ 0.21, 1.5) === Nil)
+    // a re-fork that lands in ANOTHER starved chunk does not clear it
+    val times3 = times.updated("q147_surt", times("q147_surt") :+ 98.0)
+    val tCan3 = tCan.updated("q147_surt", tCan("q147_surt") :+ 2.2)
+    assert(Bench.starvedSuspects(names, times3, tCan3, warm, wCan,
+      canaries :+ 2.2, 1.5) === Seq("q147_surt"))
+    // under 4 canaries there is no trustworthy median: no suspects
+    assert(Bench.starvedSuspects(names, times, tCan, warm, wCan,
+      Seq(0.2, 2.4), 1.5) === Nil)
+    // failed draws (-1) never make a query suspect
+    assert(Bench.starvedSuspects(Seq("qf_x"), Map("qf_x" -> Seq(-1.0)),
+      Map("qf_x" -> Seq(2.4)), Map.empty[String, Seq[Double]],
+      Map.empty[String, Seq[Double]], canaries, 1.5) === Nil)
+  }
+
+  test("compactLine carries the suspect list only when non-empty") {
+    val names = Seq("q147_surt", "q01_agg")
+    val headline = Map("q147_surt" -> 133.3, "q01_agg" -> 0.5)
+    val clean = Bench.compactLine(names, headline, 133.8, "1.0",
+      tainted = false, nErrors = 0, passes = 3, sfDir = "x")
+    assert(!clean.contains("suspect"))
+    val starved = Bench.compactLine(names, headline, 133.8, "1.0",
+      tainted = false, nErrors = 0, passes = 3, sfDir = "x",
+      suspects = Seq("q147_surt"))
+    assert(starved.contains(""""suspect":["q147"]"""), starved)
+    // still parses under the harness's own reader
+    val (times, _, _, _, _) = Bench.parseChild(starved)
+    assert(times.keySet === Set("q147", "q01"))
+  }
+
   test("noiseRatio trims at least one outlier per side on small runs") {
     // a 3-canary SPARK_GRAFT_BENCH_ONLY subset with one jittery draw on
     // a quiet machine must not read tainted (max/min here is 1.56)
