@@ -456,7 +456,8 @@ object Bench {
 
   /** One forked fresh-JVM run over `chunk`: (times, warm, jobs, canary,
     * errors), or None if the child could not run. */
-  private def forkPass(pass: Int, chunk: Seq[String], noWarm: Boolean = false)
+  private def forkPass(pass: Int, chunk: Seq[String], noWarm: Boolean = false,
+                       classpath: Option[String] = None)
       : Option[(Map[String, Double], Map[String, Double], Map[String, Long], Double, Map[String, String])] = {
     val javaHome = sys.props.get("java.home").map(h => s"$h/bin/java").getOrElse("java")
     val opens = Seq(
@@ -471,7 +472,7 @@ object Bench {
       s"-Xmx$mem",
       "-XX:ReservedCodeCacheSize=2g", "-XX:-UseCodeCacheFlushing",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-      "-cp", sys.props.getOrElse("java.class.path", ""),
+      "-cp", classpath.getOrElse(sys.props.getOrElse("java.class.path", "")),
       "graft.Bench")
     try {
       val pb = new ProcessBuilder(cmd: _*)
@@ -525,6 +526,92 @@ object Bench {
     (qs, ws, js, canary, es)
   }
 
+  /** A/B artifact line: per-query paired headlines and their b/a ratio,
+    * plus each side's own noise instrument and the median ratio over
+    * valid pairs (the robust one-number answer to "did B regress?").
+    * Queries failed on either side (-1) keep their values but report
+    * ratio -1 and stay out of the median. */
+  private[graft] def abJson(names: Seq[String],
+                            aHead: collection.Map[String, Double],
+                            bHead: collection.Map[String, Double],
+                            aCan: Seq[Double], bCan: Seq[Double],
+                            sfDir: String): String = {
+    def r3(v: Double) = (math.rint(v * 1000) / 1000).toString
+    val pairs = names.flatMap(n =>
+      for (a <- aHead.get(n); b <- bHead.get(n)) yield (n, a, b))
+    val ratios = pairs.collect { case (_, a, b) if a > 0 && b >= 0 => b / a }.sorted
+    val median = if (ratios.isEmpty) -1.0 else ratios(ratios.size / 2)
+    val qs = pairs.map { case (n, a, b) =>
+      val ratio = if (a > 0 && b >= 0) r3(b / a) else "-1"
+      s""""$n":{"a":${r3(a)},"b":${r3(b)},"ratio":$ratio}"""
+    }.mkString("{", ",", "}")
+    s"""{"metric":"ab","queries":$qs,"median_ratio":${r3(median)},""" +
+      s""""a_noise":${r3(noiseRatio(aCan))},"b_noise":${r3(noiseRatio(bCan))},""" +
+      s""""n_pairs":${ratios.size},"sf":"$sfDir"}"""
+  }
+
+  /** Interleaved A/B mode (SPARK_GRAFT_BENCH_AB_CP — round 11): this
+    * host swings 1.5-3x on IDENTICAL code across hours, so sequential
+    * before/after runs cannot adjudicate a regression; two chunks forked
+    * BACK-TO-BACK share their ambient window, so the per-query b/a
+    * ratio cancels the drift both sides saw. A is the current
+    * classpath; B prepends the given classes directory (e.g. a worktree
+    * build of another git ref: `git worktree add /tmp/ab <ref> && (cd
+    * /tmp/ab && sbt compile)` then AB_CP=/tmp/ab/target/scala-2.13/
+    * classes) so the alternate build shadows the current one
+    * class-by-class — classes B deleted would still resolve from A's
+    * directory behind it, which is the right default for comparing two
+    * revisions of the same tree. Protocol per pass: each chunk forks A
+    * then B; headline per side is the usual min-all; output is ONE
+    * "metric":"ab" JSON line (paired ratios + median) to stdout and
+    * SPARK_GRAFT_BENCH_OUT (default BENCH_AB.json). The degradation
+    * tiers don't apply — this is a deliberately-invoked instrument,
+    * usually under SPARK_GRAFT_BENCH_ONLY, not the driver's stamp. */
+  private def abMain(names: Seq[String], passes: Int, sfDir: String,
+                     bcpDir: String): Unit = {
+    val sep = java.io.File.pathSeparator
+    val bcp = bcpDir + sep + sys.props.getOrElse("java.class.path", "")
+    final class Side {
+      val times = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+      val warm = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+      val can = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      def record(qs: Map[String, Double], ws: Map[String, Double],
+                 canary: Double, es: Map[String, String]): Unit = {
+        can += canary
+        for ((k, v) <- qs if v >= 0) {
+          times(k) = times.getOrElse(k, Vector.empty) :+ v
+          ws.get(k).foreach(w => warm(k) = warm.getOrElse(k, Vector.empty) :+ w)
+        }
+        for ((k, v) <- es) errs(k) = v
+      }
+      def headline: Map[String, Double] = names.flatMap { n =>
+        if (errs.contains(n)) Some(n -> -1.0)
+        else times.get(n).filter(_.nonEmpty)
+          .map(ts => n -> headlineOf(ts.min, warm.getOrElse(n, Nil)))
+      }.toMap
+    }
+    val a = new Side; val b = new Side
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "16").toInt
+    for (pass <- 1 to passes) {
+      val offset = ((pass - 1) * chunkSize / math.max(passes, 1)) % math.max(names.size, 1)
+      val rotated = names.drop(offset) ++ names.take(offset)
+      for (chunk <- rotated.grouped(chunkSize)) {
+        forkPass(pass, chunk).foreach {
+          case (qs, ws, _, c, es) => a.record(qs, ws, c, es) }
+        forkPass(pass, chunk, classpath = Some(bcp)).foreach {
+          case (qs, ws, _, c, es) => b.record(qs, ws, c, es) }
+      }
+    }
+    val json = abJson(names, a.headline, b.headline, a.can.toSeq, b.can.toSeq, sfDir)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_AB.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    println(json)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -555,6 +642,11 @@ object Bench {
       GraftSession.builder(cpus).getOrCreate().stop()
       sys.exit(0)
     }
+
+    // interleaved A/B mode (see abMain): a dev/adjudication instrument,
+    // never the driver's official artifact path
+    val abCp = sys.env.get("SPARK_GRAFT_BENCH_AB_CP").map(_.trim).filter(_.nonEmpty)
+    if (abCp.isDefined) { abMain(names, passes, sfDir, abCp.get); return }
 
     // per-draw chunk canaries, parallel to passTimes/passWarm — the
     // starvation-taint instrument needs to know WHICH chunk produced

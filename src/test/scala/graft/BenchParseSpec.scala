@@ -158,6 +158,28 @@ class BenchParseSpec extends AnyFunSuite {
     assert(times.keySet === Set("q147", "q01"))
   }
 
+  // Interleaved A/B mode: the paired b/a ratios are the measurement —
+  // failed queries stay visible but out of the median; the line must be
+  // machine-parseable JSON.
+  test("abJson pairs headlines, medians valid ratios, excludes failures") {
+    val names = Seq("q01_a", "q02_b", "q03_c", "q04_d")
+    val a = Map("q01_a" -> 2.0, "q02_b" -> 1.0, "q03_c" -> 4.0, "q04_d" -> -1.0)
+    val b = Map("q01_a" -> 1.0, "q02_b" -> 1.5, "q03_c" -> 4.0, "q04_d" -> 2.0)
+    val line = Bench.abJson(names, a, b, Seq(0.2, 0.2), Seq(0.2, 0.21), "sf")
+    assert(line.contains(""""q01_a":{"a":2.0,"b":1.0,"ratio":0.5}"""), line)
+    assert(line.contains(""""q02_b":{"a":1.0,"b":1.5,"ratio":1.5}"""), line)
+    // failed A side: pair reported, ratio -1, not in the median
+    assert(line.contains(""""q04_d":{"a":-1.0,"b":2.0,"ratio":-1}"""), line)
+    // valid ratios 0.5, 1.5, 1.0 -> sorted (0.5, 1.0, 1.5), median 1.0
+    assert(line.contains(""""median_ratio":1.0"""), line)
+    assert(line.contains(""""n_pairs":3"""), line)
+    // a query missing on one side entirely is omitted from "queries"
+    val line2 = Bench.abJson(Seq("q09_z"), Map("q09_z" -> 1.0),
+      Map.empty[String, Double], Nil, Nil, "sf")
+    assert(line2.contains(""""queries":{}""") &&
+      line2.contains(""""median_ratio":-1.0"""), line2)
+  }
+
   test("noiseRatio trims at least one outlier per side on small runs") {
     // a 3-canary SPARK_GRAFT_BENCH_ONLY subset with one jittery draw on
     // a quiet machine must not read tainted (max/min here is 1.56)
