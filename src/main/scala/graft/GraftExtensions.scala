@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64, aggregate}
 
-import graft.expressions.{AffineMinHash, ArrayCosine, ArrayL2Sq, BinarySlice, BpePreTokens, BpeTokenCount, BpeTokenIds, BpeTokens, ExactMedian, FixMojibake, ImageDims, KmvDistinct, KmvSketch, Md5PrefixHashArray, NfcNormalize, RobotsAllowed, ScriptCounts, SignBucket, SimHash32, SimHash60, SortedLongJaccard, SpTokenIds, SpTokens, StringNumClass}
+import graft.expressions.{AffineMinHash, ArrayCosine, ArrayL2Sq, BinarySlice, BpePreTokens, BpeTokenCount, BpeTokenIds, BpeTokens, ExactMedian, FixMojibake, ImageDims, KmvDistinct, KmvSketch, Md5PrefixHashArray, NfcNormalize, RobotsAllowed, RobotsCrawlDelay, RobotsSitemaps, ScriptCounts, SignBucket, SimHash32, SimHash60, SortedLongJaccard, SpTokenIds, SpTokens, StringNumClass}
 
 /** Registers graft's native Catalyst expressions with a SparkSession via
   * the public extensions mechanism:
@@ -74,6 +74,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_robots_allowed"),
       new ExpressionInfo(classOf[RobotsAllowed].getName, "graft_robots_allowed"),
       (es: Seq[Expression]) => RobotsAllowed(es.head, es(1), es(2))))
+    ext.injectFunction((FunctionIdentifier("graft_robots_crawl_delay"),
+      new ExpressionInfo(classOf[RobotsCrawlDelay].getName, "graft_robots_crawl_delay"),
+      (es: Seq[Expression]) => RobotsCrawlDelay(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_robots_sitemaps"),
+      new ExpressionInfo(classOf[RobotsSitemaps].getName, "graft_robots_sitemaps"),
+      (es: Seq[Expression]) => RobotsSitemaps(es.head)))
     ext.injectFunction((FunctionIdentifier("graft_script_counts"),
       new ExpressionInfo(classOf[ScriptCounts].getName, "graft_script_counts"),
       (es: Seq[Expression]) => ScriptCounts(es.head)))

@@ -187,18 +187,79 @@ object SparkEntry {
     //      twin): content-defined anchors travel with the content, so
     //      the copies' chunks align at any offset — deterministically,
     //      where duplicateSpans' sampleMod knob is probabilistic
-    "q156_exact_substr" -> ((s, dir) => {
+    "q156_exact_substr" -> ((s, dir) =>
+      Dedup.exactSubstrSpans(exactSubstrCorpus(s, dir),
+        "doc_id", "text", minTokens = 24, gap = 8)),
+
+    // ---- DEDUP: the removal transform over q156's deterministic spans
+    //      (round 11) — the same fixture, spans CUT from every doc
+    //      keeping the corpus-wide first occurrence; clean_text hashes
+    //      byte-exactly against the oracle's reconstruction, closing
+    //      the deterministic path's end-to-end remove story the way
+    //      q81 closes duplicateSpans'
+    "q160_exact_substr_removal" -> ((s, dir) =>
+      Dedup.removeExactSubstrSpans(exactSubstrCorpus(s, dir),
+        "doc_id", "text", minTokens = 24, gap = 8)),
+
+    // ---- CRAWL: declared-politeness frontier (round 11) — per-host
+    //      Crawl-delay (and Sitemap counts) parsed from robots.txt
+    //      drive a rate-derived per-host fetch budget instead of one
+    //      global cap. Fixture: 7 hosts x 50 pages; host0/1 declare a
+    //      named-group 2s delay (the named group beats the *'s 100),
+    //      host2 a fractional 12.5s, host4's 90s exceeds the 60s window
+    //      (fetches NOTHING), host6's value is junk, host3/5 have no
+    //      robots row at all — both default-delay paths oracle-live
+    "q158_rate_frontier" -> ((s, dir) => {
+      import s.implicits._
       val d = t(s, dir, "documents")
-      val twins = d
-        .select(col("doc_id"),
-          expr("filter(split(trim(text), '\\\\s+'), w -> w <> '')").as("ws"))
-        .filter(col("doc_id") % 10 === 0 && size(col("ws")) >= 70)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          concat(lit("pad0 pad1 pad2 pad3 pad4 pad5 pad6 "),
-            array_join(slice(col("ws"), 8, 60), " ")).as("text"))
-      Dedup.exactSubstrSpans(
-        d.select(col("doc_id"), col("text")).unionByName(twins),
-        "doc_id", "text", minTokens = 24, gap = 8)
+      val n7 = (col("doc_id") % 7).cast("string")
+      val n50 = (col("doc_id") % 50).cast("string")
+      val links = d.select(concat(lit("https://host"), n7,
+        lit(".example/page/"), n50).as("href"))
+      val named = "User-agent: graftbot\nCrawl-delay: 2\nDisallow: /none\n" +
+        "Sitemap: https://x.example/a.xml\nSitemap: https://x.example/b.xml\n" +
+        "User-agent: *\nCrawl-delay: 100"
+      val wild = "User-agent: *\nCrawl-delay: 12.5"
+      val huge = "User-agent: *\nCrawl-delay: 90\nSitemap: https://x.example/c.xml"
+      val junk = "User-agent: *\nCrawl-delay: soon"
+      val robots = Seq(
+        ("host0.example", named), ("host1.example", named),
+        ("host2.example", wild), ("host4.example", huge),
+        ("host6.example", junk)).toDF("host", "txt")
+      graft.operators.Crawl.rateLimitedFrontier(links, "href",
+        seen = Seq.empty[String].toDF("url"), blocked = Nil,
+        robots = robots, hostCol = "host", txtCol = "txt",
+        userAgent = "graftbot", windowSec = 60.0, defaultDelaySec = 15.0,
+        maxPerHost = 8)
+    }),
+
+    // ---- TEXT: confidence-scored language ID (round 11) — langId's
+    //      labels plus the score curation pipelines threshold on (CCNet
+    //      keeps p >= 0.5): normalized marker margin on argmax'd
+    //      scripts, script ratio on routed ones — exact ints + ONE IEEE
+    //      divide, bit-stable. Salted with q19's per-script samples AND
+    //      deliberately ambiguous mixed-marker texts so tie (0.0),
+    //      mid-range, and clean (1.0) margins are all oracle-live,
+    //      grouped through the p >= 0.5 gate itself
+    "q159_lang_confidence" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val salted = d.select(lit("salt").as("lang"), element_at(array(
+        langSaltSamples.map(lit): _*),
+        (col("doc_id") % langSaltSamples.length + 1).cast("int")).as("text"))
+      val ambiguous = langAmbiguousSamples.toDF("text")
+        .select(lit("amb").as("lang"), col("text"))
+      d.select(col("lang"), col("text"))
+        .unionByName(salted).unionByName(ambiguous)
+        .select(col("lang"),
+          graft.operators.TextAnalysis.langIdScored(col("text")).as("g"))
+        .select(col("lang"), col("g.lang").as("guess"),
+          col("g.score").as("score"))
+        .groupBy(col("lang"), col("guess"),
+          (col("score") >= 0.5).as("confident"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
     }),
 
     // ---- DEDUP: exact prefix-filtered Jaccard self-join (PPJoin) —
@@ -2056,6 +2117,37 @@ object SparkEntry {
     langSaltSamples.map(s => s"'${s.replace("'", "''")}'")
       .mkString("[", ",\n                   ", "]")
 
+  /** q159's deliberately ambiguous texts — marker hits split across
+    * languages so the margin score lands strictly between the clean 1.0
+    * and the dead-tie 0.0 (plus one exact tie): en 5 vs es 1 (margin
+    * 4/6), en 3 vs de 3 (tie -> 0.0, label de by rank), ru 4 vs uk 1
+    * (margin 3/5). */
+  private[graft] val langAmbiguousSamples: Seq[String] = Seq(
+    "the dog and the cat of the house de nada",
+    "der hund und die katze is in the house of x",
+    "быстрая лисица и не на что это")
+
+  private lazy val LANG_AMB_SQL: String =
+    langAmbiguousSamples.map(s => s"'${s.replace("'", "''")}'")
+      .mkString("[", ",\n                   ", "]")
+
+  /** q156/q160's shared fixture: documents plus an off-boundary
+    * 60-token twin per %10 doc (planted 7 tokens into the source,
+    * behind 7 pad tokens in the twin — content-defined anchors travel
+    * with the content, so the copies' chunks align at any offset). */
+  private def exactSubstrCorpus(s: org.apache.spark.sql.SparkSession,
+                                dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val twins = d
+      .select(col("doc_id"),
+        expr("filter(split(trim(text), '\\\\s+'), w -> w <> '')").as("ws"))
+      .filter(col("doc_id") % 10 === 0 && size(col("ws")) >= 70)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("pad0 pad1 pad2 pad3 pad4 pad5 pad6 "),
+          array_join(slice(col("ws"), 8, 60), " ")).as("text"))
+    d.select(col("doc_id"), col("text")).unionByName(twins)
+  }
+
   /** q123's script-variant salt samples — one per routed script so
     * every counting path in the census is oracle-live. ONE definition
     * shared by the engine query and the oracle SQL. */
@@ -2535,6 +2627,35 @@ object SparkEntry {
         ELSE 'und' END"""
   }
 
+  /** q159's score mirror beside [[LANGID]]: same script chain, same
+    * marker hit counts, the same exact-int margin/ratio arithmetic with
+    * ONE final division, so the doubles hash-match bit-for-bit. */
+  private def LANGSCORE(txt: String): String = {
+    val b = s"regexp_replace($txt, '\\s', '', 'g')"
+    def cnt(label: String) =
+      s"(length($b) - length(regexp_replace($b, '\\p{${label.capitalize}}', '', 'g')))"
+    def margin(table: Map[String, Seq[String]]): String = {
+      val hits = table.toSeq.sortBy(_._1).map { case (_, ms) =>
+        s"len(list_filter(string_split_regex(trim($txt), '\\s+'), " +
+          s"t -> t IN (${ms.map("'" + _ + "'").mkString(",")})))"
+      }.mkString(", ")
+      val lst = s"list_sort([$hits], 'DESC')"
+      s"CASE WHEN $lst[1] = 0 THEN 0.0 " +
+        s"ELSE CAST($lst[1] - $lst[2] AS DOUBLE) / ($lst[1] + $lst[2]) END"
+    }
+    def ratio(label: String) = s"CAST(${cnt(label)} AS DOUBLE) / length($b)"
+    val routes: Map[String, String] = Map(
+      "latin" -> margin(graft.operators.TextAnalysis.langMarkers),
+      "cyrillic" -> margin(graft.operators.TextAnalysis.cyrillicMarkers),
+      "han" -> ratio("han"), "arabic" -> ratio("arabic"),
+      "hangul" -> ratio("hangul"), "devanagari" -> ratio("devanagari"),
+      "thai" -> ratio("thai"), "greek" -> ratio("greek"),
+      "hebrew" -> ratio("hebrew"))
+    s"""CASE WHEN length($b) = 0 THEN 0.0
+        ${scriptChainSql(cnt, routes)}
+        ELSE 0.0 END"""
+  }
+
   // DuckDB-dialect oracle. CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
   // mirrors graft.functions.dsum exactly.
   private def DSUM(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(28,6))) AS DOUBLE)"
@@ -3006,6 +3127,125 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_chunks
          FROM isl GROUP BY id, island
          HAVING max(e) - min(s) >= 24""",
+
+    // q156's chain through the span stitch, then the q81 removal stage:
+    // tokens outside every span reconstructed in order with single
+    // spaces (the chunk tokenizer's own join), fully-cut and empty docs
+    // come back as '' on both engines, removed-count CAST through the
+    // HUGEINT sum
+    "q160_exact_substr_removal" ->
+      """WITH corpus AS (
+           SELECT doc_id AS id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000,
+                  'pad0 pad1 pad2 pad3 pad4 pad5 pad6 ' ||
+                  array_to_string(list_slice(ws, 8, 67), ' ')
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                     w -> w <> '') AS ws
+                 FROM documents)
+           WHERE doc_id % 10 = 0 AND len(ws) >= 70),
+         tk AS (SELECT id,
+                  list_filter(string_split_regex(text, '\s+'),
+                    w -> w <> '') AS ws
+                FROM corpus
+                WHERE len(list_filter(string_split_regex(text, '\s+'),
+                    w -> w <> '')) >= 1),
+         bsl AS (SELECT id, ws,
+                   [0] || list_filter(range(1, len(ws)),
+                     i -> ('0x' || substr(md5(ws[i + 1]), 1, 8))::BIGINT
+                          % 8 = 0) || [len(ws)] AS b
+                 FROM tk),
+         ch AS (SELECT id, CAST(b[j] AS BIGINT) AS s,
+                       CAST(b[j + 1] AS BIGINT) AS e,
+                       array_to_string(list_slice(ws, b[j] + 1, b[j + 1]),
+                         ' ') AS chunk
+                FROM bsl, LATERAL unnest(range(1, len(b))) AS u(j)),
+         occ AS (SELECT chunk, count(*) AS n,
+                        min(id * 4294967296 + s) AS fk
+                 FROM ch GROUP BY chunk),
+         dup AS (SELECT ch.id, ch.s, ch.e
+                 FROM ch JOIN occ USING (chunk)
+                 WHERE occ.n >= 2 AND ch.id * 4294967296 + ch.s <> occ.fk),
+         lg AS (SELECT id, s, e,
+                  lag(e) OVER (PARTITION BY id ORDER BY s) AS pe
+                FROM dup),
+         isl AS (SELECT id, s, e,
+                   SUM(CASE WHEN s <> pe THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY id ORDER BY s) AS island
+                 FROM lg),
+         spans AS (SELECT id, min(s) AS ss, max(e) - 1 AS se
+                   FROM isl GROUP BY id, island
+                   HAVING max(e) - min(s) >= 24),
+         alltoks AS (SELECT z.id, z.ws[u.i] AS tok,
+                       CAST(u.i - 1 AS BIGINT) AS idx
+                     FROM tk z,
+                       LATERAL unnest(generate_series(1, len(z.ws))) AS u(i)),
+         kept AS (SELECT a.id, a.tok, a.idx FROM alltoks a
+                  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                    WHERE sp.id = a.id AND a.idx BETWEEN sp.ss AND sp.se)),
+         clean AS (SELECT id,
+                     coalesce(string_agg(tok, ' ' ORDER BY idx), '')
+                       AS clean_text
+                   FROM kept GROUP BY id),
+         rm AS (SELECT id, sum(se - ss + 1) AS nrm FROM spans GROUP BY id)
+         SELECT c.id AS doc_id,
+                coalesce(cl.clean_text, '') AS clean_text,
+                CAST(coalesce(r.nrm, 0) AS BIGINT) AS n_tokens_removed
+         FROM corpus c
+         LEFT JOIN clean cl ON c.id = cl.id
+         LEFT JOIN rm r ON c.id = r.id""",
+
+    // declared-politeness frontier: the links are already canonical, so
+    // the mirror skips the canon chain; budgets/delays/sitemap counts
+    // are the fixture's hand-evaluated truth per host (the q135 idiom),
+    // including both default-delay paths (no robots row / junk value)
+    "q158_rate_frontier" ->
+      """WITH u AS (
+           SELECT 'host' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+                  'https://host' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example/page/' || CAST(doc_id % 50 AS VARCHAR) AS url,
+                  doc_id % 7 AS h
+           FROM documents),
+         agg AS (SELECT host, h, url, COUNT(*) AS inlinks
+                 FROM u GROUP BY 1, 2, 3),
+         ranked AS (SELECT host, h, url, inlinks,
+                      CAST(row_number() OVER (PARTITION BY host
+                        ORDER BY inlinks DESC, url ASC) AS INT) AS rank
+                    FROM agg),
+         bud AS (SELECT * FROM (VALUES
+             (0, CAST(2.0 AS DOUBLE), 8, 2),
+             (1, CAST(2.0 AS DOUBLE), 8, 2),
+             (2, CAST(12.5 AS DOUBLE), 4, 0),
+             (3, CAST(NULL AS DOUBLE), 4, 0),
+             (4, CAST(90.0 AS DOUBLE), 0, 1),
+             (5, CAST(NULL AS DOUBLE), 4, 0),
+             (6, CAST(NULL AS DOUBLE), 4, 0))
+           AS v(h, crawl_delay_sec, fetch_budget, n_sitemaps))
+         SELECT r.host, r.url, r.inlinks, r.rank, b.crawl_delay_sec,
+                CAST(b.fetch_budget AS INT) AS fetch_budget,
+                CAST(b.n_sitemaps AS INT) AS n_sitemaps
+         FROM ranked r JOIN bud b ON r.h = b.h
+         WHERE r.rank <= b.fetch_budget""",
+
+    // q19's label mirror plus the LANGSCORE margin/ratio mirror, pushed
+    // through the p >= 0.5 threshold the query itself gates on
+    "q159_lang_confidence" ->
+      s"""WITH base AS (
+           SELECT lang, text FROM documents
+           UNION ALL
+           SELECT 'salt' AS lang,
+                  $LANG_SALT_SQL[CAST(doc_id % ${langSaltSamples.length} + 1 AS INT)] AS text
+           FROM documents
+           UNION ALL
+           SELECT 'amb' AS lang, unnest($LANG_AMB_SQL) AS text),
+         g AS (SELECT lang, ${LANGID("text")} AS guess,
+                      ${LANGSCORE("text")} AS score
+               FROM base)
+         SELECT lang, guess, (score >= 0.5) AS confident,
+                COUNT(*) AS n_docs,
+                MIN(score) AS min_score, MAX(score) AS max_score
+         FROM g GROUP BY 1, 2, 3""",
 
     // brute-force truth for the prefix-filtered join: every pair of the
     // salted corpus with word-3-gram Jaccard >= 0.5 — the filter's

@@ -3,7 +3,7 @@ package graft.expressions
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -13,8 +13,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *   - groups = runs of `User-agent:` lines followed by `Allow:` /
   *     `Disallow:` rules; groups naming the same agent merge; unknown
-  *     fields (Sitemap, Crawl-delay, ...) are ignored and do NOT split
-  *     a group (RFC 9309 §2.2.4);
+  *     fields are ignored and do NOT split a group (RFC 9309 §2.2.4);
+  *     the two extension fields every production crawler honors are
+  *     parsed but kept OUT of the rule core: `Crawl-delay` as a
+  *     group-scoped value (Bing/Yandex convention) and `Sitemap` as
+  *     file-global URLs (sitemaps.org) — surfaced via
+  *     [[RobotsCodec.extensionsFor]] / [[RobotsCrawlDelay]] /
+  *     [[RobotsSitemaps]], never affecting allow/deny decisions;
   *   - group selection: the crawler's product token matches a
   *     `User-agent:` value case-insensitively and exactly; when no
   *     group matches, the `*` groups apply; when neither exists, the
@@ -65,18 +70,33 @@ object RobotsCodec {
     * robots.txt from ballooning the per-task rule cache. */
   private val MaxRobotsBytes = 500 * 1024
 
-  def rulesFor(txt: String, userAgent: String): Vector[Rule] = {
+  /** One parsed group before agent selection: the agents it names, its
+    * allow/disallow rules, and its Crawl-delay (extension field — see
+    * [[extensionsFor]]). */
+  private final case class Group(agents: Set[String],
+                                 rules: Vector[(Boolean, String)],
+                                 delay: Option[Double])
+
+  /** The ONE group parser both the RFC core ([[rulesFor]]) and the
+    * extension surface ([[extensionsFor]]) read from: groups split on
+    * User-agent runs exactly as the RFC prescribes; Crawl-delay is
+    * captured as group state (it is a group rule in every engine that
+    * honors it — Bing/Yandex convention); Sitemap is file-global
+    * (sitemaps.org convention) and does NOT split a group; other
+    * unknown fields stay ignored (§2.2.4). Returns (groups, sitemaps
+    * in file order). */
+  private def parseGroups(txt: String): (Vector[Group], Vector[String]) = {
     val bounded = if (txt.length <= MaxRobotsBytes) txt
       else txt.substring(0, MaxRobotsBytes)
-    val ua = userAgent.trim.toLowerCase
-    final case class Group(agents: Set[String], rules: Vector[(Boolean, String)])
     val groups = Vector.newBuilder[Group]
+    val sitemaps = Vector.newBuilder[String]
     var agents = Set.empty[String]
     var rules = Vector.empty[(Boolean, String)]
+    var delay = Option.empty[Double]
     var inAgentRun = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents, rules)
-      agents = Set.empty; rules = Vector.empty
+      if (agents.nonEmpty) groups += Group(agents, rules, delay)
+      agents = Set.empty; rules = Vector.empty; delay = None
     }
     for (raw <- bounded.linesIterator) {
       val line = raw.takeWhile(_ != '#').trim
@@ -94,17 +114,50 @@ object RobotsCodec {
             // empty value = matches nothing (RFC 9309 §2.2.2)
             if (value.nonEmpty && agents.nonEmpty)
               rules :+= (field == "allow", value)
-          case _ => () // Sitemap / Crawl-delay / unknown: ignored, group intact
+          case "crawl-delay" =>
+            inAgentRun = false
+            // first parseable value per group wins; junk is ignored
+            // (forgiving parse, strict semantics — the file-wide rule)
+            if (delay.isEmpty && agents.nonEmpty)
+              delay = try {
+                val d = value.toDouble
+                if (d >= 0 && d.isFinite) Some(d) else None
+              } catch { case _: NumberFormatException => None }
+          case "sitemap" =>
+            // file-global, group NOT split (an unknown-field kin)
+            if (value.nonEmpty) sitemaps += value
+          case _ => () // unknown: ignored, group intact
         }
       }
     }
     flush()
-    val all = groups.result()
+    (groups.result(), sitemaps.result())
+  }
+
+  /** The RFC's group-selection rule, shared by core and extensions:
+    * groups naming the agent exactly (case-insensitive), else the `*`
+    * groups, else nothing. */
+  private def selectGroups(all: Vector[Group], userAgent: String): Vector[Group] = {
+    val ua = userAgent.trim.toLowerCase
     val named = all.filter(_.agents.contains(ua))
-    val chosen = if (named.nonEmpty) named else all.filter(_.agents.contains("*"))
-    chosen.flatMap(_.rules)
+    if (named.nonEmpty) named else all.filter(_.agents.contains("*"))
+  }
+
+  def rulesFor(txt: String, userAgent: String): Vector[Rule] =
+    selectGroups(parseGroups(txt)._1, userAgent)
+      .flatMap(_.rules)
       .map { case (allow, pat) => Rule(allow, pat, compilePattern(pat)) }
-      .toVector
+
+  /** Extension fields every production crawler honors though RFC 9309
+    * leaves them out of the normative core: the Crawl-delay selected
+    * for `userAgent` (the FIRST delay among the agent's selected
+    * groups — named groups win over `*` exactly like rule selection;
+    * None when the selected scope declares none, when the value is
+    * unparseable, or when no group applies) and the file-global
+    * Sitemap URLs in order of appearance. */
+  def extensionsFor(txt: String, userAgent: String): (Option[Double], Vector[String]) = {
+    val (groups, sitemaps) = parseGroups(txt)
+    (selectGroups(groups, userAgent).flatMap(_.delay).headOption, sitemaps)
   }
 
   /** RFC 9309 decision for one path (plus query) under pre-selected
@@ -170,4 +223,64 @@ case class RobotsAllowed(first: Expression, second: Expression, third: Expressio
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
+}
+
+/** `graft_robots_crawl_delay(robotsTxt, userAgent)` — the Crawl-delay
+  * seconds RFC 9309's extension convention selects for `userAgent`
+  * ([[RobotsCodec.extensionsFor]]: named groups win over `*`, first
+  * declared delay in the winning scope), as DOUBLE (fractional delays
+  * are in the wild). NULL when the selected scope declares none, the
+  * value is unparseable, or an input is NULL — the caller coalesces to
+  * its default delay EXPLICITLY, mirroring the missing-robots rule of
+  * [[RobotsAllowed]]. Evaluated on the per-host robots frame (one row
+  * per host), never the frontier, so no per-row cache is needed. */
+case class RobotsCrawlDelay(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_robots_crawl_delay"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (children.forall(_.dataType == StringType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (STRING robotsTxt, STRING userAgent)")
+  }
+
+  override def nullSafeEval(txt: Any, ua: Any): Any =
+    RobotsCodec.extensionsFor(txt.asInstanceOf[UTF8String].toString,
+        ua.asInstanceOf[UTF8String].toString)._1
+      .map(java.lang.Double.valueOf).orNull
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** `graft_robots_sitemaps(robotsTxt)` — the file-global Sitemap URLs in
+  * order of appearance (sitemaps.org convention; agent-independent), as
+  * ARRAY<STRING>. Empty array when the file declares none; NULL only
+  * for NULL input. */
+case class RobotsSitemaps(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_robots_sitemaps"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING robotsTxt")
+  }
+
+  override def nullSafeEval(txt: Any): Any = {
+    val sm = RobotsCodec.extensionsFor(
+      txt.asInstanceOf[UTF8String].toString, "*")._2
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sm.map(s => UTF8String.fromString(s)).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

@@ -220,6 +220,72 @@ object Crawl {
     * decision itself is [[graft.expressions.RobotsAllowed]] with a
     * per-task parse cache, so each robots file parses once per task,
     * not once per URL. */
+  /** Per-host fetch budget for one politeness window — the bridge from
+    * robots.txt's declared Crawl-delay to the frontier's per-host cap:
+    * `fetch_budget = min(maxPerHost, floor(windowSec / delay))` where
+    * `delay` is the host's declared Crawl-delay for `userAgent`
+    * ([[TextAnalysis.robotsCrawlDelay]]), coalesced EXPLICITLY to
+    * `defaultDelaySec` when the host declares none (the same
+    * declared-not-guessed posture as [[robotsFilter]]'s missing-file
+    * rule). A delay longer than the window yields budget 0 — the host
+    * fetches nothing this round, which is exactly what it asked for.
+    * Also surfaces the declared delay itself (NULL when undeclared)
+    * and the file-global Sitemap count, so a scheduler can route
+    * sitemap-first discovery without re-parsing.
+    *
+    * Returns (host, crawl_delay_sec, fetch_budget, n_sitemaps) — one
+    * row per robots row, scan-level expressions only, no shuffle. */
+  def hostFetchBudget(robots: DataFrame, hostCol: String, txtCol: String,
+                      userAgent: String, windowSec: Double,
+                      defaultDelaySec: Double, maxPerHost: Int): DataFrame = {
+    require(windowSec > 0, s"windowSec must be > 0, got $windowSec")
+    require(defaultDelaySec > 0,
+      s"defaultDelaySec must be > 0, got $defaultDelaySec")
+    require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
+    robots.select(
+        col(hostCol).cast("string").as("host"),
+        TextAnalysis.robotsCrawlDelay(col(txtCol), userAgent)
+          .as("crawl_delay_sec"),
+        TextAnalysis.robotsSitemaps(col(txtCol)).as("__sm"))
+      .select(col("host"), col("crawl_delay_sec"),
+        least(lit(maxPerHost),
+          floor(lit(windowSec) /
+            coalesce(col("crawl_delay_sec"), lit(defaultDelaySec))))
+          .cast("int").as("fetch_budget"),
+        coalesce(size(col("__sm")), lit(0)).as("n_sitemaps"))
+  }
+
+  /** [[frontier]] with the per-host cap driven by each host's DECLARED
+    * Crawl-delay instead of one global constant: the frontier is built
+    * with the static `maxPerHost` cap first — a literal rank bound, so
+    * the window still plans as WindowGroupLimit with the map-side
+    * partial top-k prune — and the per-host dynamic budget
+    * ([[hostFetchBudget]]) is applied as a post-filter on the ≤
+    * maxPerHost survivors per host. Hosts with no robots row get the
+    * default-delay budget via the left join's coalesce. The budget
+    * join is host-keyed against a frame with ONE row per host
+    * (broadcast-sized next to any frontier).
+    *
+    * Returns (host, url, inlinks, rank, crawl_delay_sec, fetch_budget,
+    * n_sitemaps). */
+  def rateLimitedFrontier(links: DataFrame, urlCol: String, seen: DataFrame,
+                          blocked: Seq[String], robots: DataFrame,
+                          hostCol: String, txtCol: String, userAgent: String,
+                          windowSec: Double, defaultDelaySec: Double,
+                          maxPerHost: Int): DataFrame = {
+    val budget = hostFetchBudget(robots, hostCol, txtCol, userAgent,
+      windowSec, defaultDelaySec, maxPerHost)
+    val defaultBudget = math.min(maxPerHost.toLong,
+      math.floor(windowSec / defaultDelaySec).toLong).toInt
+    frontier(links, urlCol, seen, blocked, maxPerHost)
+      .join(broadcast(budget), Seq("host"), "left")
+      .select(col("host"), col("url"), col("inlinks"), col("rank"),
+        col("crawl_delay_sec"),
+        coalesce(col("fetch_budget"), lit(defaultBudget)).as("fetch_budget"),
+        coalesce(col("n_sitemaps"), lit(0)).as("n_sitemaps"))
+      .filter(col("rank") <= col("fetch_budget"))
+  }
+
   def robotsFilter(urls: DataFrame, urlCol: String, robots: DataFrame,
                    hostCol: String, txtCol: String,
                    userAgent: String): DataFrame = {

@@ -1174,6 +1174,46 @@ object Dedup {
         col("n_tokens"), col("n_chunks"))
   }
 
+  /** Removal companion to [[exactSubstrSpans]] — the deterministic
+    * path's end-to-end remove story, mirroring
+    * [[removeDuplicateSpans]]' shape over [[duplicateSpans]]: every
+    * document back with the tokens covered by its flagged
+    * content-defined chunk spans CUT, keeping the corpus-wide first
+    * occurrence. Output (doc_id, clean_text, n_tokens_removed);
+    * documents without flagged spans pass through.
+    *
+    * Tokenization is exactSubstrSpans' own (`\s+` split, empty tokens
+    * dropped), so `clean_text` is the single-space token join —
+    * byte-exact for single-spaced text, whitespace-NORMALIZED
+    * otherwise; that is the declared contract of the chunking
+    * tokenizer, not a lossy surprise (duplicateSpans' remover keeps
+    * raw-space fidelity because its tokenizer splits on single
+    * spaces).
+    *
+    * Plan shape: the span pipeline's own keyed work, plus ONE left
+    * join of the corpus against the per-doc span list (array-collected
+    * per doc — bounded by the doc's own chunk count) and a per-row
+    * array filter; the token cut is scan-side row-local work. */
+  def removeExactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+                             minTokens: Int = 50, gap: Int = 16): DataFrame = {
+    val spans = exactSubstrSpans(df, idCol, textCol, minTokens, gap)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    df.select(col(idCol).cast(LongType).as("doc_id"),
+        expr(s"filter(split($textCol, '\\\\s+'), w -> w <> '')").as("ws"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("spans").isNull, concat_ws(" ", col("ws"))).otherwise(
+          concat_ws(" ", filter(col("ws"),
+            (t, i) => !exists(col("spans"),
+              sp => i.cast(LongType) >= sp("span_start") &&
+                i.cast(LongType) <= sp("span_end"))))).as("clean_text"),
+        coalesce(aggregate(col("spans"), lit(0L),
+          (acc, sp) => acc + sp("span_end") - sp("span_start") + 1L), lit(0L))
+          .as("n_tokens_removed"))
+  }
+
   /** Corpus-overlap estimate between two document sets via bottom-k
     * (KMV) shingle sketches — "how much of crawl B is already in crawl
     * A?" / "does the training mix overlap the eval pool?" answered

@@ -167,13 +167,29 @@ object TextAnalysis {
     * is 50k entries), not a corpus-scale scan; ENCODING with the learned
     * table is the scan-scale operation. */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
-               maxWords: Int = 1 << 16): Seq[(String, String)] = {
+               maxWords: Int = 1 << 16,
+               onWarn: String => Unit = m =>
+                 System.err.println(s"[WARNING] $m")): Seq[(String, String)] = {
     import graft.expressions.BpeCodec.splitByteLevel
-    val freqs = df.select(explode(bpePreTokens(col(textCol))).as("w"))
+    val wordFreqs = df.select(explode(bpePreTokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
+    val freqs = wordFreqs
       .orderBy(col("c").desc, col("w").asc).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    // no-silent-caps: a full top-maxWords table means the cap MAY have
+    // bound — one count over the (already shuffled) aggregate says by
+    // how much. Standard trainer practice to truncate (GPT-2's own
+    // vocab is 50k), but the caller gets told, with the dropped
+    // fraction, instead of a silently thinner merge table.
+    if (freqs.length == maxWords) {
+      val nDistinct = wordFreqs.count()
+      if (nDistinct > maxWords)
+        onWarn(f"bpeTrain: pre-token vocabulary truncated to the top " +
+          f"$maxWords of $nDistinct distinct pre-tokens " +
+          f"(${(nDistinct - maxWords) * 100.0 / nDistinct}%.1f%% of the " +
+          "tail dropped) — raise maxWords to train on the full vocabulary")
+    }
     val words = freqs.map { case (w, c) => (splitByteLevel(w), c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var go = true
@@ -633,6 +649,72 @@ object TextAnalysis {
     }
   }
 
+  /** Marker argmax with the label's NORMALIZED MARGIN beside it:
+    * (best - second) / (best + second) over the per-language marker hit
+    * counts — exact integer subtraction/addition feeding ONE IEEE
+    * division, so the double is bit-stable across engines and
+    * partitionings. 1.0 when only one language's markers hit; 0.0 on a
+    * dead tie between the top two; 0.0 with the fallback label when no
+    * markers hit at all. */
+  private def markerArgmaxScored(ws: Column, table: Map[String, Seq[String]],
+                                 fallback: String): Column = {
+    val scored = table.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((lang, ms), i) =>
+        struct(markerHitsOf(ws, ms).as("hits"), lit(-i).as("negrank"),
+          lit(lang).as("lang"))
+    }
+    graft.functions.bound(array(scored: _*)) { arr =>
+      val best = array_max(arr)
+      val hitsDesc = sort_array(transform(arr, s => s.getField("hits")),
+        asc = false)
+      val h1 = element_at(hitsDesc, 1)
+      val h2 = element_at(hitsDesc, 2)
+      struct(
+        when(best.getField("hits") === 0, fallback)
+          .otherwise(best.getField("lang")).as("lang"),
+        when(best.getField("hits") === 0, lit(0.0))
+          .otherwise((h1 - h2).cast(DoubleType) / (h1 + h2)).as("score"))
+    }
+  }
+
+  /** [[langId]] with a CONFIDENCE score beside the label — what
+    * curation pipelines threshold on (CCNet keeps fastText p >= 0.5)
+    * instead of trusting a bare label. Same ONE census pass + marker
+    * lookups as [[langId]]; pure expressions, scan-level, no shuffle,
+    * and every score is exact-integer arithmetic feeding a single IEEE
+    * division, so the doubles are bit-stable across engines. Score
+    * semantics: for the marker-argmax'd scripts (Latin / Cyrillic) the
+    * normalized margin (best - second) / (best + second) over marker
+    * hits — 0.0 on a dead top-two tie or when no marker hit (und-*);
+    * for the script-routed single-label scripts the script ratio
+    * (routed script chars / total non-whitespace chars — Han text
+    * scores its Han density whether labeled zh or ja); 0.0 for
+    * und/none/other. Returns struct(lang STRING, score DOUBLE); the
+    * labels are IDENTICAL to [[langId]]'s (CurationOpsSpec pins it). */
+  def langIdScored(text: Column): Column = graft.functions.bound(tokens(text)) { ws =>
+    graft.functions.bound(scriptCounts(text)) { c =>
+      graft.functions.bound(dominanceOf(c)) { script =>
+        import graft.expressions.ScriptCounts._
+        def ratio(label: String, idx: Int) =
+          struct(lit(label).as("lang"),
+            (sc(c, idx).cast(DoubleType) / sc(c, Total)).as("score"))
+        when(script === "latin", markerArgmaxScored(ws, langMarkers, "und-Latn"))
+          .when(script === "cyrillic",
+            markerArgmaxScored(ws, cyrillicMarkers, "und-Cyrl"))
+          .when(script === "han",
+            struct(when(sc(c, Kana) > 0, "ja").otherwise("zh").as("lang"),
+              (sc(c, Han).cast(DoubleType) / sc(c, Total)).as("score")))
+          .when(script === "arabic", ratio("ar", Arabic))
+          .when(script === "hangul", ratio("ko", Hangul))
+          .when(script === "devanagari", ratio("hi", Devanagari))
+          .when(script === "thai", ratio("th", Thai))
+          .when(script === "greek", ratio("el", Greek))
+          .when(script === "hebrew", ratio("he", Hebrew))
+          .otherwise(struct(lit("und").as("lang"), lit(0.0).as("score")))
+      }
+    }
+  }
+
   /** The dominance label from a [[scriptCounts]] census — the ONE
     * definition [[scriptProfile]] and the langId router share, so the
     * tie order (pinned by CurationOpsSpec) can never live in two
@@ -990,6 +1072,18 @@ object TextAnalysis {
     * EXPLICIT allow, never a silent one). */
   def robotsAllowed(robotsTxt: Column, userAgent: String, path: Column): Column =
     call_function("graft_robots_allowed", robotsTxt, lit(userAgent), path)
+
+  /** The Crawl-delay seconds robots.txt declares for `userAgent`
+    * (extension field, group-scoped — named groups win over `*`), as
+    * DOUBLE; NULL when undeclared/unparseable — coalesce to the
+    * crawler's default delay EXPLICITLY ([[graft.expressions.RobotsCrawlDelay]]). */
+  def robotsCrawlDelay(robotsTxt: Column, userAgent: String): Column =
+    call_function("graft_robots_crawl_delay", robotsTxt, lit(userAgent))
+
+  /** The file-global Sitemap URLs robots.txt declares, in file order
+    * (ARRAY<STRING>, empty when none — [[graft.expressions.RobotsSitemaps]]). */
+  def robotsSitemaps(robotsTxt: Column): Column =
+    call_function("graft_robots_sitemaps", robotsTxt)
 
   /** Every dot-suffix of a host, most-specific first:
     * `a.b.example.com` -> `[a.b.example.com, b.example.com, example.com,

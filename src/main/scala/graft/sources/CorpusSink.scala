@@ -35,16 +35,32 @@ import org.apache.spark.sql.functions._
   * prunes directories at planning time (PartitionFilters in the scan —
   * spec-pinned). */
 object CorpusSink {
+  /** `bloomFilterCols` (round 11): parquet native bloom filters on
+    * high-cardinality point-lookup keys (doc_id, url) — the read-side
+    * complement to the sort-driven min/max pruning. Z-order/sort
+    * statistics prune RANGE predicates; a point probe on a key the file
+    * is NOT sorted by still scans every row group whose min/max
+    * straddles the value, and on a high-cardinality key that is ALL of
+    * them. A bloom filter answers "definitely not in this row group"
+    * per group at a few bits/value, so `WHERE doc_id = x` skips every
+    * group but the one holding x (CorpusSinkSpec measures it).
+    * `bloomFilterNdv` sizes the filter (expected distinct values PER
+    * ROW GROUP — over-sizing costs footer bytes, under-sizing costs
+    * false positives = unskipped groups). */
   def writeCurated(df: DataFrame, path: String,
                    partitionCols: Seq[String], saltCol: String,
                    filesPerPartition: Int = 1,
                    sortCols: Seq[String] = Nil,
-                   maxRecordsPerFile: Long = 1L << 20): Unit = {
+                   maxRecordsPerFile: Long = 1L << 20,
+                   bloomFilterCols: Seq[String] = Nil,
+                   bloomFilterNdv: Long = 1L << 20): Unit = {
     require(partitionCols.nonEmpty, "need at least one partition column")
     require(filesPerPartition >= 1,
       s"filesPerPartition must be >= 1 (got $filesPerPartition)")
     require(maxRecordsPerFile >= 1,
       s"maxRecordsPerFile must be >= 1 (got $maxRecordsPerFile)")
+    require(bloomFilterNdv >= 1,
+      s"bloomFilterNdv must be >= 1 (got $bloomFilterNdv)")
     val salted = df.withColumn("__fsalt",
       pmod(xxhash64(col(saltCol)), lit(filesPerPartition.toLong)))
     val placed = salted
@@ -61,9 +77,14 @@ object CorpusSink {
       // runs
       else placed.sortWithinPartitions(
         (partitionCols ++ sortCols).map(col): _*)
-    ordered.drop("__fsalt")
+    val writer = ordered.drop("__fsalt")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
+    val withBloom = bloomFilterCols.foldLeft(writer) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", bloomFilterNdv)
+    }
+    withBloom
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }

@@ -383,6 +383,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(keys.subsetOf(Set("lang", "seq")), s"exchanges on $keys\n$p")
   }
 
+  test("rate-limited frontier keeps the map-side top-k prune and a " +
+    "broadcast budget join (q158)") {
+    val p = plan("q158_rate_frontier")
+    // the static maxPerHost literal keeps WindowGroupLimit's PARTIAL
+    // pass (map-side prune BEFORE the host exchange); the per-host
+    // dynamic budget must stay a post-filter, not a window bound
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+    // the one-row-per-host budget frame broadcasts; the frontier never
+    // re-shuffles for it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.toLowerCase.contains("nestedloop"), p)
+  }
+
+  test("confidence-scored langId stays scan-level: one aggregate " +
+    "exchange, no joins (q159)") {
+    val p = plan("q159_lang_confidence")
+    // census + margin are pure expressions at the scan; the only
+    // shuffle is the final groupBy's
+    assert("Exchange".r.findAllIn(p).length <= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("exact-substring removal adds only the corpus join-back to " +
+    "q156's keyed pipeline (q160)") {
+    val p = plan("q160_exact_substr_removal")
+    assert(!p.toLowerCase.contains("nestedloop") &&
+      !p.contains("CartesianProduct"), p)
+    // q156's bound (chunk agg, join-back, doc window, span group) plus
+    // the per-doc span collect and the corpus left join
+    assert("Exchange".r.findAllIn(p).length <= 9, p)
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set

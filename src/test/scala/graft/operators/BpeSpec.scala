@@ -228,6 +228,30 @@ class BpeSpec extends AnyFunSuite {
     assert(trained == graft.SparkEntry.bpeCanonicalMerges)
   }
 
+  // the no-silent-caps rule: when maxWords binds, the caller is told the
+  // dropped fraction; when it doesn't, training stays silent (and pays
+  // no extra count job)
+  test("bpeTrain warns with the truncated fraction when maxWords binds") {
+    import spark.implicits._
+    val docs = Seq.tabulate(12)(i => s"word$i unique$i").toDF("text")
+    val warned = scala.collection.mutable.ArrayBuffer.empty[String]
+    // >maxWords distinct pre-tokens: cap binds, warning carries the math
+    TextAnalysis.bpeTrain(docs, "text", numMerges = 2, maxWords = 8,
+      onWarn = warned += _)
+    assert(warned.size == 1, warned)
+    assert(warned.head.contains("top 8") &&
+      warned.head.contains("distinct pre-tokens"), warned.head)
+    // the corpus has 12*4 pre-tokens (leading-space variants): extract
+    // the reported total and check the fraction is consistent
+    val n = """of (\d+) distinct""".r.findFirstMatchIn(warned.head).get.group(1).toInt
+    assert(n > 8)
+    // cap not binding: silent
+    warned.clear()
+    TextAnalysis.bpeTrain(docs, "text", numMerges = 2, maxWords = 1 << 16,
+      onWarn = warned += _)
+    assert(warned.isEmpty, warned)
+  }
+
   test("full encode: token sequences in order, size(tokens) == count, " +
     "byte-level symbols survive verbatim") {
     import spark.implicits._

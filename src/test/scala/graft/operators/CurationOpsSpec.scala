@@ -105,6 +105,42 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.toSeq == cases)
   }
 
+  test("langIdScored: labels identical to langId; margins on argmax'd " +
+    "scripts, ratios on routed ones, 0.0 on ties/und") {
+    val texts = Seq(
+      "the quick brown fox and the dog", // en, only en markers -> 1.0
+      "the dog and the cat of the house de nada", // en 5 vs es 1 -> 4/6
+      "der hund und die katze is in the house of x", // de 3 = en 3 -> tie 0.0
+      "zxqw vbnm plok", // und-Latn -> 0.0
+      "быстрая лисица и не на что это", // ru 4 vs uk 1 -> 3/5
+      "敏捷的狐狸跳过了懒狗", // zh: pure-Han ratio 1.0
+      "素早い狐が犬を飛び越えた", // ja: Han chars / total < 1
+      "빠른 여우가 게으른 개를 뛰어넘는다", // ko: hangul ratio
+      "   ", // none -> und 0.0
+      "12345 678") // other -> und 0.0
+    val got = texts.toDF("text")
+      .select(col("text"), TextAnalysis.langIdScored(col("text")).as("g"),
+        TextAnalysis.langId(col("text")).as("plain"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getStruct(1).getString(0), r.getStruct(1).getDouble(1),
+          r.getString(2)))).toMap
+    // the label NEVER disagrees with langId
+    for ((t, (lang, _, plain)) <- got) assert(lang == plain, s"label drift on '$t'")
+    assert(got(texts(0))._1 == "en" && got(texts(0))._2 === 1.0)
+    assert(got(texts(1))._1 == "en" && got(texts(1))._2 === 4.0 / 6.0)
+    // dead tie: de wins by rank (table order), margin 0 — the
+    // threshold-side consumer correctly distrusts it
+    assert(got(texts(2))._1 == "de" && got(texts(2))._2 === 0.0)
+    assert(got(texts(3))._1 == "und-Latn" && got(texts(3))._2 === 0.0)
+    assert(got(texts(4))._1 == "ru" && got(texts(4))._2 === 3.0 / 5.0)
+    assert(got(texts(5))._1 == "zh" && got(texts(5))._2 === 1.0)
+    assert(got(texts(6))._1 == "ja" &&
+      got(texts(6))._2 > 0.0 && got(texts(6))._2 < 1.0) // kana dilute Han
+    assert(got(texts(7))._1 == "ko" && got(texts(7))._2 === 1.0)
+    assert(got(texts(8)) === (("und", 0.0, "und")))
+    assert(got(texts(9)) === (("und", 0.0, "und")))
+  }
+
   test("c4LineClean keeps exactly the contract lines; c4PageKeep gates " +
     "sentences/lorem/brace/empty") {
     val text = Seq(

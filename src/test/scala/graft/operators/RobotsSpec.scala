@@ -149,4 +149,100 @@ class RobotsSpec extends AnyFunSuite {
       .as[Boolean].collect().toSeq
     assert(got == Seq(false, true))
   }
+
+  // ---- extension fields: Crawl-delay (group-scoped) + Sitemap (global)
+
+  test("Crawl-delay: named group wins over *, first value in scope, junk ignored") {
+    def delay(txt: String, ua: String) = RobotsCodec.extensionsFor(txt, ua)._1
+    val txt =
+      "User-agent: graftbot\nCrawl-delay: 2\nDisallow: /x\n" +
+        "User-agent: *\nCrawl-delay: 100\n"
+    assert(delay(txt, "graftbot") === Some(2.0))
+    assert(delay(txt, "otherbot") === Some(100.0)) // falls back to *
+    // fractional values are in the wild
+    assert(delay("User-agent: *\nCrawl-delay: 0.5", "b") === Some(0.5))
+    // unparseable / negative -> none declared
+    assert(delay("User-agent: *\nCrawl-delay: soon", "b") === None)
+    assert(delay("User-agent: *\nCrawl-delay: -3", "b") === None)
+    // named group WITHOUT a delay does not inherit *'s (scope selected
+    // once, like rule selection)
+    val noNamed = "User-agent: graftbot\nDisallow: /x\n" +
+      "User-agent: *\nCrawl-delay: 7"
+    assert(delay(noNamed, "graftbot") === None)
+    // first value per selected scope wins across merged groups
+    val merged = "User-agent: graftbot\nCrawl-delay: 3\n" +
+      "User-agent: graftbot\nCrawl-delay: 9"
+    assert(delay(merged, "graftbot") === Some(3.0))
+    // a Crawl-delay before any User-agent line belongs to no group
+    assert(delay("Crawl-delay: 4", "b") === None)
+  }
+
+  test("Sitemap: file-global, any position, order kept, group not split") {
+    val txt =
+      "Sitemap: https://a.example/s1.xml\n" +
+        "User-agent: graftbot\nDisallow: /x\n" +
+        "Sitemap: https://a.example/s2.xml\n" + // inside the group...
+        "Allow: /x/ok\n" + // ...which stays intact around it
+        "User-agent: *\nDisallow: /\n"
+    val (_, sm) = RobotsCodec.extensionsFor(txt, "graftbot")
+    assert(sm === Vector("https://a.example/s1.xml", "https://a.example/s2.xml"))
+    // the group survived the interleaved Sitemap line: /x/ok still allowed
+    assert(ok(txt, "graftbot", "/x/ok"))
+    assert(!ok(txt, "graftbot", "/x/other"))
+    assert(RobotsCodec.extensionsFor("User-agent: *\nDisallow: /", "b")._2.isEmpty)
+  }
+
+  test("SQL surfaces graft_robots_crawl_delay / graft_robots_sitemaps agree with the codec") {
+    val s = spark
+    import s.implicits._
+    val txt = "User-agent: bot\nCrawl-delay: 2.5\n" +
+      "Sitemap: https://h.example/a.xml\nSitemap: https://h.example/b.xml"
+    val row = Seq(txt).toDF("txt")
+      .selectExpr("graft_robots_crawl_delay(txt, 'bot') AS d",
+        "graft_robots_sitemaps(txt) AS sm",
+        "graft_robots_crawl_delay(txt, 'other') AS dn")
+      .head()
+    assert(row.getDouble(0) === 2.5)
+    assert(row.getSeq[String](1) ===
+      Seq("https://h.example/a.xml", "https://h.example/b.xml"))
+    assert(row.isNullAt(2)) // no group for 'other' and no * group
+  }
+
+  test("hostFetchBudget + rateLimitedFrontier: declared delay drives the per-host cap") {
+    val s = spark
+    import s.implicits._
+    val robots = Seq(
+      ("fast.example", "User-agent: *\nCrawl-delay: 2"), // 60/2 = 30 -> cap 5
+      ("slow.example", "User-agent: *\nCrawl-delay: 25"), // 60/25 = 2.4 -> 2
+      ("stop.example", "User-agent: *\nCrawl-delay: 90"), // 60/90 -> 0
+      ("none.example", "User-agent: *\nDisallow: /private\n" +
+        "Sitemap: https://none.example/s.xml") // no delay -> default 15 -> 4
+    ).toDF("host", "txt")
+    val budgets = Crawl.hostFetchBudget(robots, "host", "txt", "graftbot",
+        windowSec = 60.0, defaultDelaySec = 15.0, maxPerHost = 5)
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) -1.0 else r.getDouble(1)), r.getInt(2), r.getInt(3))).toMap
+    assert(budgets("fast.example") === ((2.0, 5, 0)))
+    assert(budgets("slow.example") === ((25.0, 2, 0)))
+    assert(budgets("stop.example") === ((90.0, 0, 0)))
+    assert(budgets("none.example") === ((-1.0, 4, 1)))
+    // frontier: 6 urls per host (incl. an unknown host -> default budget)
+    val links = (for {
+      h <- Seq("fast", "slow", "stop", "none", "norobots")
+      i <- 0 until 6
+    } yield s"https://$h.example/p/$i").toDF("href")
+    val got = Crawl.rateLimitedFrontier(links, "href",
+        seen = Seq.empty[String].toDF("url"), blocked = Nil,
+        robots = robots, hostCol = "host", txtCol = "txt",
+        userAgent = "graftbot", windowSec = 60.0, defaultDelaySec = 15.0,
+        maxPerHost = 5)
+      .groupBy("host").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "fast.example" -> 5L, // static cap binds
+      "slow.example" -> 2L, // declared delay binds
+      "none.example" -> 4L, // default delay (no declared value)
+      "norobots.example" -> 4L)) // no robots row at all -> default budget
+    // stop.example absent entirely: budget 0 this window
+  }
 }

@@ -79,6 +79,56 @@ class CorpusSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("bloomFilterCols: a point probe can skip every row group but the " +
+    "holder; without bloom filters nothing is skippable") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    // (file, rowGroup) -> does the bloom filter REJECT this doc_id?
+    // null bloom filter = not skippable (the no-bloom baseline)
+    def probe(root: String, id: Long): Seq[Option[Boolean]] =
+      for {
+        leaf <- leafDirs(root)
+        f <- parquetFiles(leaf)
+        reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f.toString), conf))
+        res <- try {
+          reader.getRowGroups.asScala.toSeq.map { rg =>
+            val cc = rg.getColumns.asScala
+              .find(_.getPath.toDotString == "doc_id").get
+            val bf = reader.getBloomFilterDataReader(rg).readBloomFilter(cc)
+            if (bf == null) None else Some(!bf.findHash(bf.hash(id)))
+          }
+        } finally reader.close()
+      } yield res
+    val planted = docs.select(min("doc_id")).head().getLong(0)
+    // 4 files per lang so the probe has groups to skip
+    val withBloom = Files.createTempDirectory("graft_sink").toString
+    CorpusSink.writeCurated(docs, withBloom,
+      partitionCols = Seq("lang"), saltCol = "doc_id",
+      filesPerPartition = 4, bloomFilterCols = Seq("doc_id"),
+      bloomFilterNdv = 10000)
+    val verdicts = probe(withBloom, planted)
+    assert(verdicts.size >= 4, s"expected >= 4 row groups, got ${verdicts.size}")
+    assert(verdicts.forall(_.isDefined), "bloom filter missing from a group")
+    val skipped = verdicts.count(_.contains(true))
+    // every group NOT holding the planted id is skippable; at least one
+    // group must hold it (no false negatives allowed by the structure)
+    assert(skipped >= verdicts.size - 2 && skipped < verdicts.size,
+      s"$skipped of ${verdicts.size} groups skippable")
+    // read-back correctness through the bloom-filtered files
+    assert(spark.read.parquet(withBloom)
+      .filter(col("doc_id") === planted).count() == 1)
+    // baseline: same layout without bloom -> zero skippable groups
+    val noBloom = Files.createTempDirectory("graft_sink").toString
+    CorpusSink.writeCurated(docs, noBloom,
+      partitionCols = Seq("lang"), saltCol = "doc_id",
+      filesPerPartition = 4)
+    assert(probe(noBloom, planted).forall(_.isEmpty),
+      "baseline unexpectedly carries bloom filters")
+  }
+
   test("read-back with a partition filter prunes at planning time") {
     val out = Files.createTempDirectory("graft_sink").toString
     CorpusSink.writeCurated(docs, out,
