@@ -257,7 +257,7 @@ object Bench {
         s""""suspect":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""errors":$errs,"passes":$passes,"sf":"$sfDir"}"""
     (full, compactLine(names, headline, total, noiseStr, tainted,
-      errors.size, passes, sfDir, suspects))
+      errors.size, sfDir, suspects))
   }
 
   /** The stdout-facing official line: same headline numbers as the full
@@ -272,20 +272,19 @@ object Bench {
   private[graft] def compactLine(names: Seq[String],
                                  headline: Map[String, Double], total: Double,
                                  noiseStr: String, tainted: Boolean,
-                                 nErrors: Int, passes: Int,
+                                 nErrors: Int,
                                  sfDir: String,
                                  suspects: Seq[String] = Nil): String = {
     def short(n: String) = n.takeWhile(_ != '_')
     val shorts = names.map(short)
     val useShort = shorts.distinct.size == shorts.size
     // trailing ".0" stripped: "5.0" -> "5" (still a JSON number), and
-    // values of 1 s and above round to ONE dp ("1.4", "14.5" — 0.05 s
-    // resolution is far below this host's ambient noise) while
-    // sub-second values keep 2 dp for relative precision — at 157
-    // queries every byte counts against the 2000-byte capture tail
+    // EVERY value rounds to ONE dp (round 11, at 160 queries: the 2 dp
+    // sub-second worst case overflowed the 2000-byte capture tail by
+    // ~30 bytes; 0.1 s resolution is far below this host's documented
+    // 1.5-3x ambient swing, and BENCH_LAST.json keeps full precision)
     def r2(v: Double) = {
-      val scale = if (v >= 1.0) 10 else 100
-      val s = (math.rint(v * scale) / scale).toString
+      val s = (math.rint(v * 10) / 10).toString
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
     val qs = names.flatMap { n =>
@@ -296,18 +295,18 @@ object Bench {
     // ("headline"/"detail" were dropped at 142 queries for the same
     // reason — BENCH_LAST.json still records min-all provenance in full)
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    // "unit" dropped at 157 queries (constant provenance the full
-    // BENCH_LAST.json keeps — the compact line is byte-budgeted).
-    // "suspect" appears ONLY when non-empty (short names): the normal
-    // case costs zero bytes, and a starved artifact must carry its own
-    // exclusion list into the byte-bounded capture
+    // "unit" dropped at 157 queries, "passes" at 160 (constant
+    // provenance the full BENCH_LAST.json keeps — the compact line is
+    // byte-budgeted). "suspect" appears ONLY when non-empty (short
+    // names): the normal case costs zero bytes, and a starved artifact
+    // must carry its own exclusion list into the byte-bounded capture
     val susp =
       if (suspects.isEmpty) ""
       else suspects.map(n => "\"" + (if (useShort) short(n) else n) + "\"")
         .mkString(""""suspect":[""", ",", "],")
     s"""{"metric":"total","value":${r2(total)},""" +
       s""""queries":$qs,"noise":$noiseStr,"tainted":$tainted,$susp""" +
-      s""""n_errors":$nErrors,"passes":$passes,"sf":"$sfShort"}"""
+      s""""n_errors":$nErrors,"sf":"$sfShort"}"""
   }
 
   /** Child-side JSON: this pass's raw cold times, warm-rerun times (the

@@ -66,12 +66,12 @@ class BenchParseSpec extends AnyFunSuite {
   // names on collision.
   test("compactLine fits the capture window, parses, and keys stay unique") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // worst byte shape: every query at a 4-char sub-second value
-    // ("0.99" — values of 1 s+ print 1 dp, 3 chars, so sub-second 2-dp
-    // values are the widest) — pin the budget with EVERY query there
-    val headline = names.map(n => n -> 0.99).toMap
+    // worst byte shape since the round-11 1-dp encoding: every query at
+    // a 3-char value ("0.9" — the widest a sub-10s value can print) —
+    // pin the budget with EVERY query there
+    val headline = names.map(n => n -> 0.94).toMap
     val line = Bench.compactLine(names, headline, 1234.56, "1.307",
-      tainted = false, nErrors = 0, passes = 3, sfDir = "/root/testdata/sf0.1")
+      tainted = false, nErrors = 0, sfDir = "/root/testdata/sf0.1")
     assert(line.length < 1900, s"compact line is ${line.length} bytes " +
       "against the measured 2000-byte capture tail")
     assert(!line.contains("\n"))
@@ -79,21 +79,27 @@ class BenchParseSpec extends AnyFunSuite {
     val (times, _, _, _, _) = Bench.parseChild(line)
     assert(times.size == names.size, s"${times.size} keys vs ${names.size} queries")
     assert(times.keySet == names.map(_.takeWhile(_ != '_')).toSet)
-    assert(times.values.forall(_ == 0.99))
+    assert(times.values.forall(_ == 0.9))
     assert(line.contains("\"value\":1234.6")) // 10s+: one dp
-    // 1s-10s values shed their second dp too (round-10 byte budget)
+    // ALL values print one dp since round 11 (160-query byte budget;
+    // BENCH_LAST.json keeps full precision, and 0.1 s resolution is
+    // far below this host's 1.5-3x ambient swing)
     val mid = Bench.compactLine(Seq("q01_a"), Map("q01_a" -> 1.38), 1.38,
-      "1.0", tainted = false, nErrors = 0, passes = 3, sfDir = "x")
+      "1.0", tainted = false, nErrors = 0, sfDir = "x")
     assert(mid.contains("\"q01\":1.4"), mid)
-    // 10s+ values shed their second dp; small values keep both
-    val mixed = Bench.compactLine(Seq("q01_a", "q02_b"),
-      Map("q01_a" -> 14.55, "q02_b" -> 0.47), 15.02, "1.0",
-      tainted = false, nErrors = 0, passes = 3, sfDir = "x")
-    assert(mixed.contains("\"q01\":14.6") && mixed.contains("\"q02\":0.47"))
+    val mixed = Bench.compactLine(Seq("q01_a", "q02_b", "q03_c"),
+      Map("q01_a" -> 14.55, "q02_b" -> 0.47, "q03_c" -> 0.04), 15.06, "1.0",
+      tainted = false, nErrors = 0, sfDir = "x")
+    assert(mixed.contains("\"q01\":14.6") && mixed.contains("\"q02\":0.5") &&
+      mixed.contains("\"q03\":0}"), mixed) // sub-0.05 floors to 0, still a number
+    // failed queries keep their -1 sentinel
+    val failed = Bench.compactLine(Seq("q01_a"), Map("q01_a" -> -1.0), 0.0,
+      "1.0", tainted = false, nErrors = 1, sfDir = "x")
+    assert(failed.contains("\"q01\":-1"), failed)
     // short-prefix collision => full names (never silently merged keys)
     val clash = Seq("q01_a", "q01_b")
     val clashLine = Bench.compactLine(clash, clash.map(_ -> 1.0).toMap, 2.0,
-      "1.0", tainted = false, nErrors = 0, passes = 1, sfDir = "x")
+      "1.0", tainted = false, nErrors = 0, sfDir = "x")
     assert(clashLine.contains("\"q01_a\":") && clashLine.contains("\"q01_b\":"))
   }
 
@@ -147,10 +153,10 @@ class BenchParseSpec extends AnyFunSuite {
     val names = Seq("q147_surt", "q01_agg")
     val headline = Map("q147_surt" -> 133.3, "q01_agg" -> 0.5)
     val clean = Bench.compactLine(names, headline, 133.8, "1.0",
-      tainted = false, nErrors = 0, passes = 3, sfDir = "x")
+      tainted = false, nErrors = 0, sfDir = "x")
     assert(!clean.contains("suspect"))
     val starved = Bench.compactLine(names, headline, 133.8, "1.0",
-      tainted = false, nErrors = 0, passes = 3, sfDir = "x",
+      tainted = false, nErrors = 0, sfDir = "x",
       suspects = Seq("q147_surt"))
     assert(starved.contains(""""suspect":["q147"]"""), starved)
     // still parses under the harness's own reader
