@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64, aggregate}
 
-import graft.expressions.{AffineMinHash, ArrayCosine, ArrayL2Sq, BinarySlice, BpePreTokens, BpeTokenCount, BpeTokenIds, BpeTokens, ExactMedian, FixMojibake, ImageDims, KmvDistinct, KmvSketch, Md5PrefixHashArray, NfcNormalize, RobotsAllowed, RobotsCrawlDelay, RobotsSitemaps, ScriptCounts, SignBucket, SimHash32, SimHash60, SortedLongJaccard, SpTokenIds, SpTokens, StringNumClass}
+import graft.expressions.{AffineMinHash, ArrayCosine, ArrayL2Sq, BinarySlice, BpePreTokens, BpeTokenCount, BpeTokenIds, BpeTokens, ExactMedian, FixMojibake, ImageDims, KmvDistinct, KmvSketch, Md5PrefixHashArray, NfcNormalize, RobotsAllowed, RobotsCrawlDelay, RobotsSitemaps, ScriptCounts, SignBucket, SimHash32, SimHash60, SortedLongJaccard, SpTokenIds, SpTokens, StringNumClass, WordPieceIds, WordPieceTokens}
 
 /** Registers graft's native Catalyst expressions with a SparkSession via
   * the public extensions mechanism:
@@ -71,6 +71,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_sp_ids"),
       new ExpressionInfo(classOf[SpTokenIds].getName, "graft_sp_ids"),
       (es: Seq[Expression]) => SpTokenIds(es.head, es(1), es(2))))
+    ext.injectFunction((FunctionIdentifier("graft_wp_tokens"),
+      new ExpressionInfo(classOf[WordPieceTokens].getName, "graft_wp_tokens"),
+      (es: Seq[Expression]) => WordPieceTokens(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_wp_ids"),
+      new ExpressionInfo(classOf[WordPieceIds].getName, "graft_wp_ids"),
+      (es: Seq[Expression]) => WordPieceIds(es.head, es(1))))
     ext.injectFunction((FunctionIdentifier("graft_robots_allowed"),
       new ExpressionInfo(classOf[RobotsAllowed].getName, "graft_robots_allowed"),
       (es: Seq[Expression]) => RobotsAllowed(es.head, es(1), es(2))))

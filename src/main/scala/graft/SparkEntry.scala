@@ -262,6 +262,47 @@ object SparkEntry {
           max(col("score")).as("max_score"))
     }),
 
+    // ---- TEXT: exact WordPiece (round 11) — the BERT-family third
+    //      tokenizer beside GPT-2 BPE (q84) and SentencePiece (q154):
+    //      greedy longest-match-first over the trained canonical vocab,
+    //      ## continuations, whole-word [UNK] on dead ends. Per-lang
+    //      fertility census; the oracle replays the greedy loop as a
+    //      recursive CTE over the same embedded vocab
+    "q161_wordpiece" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nw = expr("size(filter(split(trim(text), '\\\\s+'), w -> w <> ''))")
+        .cast("long")
+      d.select(col("lang"),
+          graft.operators.TextAnalysis
+            .wordPieceTokens(col("text"), wpCanonicalVocab).as("ps"),
+          nw.as("nw"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("sum_words"),
+          sum(size(col("ps")).cast("long")).as("sum_pieces"),
+          sum(size(filter(col("ps"), p => p === "[UNK]")).cast("long"))
+            .as("sum_unk"))
+        .withColumn("fertility",
+          col("sum_pieces").cast("double") / col("sum_words"))
+    }),
+
+    // the piece census through BOTH surfaces: piece strings zipped with
+    // their vocab.txt line ids (the BERT drop-in convention), top-20
+    "q162_wordpiece_pieces" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val V = wpCanonicalVocab
+      t(s, dir, "documents")
+        .select(explode(zip_with(
+          graft.operators.TextAnalysis.wordPieceTokens(col("text"), V),
+          graft.operators.TextAnalysis.wordPieceIds(col("text"), V),
+          (p, i) => struct(p.as("piece"), i.as("id")))).as("z"))
+        .select(col("z.piece").as("piece"), col("z.id").as("id"))
+        .groupBy("piece", "id").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("n").desc, col("piece"))).cast("int"))
+        .filter(col("rank") <= 20)
+    }),
+
     // ---- DEDUP: exact prefix-filtered Jaccard self-join (PPJoin) —
     //      no blocking key, total recall at t=0.5; corpus = documents
     //      plus a tail-mutated twin per even doc, so every kept doc has
@@ -2131,6 +2172,14 @@ object SparkEntry {
     langAmbiguousSamples.map(s => s"'${s.replace("'", "''")}'")
       .mkString("[", ",\n                   ", "]")
 
+  /** Canonical WordPiece vocab: [[graft.operators.TextAnalysis
+    * .wordPieceTrain]]'s output on sf0.01 documents with 48 merges —
+    * `[UNK]`, the sorted codepoint alphabet (plain + `##` continuation
+    * forms), then merge products in creation order (WordPieceSpec pins
+    * the equality; the table is CONSTANT so q161/q162 encode with the
+    * same vocab at every sf). */
+  private[graft] val wpCanonicalVocab: Seq[String] = WpVocab.lines
+
   /** q156/q160's shared fixture: documents plus an off-boundary
     * 60-token twin per %10 doc (planted 7 tokens into the source,
     * behind 7 pad tokens in the twin — content-defined anchors travel
@@ -2625,6 +2674,54 @@ object SparkEntry {
     s"""CASE WHEN length($b) = 0 THEN 'und'
         ${scriptChainSql(cnt, routes)}
         ELSE 'und' END"""
+  }
+
+  /** CTE chain from `documents` to `wfin`(w, toks) — the complete
+    * WordPiece encode ([[graft.expressions.WpCodec]] semantics) as a
+    * recursive CTE: per DISTINCT word, one recursion step per emitted
+    * piece, the LATERAL picking the LONGEST matching vocab entry
+    * (`##`-prefixed after position 0, the marker positional on both
+    * engines), dead ends and over-100-codepoint words collapsing to
+    * `['[UNK]']`. The vocab rides as a VALUES table in vocab.txt line
+    * order, so `id` is the published-convention line id. Shared by
+    * q161 (fertility census) and q162 (piece/id census). */
+  private lazy val WP_CTE: String = {
+    val vocabValues = wpCanonicalVocab.zipWithIndex
+      .map { case (p, i) => s"('${p.replace("'", "''")}',$i)" }
+      .mkString(",")
+    s"""wpv(piece, id) AS (VALUES $vocabValues),
+       w0 AS (SELECT doc_id, lang, unnest(list_filter($TOKS, t -> t <> '')) AS w
+              FROM documents),
+       wf AS (SELECT DISTINCT w FROM w0),
+       enc(w, pos, toks, unk) AS (
+         SELECT w, CAST(0 AS BIGINT),
+                CASE WHEN length(w) > 100 THEN ['[UNK]']
+                     ELSE CAST([] AS VARCHAR[]) END,
+                length(w) > 100
+         FROM wf
+         UNION ALL
+         SELECT e.w,
+                CASE WHEN m.piece IS NULL THEN CAST(length(e.w) AS BIGINT)
+                     ELSE e.pos + m.adv END,
+                CASE WHEN m.piece IS NULL THEN ['[UNK]']
+                     ELSE list_append(e.toks, m.piece) END,
+                m.piece IS NULL
+         FROM enc e
+         LEFT JOIN LATERAL (
+           SELECT v.piece,
+                  CAST(CASE WHEN e.pos = 0 THEN length(v.piece)
+                       ELSE length(v.piece) - 2 END AS BIGINT) AS adv
+           FROM wpv v
+           WHERE v.piece <> '[UNK]' AND CASE WHEN e.pos = 0
+               THEN v.piece NOT LIKE '##%'
+                    AND substr(e.w, 1, length(v.piece)) = v.piece
+               ELSE v.piece LIKE '##%'
+                    AND substr(e.w, CAST(e.pos + 1 AS INT),
+                          length(v.piece) - 2) = substr(v.piece, 3) END
+           ORDER BY adv DESC, v.piece LIMIT 1) m ON true
+         WHERE NOT e.unk AND e.pos < length(e.w)),
+       wfin AS (SELECT w, toks FROM enc
+                WHERE unk OR pos >= length(w))"""
   }
 
   /** q159's score mirror beside [[LANGID]]: same script chain, same
@@ -3246,6 +3343,45 @@ object SparkEntry {
                 COUNT(*) AS n_docs,
                 MIN(score) AS min_score, MAX(score) AS max_score
          FROM g GROUP BY 1, 2, 3""",
+
+    // WordPiece fertility: the recursive greedy-encode CTE over
+    // distinct words, joined back to documents; fertility = ONE IEEE
+    // divide over the exact BIGINT sums (bit-stable); zero-word docs
+    // ride the LEFT JOIN coalesce
+    "q161_wordpiece" ->
+      s"""WITH RECURSIVE
+         $WP_CTE,
+         dw AS (SELECT w0.doc_id, w0.lang, f.toks
+                FROM w0 JOIN wfin f ON w0.w = f.w),
+         per AS (SELECT doc_id, lang,
+                   SUM(len(toks)) AS np,
+                   SUM(len(list_filter(toks, t -> t = '[UNK]'))) AS nu
+                 FROM dw GROUP BY 1, 2),
+         doc AS (SELECT doc_id, lang,
+                   CAST(len(list_filter($TOKS, t -> t <> '')) AS BIGINT) AS nw
+                 FROM documents)
+         SELECT d.lang, COUNT(*) AS n_docs,
+                CAST(SUM(d.nw) AS BIGINT) AS sum_words,
+                CAST(SUM(coalesce(p.np, 0)) AS BIGINT) AS sum_pieces,
+                CAST(SUM(coalesce(p.nu, 0)) AS BIGINT) AS sum_unk,
+                CAST(CAST(SUM(coalesce(p.np, 0)) AS BIGINT) AS DOUBLE)
+                  / CAST(SUM(d.nw) AS BIGINT) AS fertility
+         FROM doc d LEFT JOIN per p ON d.doc_id = p.doc_id
+         GROUP BY 1""",
+
+    // piece/id census: the same CTE's piece stream, ids from the
+    // vocab.txt line order the VALUES table carries
+    "q162_wordpiece_pieces" ->
+      s"""WITH RECURSIVE
+         $WP_CTE,
+         dw AS (SELECT w0.doc_id, f.toks FROM w0 JOIN wfin f ON w0.w = f.w),
+         tok AS (SELECT unnest(toks) AS piece FROM dw),
+         cnt AS (SELECT piece, COUNT(*) AS n FROM tok GROUP BY 1)
+         SELECT c.piece, CAST(v.id AS INT) AS id, c.n,
+                CAST(row_number() OVER (ORDER BY c.n DESC, c.piece) AS INT)
+                  AS rank
+         FROM cnt c JOIN wpv v ON c.piece = v.piece
+         QUALIFY rank <= 20""",
 
     // brute-force truth for the prefix-filtered join: every pair of the
     // salted corpus with word-3-gram Jaccard >= 0.5 — the filter's

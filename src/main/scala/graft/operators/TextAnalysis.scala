@@ -218,6 +218,128 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** WordPiece encode to piece strings ([[graft.expressions.WpCodec]]:
+    * greedy longest-match-first over the vocab, `##` continuations,
+    * whole-word `[UNK]` on any dead end). `vocab` is ordered vocab.txt
+    * lines — published BERT vocab files drop in. Scan-level, zero
+    * exchanges. */
+  def wordPieceTokens(text: Column, vocab: Seq[String]): Column =
+    call_function("graft_wp_tokens", text, lit(vocab.mkString("\n")))
+
+  /** WordPiece encode to vocab.txt LINE ids (the BERT convention);
+    * `[UNK]` absent from the vocab yields -1. */
+  def wordPieceIds(text: Column, vocab: Seq[String]): Column =
+    call_function("graft_wp_ids", text, lit(vocab.mkString("\n")))
+
+  /** Learn a WordPiece vocabulary from a corpus slice — the published
+    * likelihood-driven trainer (Schuster & Nakajima 2012; the
+    * HF-tokenizers WordPiece trainer): aggregate whitespace-word
+    * frequencies ([[tokens]] — the same pre-tokenization
+    * [[wordPieceTokens]] uses), seed each word as its codepoint
+    * symbols (first plain, rest `##`-marked), then repeatedly merge
+    * the adjacent pair maximizing `freq(pair) / (freq(a) * freq(b))` —
+    * the WordPiece score, the defining contrast with BPE's raw
+    * frequency. Score comparison is EXACT integer cross-multiplication
+    * over BigInt (no float ladders — fully deterministic), ties break
+    * to the lexicographically smallest pair, pairs must repeat
+    * (count >= 2), and a merge whose product would START with the
+    * literal `##` marker as an INITIAL symbol is skipped (the marker
+    * is positional — such a piece could never match; the published
+    * convention's ambiguity, resolved by exclusion). Returns the
+    * ordered vocab.txt lines: `[UNK]`, the alphabet (sorted), then
+    * merge products in creation order.
+    *
+    * Scale posture = [[bpeTrain]]'s: ONE distributed word-frequency
+    * aggregate (EAGER — runs a job), driver-side merge loop over the
+    * top-`maxWords` vocabulary with the same loud truncation
+    * warning. */
+  def wordPieceTrain(df: DataFrame, textCol: String, numMerges: Int,
+                     maxWords: Int = 1 << 16,
+                     onWarn: String => Unit = m =>
+                       System.err.println(s"[WARNING] $m")): Seq[String] = {
+    val wordFreqs = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val freqs = wordFreqs
+      .orderBy(col("c").desc, col("w").asc).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (freqs.length == maxWords) {
+      val nDistinct = wordFreqs.count()
+      if (nDistinct > maxWords)
+        onWarn(f"wordPieceTrain: word vocabulary truncated to the top " +
+          f"$maxWords of $nDistinct distinct words " +
+          f"(${(nDistinct - maxWords) * 100.0 / nDistinct}%.1f%% of the " +
+          "tail dropped) — raise maxWords to train on the full vocabulary")
+    }
+    def symsOf(w: String): ArrayBufferSyms = {
+      val out = new scala.collection.mutable.ArrayBuffer[String]
+      var i = 0
+      var first = true
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        val c = w.substring(i, i + n)
+        out += (if (first) c else "##" + c)
+        first = false
+        i += n
+      }
+      out
+    }
+    val words = freqs.map { case (w, c) => (symsOf(w), c) }
+    val alphabet = words.iterator.flatMap(_._1).toSet
+    val vocab = scala.collection.mutable.ArrayBuffer.empty[String]
+    vocab += graft.expressions.WpCodec.Unk
+    vocab ++= alphabet.toSeq.sorted
+    var go = true
+    var added = 0
+    while (go && added < numMerges) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val symFreq = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((syms, c) <- words) {
+        for (s <- syms) symFreq.updateWith(s)(p => Some(p.getOrElse(0L) + c))
+        for (i <- 0 until syms.length - 1)
+          pairs.updateWith((syms(i), syms(i + 1)))(p => Some(p.getOrElse(0L) + c))
+      }
+      // exact score comparison: pc/(fa*fb) compared by BigInt
+      // cross-multiplication — no float ladder can reorder merges
+      def product(a: String, b: String) = a + b.stripPrefix("##")
+      val candidates = pairs.iterator.filter { case ((a, b), pc) =>
+        pc >= 2 && !(a.take(2) != "##" && product(a, b).startsWith("##"))
+      }.toSeq
+      if (candidates.isEmpty) go = false
+      else {
+        val pairOrd = Ordering.Tuple2[String, String]
+        val best = candidates.reduceLeft { (x, y) =>
+          val ((xa, xb), xpc) = x
+          val ((ya, yb), ypc) = y
+          // xpc/(f(xa)f(xb)) vs ypc/(f(ya)f(yb)), cross-multiplied
+          val xs = BigInt(xpc) * BigInt(symFreq(ya)) * BigInt(symFreq(yb))
+          val ys = BigInt(ypc) * BigInt(symFreq(xa)) * BigInt(symFreq(xb))
+          if (xs > ys) x
+          else if (ys > xs) y
+          else if (pairOrd.lteq((xa, xb), (ya, yb))) x
+          else y
+        }
+        val (a, b) = best._1
+        val merged = product(a, b)
+        vocab += merged
+        added += 1
+        for (j <- words.indices) {
+          val syms = words(j)._1
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          words(j) = (out, words(j)._2)
+        }
+      }
+    }
+    vocab.toSeq
+  }
+  private type ArrayBufferSyms = scala.collection.mutable.ArrayBuffer[String]
+
   /** Polynomial rolling hash over the token stream:
     * h = fold(tokens, 0, (acc, t) -> (acc*31 + hash32(t)) mod 1e9+7).
     * Order-sensitive (unlike the set-based [[fingerprint]]) — reordered
