@@ -303,6 +303,23 @@ object SparkEntry {
         .filter(col("rank") <= 20)
     }),
 
+    // ---- CRAWL: integer-exact HITS (round 11) — hubs/authorities over
+    //      q144's asymmetric link graph, unnormalized alternating path
+    //      counts (pure BIGINT sums, bit-stable under any partitioning;
+    //      the published L2 normalization only rescales). PageRank says
+    //      "globally endorsed"; HITS separates index pages worth
+    //      re-crawling for discovery (hubs) from content worth ranking
+    //      (authorities)
+    "q163_hits" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val e1 = d.select((col("doc_id") % 47).as("src"),
+        ((col("doc_id") * 7 + 3) % 53).as("dst"))
+      val e2 = d.select(((col("doc_id") * 3) % 47).as("src"),
+        ((col("doc_id") * 13 + 1) % 53).as("dst"))
+      graft.operators.Crawl.hits(e1.unionByName(e2), "src", "dst",
+        iterations = 3)
+    }),
+
     // ---- DEDUP: exact prefix-filtered Jaccard self-join (PPJoin) —
     //      no blocking key, total recall at t=0.5; corpus = documents
     //      plus a tail-mutated twin per even doc, so every kept doc has
@@ -2959,6 +2976,30 @@ object SparkEntry {
        $iters"""
   }
 
+  /** q163's mirror beside [[pageRankCtes]]: the HITS alternating
+    * update as chained integer CTEs — `a_i` from `h_{i-1}` over
+    * in-edges, `h_i` from `a_i` over out-edges (the sequential
+    * update), HUGEINT sums cast back to BIGINT. */
+  private def hitsCtes(rawEdges: String, iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""a$i AS (SELECT n.node, CAST(coalesce(s.s, 0) AS BIGINT) AS auth
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, sum(h.hub) AS s
+             FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst) s
+             USING (node)),
+         h$i AS (SELECT n.node, CAST(coalesce(s.s, 0) AS BIGINT) AS hub
+           FROM nodes n LEFT JOIN (
+             SELECT e.src AS node, sum(a.auth) AS s
+             FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src) s
+             USING (node))"""
+    }.mkString(",\n")
+    s"""e AS (SELECT DISTINCT src, dst FROM ($rawEdges)),
+       nodes AS (SELECT DISTINCT src AS node FROM e
+                 UNION SELECT DISTINCT dst FROM e),
+       h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes),
+       $iters"""
+  }
+
   private lazy val PAGERANK_SQL: String =
     s"""WITH ${pageRankCtes(
       """SELECT doc_id % 47 AS src, (doc_id * 7 + 3) % 53 AS dst
@@ -2970,6 +3011,17 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q144_pagerank" -> PAGERANK_SQL,
+
+    // HITS on the same asymmetric graph: chained integer CTEs replay
+    // the alternating update; final row = (node, auth, hub) at k=3
+    "q163_hits" ->
+      s"""WITH ${hitsCtes(
+        """SELECT doc_id % 47 AS src, (doc_id * 7 + 3) % 53 AS dst
+             FROM documents
+             UNION ALL
+             SELECT (doc_id * 3) % 47, (doc_id * 13 + 1) % 53 FROM documents""",
+        3)}
+         SELECT a.node, a.auth, h.hub FROM a3 a JOIN h3 h USING (node)""",
 
     // dHash recomputed from the pixel FORMULA (the engine decoded real
     // PNGs): grid(x,y) = (id*31 + (y*h//8)*w + (x*w//9)) % 256, bit

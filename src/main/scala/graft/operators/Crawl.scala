@@ -206,6 +206,95 @@ object Crawl {
     out
   }
 
+  /** Integer-exact HITS over a link graph (Kleinberg '99,
+    * "Authoritative Sources in a Hyperlinked Environment") — the
+    * hub/authority complement to [[pageRank]]: PageRank scores global
+    * endorsement flow, HITS separates "points at good pages" (hub)
+    * from "is pointed at by good hubs" (authority) — the pair a crawl
+    * scheduler uses to find directory/index pages (hubs) worth
+    * re-fetching for discovery vs content pages (authorities) worth
+    * ranking.
+    *
+    * Formulation: UNNORMALIZED alternating path counts in pure BIGINT —
+    * `hub_0 = 1; auth_i(u) = Σ_{v→u} hub_{i-1}(v); hub_i(u) =
+    * Σ_{u→w} auth_i(w)` (the standard sequential update). Integer sums
+    * are associative, so the result is bit-stable under any
+    * partitioning — the oracle-comparability property [[pageRank]]
+    * established. The published per-iteration L2 normalization only
+    * RESCALES within an iteration (power iteration is scale-
+    * invariant); with a fixed iteration count the integers here are
+    * the exact numerators of the normalized scores, and rankings are
+    * identical. Overflow is guarded A PRIORI, not detected after the
+    * wrap: every value is bounded by dmax^(2·iterations) (hub_0 = 1,
+    * each half-step multiplies the bound by ≤ dmax), which is checked
+    * in BigInt against Long.MaxValue before any iteration runs — fail
+    * loudly with the binding math, never wrap silently. The check
+    * costs one aggregate over the already-persisted edge frame.
+    *
+    * Scale shape = [[pageRank]]'s: the edge list shuffles ONCE
+    * (distinct, persisted); each half-iteration is one key-equi join
+    * (scores are N-sized — AQE broadcasts under threshold, web-scale N
+    * degrades to SMJ reusing the edge partitioning) plus one partial-
+    * aggregated (node, long) exchange; lineage cut per iteration with
+    * a lazy localCheckpoint. Node ids must be numeric; the same loud
+    * null-id guard. Returns (node, auth, hub) — iteration-k values. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 30,
+      s"iterations must be in [1, 30], got $iterations")
+    import org.apache.spark.storage.StorageLevel
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val eChecked = e.select(
+      when(col("src").isNull || col("dst").isNull,
+        raise_error(lit("hits: null node id (non-numeric key cast to " +
+          "long?) — map string keys to numeric ids first (see q153)")))
+        .otherwise(col("src")).as("src"),
+      col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = eChecked.select(col("src").as("node"))
+      .union(eChecked.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // a-priori overflow bound: dmax^(2k) <= Long.Max, checked exactly.
+    // One row, two aggregates over the persisted edges — cheap, and it
+    // runs ONCE before the loop, not per iteration
+    val degRow = eChecked.groupBy("src").agg(count(lit(1)).as("d"))
+      .select(col("d"))
+      .union(eChecked.groupBy("dst").agg(count(lit(1)).as("d")).select(col("d")))
+      .agg(max(col("d"))).head()
+    val dmax = if (degRow.isNullAt(0)) 0L else degRow.getLong(0)
+    require(dmax > 0, "hits needs a non-empty edge list")
+    require(BigInt(dmax).pow(2 * iterations) <= BigInt(Long.MaxValue),
+      s"hits: dmax=$dmax over $iterations iterations bounds values by " +
+        s"dmax^${2 * iterations} which overflows BIGINT — lower " +
+        "iterations (the ranking stabilizes in a handful) or pre-thin " +
+        "the super-node edges")
+    var hub = nodes.select(col("node"), lit(1L).as("hub"))
+    var auth = nodes.select(col("node"), lit(0L).as("auth"))
+    for (_ <- 1 to iterations) {
+      auth = nodes.join(
+          eChecked.join(hub, eChecked("src") === hub("node"))
+            .groupBy("dst").agg(sum("hub").as("s"))
+            .select(col("dst").as("node"), col("s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("auth"))
+        .localCheckpoint(false)
+      hub = nodes.join(
+          eChecked.join(auth, eChecked("dst") === auth("node"))
+            .groupBy("src").agg(sum("auth").as("s"))
+            .select(col("src").as("node"), col("s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("hub"))
+        .localCheckpoint(false)
+    }
+    val out = auth.join(hub, Seq("node")).localCheckpoint()
+    eChecked.unpersist()
+    nodes.unpersist()
+    out
+  }
+
   /** RFC 9309 politeness gate — the step between frontier and fetch:
     * keep only the `urls` rows `userAgent` may fetch under each host's
     * robots.txt. `robots` is (host, robots.txt content) — ONE row per

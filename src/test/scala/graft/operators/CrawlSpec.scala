@@ -163,6 +163,53 @@ class CrawlSpec extends AnyFunSuite {
         .collect())
   }
 
+  // ---- HITS (Kleinberg '99): unnormalized alternating path counts —
+  //      exact integers, hand-checkable
+
+  private def hitsOf(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] =
+    Crawl.hits(edges.toDF("s", "d"), "s", "d", iterations = iters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("hits: hand-computed star — auth counts in-pointing hub mass, " +
+    "hub counts pointed-at authority mass, sequential update") {
+    // 1->3, 2->3, 1->4. iter1: auth3=2, auth4=1; hub1=3, hub2=2.
+    // iter2: auth3=hub1+hub2=5, auth4=hub1=3; hub1=8, hub2=5.
+    val g = Seq((1L, 3L), (2L, 3L), (1L, 4L))
+    assert(hitsOf(g, 1) == Map(
+      1L -> ((0L, 3L)), 2L -> ((0L, 2L)), 3L -> ((2L, 0L)), 4L -> ((1L, 0L))))
+    assert(hitsOf(g, 2) == Map(
+      1L -> ((0L, 8L)), 2L -> ((0L, 5L)), 3L -> ((5L, 0L)), 4L -> ((3L, 0L))))
+    // multi-edges collapse before counting
+    assert(hitsOf(g ++ Seq((1L, 3L), (1L, 3L)), 2) == hitsOf(g, 2))
+  }
+
+  test("hits: a 2-cycle alternates mass without growth beyond degree 1") {
+    // 1->2, 2->1: every auth/hub stays 1 at any depth (dmax=1)
+    for (k <- Seq(1, 4, 9))
+      assert(hitsOf(Seq((1L, 2L), (2L, 1L)), k) ==
+        Map(1L -> ((1L, 1L)), 2L -> ((1L, 1L))), s"k=$k")
+  }
+
+  test("hits: the a-priori overflow guard fails loudly before iterating") {
+    // dmax=10 over 30 iterations bounds values by 10^60 > Long.Max
+    val fan = (2L to 11L).map(d => (1L, d))
+    val e = intercept[IllegalArgumentException](hitsOf(fan, 30))
+    assert(e.getMessage.contains("overflows BIGINT"), e.getMessage)
+    // ...while the same graph at sane depth is exact and fine
+    assert(hitsOf(fan, 3)(1L) == ((0L, 1000L))) // hub1 = 10*10*10
+  }
+
+  test("hits: null node ids fail loudly; empty graph rejected") {
+    val e = intercept[Exception](
+      Crawl.hits(Seq((Some(1L), Some(2L)), (None, Some(3L)))
+        .toDF("s", "d"), "s", "d", iterations = 1).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null node id")), e)
+    intercept[IllegalArgumentException](
+      Crawl.hits(Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d"))
+  }
+
   test("plan: no cartesian; the politeness cap plans as a group-limit " +
     "(top-k prunes before materialization)") {
     val links = graft.Tables(spark, TestSpark.sfDir, "documents")
