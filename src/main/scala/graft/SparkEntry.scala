@@ -303,6 +303,53 @@ object SparkEntry {
         .filter(col("rank") <= 20)
     }),
 
+    // ---- CURATION capstone (round 11): the FineWeb-style SEQUENTIAL
+    //      funnel — q142 reports independent gate flags; this is the
+    //      pipeline a curation run actually executes, each stage
+    //      filtering the previous stage's survivors: confidence-gated
+    //      langId (en at p >= 0.5, the CCNet posture) → Gopher quality
+    //      → Gopher repetition → C4 rules → exact dedup keeping the
+    //      smallest doc_id per canonical fingerprint AMONG SURVIVORS
+    //      (dedup after quality, the published order — a dup of a
+    //      rejected doc must not die with it). Per-source survivor
+    //      counts = the corpus-card ablation table
+    "q164_curation_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // salted so every stage has LIVE survivors: the raw synthetic
+      // corpus dies wholesale at the C4 gate (no terminal-punctuation
+      // sentences), which would leave s4/s5 trivially zero on both
+      // engines — matching, but attesting nothing. %20==7 docs become
+      // ONE shared fully-compliant doc (the dedup stage keeps exactly
+      // its smallest doc_id); %20==13 docs gain a compliant paragraph
+      // (unique per doc -> C4 survivors that dedup keeps)
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        when(col("doc_id") % 20 === 7, lit(curationDupDoc))
+          .when(col("doc_id") % 20 === 13,
+            concat(col("text"), lit("\n" + curationGoodPara)))
+          .otherwise(col("text")).as("text"))
+      val staged = d.select(col("source"), col("doc_id"),
+          graft.operators.TextAnalysis.langIdScored(col("text")).as("g"),
+          TextAnalysis.gopherKeep(col("text")).as("gk"),
+          TextAnalysis.gopherRepetitionKeep(col("text")).as("rk"),
+          TextAnalysis.c4PageKeep(TextAnalysis.c4LineClean(col("text")))
+            .as("ck"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .withColumn("s1", col("g.lang") === "en" && col("g.score") >= 0.5)
+        .withColumn("s2", col("s1") && col("gk"))
+        .withColumn("s3", col("s2") && col("rk"))
+        .withColumn("s4", col("s3") && col("ck"))
+        .withColumn("s5", col("s4") &&
+          col("doc_id") === min(when(col("s4"), col("doc_id")))
+            .over(Window.partitionBy("fp")))
+      staged.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("n_lang"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n_repetition"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("n_c4"),
+        sum(when(col("s5"), 1L).otherwise(0L)).as("n_final"))
+    }),
+
     // ---- CRAWL: integer-exact HITS (round 11) — hubs/authorities over
     //      q144's asymmetric link graph, unnormalized alternating path
     //      counts (pure BIGINT sums, bit-stable under any partitioning;
@@ -2197,6 +2244,34 @@ object SparkEntry {
     * same vocab at every sf). */
   private[graft] val wpCanonicalVocab: Seq[String] = WpVocab.lines
 
+  /** q164's planted fully-compliant document (shared VERBATIM by every
+    * %20==7 doc, so exact dedup has a live many-to-one group): passes
+    * the en-confidence gate (en markers only), Gopher quality (90+
+    * plain words, stopword-rich), Gopher repetition (distinct
+    * sentences), and C4 (terminal-punctuated >= 5-word sentences, no
+    * lorem/brace/javascript). No apostrophes — it rides into the SQL
+    * mirror as a literal. */
+  private[graft] val curationDupDoc: String =
+    "The quick study of large corpora is a fine craft and the results " +
+      "of the work are strong. Researchers of the field keep careful " +
+      "notes and the methods they follow are sound and fair. Careful " +
+      "reading of each page is the habit that keeps a corpus clean " +
+      "and useful. This planted document is here so the funnel keeps " +
+      "a duplicated page that is fully compliant. The page ends with " +
+      "one more full sentence so the gate sees five marks. A final " +
+      "line of steady prose closes the planted page."
+
+  /** q164's compliant paragraph appended to %20==13 docs (unique per
+    * doc because the base text differs): the base lines die at the C4
+    * line clean, leaving exactly this paragraph as the cleaned page. */
+  private[graft] val curationGoodPara: String =
+    "The added paragraph gives the page five proper sentences for the " +
+      "gate. Each of the sentences here is long enough and ends the " +
+      "right way. The curation funnel can now keep pages from this " +
+      "synthetic corpus. A fourth sentence keeps the count safely " +
+      "past the bar. The fifth sentence closes the paragraph in good " +
+      "order."
+
   /** q156/q160's shared fixture: documents plus an off-boundary
     * 60-token twin per %10 doc (planted 7 tokens into the source,
     * behind 7 pad tokens in the twin — content-defined anchors travel
@@ -2470,6 +2545,48 @@ object SparkEntry {
   /** CTE chain from a CTE named `s`(doc_id, sample) to `fin`(doc_id,
     * every [[graft.operators.TextAnalysis.gopherRepetition]] fraction).
     * Append after the `s` definition; finish with a SELECT over fin. */
+  /** The Gopher quality-gate mirror (gt -> gsig -> gk) reading
+    * `documents` — q142's inline block factored (round 11) so the q164
+    * sequential funnel replays the IDENTICAL gate. Ends at `gk(doc_id,
+    * gk)`. */
+  private def GOPHER_CTES(src: String): String =
+    s"""gt AS (SELECT doc_id, text,
+                  list_filter($TOKS, w -> w <> '') AS ws,
+                  string_split(text, chr(10)) AS lines
+                FROM $src),
+         gsig AS (SELECT doc_id,
+             len(ws) AS n_words,
+             list_reduce(list_prepend(0, list_transform(ws, w -> length(w))),
+               (a, b) -> a + b) AS sum_len,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3
+               AS symbols,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+               AS bullets,
+             len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.${"$"}')))
+               AS ells,
+             len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+               AS alphas,
+             len(list_filter(ws, w -> list_contains(
+               ['the','a','of','and','to','in','is','on','for','with'],
+               lower(w)))) AS stops
+           FROM gt),
+         gk AS (SELECT doc_id,
+             (n_words >= 50 AND n_words <= 100000
+              AND (CASE WHEN n_words = 0 THEN 0.0
+                   ELSE CAST(sum_len AS DOUBLE) / n_words END) >= 3.0
+              AND (CASE WHEN n_words = 0 THEN 0.0
+                   ELSE CAST(sum_len AS DOUBLE) / n_words END) <= 10.0
+              AND (CASE WHEN n_words = 0 THEN 0.0
+                   ELSE CAST(symbols AS DOUBLE) / n_words END) <= 0.1
+              AND CAST(bullets AS DOUBLE) / n_lines <= 0.9
+              AND CAST(ells AS DOUBLE) / n_lines <= 0.3
+              AND (CASE WHEN n_words = 0 THEN 0.0
+                   ELSE CAST(alphas AS DOUBLE) / n_words END) >= 0.8
+              AND stops >= 2) AS gk
+           FROM gsig)"""
+
   private lazy val REP_MIRROR_CTES: String = {
     val topCtes = (2 to 4).map { n =>
       s"""t$n AS (SELECT doc_id, c * ln AS prod,
@@ -3011,6 +3128,56 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q144_pagerank" -> PAGERANK_SQL,
+
+    // sequential funnel: every stage's mirror is the ALREADY-PROVEN
+    // fragment (LANGID/LANGSCORE from q19/q159, GOPHER_CTES from q142,
+    // REP from q138, C4 from q139, the q20 fingerprint), chained with
+    // the survivor conjunctions; the dedup stage is a window-min over
+    // the fingerprint among s4 survivors (false AND NULL = FALSE on
+    // both engines for the no-survivor partitions)
+    "q164_curation_funnel" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, source,
+                  CASE WHEN doc_id % 20 = 7
+                         THEN '${curationDupDoc}'
+                       WHEN doc_id % 20 = 13
+                         THEN text || chr(10) || '${curationGoodPara}'
+                       ELSE text END AS text
+           FROM documents),
+         s AS (SELECT doc_id, text AS sample FROM corpus),
+         $REP_MIRROR_CTES,
+         rk AS (SELECT doc_id, ($REP_GATE) AS rk FROM fin),
+         ${GOPHER_CTES("corpus")},
+         cc AS (SELECT doc_id, ${C4_CLEAN("text")} AS cleaned FROM corpus),
+         ck AS (SELECT doc_id, ${C4_KEEP("cleaned")} AS ck FROM cc),
+         lg AS (SELECT doc_id,
+                  (${LANGID("text")} = 'en' AND ${LANGSCORE("text")} >= 0.5)
+                    AS s1
+                FROM corpus),
+         st AS (SELECT d.doc_id, d.source, lg.s1,
+                  lg.s1 AND g.gk AS s2,
+                  lg.s1 AND g.gk AND r.rk AS s3,
+                  lg.s1 AND g.gk AND r.rk AND c.ck AS s4,
+                  md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ',
+                    'g'))) AS fp
+                FROM corpus d
+                JOIN lg ON lg.doc_id = d.doc_id
+                JOIN gk g ON g.doc_id = d.doc_id
+                JOIN rk r ON r.doc_id = d.doc_id
+                JOIN ck c ON c.doc_id = d.doc_id),
+         dd AS (SELECT doc_id, source, s1, s2, s3, s4,
+                  s4 AND doc_id = MIN(CASE WHEN s4 THEN doc_id END)
+                    OVER (PARTITION BY fp) AS s5
+                FROM st)
+         SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+                CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_quality,
+                CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_repetition,
+                CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_c4,
+                CAST(SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+         FROM dd GROUP BY 1""",
 
     // HITS on the same asymmetric graph: chained integer CTEs replay
     // the alternating update; final row = (node, auth, hub) at k=3
@@ -5296,42 +5463,7 @@ object SparkEntry {
       s"""WITH s AS (SELECT doc_id, text AS sample FROM documents),
          $REP_MIRROR_CTES,
          rk AS (SELECT doc_id, ($REP_GATE) AS rk FROM fin),
-         gt AS (SELECT doc_id, text,
-                  list_filter($TOKS, w -> w <> '') AS ws,
-                  string_split(text, chr(10)) AS lines
-                FROM documents),
-         gsig AS (SELECT doc_id,
-             len(ws) AS n_words,
-             list_reduce(list_prepend(0, list_transform(ws, w -> length(w))),
-               (a, b) -> a + b) AS sum_len,
-             (length(text) - length(replace(text, '#', '')))
-               + (length(text) - length(replace(text, '...', ''))) / 3
-               AS symbols,
-             len(lines) AS n_lines,
-             len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
-               AS bullets,
-             len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.${"$"}')))
-               AS ells,
-             len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
-               AS alphas,
-             len(list_filter(ws, w -> list_contains(
-               ['the','a','of','and','to','in','is','on','for','with'],
-               lower(w)))) AS stops
-           FROM gt),
-         gk AS (SELECT doc_id,
-             (n_words >= 50 AND n_words <= 100000
-              AND (CASE WHEN n_words = 0 THEN 0.0
-                   ELSE CAST(sum_len AS DOUBLE) / n_words END) >= 3.0
-              AND (CASE WHEN n_words = 0 THEN 0.0
-                   ELSE CAST(sum_len AS DOUBLE) / n_words END) <= 10.0
-              AND (CASE WHEN n_words = 0 THEN 0.0
-                   ELSE CAST(symbols AS DOUBLE) / n_words END) <= 0.1
-              AND CAST(bullets AS DOUBLE) / n_lines <= 0.9
-              AND CAST(ells AS DOUBLE) / n_lines <= 0.3
-              AND (CASE WHEN n_words = 0 THEN 0.0
-                   ELSE CAST(alphas AS DOUBLE) / n_words END) >= 0.8
-              AND stops >= 2) AS gk
-           FROM gsig),
+         ${GOPHER_CTES("documents")},
          cc AS (SELECT doc_id, ${C4_CLEAN("text")} AS cleaned FROM documents),
          ck AS (SELECT doc_id, ${C4_KEEP("cleaned")} AS ck FROM cc)
          SELECT d.source, COUNT(*) AS n_docs,
