@@ -303,6 +303,32 @@ object SparkEntry {
         .filter(col("rank") <= 20)
     }),
 
+    // ---- STORAGE: TFRecord/tf.train.Example round trip (round 11) —
+    //      documents exported once per sf dir as 4 TFRecord shards
+    //      (hand-rolled framing with masked CRC32C + protobuf Example;
+    //      no TF, no protobuf lib), read back through the CRC-verified
+    //      one-task-per-file source, content aggregated against the
+    //      source parquet (the q136 safetensors pattern). The f32
+    //      score rides k/8 values — exact in f32 AND double, so the
+    //      sum is bit-stable without a decimal bridge
+    "q165_tfrecord" -> ((s, dir) => {
+      val root = graft.sources.TfRecord.ensureDocumentsFixture(s, dir)
+      graft.sources.TfRecord.read(s, s"$root/*.tfrecord", Seq(
+          "doc_id" -> "int64", "lang" -> "bytes", "text" -> "bytes",
+          "score" -> "float"))
+        .select(element_at(col("doc_id"), 1).as("id"),
+          decode(element_at(col("lang"), 1), "UTF-8").as("lang"),
+          length(element_at(col("text"), 1)).cast("long").as("tb"),
+          element_at(col("score"), 1).cast("double").as("sc"))
+        .groupBy((col("id") % 8).as("g"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("id")).as("n_ids"),
+          sum(col("id")).as("sum_ids"),
+          sum(col("tb")).as("sum_text_bytes"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("sc")).as("sum_score"))
+    }),
+
     // ---- CURATION capstone (round 11): the FineWeb-style SEQUENTIAL
     //      funnel — q142 reports independent gate flags; this is the
     //      pipeline a curation run actually executes, each stage
@@ -3128,6 +3154,21 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q144_pagerank" -> PAGERANK_SQL,
+
+    // TFRecord round trip: the oracle reads the SOURCE parquet — the
+    // engine's claim is that the bytes that went through the framed
+    // protobuf container come back content-identical. k/8 f32 scores
+    // sum exactly in double (3 fractional bits, bounded magnitude)
+    "q165_tfrecord" ->
+      """SELECT doc_id % 8 AS g,
+                COUNT(*) AS n_docs,
+                COUNT(DISTINCT doc_id) AS n_ids,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                CAST(SUM(octet_length(encode(text))) AS BIGINT)
+                  AS sum_text_bytes,
+                COUNT(DISTINCT lang) AS n_langs,
+                SUM(CAST(doc_id % 97 AS DOUBLE) / 8) AS sum_score
+         FROM documents GROUP BY 1""",
 
     // sequential funnel: every stage's mirror is the ALREADY-PROVEN
     // fragment (LANGID/LANGSCORE from q19/q159, GOPHER_CTES from q142,
