@@ -415,6 +415,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length <= 9, p)
   }
 
+  test("WordPiece census queries stay scan-level: encode at the scan, " +
+    "one aggregate exchange (q161), census + tiny global top-k (q162)") {
+    val p1 = plan("q161_wordpiece")
+    assert(!p1.contains("Join"), p1)
+    assert("Exchange".r.findAllIn(p1).length <= 2, p1)
+    val p2 = plan("q162_wordpiece_pieces")
+    assert(!p2.contains("Join"), p2)
+    // piece aggregate + the 20-row global window (distinct pieces are
+    // vocab-bounded, so the single-partition window is O(vocab))
+    assert("Exchange".r.findAllIn(p2).length <= 3, p2)
+  }
+
+  test("curation funnel: gates evaluate in the scan, one fingerprint " +
+    "window, one aggregate — no joins (q164)") {
+    val p = plan("q164_curation_funnel")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert("Exchange".r.findAllIn(p).length <= 3, p)
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set
