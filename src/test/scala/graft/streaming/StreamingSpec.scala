@@ -222,6 +222,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("the round-11 curation gates are stateless — confidence-scored " +
+    "langId + Gopher + C4 run on a stream row-for-row equal to batch") {
+    import graft.operators.TextAnalysis
+    val batchDocs = graft.Tables(spark, TestSpark.sfDir, "documents")
+    // the q164 gate chain minus its (stateful) dedup stage: the ingest
+    // filter a streaming curation front-end actually runs per document
+    def gates(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+          TextAnalysis.langIdScored(col("text")).as("g"),
+          TextAnalysis.gopherKeep(col("text")).as("gk"),
+          TextAnalysis.gopherRepetitionKeep(col("text")).as("rk"),
+          TextAnalysis.c4PageKeep(TextAnalysis.c4LineClean(col("text")))
+            .as("ck"))
+        .select(col("doc_id"), col("g.lang").as("lang"),
+          col("g.score").as("score"),
+          (col("g.lang") === "en" && col("g.score") >= 0.5 &&
+            col("gk") && col("rk") && col("ck")).as("keep"))
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_gate_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(docsDir.toString)
+    val streamed = Streams.drainToMemory(spark, gates(stream),
+      "gates_stream_test", complete = false)
+    val batch = gates(batchDocs)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("encoding repair + SURT keys are stateless — mojibake fix, NFC " +
     "and the CDX key run on a stream row-for-row equal to batch") {
     import graft.operators.TextAnalysis
