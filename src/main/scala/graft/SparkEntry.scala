@@ -329,6 +329,32 @@ object SparkEntry {
           sum(col("sc")).as("sum_score"))
     }),
 
+    // ---- STORAGE: Avro object-container round trip (round 11) —
+    //      documents exported once per sf dir as 4 Avro shards (two
+    //      deflate + two null codec; hand-rolled container + zigzag
+    //      binary encoding, no avro jar), read back through the
+    //      SPLIT-capable source at 64 KiB splits so real sync-marker
+    //      scans run inside the oracle query — unlike the gzip family
+    //      a shard fans out across tasks. Exercises the `["null",
+    //      double]` union (score NULL on doc_id%7==0; k/8-exact
+    //      otherwise so the double sum is bit-stable) and arrays incl.
+    //      empty (marks = first doc_id%4 of [1,2,3])
+    "q166_avro_roundtrip" -> ((s, dir) => {
+      val root = graft.sources.Avro.ensureDocumentsFixture(s, dir)
+      graft.sources.Avro.read(s, s"$root/*/part-*.avro",
+          splitBytes = 1L << 16)
+        .groupBy((col("doc_id") % 8).as("g"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_ids"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(length(col("text")).cast("long")).as("sum_text_chars"),
+          sum(when(col("score").isNull, 1L).otherwise(0L))
+            .as("n_null_scores"),
+          sum(col("score")).as("sum_score"),
+          sum(expr("aggregate(marks, 0L, (a, x) -> a + x)"))
+            .as("sum_marks"))
+    }),
+
     // ---- CURATION capstone (round 11): the FineWeb-style SEQUENTIAL
     //      funnel — q142 reports independent gate flags; this is the
     //      pipeline a curation run actually executes, each stage
@@ -3168,6 +3194,23 @@ object SparkEntry {
                   AS sum_text_bytes,
                 COUNT(DISTINCT lang) AS n_langs,
                 SUM(CAST(doc_id % 97 AS DOUBLE) / 8) AS sum_score
+         FROM documents GROUP BY 1""",
+
+    // avro roundtrip mirror, recomputed from the generating formulas:
+    // score is NULL on doc_id%7==0 else (doc_id%97)/8 (k/8 sums are
+    // binary-exact in double); marks sum = m(m+1)/2 for m = doc_id%4
+    "q166_avro_roundtrip" ->
+      """SELECT doc_id % 8 AS g,
+                COUNT(*) AS n_docs,
+                COUNT(DISTINCT doc_id) AS n_ids,
+                CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars,
+                CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_scores,
+                SUM(CASE WHEN doc_id % 7 = 0 THEN NULL
+                    ELSE CAST(doc_id % 97 AS DOUBLE) / 8 END) AS sum_score,
+                CAST(SUM(((doc_id % 4) * (doc_id % 4 + 1)) // 2)
+                  AS BIGINT) AS sum_marks
          FROM documents GROUP BY 1""",
 
     // sequential funnel: every stage's mirror is the ALREADY-PROVEN
