@@ -355,6 +355,18 @@ object SparkEntry {
             .as("sum_marks"))
     }),
 
+    // ---- DATA SELECTION: DSIR importance resampling (round 11) — the
+    //      published hashed-ngram method (Xie et al. 2023): target =
+    //      src0 (the q82 "trusted reference" convention), raw = the
+    //      rest; per-doc log importance weight as an order-independent
+    //      integer micro-nat sum (ONE quantization of the bounded
+    //      per-bucket log-ratio table), kept = more target-like than
+    //      pool-like. The histogram exchange is bucket-bounded; the
+    //      delta table broadcasts
+    "q167_dsir_weights" -> ((s, dir) =>
+      Sampling.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        targetFilter = col("source") === "src0")),
+
     // ---- CURATION capstone (round 11): the FineWeb-style SEQUENTIAL
     //      funnel — q142 reports independent gate flags; this is the
     //      pipeline a curation run actually executes, each stage
@@ -3212,6 +3224,45 @@ object SparkEntry {
                 CAST(SUM(((doc_id % 4) * (doc_id % 4 + 1)) // 2)
                   AS BIGINT) AS sum_marks
          FROM documents GROUP BY 1""",
+
+    // DSIR mirror: identical feature stream (unigram + adjacent-bigram
+    // md5-bucket hashes of the TOKS tokenization), identical add-one
+    // smoothed log-ratio, quantized once to integer micro-nats so the
+    // per-doc SUM is a bit-exact BIGINT on both engines; int/int `/`
+    // in DuckDB is float division matching the Spark cast-then-divide
+    "q167_dsir_weights" ->
+      s"""WITH tok AS (
+           SELECT doc_id, (source = 'src0') AS is_t,
+                  list_filter($TOKS, w -> w <> '') AS t
+           FROM documents),
+         feats AS (
+           SELECT doc_id, is_t,
+                  list_concat(
+                    list_transform(t, w ->
+                      ('0x' || substr(md5(w), 1, 15))::BIGINT % 4096),
+                    list_transform(range(1, len(t)), i ->
+                      ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))
+                        ::BIGINT % 4096)) AS f
+           FROM tok),
+         fx AS (SELECT doc_id, is_t, unnest(f) AS b FROM feats),
+         hist AS (
+           SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                  SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+           FROM fx GROUP BY 1),
+         tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM hist),
+         delta AS (
+           SELECT b, CAST(round(1e6 * (LN((ct + 1) / (nt + 4096)) -
+                                       LN((cr + 1) / (nr + 4096))), 0)
+                     AS BIGINT) AS d
+           FROM hist, tot),
+         perdoc AS (
+           SELECT fx.doc_id, COUNT(*) AS n_feats, SUM(d.d) AS logw
+           FROM fx JOIN delta d USING (b) GROUP BY 1)
+         SELECT f.doc_id, f.is_t AS is_target,
+                CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+                CAST(COALESCE(p.logw, 0) AS BIGINT) AS logw_micro,
+                COALESCE(p.logw, 0) > 0 AS kept
+         FROM feats f LEFT JOIN perdoc p ON f.doc_id = p.doc_id""",
 
     // sequential funnel: every stage's mirror is the ALREADY-PROVEN
     // fragment (LANGID/LANGSCORE from q19/q159, GOPHER_CTES from q142,

@@ -311,4 +311,71 @@ object Sampling {
       .select(col("id").as(idCol), col("rep"))
     hashSplit(df.join(cl, Seq(idCol)), "rep", weights, salt)
   }
+
+  /** DSIR importance weights — the published hashed-ngram data-selection
+    * method (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): fit bag-of-hashed-ngram categorical
+    * distributions for a small TARGET corpus (the quality exemplar,
+    * `targetFilter`) and the RAW pool (everything else), then score
+    * every document by its log importance weight
+    * `log w(x) = Σ_features [ln p_target(b) − ln p_raw(b)]` with
+    * add-one smoothing over `buckets` hash buckets. Documents that
+    * look more target-like than pool-like score positive; `kept`
+    * thresholds at 0 (the deterministic stand-in for the paper's
+    * Gumbel resampling — this engine never draws RNG).
+    *
+    * Features are unigrams + adjacent bigrams of the whitespace
+    * tokenization, md5-bucketed ([[TextAnalysis.hash60]] mod buckets)
+    * so the oracle recomputes them exactly. Cross-engine float
+    * contract: the per-bucket log-ratio is quantized ONCE to integer
+    * MICRO-NATS (`round(1e6·Δ, 0)` — an integer target both engines
+    * round identically), so the per-document score is an
+    * order-independent BIGINT sum, never a float reassociation.
+    *
+    * Scale shape: the bucket histogram is ONE map-side-combined
+    * exchange bounded by `buckets` rows (both distributions ride the
+    * same pass as conditional sums); totals are a lazy 1-row broadcast;
+    * the bounded delta table broadcast-joins onto the feature stream at
+    * the scan; the only data-sized exchange is the final doc-keyed
+    * integer aggregate. Nothing token-sized is ever collected. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetFilter: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 16),
+      s"buckets must be in [2, 65536], got $buckets")
+    val B = lit(buckets.toLong)
+    val ws = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
+    val uni = transform(ws, w => pmod(hash60(w), B))
+    val bi = when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => pmod(hash60(concat(element_at(ws, i + 1), lit(" "),
+          element_at(ws, i + 2))), B)))
+      .otherwise(array().cast("array<bigint>"))
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      targetFilter.as("__t"), concat(uni, bi).as("__f"))
+    // both distributions in one bounded pass: <= buckets rows move
+    val hist = base.select(col("__t"), explode(col("__f")).as("b"))
+      .groupBy("b")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("cr"))
+    val totals = hist.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    // numerators/denominators take ONE int->double cast each, then one
+    // divide and one ln — the identical IEEE tree DuckDB evaluates
+    val delta = hist.crossJoin(broadcast(totals)).select(col("b"),
+      round(lit(1e6) *
+          (log((col("ct") + lit(1L)).cast("double") /
+               (col("nt") + B).cast("double")) -
+           log((col("cr") + lit(1L)).cast("double") /
+               (col("nr") + B).cast("double"))), 0)
+        .cast("long").as("d"))
+    val perDoc = base.select(col("doc_id"), explode(col("__f")).as("b"))
+      .join(broadcast(delta), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("d")).as("logw_micro"))
+    base.select(col("doc_id"), col("__t").as("is_target"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_target"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw_micro"), lit(0L)).as("logw_micro"),
+        (coalesce(col("logw_micro"), lit(0L)) > 0).as("kept"))
+  }
 }

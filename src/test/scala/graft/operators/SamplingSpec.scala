@@ -250,4 +250,37 @@ class SamplingSpec extends AnyFunSuite {
       alpha = 0.5, totalFactor = 1.0, maxRepeat = 8.0)
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
+
+  test("dsirWeights: target-like docs score positive, alien docs " +
+    "negative, feature count and empty-doc handling exact") {
+    import spark.implicits._
+    // target corpus speaks "alpha beta"; the pool speaks "gamma delta";
+    // probe docs borrow one dialect each
+    val rows = Seq(
+      (1L, true, "alpha beta alpha beta"),
+      (2L, true, "beta alpha beta"),
+      (3L, false, "gamma delta gamma delta"),
+      (4L, false, "delta gamma delta"),
+      (10L, false, "alpha beta alpha"), // pool doc that looks like target
+      (11L, true, "gamma delta"),       // target doc that looks like pool
+      (12L, false, ""),                 // no features at all
+      (13L, false, "   "))              // whitespace-only
+      .toDF("doc_id", "is_t", "text")
+    val out = Sampling.dsirWeights(rows, "doc_id", "text", col("is_t"),
+      buckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // n_feats = unigrams + bigrams = 2n-1 for n >= 1 words, else 0
+    assert(out(1L)._1 == 7 && out(3L)._1 == 7 && out(11L)._1 == 3)
+    assert(out(12L) == ((0L, 0L, false)) && out(13L) == ((0L, 0L, false)))
+    // dialect determines the sign regardless of the doc's own label
+    assert(out(10L)._2 > 0 && out(10L)._3, "alpha-dialect doc must be kept")
+    assert(out(11L)._2 < 0 && !out(11L)._3, "gamma-dialect doc must score " +
+      "negative even though it is labeled target")
+    assert(out(1L)._2 > 0 && out(3L)._2 < 0)
+    // rerun is bit-identical (pure hash + integer arithmetic)
+    val again = Sampling.dsirWeights(rows, "doc_id", "text", col("is_t"),
+      buckets = 64).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == out.map { case (k, v) => k -> v._2 })
+  }
 }
