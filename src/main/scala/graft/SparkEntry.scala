@@ -367,6 +367,19 @@ object SparkEntry {
       Sampling.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
         targetFilter = col("source") === "src0")),
 
+    // ---- SIMILARITY: SQ8 scalar-quantized top-k (round 11) — the
+    //      other standard ANN codec beside PQ (FAISS QT_8bit shape):
+    //      per-dim [min,max] trained in one dim-bounded exchange,
+    //      codes 4x smaller than the floats, SYMMETRIC integer
+    //      distance so every score is an exact BIGINT (no float
+    //      reassociation anywhere). Same query set as q24 for a
+    //      side-by-side with the exact-cosine baseline
+    "q168_sq8_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.sq8TopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", 5)
+    }),
+
     // ---- CURATION capstone (round 11): the FineWeb-style SEQUENTIAL
     //      funnel — q142 reports independent gate flags; this is the
     //      pipeline a curation run actually executes, each stage
@@ -3263,6 +3276,39 @@ object SparkEntry {
                 CAST(COALESCE(p.logw, 0) AS BIGINT) AS logw_micro,
                 COALESCE(p.logw, 0) > 0 AS kept
          FROM feats f LEFT JOIN perdoc p ON f.doc_id = p.doc_id""",
+
+    // SQ8 mirror: identical train (per-dim min/max in double), identical
+    // code formula (floor cast to BIGINT BEFORE clamping — a DuckDB
+    // double->int cast would ROUND where Spark truncates), pure-integer
+    // symmetric distance
+    "q168_sq8_topk" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         dims AS (
+           SELECT i.i AS d, MIN(CAST(v[i.i] AS DOUBLE)) AS mn,
+                  MAX(CAST(v[i.i] AS DOUBLE)) AS mx
+           FROM e, unnest(generate_series(1, len(v))) AS i(i) GROUP BY 1),
+         stats AS (SELECT list(mn ORDER BY d) AS mins,
+                          list(mx ORDER BY d) AS maxs FROM dims),
+         enc AS (
+           SELECT vec_id, list_transform(generate_series(1, len(v)), j ->
+             CASE WHEN maxs[j] = mins[j] THEN 0
+                  ELSE CAST(least(greatest(CAST(floor(
+                         (CAST(v[j] AS DOUBLE) - mins[j]) * 256.0
+                           / (maxs[j] - mins[j])) AS BIGINT), 0), 255)
+                       AS INT) END) AS c
+           FROM e, stats),
+         pairs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  CAST(list_aggregate(
+                    list_transform(generate_series(1, len(q.c)), j ->
+                      CAST(q.c[j] - c.c[j] AS BIGINT) * (q.c[j] - c.c[j])),
+                    'sum') AS BIGINT) AS dist
+           FROM enc q JOIN enc c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 8)
+         SELECT query_id, neighbor_id, dist,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY dist, neighbor_id) AS INT) AS rank
+         FROM pairs QUALIFY rank <= 5""",
 
     // sequential funnel: every stage's mirror is the ALREADY-PROVEN
     // fragment (LANGID/LANGSCORE from q19/q159, GOPHER_CTES from q142,

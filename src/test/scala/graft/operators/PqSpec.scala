@@ -242,4 +242,42 @@ class PqSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
     assert(plan.contains("BroadcastExchange"), plan)
   }
+
+  test("sq8: codes match a plain-Scala mirror, distances are exact " +
+    "integers, and recall@5 vs the L2 brute force is high") {
+    val stats = Similarity.sq8Train(emb, "embedding").collect()(0)
+    val mins = stats.getSeq[Double](0)
+    val maxs = stats.getSeq[Double](1)
+    assert(mins.indices.forall(d => mins(d) <= maxs(d)))
+    def codeOf(v: Seq[Float]): Seq[Int] = v.indices.map { d =>
+      if (maxs(d) == mins(d)) 0
+      else math.min(math.max(math.floor(
+        (v(d).toDouble - mins(d)) * 256.0 / (maxs(d) - mins(d))).toLong,
+        0L), 255L).toInt
+    }
+    val enc = Similarity.sq8Encode(emb, "vec_id", "embedding",
+        Similarity.sq8Train(emb, "embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc.keySet == vecs.keySet)
+    for ((id, v) <- vecs) assert(enc(id) == codeOf(v), s"vec $id")
+    assert(enc.values.flatten.forall(c => c >= 0 && c <= 255))
+
+    val q = emb.filter(col("vec_id") < 5)
+    val sq = Similarity.sq8TopK(q, emb, "vec_id", "embedding", 5).collect()
+    // exact symmetric distance recomputed from the mirrored codes
+    for (r <- sq) {
+      val exp = codeOf(vecs(r.getLong(0))).zip(codeOf(vecs(r.getLong(1))))
+        .map { case (a, b) => (a - b).toLong * (a - b) }.sum
+      assert(r.getLong(2) == exp)
+    }
+    val exact = Similarity.bruteForceL2TopK(q, emb, "vec_id", "embedding", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = sq.map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.keys.toSeq
+      .map(k => got(k).intersect(exact(k)).size.toDouble / 5).sum / exact.size
+    assert(recall >= 0.8, s"sq8 recall@5 = $recall (8-bit quantization " +
+      "should barely disturb the L2 ranking)")
+  }
 }
