@@ -380,6 +380,24 @@ object SparkEntry {
         "vec_id", "embedding", 5)
     }),
 
+    // ---- LM QUALITY: interpolated Kneser–Ney bigram LM (round 11) —
+    //      the smoothing the published perplexity filters actually run
+    //      (CCNet scores with KenLM = Kneser–Ney): absolute discount
+    //      D=0.75, continuation-count backoff, add-k floor at the
+    //      lowest order. Same model slice and output contract as the
+    //      add-k LM (q82) for a side-by-side
+    "q169_kn_lm_score" -> ((s, dir) =>
+      TextAnalysis.knBigramScore(t(s, dir, "documents"), "doc_id", "text",
+        modelFilter = col("source") === "src0")),
+
+    // ---- CURATION: CCNet head/middle/tail perplexity buckets (round
+    //      11) — Wenzek et al. 2020's split, per language at exact
+    //      interpolated terciles of the q169 KN perplexity; `head` is
+    //      what pretraining mixes upweight
+    "q170_ccnet_buckets" -> ((s, dir) =>
+      TextAnalysis.ccnetBuckets(t(s, dir, "documents"), "doc_id", "text",
+        "lang", modelFilter = col("source") === "src0")),
+
     // ---- CURATION capstone (round 11): the FineWeb-style SEQUENTIAL
     //      funnel — q142 reports independent gate flags; this is the
     //      pipeline a curation run actually executes, each stage
@@ -2972,6 +2990,46 @@ object SparkEntry {
   // -- SQL fragments mirroring graft.operators exactly (same expression
   //    trees, same left-fold float order via list_reduce) --
   private val TOKS = """string_split_regex(trim(text), '\s+')"""
+
+  /** Interpolated Kneser–Ney bigram-LM CTE chain (TextAnalysis
+    * .knBigramScore's mirror: src0 model, D=0.75, add-0.5 continuation
+    * floor over V+1). Ends at `knsc` = (doc_id, n_bigrams, avg_logp);
+    * consumers append their final SELECT (q169 score dump, q170
+    * CCNet buckets). */
+  private lazy val KN_CTES: String =
+    """tok AS (
+           SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         bi AS (
+           SELECT doc_id, source, t[u.i] AS w1, t[u.i + 1] AS w2
+           FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
+           WHERE len(t) >= 2),
+         c12 AS (
+           SELECT w1, w2, count(*) AS c12 FROM bi WHERE source = 'src0'
+           GROUP BY w1, w2),
+         c1 AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p
+                FROM c12 GROUP BY w1),
+         n1l AS (SELECT w2, count(*) AS n1l FROM c12 GROUP BY w2),
+         sc AS (
+           SELECT (SELECT count(*) FROM c12) AS T,
+                  (SELECT count(DISTINCT u.tok)
+                   FROM (SELECT t FROM tok WHERE source = 'src0') z,
+                        unnest(t) AS u(tok)) AS V),
+         knsc AS (
+           SELECT b.doc_id, count(*) AS n_bigrams,
+                  ROUND(AVG(LN(CASE WHEN u1.c1 IS NULL
+                    THEN (coalesce(l.n1l, 0) + 0.5)
+                         / (sc.T + 0.5 * (sc.V + 1))
+                    ELSE greatest(coalesce(m.c12, 0) - 0.75, 0) / u1.c1
+                         + 0.75 * u1.n1p / u1.c1
+                           * ((coalesce(l.n1l, 0) + 0.5)
+                              / (sc.T + 0.5 * (sc.V + 1)))
+                    END)), 6) AS avg_logp
+           FROM bi b
+           LEFT JOIN c12 m ON b.w1 = m.w1 AND b.w2 = m.w2
+           LEFT JOIN c1 u1 ON b.w1 = u1.w1
+           LEFT JOIN n1l l ON b.w2 = l.w2
+           CROSS JOIN sc
+           GROUP BY b.doc_id)"""
   /** word-3-gram distinct shingles of `text` (TextAnalysis.wordShingles) */
   private val SHINGLES3 =
     s"""list_distinct(list_transform(range(1, len($TOKS)-1),
@@ -3309,6 +3367,36 @@ object SparkEntry {
                 CAST(row_number() OVER (PARTITION BY query_id
                   ORDER BY dist, neighbor_id) AS INT) AS rank
          FROM pairs QUALIFY rank <= 5""",
+
+    // Kneser–Ney mirror: same count tables as q82 plus continuation
+    // counts (COUNT(*) over the distinct-bigram table), the identical
+    // +,*,/ tree per bigram (bit-exact), avg(ln p) rounded like q82
+    "q169_kn_lm_score" ->
+      s"""WITH $KN_CTES
+         SELECT d.doc_id,
+                CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                s.avg_logp,
+                ROUND(EXP(-s.avg_logp), 4) AS ppl
+         FROM documents d LEFT JOIN knsc s ON d.doc_id = s.doc_id""",
+
+    // CCNet buckets: the q169 ppl stream cut at per-language exact
+    // interpolated terciles (quantile_cont ≡ Spark percentile, the q73
+    // contract); unscored docs never influence the cuts
+    "q170_ccnet_buckets" ->
+      s"""WITH $KN_CTES,
+         pp AS (
+           SELECT d.doc_id, d.lang, ROUND(EXP(-s.avg_logp), 4) AS ppl
+           FROM documents d LEFT JOIN knsc s ON d.doc_id = s.doc_id),
+         th AS (
+           SELECT lang, quantile_cont(ppl, 1.0/3) AS t1,
+                  quantile_cont(ppl, 2.0/3) AS t2
+           FROM pp WHERE ppl IS NOT NULL GROUP BY 1)
+         SELECT pp.doc_id, pp.lang, pp.ppl,
+                CASE WHEN pp.ppl IS NULL THEN 'unscored'
+                     WHEN pp.ppl <= th.t1 THEN 'head'
+                     WHEN pp.ppl <= th.t2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM pp LEFT JOIN th ON pp.lang = th.lang""",
 
     // sequential funnel: every stage's mirror is the ALREADY-PROVEN
     // fragment (LANGID/LANGSCORE from q19/q159, GOPHER_CTES from q142,

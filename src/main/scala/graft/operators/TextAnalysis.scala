@@ -1055,6 +1055,108 @@ object TextAnalysis {
         round(exp(-col("avg_logp")), 4).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM score — the smoothing family the
+    * published perplexity filters actually use (CCNet scores with KenLM,
+    * whose models are Kneser–Ney; Kneser & Ney 1995, the interpolated
+    * form of Chen & Goodman 1999):
+    *
+    *   P(w2|w1) = max(c(w1,w2)−D, 0)/c(w1)
+    *              + D·N1+(w1,·)/c(w1) · Pcont(w2)
+    *   Pcont(w2) = (N1+(·,w2) + k) / (T + k·(V+1))
+    *
+    * with discount `D`, continuation counts N1+ (DISTINCT continuations
+    * / left contexts — the insight that "Francisco" is frequent but
+    * follows only "San"), T = distinct bigram types, and add-k mass at
+    * the lowest order over V+1 outcomes so an unseen word keeps a
+    * nonzero floor (the q82 `addK` convention). An out-of-vocab
+    * context (c(w1)=0) backs off fully to Pcont. Model = `modelFilter`
+    * slice; every document scored (the CCNet shape), output matching
+    * [[bigramLmScore]]: (doc_id, n_bigrams, avg_logp, ppl).
+    *
+    * Cross-engine contract: every per-bigram probability is a small
+    * tree of +,*,/ over exact integer counts — correctly-rounded IEEE
+    * ops, bit-identical in any engine — and only avg(ln p) takes the
+    * 6-dp wash. Scale shape = [[bigramLmScore]]'s: model tables are
+    * vocab-bounded aggregates joined onto the bigram stream, scalars
+    * ride one lazy broadcast row, the doc aggregate is the only
+    * data-sized exchange. */
+  def knBigramScore(df: DataFrame, idCol: String, textCol: String,
+                    modelFilter: Column, discount: Double = 0.75,
+                    addK: Double = 0.5): DataFrame = {
+    val tok = df.select(col(idCol).cast(LongType).as("doc_id"),
+      modelFilter.as("__in_model"), split(col(textCol), " ").as("t"))
+    val bi = tok.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("__in_model"), explode(transform(
+        sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("w1"),
+          element_at(col("t"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("__in_model"), col("b.w1"), col("b.w2"))
+    val c12 = bi.filter(col("__in_model"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // per-context: total count + DISTINCT continuations (c12 rows are
+    // distinct (w1,w2) pairs, so count(*) IS the continuation count)
+    val c1 = c12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1p"))
+    val n1l = c12.groupBy("w2").agg(count(lit(1)).as("n1l"))
+    val scalars = c12.agg(count(lit(1)).as("T")).crossJoin(broadcast(
+      tok.filter(col("__in_model")).select(explode(col("t")).as("tok"))
+        .agg(count_distinct(col("tok")).as("V"))))
+    val pc = (coalesce(col("n1l"), lit(0L)) + lit(addK)) /
+      (col("T") + lit(addK) * (col("V") + lit(1L)))
+    val p = when(col("c1").isNull, pc)
+      .otherwise(
+        greatest(coalesce(col("c12"), lit(0L)) - lit(discount), lit(0d)) /
+          col("c1") +
+          lit(discount) * col("n1p") / col("c1") * pc)
+    val scored = bi
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(n1l, Seq("w2"), "left")
+      .crossJoin(broadcast(scalars))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(p)), 6).as("avg_logp"))
+    df.select(col(idCol).cast(LongType).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logp"),
+        round(exp(-col("avg_logp")), 4).as("ppl"))
+  }
+
+  /** CCNet perplexity buckets — the published head/middle/tail split
+    * (Wenzek et al. 2020 §4.3): per LANGUAGE, rank documents by LM
+    * perplexity against the trusted reference and cut at the terciles;
+    * `head` (lowest ppl) is what pretraining mixes upweight. Scored
+    * with [[knBigramScore]] (CCNet uses KenLM = Kneser–Ney); docs with
+    * no bigrams label `unscored` and never influence the cuts.
+    *
+    * Cuts are the exact interpolated terciles over the 4-dp-rounded
+    * ppl (the q73 percentile ≡ quantile_cont contract, so thresholds
+    * and labels are engine-portable). Scale note: exact per-group
+    * percentiles buffer a language's values — at corpus scale swap the
+    * cut computation for [[Profiling.binnedQuantilesByGroup]], whose
+    * error is bounded by one bin; the label join is unchanged. The
+    * threshold table is language-bounded and broadcast. */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+                   langCol: String, modelFilter: Column): DataFrame = {
+    val scored = knBigramScore(df, idCol, textCol, modelFilter)
+      .select(col("doc_id"), col("ppl"))
+    val withLang = df.select(col(idCol).cast(LongType).as("doc_id"),
+        col(langCol).as("lang"))
+      .join(scored, Seq("doc_id"))
+    val th = withLang.filter(col("ppl").isNotNull)
+      .groupBy("lang")
+      .agg(expr("percentile(ppl, 1d/3)").as("t1"),
+        expr("percentile(ppl, 2d/3)").as("t2"))
+    withLang.join(broadcast(th), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("ppl"),
+        when(col("ppl").isNull, lit("unscored"))
+          .when(col("ppl") <= col("t1"), lit("head"))
+          .when(col("ppl") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast(LongType)
 

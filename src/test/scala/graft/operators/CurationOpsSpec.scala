@@ -364,4 +364,41 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(byId(1L) == 0.0 && byId(2L) == 0.0)
     assert(byId(3L) >= -1.0 && byId(3L) <= 1.0 && byId(3L) != 0.0)
   }
+
+  test("ccnetBuckets: per-language terciles, model-like docs land head, " +
+    "gibberish lands tail, short docs unscored") {
+    // model: clean en text; scored docs range from verbatim-model to
+    // fully OOV, per language independently
+    val model = "the cat sat on the mat and the dog sat on the rug"
+    val docs = Seq(
+      (0L, "en", model, true),
+      (1L, "en", "the cat sat on the mat", false),
+      (2L, "en", "the dog sat on the rug and the cat", false),
+      (3L, "en", "dog mat cat rug the on", false),
+      (4L, "en", "zq xv qq zz vv xx yy ww", false),
+      (5L, "en", "solo", false),
+      (10L, "xx", "the cat sat on the mat", false),
+      (11L, "xx", "cat the on sat mat rug", false),
+      (12L, "xx", "zq xv qq zz vv xx", false))
+      .toDF("doc_id", "lang", "text", "ref")
+    val out = TextAnalysis.ccnetBuckets(docs, "doc_id", "text", "lang",
+        col("ref"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(if (r.isNullAt(2)) null else r.getDouble(2)),
+          r.getString(3)))).toMap
+    assert(out.size == 9)
+    assert(out(5L)._3 == "unscored" && out(5L)._2.isEmpty)
+    // verbatim-model text has the lowest ppl of the en cohort -> head;
+    // fully-OOV text the highest -> tail
+    assert(out(1L)._3 == "head", s"got ${out(1L)}")
+    assert(out(4L)._3 == "tail", s"got ${out(4L)}")
+    // buckets are PER LANGUAGE: xx's three scored docs split into one
+    // per bucket even though their absolute ppls differ from en's
+    val xx = Seq(10L, 11L, 12L).map(out(_)._3)
+    assert(xx.toSet == Set("head", "middle", "tail"), s"xx buckets $xx")
+    // every scored doc got a real bucket
+    assert(out.values.forall { case (_, p, b) =>
+      (p.isEmpty && b == "unscored") ||
+        (p.nonEmpty && Set("head", "middle", "tail")(b)) })
+  }
 }
