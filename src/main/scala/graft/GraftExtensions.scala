@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64, aggregate}
 
-import graft.expressions.{AffineMinHash, ArrayCosine, ArrayL2Sq, BinarySlice, BpePreTokens, BpeTokenCount, BpeTokenIds, BpeTokens, ExactMedian, FixMojibake, ImageDims, KmvDistinct, KmvSketch, Md5PrefixHashArray, NfcNormalize, RobotsAllowed, RobotsCrawlDelay, RobotsSitemaps, ScriptCounts, SignBucket, SimHash32, SimHash60, SortedLongJaccard, SpTokenIds, SpTokens, StringNumClass, WordPieceIds, WordPieceTokens}
+import graft.expressions.{AffineMinHash, ArrayCosine, ArrayL2Sq, BinarySlice, BpePreTokens, BpeTokenCount, BpeTokenIds, BpeTokens, ExactMedian, FixMojibake, ImageDims, KmvDistinct, KmvSketch, Md5PrefixHashArray, NfcNormalize, RobotsAllowed, RobotsCrawlDelay, RobotsSitemaps, ScriptCounts, SignBucket, SimHash32, SimHash60, SortedLongJaccard, SpTokenIds, SpTokens, StringNumClass, UnigramEncode, WordPieceIds, WordPieceTokens}
 
 /** Registers graft's native Catalyst expressions with a SparkSession via
   * the public extensions mechanism:
@@ -77,6 +77,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_wp_ids"),
       new ExpressionInfo(classOf[WordPieceIds].getName, "graft_wp_ids"),
       (es: Seq[Expression]) => WordPieceIds(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_ug_encode"),
+      new ExpressionInfo(classOf[UnigramEncode].getName, "graft_ug_encode"),
+      (es: Seq[Expression]) => UnigramEncode(es.head, es(1))))
     ext.injectFunction((FunctionIdentifier("graft_robots_allowed"),
       new ExpressionInfo(classOf[RobotsAllowed].getName, "graft_robots_allowed"),
       (es: Seq[Expression]) => RobotsAllowed(es.head, es(1), es(2))))

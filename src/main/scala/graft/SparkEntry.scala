@@ -398,6 +398,28 @@ object SparkEntry {
       TextAnalysis.ccnetBuckets(t(s, dir, "documents"), "doc_id", "text",
         "lang", modelFilter = col("source") === "src0")),
 
+    // ---- TEXT: Unigram-LM tokenizer (round 11) — the FOURTH published
+    //      tokenizer family (Kudo 2018, SentencePiece unigram) beside
+    //      GPT-2 BPE (q84), SentencePiece BPE (q154) and WordPiece
+    //      (q161): Viterbi argmax segmentation over piece log-probs,
+    //      integer micro-nat scores so the census sums are exact. The
+    //      oracle replays the DP as a GENERATED 32-step unrolled
+    //      program over distinct words — max-combined per position,
+    //      where combined = 64·Σlp − n_pieces pins the tie order
+    "q171_unigram" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nw = expr("size(filter(split(trim(text), '\\\\s+'), w -> w <> ''))")
+        .cast("long")
+      d.select(col("lang"),
+          TextAnalysis.unigramEncode(col("text"), ugCanonicalVocab).as("e"),
+          nw.as("nw"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("sum_words"),
+          sum(size(col("e.pieces")).cast("long")).as("sum_pieces"),
+          sum(col("e.score_micro")).as("sum_score_micro"))
+    }),
+
     // ---- CURATION capstone (round 11): the FineWeb-style SEQUENTIAL
     //      funnel — q142 reports independent gate flags; this is the
     //      pipeline a curation run actually executes, each stage
@@ -2339,6 +2361,12 @@ object SparkEntry {
     * same vocab at every sf). */
   private[graft] val wpCanonicalVocab: Seq[String] = WpVocab.lines
 
+  /** Canonical unigram-LM vocab ([[graft.operators.TextAnalysis
+    * .unigramVocabTrain]] on sf0.01 documents, 96 pieces; UnigramSpec
+    * pins the equality) in the published SentencePiece `.vocab`
+    * format — CONSTANT so q171 encodes identically at every sf. */
+  private[graft] val ugCanonicalVocab: Seq[String] = UgVocab.lines
+
   /** q164's planted fully-compliant document (shared VERBATIM by every
     * %20==7 doc, so exact dedup has a live many-to-one group): passes
     * the en-confidence gate (en markers only), Gopher quality (90+
@@ -2914,6 +2942,70 @@ object SparkEntry {
     * `['[UNK]']`. The vocab rides as a VALUES table in vocab.txt line
     * order, so `id` is the published-convention line id. Shared by
     * q161 (fertility census) and q162 (piece/id census). */
+  /** Unigram-LM Viterbi mirror (q171): the DP is UNROLLED into one
+    * generated CTE per word position (1..MaxWordChars) — each step
+    * takes the max combined objective `64·Σlp_micro − n_pieces` over
+    * the ≤ maxPieceLen predecessor cells, single-codepoint pieces
+    * falling back to the UnkLpMicro constant. All integer arithmetic;
+    * per-word (score, pieces) are recovered from the combined value by
+    * exact mod/div. Words over 32 codepoints take the per-char
+    * fallback branch, exactly like [[graft.expressions.UgCodec]]. */
+  private lazy val UG_CTES: String = {
+    val parsed = ugCanonicalVocab.map { line =>
+      val Array(p, lp) = line.split("\t", 2)
+      (p, Math.round(lp.toDouble * 1e6))
+    }
+    val ml = parsed.map { case (p, _) => p.codePointCount(0, p.length) }.max
+    val unk = graft.expressions.UgCodec.UnkLpMicro
+    val vals = parsed.zipWithIndex
+      .map { case ((p, m), _) => s"('${p.replace("'", "''")}',$m)" }
+      .mkString(",")
+    def step(p: Int): String = {
+      val branches = (math.max(0, p - ml) until p).map { j =>
+        val plen = p - j
+        if (plen == 1)
+          s"""SELECT b.w, b.c + COALESCE(v.lp, $unk) * 64 - 1 AS cand
+              FROM ugb$j b LEFT JOIN ugv v
+                ON v.piece = substr(b.w, ${j + 1}, 1)
+              WHERE length(b.w) >= $p"""
+        else
+          s"""SELECT b.w, b.c + v.lp * 64 - 1 AS cand
+              FROM ugb$j b JOIN ugv v
+                ON v.piece = substr(b.w, ${j + 1}, $plen)
+              WHERE length(b.w) >= $p"""
+      }
+      s"""ugb$p AS MATERIALIZED (SELECT w, MAX(cand) AS c
+          FROM (${branches.mkString(" UNION ALL ")}) u GROUP BY w)"""
+    }
+    val maxW = graft.expressions.UgCodec.MaxWordChars
+    val steps = (1 to maxW).map(step).mkString(",\n         ")
+    val best = (1 to maxW)
+      .map(p => s"SELECT w, c FROM ugb$p WHERE length(w) = $p")
+      .mkString(" UNION ALL ")
+    s"""ugv(piece, lp) AS (VALUES $vals),
+         ugw0 AS MATERIALIZED (SELECT doc_id, lang,
+                    unnest(list_filter($TOKS, t -> t <> '')) AS w
+                  FROM documents),
+         ugwf AS MATERIALIZED (SELECT DISTINCT w FROM ugw0),
+         ugb0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS c FROM ugwf
+                  WHERE length(w) <= $maxW),
+         $steps,
+         ugbest AS ($best),
+         uglong AS (
+           SELECT t.w, CAST(SUM(COALESCE(v.lp, $unk)) AS BIGINT) AS s_micro,
+                  CAST(length(t.w) AS BIGINT) AS k
+           FROM (SELECT w, substr(w, i.i, 1) AS ch
+                 FROM ugwf, unnest(generate_series(1, length(w))) AS i(i)
+                 WHERE length(w) > $maxW) t
+           LEFT JOIN ugv v ON v.piece = t.ch
+           GROUP BY t.w),
+         ugword AS (
+           SELECT w, (c + ((-c) % 64)) // 64 AS s_micro, (-c) % 64 AS k
+           FROM ugbest
+           UNION ALL
+           SELECT w, s_micro, k FROM uglong)"""
+  }
+
   private lazy val WP_CTE: String = {
     val vocabValues = wpCanonicalVocab.zipWithIndex
       .map { case (p, i) => s"('${p.replace("'", "''")}',$i)" }
@@ -3397,6 +3489,24 @@ object SparkEntry {
                      WHEN pp.ppl <= th.t2 THEN 'middle'
                      ELSE 'tail' END AS bucket
          FROM pp LEFT JOIN th ON pp.lang = th.lang""",
+
+    // unigram census: the unrolled-Viterbi word table joined back to
+    // documents, the q161 LEFT-JOIN shape for zero-word docs
+    "q171_unigram" ->
+      s"""WITH $UG_CTES,
+         ugdoc AS (SELECT doc_id, lang,
+                     CAST(len(list_filter($TOKS, t -> t <> '')) AS BIGINT)
+                       AS nw
+                   FROM documents),
+         ugper AS (
+           SELECT w0.doc_id, SUM(g.k) AS np, SUM(g.s_micro) AS sm
+           FROM ugw0 w0 JOIN ugword g ON w0.w = g.w GROUP BY 1)
+         SELECT d.lang, COUNT(*) AS n_docs,
+                CAST(SUM(d.nw) AS BIGINT) AS sum_words,
+                CAST(SUM(COALESCE(p.np, 0)) AS BIGINT) AS sum_pieces,
+                CAST(SUM(COALESCE(p.sm, 0)) AS BIGINT) AS sum_score_micro
+         FROM ugdoc d LEFT JOIN ugper p ON d.doc_id = p.doc_id
+         GROUP BY 1""",
 
     // sequential funnel: every stage's mirror is the ALREADY-PROVEN
     // fragment (LANGID/LANGSCORE from q19/q159, GOPHER_CTES from q142,

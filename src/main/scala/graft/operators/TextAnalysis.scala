@@ -253,6 +253,58 @@ object TextAnalysis {
     * aggregate (EAGER — runs a job), driver-side merge loop over the
     * top-`maxWords` vocabulary with the same loud truncation
     * warning. */
+  /** Unigram-LM Viterbi encode ([[graft.expressions.UgCodec]]) to
+    * `STRUCT(pieces, ids, score_micro)`; `vocab` lines are the
+    * published SentencePiece `.vocab` dump (`piece<TAB>logprob`). */
+  def unigramEncode(text: Column, vocab: Seq[String]): Column =
+    call_function("graft_ug_encode", text, lit(vocab.mkString("\n")))
+
+  /** Learn a canonical unigram vocabulary from a corpus — a DECLARED
+    * maximum-likelihood substring estimate (the seed step of Kudo
+    * 2018's trainer, without the EM prune loop): count every
+    * word-internal substring of 1..`maxPieceLen` codepoints weighted
+    * by word frequency, keep every observed single codepoint (the
+    * totality floor) plus the top multi-codepoint substrings by
+    * `(count desc, piece asc)` up to `pieces` entries, and assign each
+    * kept piece `lp = ln(count / Σ kept counts)` rendered at 6
+    * decimals (the `.vocab` convention — parse-exact on any engine).
+    * Output lines are ordered `(count desc, piece asc)` = line ids.
+    *
+    * Scale shape: the substring explode is scan-level (≤ 32·maxPieceLen
+    * values per word), the count aggregate is map-side combined, and
+    * ONLY the model-sized top-K is collected (TakeOrdered — the
+    * [[wordPieceTrain]] posture, loud bound `pieces ≤ 4096`). */
+  def unigramVocabTrain(df: DataFrame, textCol: String, pieces: Int = 96,
+                        maxPieceLen: Int = 6): Seq[String] = {
+    require(pieces >= 2 && pieces <= 4096,
+      s"pieces must be in [2, 4096], got $pieces")
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [1, 8], got $maxPieceLen")
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val subs = words.select(col("c"), explode(flatten(
+        transform(sequence(lit(1), length(col("w"))), s =>
+          transform(
+            sequence(lit(1), least(lit(maxPieceLen),
+              length(col("w")) - s + 1)),
+            l => substring(col("w"), s, l))))).as("p"))
+      .groupBy("p").agg(sum(col("c")).as("n"))
+    val singles = subs.filter(length(col("p")) === 1)
+    val multis = subs.filter(length(col("p")) > 1)
+      .orderBy(col("n").desc, col("p").asc)
+    val singleRows = singles.collect().map(r => (r.getString(0), r.getLong(1)))
+    require(singleRows.length <= pieces,
+      s"unigramVocabTrain: ${singleRows.length} distinct codepoints " +
+        s"exceed the $pieces-piece budget — raise `pieces`")
+    val multiRows = multis.limit(pieces - singleRows.length)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val kept = (singleRows ++ multiRows)
+      .sortBy { case (p, n) => (-n, p) }
+    val total = kept.map(_._2).sum.toDouble
+    kept.map { case (p, n) => f"$p\t${math.log(n / total)}%.6f" }.toSeq
+  }
+
   def wordPieceTrain(df: DataFrame, textCol: String, numMerges: Int,
                      maxWords: Int = 1 << 16,
                      onWarn: String => Unit = m =>
