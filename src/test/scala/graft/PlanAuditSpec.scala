@@ -435,6 +435,57 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length <= 3, p)
   }
 
+  test("avro roundtrip aggregates off the split scan: two-exchange " +
+    "distinct-agg, no joins (q166)") {
+    val p = plan("q166_avro_roundtrip")
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("DSIR: bucket-bounded histogram, broadcast delta, one doc " +
+    "aggregate — the only cross is the 1-row totals (q167)") {
+    val p = plan("q167_dsir_weights")
+    // delta joins the feature stream via broadcast, never a shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly one nested loop: the lazy 1-row totals broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 5, p)
+  }
+
+  test("SQ8: corpus codes stream against broadcast stats and queries; " +
+    "rank prunes map-side (q168)") {
+    val p = plan("q168_sq8_topk")
+    // 1-row stats cross x2 (query + corpus encode) and the bounded
+    // query-set nested loop are the only non-equi joins
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    // the corpus never hash-shuffles before scoring: exchanges are the
+    // dim-bounded train aggregate + round-robin spread + rank window
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3, p)
+  }
+
+  test("Kneser-Ney scoring joins vocab-bounded model tables by key; " +
+    "scalars ride 1-row broadcasts (q169)") {
+    val p = plan("q169_kn_lm_score")
+    assert(!p.contains("CartesianProduct"), p)
+    // T and V are the only nested-loop (1-row) sides
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("CCNet buckets: threshold table broadcasts back onto the scored " +
+    "stream (q170)") {
+    val p = plan("q170_ccnet_buckets")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("unigram census is expression-only at the scan: one aggregate " +
+    "exchange, no joins (q171)") {
+    val p = plan("q171_unigram")
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).length <= 2, p)
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set
