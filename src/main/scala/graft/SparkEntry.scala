@@ -398,6 +398,14 @@ object SparkEntry {
       TextAnalysis.ccnetBuckets(t(s, dir, "documents"), "doc_id", "text",
         "lang", modelFilter = col("source") === "src0")),
 
+    // ---- DEDUP: quality keep policy (round 11) — near-dup clusters
+    //      keep their LONGEST member (the RefinedWeb-style policy)
+    //      instead of q48's smallest-id: same banded-LSH clustering,
+    //      one rep-window argmax on n_chars
+    "q172_best_dedup" -> ((s, dir) =>
+      Dedup.keepBestPerCluster(t(s, dir, "documents"), "doc_id", "text",
+        score = col("n_chars"), threshold = 0.5, k = 12, bands = 4)),
+
     // ---- TEXT: Unigram-LM tokenizer (round 11) — the FOURTH published
     //      tokenizer family (Kudo 2018, SentencePiece unigram) beside
     //      GPT-2 BPE (q84), SentencePiece BPE (q154) and WordPiece
@@ -3489,6 +3497,19 @@ object SparkEntry {
                      WHEN pp.ppl <= th.t2 THEN 'middle'
                      ELSE 'tail' END AS bucket
          FROM pp LEFT JOIN th ON pp.lang = th.lang""",
+
+    // quality-keep dedup: q48's recursive-CTE cluster mapping with the
+    // keep decision moved to a (score desc, id) window argmax
+    "q172_best_dedup" ->
+      s"""$CC_CTE,
+         m AS (
+           SELECT d.doc_id AS id, COALESCE(cc.rep, d.doc_id) AS rep,
+                  CAST(d.n_chars AS BIGINT) AS score
+           FROM documents d LEFT JOIN cc ON cc.id = d.doc_id)
+         SELECT id, rep, score,
+                (row_number() OVER (PARTITION BY rep
+                   ORDER BY score DESC, id) = 1) AS keep
+         FROM m""",
 
     // unigram census: the unrolled-Viterbi word table joined back to
     // documents, the q161 LEFT-JOIN shape for zero-word docs

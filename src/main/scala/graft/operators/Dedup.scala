@@ -917,6 +917,33 @@ object Dedup {
       .withColumn("keep", col("id") === col("rep"))
   }
 
+  /** Near-dup dedup with a QUALITY keep policy — [[dedupClusters]]
+    * keeps the smallest id per cluster; production curation keeps the
+    * BEST member (RefinedWeb-style keep-longest, or any quality
+    * score): per cluster, the row maximizing `(score, then smallest
+    * id)` survives. Returns `(id, rep, score, keep)` for every input
+    * row — the drop set is auditable, not silently applied.
+    *
+    * Scale shape: clustering is the banded-LSH + alternating-star
+    * pipeline (never all-pairs); the policy itself adds ONE id-keyed
+    * join of the cluster map onto the corpus and ONE rep-partitioned
+    * row_number window (bounded by cluster size — the [[Dedup
+    * .clusterSizeProfile]] audit is the pre-flight for mega-cluster
+    * skew). */
+  def keepBestPerCluster(df: DataFrame, idCol: String, textCol: String,
+                         score: Column, threshold: Double, k: Int = 12,
+                         bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = dedupClusters(df, idCol, textCol, threshold, k, bands, shingleN)
+      .select(col("id"), col("rep"))
+    val w = Window.partitionBy("rep")
+      .orderBy(col("score").desc, col("id").asc)
+    df.select(col(idCol).as("id"), score.cast(LongType).as("score"))
+      .join(cl, Seq("id"))
+      .select(col("id"), col("rep"), col("score"),
+        (row_number().over(w) === 1).as("keep"))
+  }
+
   /** Dedup AUDIT report — the cluster-size histogram every dedup run is
     * sanity-checked against before its drop set is trusted ("how many
     * pairs/triples, is there a mega-cluster?"): one row per cluster

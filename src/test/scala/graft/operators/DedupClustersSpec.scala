@@ -102,4 +102,27 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(p.map(_.getLong(3)).sum ==
       real.count() - real.filter(org.apache.spark.sql.functions.col("keep")).count())
   }
+
+  test("keepBestPerCluster keeps exactly one member per cluster — the " +
+    "highest score, smallest id on ties — and matches dedupClusters' " +
+    "clustering") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val best = Dedup.keepBestPerCluster(docs, "doc_id", "text",
+      score = col("n_chars"), threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(best.length == docs.count())
+    // one keeper per rep, and it is the (score desc, id asc) argmax
+    for ((rep, members) <- best.groupBy(_._2)) {
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"cluster $rep has ${keepers.length} keepers")
+      val expect = members.minBy(m => (-m._3, m._1))
+      assert(keepers.head._1 == expect._1,
+        s"cluster $rep kept ${keepers.head._1}, expected ${expect._1}")
+    }
+    // the clustering itself is dedupClusters' (only the policy differs)
+    val reps = Dedup.dedupClusters(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(best.forall { case (id, rep, _, _) => reps(id) == rep })
+  }
 }
