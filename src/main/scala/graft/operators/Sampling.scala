@@ -338,35 +338,51 @@ object Sampling {
     * the bounded delta table broadcast-joins onto the feature stream at
     * the scan; the only data-sized exchange is the final doc-keyed
     * integer aggregate. Nothing token-sized is ever collected. */
-  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
-                  targetFilter: Column, buckets: Int = 4096): DataFrame = {
-    require(buckets >= 2 && buckets <= (1 << 16),
-      s"buckets must be in [2, 65536], got $buckets")
+  /** The DSIR feature stream of one text: unigram + adjacent-bigram
+    * md5-bucket hashes of the whitespace tokenization. */
+  private def dsirFeatures(text: Column, buckets: Int): Column = {
     val B = lit(buckets.toLong)
-    val ws = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
+    val ws = filter(split(trim(text), "\\s+"), w => w =!= "")
     val uni = transform(ws, w => pmod(hash60(w), B))
     val bi = when(size(ws) >= 2,
       transform(sequence(lit(0), size(ws) - 2),
         i => pmod(hash60(concat(element_at(ws, i + 1), lit(" "),
           element_at(ws, i + 2))), B)))
       .otherwise(array().cast("array<bigint>"))
-    val base = df.select(col(idCol).cast("long").as("doc_id"),
-      targetFilter.as("__t"), concat(uni, bi).as("__f"))
-    // both distributions in one bounded pass: <= buckets rows move
-    val hist = base.select(col("__t"), explode(col("__f")).as("b"))
+    concat(uni, bi)
+  }
+
+  /** The bounded per-bucket delta table `(b, d)` — integer micro-nat
+    * `round(1e6·(ln p_target(b) − ln p_raw(b)))` with add-one
+    * smoothing; numerators/denominators take ONE int→double cast each,
+    * then one divide and one ln — the identical IEEE tree DuckDB
+    * evaluates. */
+  private def dsirDelta(df: DataFrame, textCol: String,
+                        targetFilter: Column, buckets: Int): DataFrame = {
+    val B = lit(buckets.toLong)
+    val hist = df.select(targetFilter.as("__t"),
+        explode(dsirFeatures(col(textCol), buckets)).as("b"))
       .groupBy("b")
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
         sum(when(col("__t"), 0L).otherwise(1L)).as("cr"))
     val totals = hist.agg(sum("ct").as("nt"), sum("cr").as("nr"))
-    // numerators/denominators take ONE int->double cast each, then one
-    // divide and one ln — the identical IEEE tree DuckDB evaluates
-    val delta = hist.crossJoin(broadcast(totals)).select(col("b"),
+    hist.crossJoin(broadcast(totals)).select(col("b"),
       round(lit(1e6) *
           (log((col("ct") + lit(1L)).cast("double") /
                (col("nt") + B).cast("double")) -
            log((col("cr") + lit(1L)).cast("double") /
                (col("nr") + B).cast("double"))), 0)
         .cast("long").as("d"))
+  }
+
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetFilter: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 16),
+      s"buckets must be in [2, 65536], got $buckets")
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      targetFilter.as("__t"),
+      dsirFeatures(col(textCol), buckets).as("__f"))
+    val delta = dsirDelta(df, textCol, targetFilter, buckets)
     val perDoc = base.select(col("doc_id"), explode(col("__f")).as("b"))
       .join(broadcast(delta), Seq("b"))
       .groupBy("doc_id")
@@ -378,4 +394,39 @@ object Sampling {
         coalesce(col("logw_micro"), lit(0L)).as("logw_micro"),
         (coalesce(col("logw_micro"), lit(0L)) > 0).as("kept"))
   }
+
+  /** FREEZE the trained DSIR model as a dense bucket→delta vector (the
+    * online-scoring handoff): deltas for every trained bucket come off
+    * the SAME plan [[dsirWeights]] scores with (collected — bounded by
+    * `buckets` rows, the model-sized-collect posture); buckets never
+    * seen in training get the add-one default `ln((Nr+B)/(Nt+B))`, so
+    * a stream carrying novel tokens still scores totally. */
+  def dsirDeltasDense(df: DataFrame, textCol: String, targetFilter: Column,
+                      buckets: Int = 4096): Array[Long] = {
+    require(buckets >= 2 && buckets <= (1 << 16),
+      s"buckets must be in [2, 65536], got $buckets")
+    val rows = dsirDelta(df, textCol, targetFilter, buckets).collect()
+    val totals = df.select(targetFilter.as("__t"),
+        explode(dsirFeatures(col(textCol), buckets)).as("b"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("nr"))
+      .collect()(0)
+    val default = Math.round(1e6 *
+      (math.log(1.0 / (totals.getLong(0) + buckets.toDouble)) -
+       math.log(1.0 / (totals.getLong(1) + buckets.toDouble))))
+    val out = Array.fill(buckets)(default)
+    rows.foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+    out
+  }
+
+  /** Score ONE text under a frozen delta vector — a pure expression
+    * (stateless, whole-stage codegen, stream-safe): the same feature
+    * stream folded over `element_at` lookups into the literal array.
+    * Row-for-row equal to [[dsirWeights]]' `logw_micro` on any corpus
+    * whose features were all seen at training. */
+  def dsirScoreWith(text: Column, deltas: Seq[Long]): Column =
+    aggregate(dsirFeatures(text, deltas.length),
+      lit(0L),
+      (acc, h) => acc + element_at(array(deltas.map(lit): _*),
+        (h + lit(1L)).cast("int")))
 }

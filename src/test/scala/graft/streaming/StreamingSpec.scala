@@ -200,6 +200,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("DSIR scoring under a frozen delta vector is stateless — " +
+    "streaming == batch row-for-row, and == the training-time weights") {
+    import graft.operators.Sampling
+    val batchDocs = graft.Tables(spark, TestSpark.sfDir, "documents")
+    val deltas = Sampling.dsirDeltasDense(batchDocs, "text",
+      col("source") === "src0", buckets = 256).toSeq
+    def score(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        Sampling.dsirScoreWith(col("text"), deltas).as("logw_micro"))
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_dsir_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(docsDir.toString)
+    val streamed = Streams.drainToMemory(spark, score(stream),
+      "dsir_stream_test", complete = false)
+    val batch = score(batchDocs)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // the frozen-vector path reproduces the training-time weights
+    // exactly (every corpus feature was seen at training)
+    val trained = Sampling.dsirWeights(batchDocs, "doc_id", "text",
+        col("source") === "src0", buckets = 256)
+      .select(col("doc_id"), col("logw_micro"))
+    assert(batch.exceptAll(trained).isEmpty && trained.exceptAll(batch).isEmpty)
+  }
+
   test("HTML extraction + script-routed langId are stateless — the crawl " +
     "ingest stage runs on a stream row-for-row equal to batch") {
     import graft.operators.{Html, TextAnalysis}
