@@ -340,15 +340,15 @@ object Sampling {
     * integer aggregate. Nothing token-sized is ever collected. */
   /** The DSIR feature stream of one text: unigram + adjacent-bigram
     * md5-bucket hashes of the whitespace tokenization. The token array
-    * is BOUND ONCE as a lambda variable (the single-element `transform`
-    * wrapper) — referencing the split expression directly inside the
-    * bigram lambda would re-evaluate the whole tokenization per
-    * element (higher-order lambdas get no subexpression elimination),
-    * turning a linear scan into O(words²) per document. */
+    * is let-BOUND ([[graft.functions.bound]]) — referencing the split
+    * expression directly inside the bigram lambda would re-evaluate
+    * the whole tokenization per element (higher-order lambdas get no
+    * subexpression elimination), turning a linear scan into O(words²)
+    * per document (measured 4× on sf0.1, 11× at 16× corpus). */
   private def dsirFeatures(text: Column, buckets: Int): Column = {
     val B = lit(buckets.toLong)
-    val wsExpr = filter(split(trim(text), "\\s+"), w => w =!= "")
-    element_at(transform(array(wsExpr), ws => {
+    graft.functions.bound(
+      filter(split(trim(text), "\\s+"), w => w =!= "")) { ws =>
       val uni = transform(ws, w => pmod(hash60(w), B))
       val bi = when(size(ws) >= 2,
         transform(sequence(lit(0), size(ws) - 2),
@@ -356,7 +356,7 @@ object Sampling {
             element_at(ws, i + 2))), B)))
         .otherwise(array().cast("array<bigint>"))
       concat(uni, bi)
-    }), 1)
+    }
   }
 
   /** The bounded per-bucket delta table `(b, d)` — integer micro-nat
