@@ -398,6 +398,16 @@ object SparkEntry {
       TextAnalysis.ccnetBuckets(t(s, dir, "documents"), "doc_id", "text",
         "lang", modelFilter = col("source") === "src0")),
 
+    // ---- PROFILING: token-distribution drift (round 11) — the
+    //      crawl-to-crawl monitor behind distributionally-aware
+    //      curation (DoReMi-style reweighting reads these): per-lang
+    //      KL both ways + Jensen–Shannon between the even/odd doc_id
+    //      halves, add-half smoothed over the union vocab; integer
+    //      micro-nat sums, one int→double divide per divergence
+    "q173_token_drift" -> ((s, dir) =>
+      Profiling.tokenDistributionDrift(t(s, dir, "documents"), "text",
+        "lang", aFilter = col("doc_id") % 2 === 0)),
+
     // ---- DEDUP: quality keep policy (round 11) — near-dup clusters
     //      keep their LONGEST member (the RefinedWeb-style policy)
     //      instead of q48's smallest-id: same banded-LSH clustering,
@@ -3497,6 +3507,50 @@ object SparkEntry {
                      WHEN pp.ppl <= th.t2 THEN 'middle'
                      ELSE 'tail' END AS bucket
          FROM pp LEFT JOIN th ON pp.lang = th.lang""",
+
+    // token drift: identical histogram, identical smoothing ((2c+1)
+    // half-units so everything stays integer), identical micro-nat
+    // quantization; HUGEINT sums bridged to BIGINT before the one
+    // int->double divide per divergence
+    "q173_token_drift" ->
+      s"""WITH dtok AS (
+           SELECT lang AS g, (doc_id % 2 = 0) AS a,
+                  unnest(list_filter($TOKS, w -> w <> '')) AS t
+           FROM documents),
+         dh AS (
+           SELECT g, t, SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+                  SUM(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+           FROM dtok GROUP BY 1, 2),
+         dt AS (SELECT g, SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS v
+                FROM dh GROUP BY 1),
+         dterm AS (
+           SELECT h.g, t0.na, t0.nb, t0.v,
+             (ca*2+1) * CAST(round(1e6 * LN(((ca*2+1) / (t0.na*2+t0.v))
+                 / ((cb*2+1) / (t0.nb*2+t0.v))), 0) AS BIGINT) AS tab,
+             (cb*2+1) * CAST(round(1e6 * LN(((cb*2+1) / (t0.nb*2+t0.v))
+                 / ((ca*2+1) / (t0.na*2+t0.v))), 0) AS BIGINT) AS tba,
+             (ca*2+1) * CAST(round(1e6 * LN(((ca*2+1) / (t0.na*2+t0.v))
+                 / ((((ca*2+1) / (t0.na*2+t0.v))
+                     + ((cb*2+1) / (t0.nb*2+t0.v))) / 2)), 0)
+               AS BIGINT) AS tam,
+             (cb*2+1) * CAST(round(1e6 * LN(((cb*2+1) / (t0.nb*2+t0.v))
+                 / ((((ca*2+1) / (t0.na*2+t0.v))
+                     + ((cb*2+1) / (t0.nb*2+t0.v))) / 2)), 0)
+               AS BIGINT) AS tbm
+           FROM dh h JOIN dt t0 ON h.g = t0.g)
+         SELECT g AS lang,
+                CAST(na AS BIGINT) AS n_tokens_a,
+                CAST(nb AS BIGINT) AS n_tokens_b,
+                CAST(v AS BIGINT) AS vocab,
+                CAST(CAST(SUM(tab) AS BIGINT) AS DOUBLE)
+                  / CAST((na*2+v) * 1000000 AS BIGINT) AS kl_ab,
+                CAST(CAST(SUM(tba) AS BIGINT) AS DOUBLE)
+                  / CAST((nb*2+v) * 1000000 AS BIGINT) AS kl_ba,
+                0.5 * (CAST(CAST(SUM(tam) AS BIGINT) AS DOUBLE)
+                       / CAST((na*2+v) * 1000000 AS BIGINT))
+                  + 0.5 * (CAST(CAST(SUM(tbm) AS BIGINT) AS DOUBLE)
+                           / CAST((nb*2+v) * 1000000 AS BIGINT)) AS js
+         FROM dterm GROUP BY g, na, nb, v""",
 
     // quality-keep dedup: q48's recursive-CTE cluster mapping with the
     // keep decision moved to a (score desc, id) window argmax

@@ -332,4 +332,73 @@ object Profiling {
           .otherwise("changed").as("status"),
         coalesce(col("h_cur"), col("h_prev")).as("content_hash"))
   }
+
+  /** Token-distribution drift between two corpus slices — the
+    * crawl-to-crawl / mix-rebalance monitor ("did this month's data
+    * move?") behind distributionally-aware curation (DoReMi-style
+    * domain reweighting reads exactly these divergences): per `group`,
+    * the KL divergences (both directions) and the symmetric
+    * Jensen–Shannon divergence between slice A (`aFilter`) and slice B
+    * (the rest) over their whitespace-token unigram distributions,
+    * add-half smoothed over the union vocabulary:
+    *
+    *   p_a(t) = (2·c_a(t)+1) / (2·N_a+V)   (and likewise p_b),
+    *   kl_ab = Σ_t p_a ln(p_a/p_b),   js = ½KL(a‖m) + ½KL(b‖m),
+    *   m = (p_a+p_b)/2.
+    *
+    * Cross-engine float contract: each per-token log-ratio quantizes
+    * ONCE to integer micro-nats; the Σ is then an exact BIGINT sum of
+    * `(2c+1)·x_micro` terms and every reported divergence is ONE
+    * int→double division — bit-identical anywhere, no float
+    * reassociation. (Bound: the micro-nat sum stays under 2⁶³ while
+    * `(2N+V)·ln(2N+V)·10⁶` does — comfortable to ~10¹¹ tokens per
+    * group; past that, drop the quantization to 10³ or widen to
+    * DECIMAL.)
+    *
+    * Scale shape: token histograms for BOTH slices ride ONE
+    * vocab-bounded map-side-combined exchange (conditional sums); the
+    * group totals are a group-bounded broadcast; the divergence
+    * aggregate consumes the histogram, nothing token-sized moves
+    * twice. */
+  def tokenDistributionDrift(df: DataFrame, textCol: String,
+                             groupCol: String, aFilter: Column): DataFrame = {
+    val tok = df.select(col(groupCol).as("g"), aFilter.as("__a"),
+      explode(filter(split(trim(col(textCol)), "\\s+"), w => w =!= ""))
+        .as("t"))
+    val hist = tok.groupBy("g", "t")
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("cb"))
+    val tot = hist.groupBy("g")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"),
+        count(lit(1)).as("v"))
+    val j = hist.join(broadcast(tot), Seq("g"))
+    def micro(x: Column): Column = round(lit(1e6) * x, 0).cast("long")
+    val pa = (col("ca") * 2 + 1).cast("double") /
+      (col("na") * 2 + col("v")).cast("double")
+    val pb = (col("cb") * 2 + 1).cast("double") /
+      (col("nb") * 2 + col("v")).cast("double")
+    val m = (pa + pb) / lit(2d)
+    val terms = j.select(col("g"), col("na"), col("nb"), col("v"),
+      ((col("ca") * 2 + 1) * micro(log(pa / pb))).as("tab"),
+      ((col("cb") * 2 + 1) * micro(log(pb / pa))).as("tba"),
+      ((col("ca") * 2 + 1) * micro(log(pa / m))).as("tam"),
+      ((col("cb") * 2 + 1) * micro(log(pb / m))).as("tbm"))
+    terms.groupBy("g", "na", "nb", "v")
+      .agg(sum("tab").as("sab"), sum("tba").as("sba"),
+        sum("tam").as("sam"), sum("tbm").as("sbm"))
+      .select(col("g").as(groupCol),
+        col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
+        col("v").as("vocab"),
+        (col("sab").cast("double") /
+          ((col("na") * 2 + col("v")) * 1000000L).cast("double"))
+          .as("kl_ab"),
+        (col("sba").cast("double") /
+          ((col("nb") * 2 + col("v")) * 1000000L).cast("double"))
+          .as("kl_ba"),
+        (lit(0.5) * (col("sam").cast("double") /
+            ((col("na") * 2 + col("v")) * 1000000L).cast("double")) +
+          lit(0.5) * (col("sbm").cast("double") /
+            ((col("nb") * 2 + col("v")) * 1000000L).cast("double")))
+          .as("js"))
+  }
 }

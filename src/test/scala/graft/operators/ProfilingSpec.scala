@@ -297,4 +297,40 @@ class ProfilingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Profiling.calibrationBins(rows.toDF("s", "y"), col("s"), col("y"), 0))
   }
+
+  test("tokenDistributionDrift: identical slices diverge exactly zero, " +
+    "disjoint slices dominate mild drift, JS is symmetric") {
+    import spark.implicits._
+    def drift(rows: Seq[(Long, String, String)]) =
+      Profiling.tokenDistributionDrift(
+          rows.toDF("doc_id", "lang", "text"), "text", "lang",
+          col("doc_id") % 2 === 0)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val out = drift(Seq(
+      // same: A and B carry identical token multisets
+      (0L, "same", "x y z x"), (1L, "same", "x y z x"),
+      // mild: one token swapped
+      (2L, "mild", "x y z x"), (3L, "mild", "x y z w"),
+      // disjoint: no shared vocabulary at all
+      (4L, "disj", "a b c d"), (5L, "disj", "p q r s")))
+    val same = out("same")
+    assert(same._1 == 4 && same._2 == 4 && same._3 == 3)
+    assert(same._4 == 0.0 && same._5 == 0.0 && same._6 == 0.0,
+      s"identical slices must diverge exactly 0, got $same")
+    assert(out("disj")._3 == 8)
+    assert(out("disj")._6 > out("mild")._6 && out("mild")._6 > 0,
+      s"disj ${out("disj")._6} must beat mild ${out("mild")._6} > 0")
+    assert(out("disj")._4 > out("mild")._4 && out("disj")._5 > out("mild")._5)
+    // swapping the slice labels transposes the KLs and leaves JS fixed
+    val sw = Profiling.tokenDistributionDrift(
+        Seq((0L, "disj", "a b c d"), (1L, "disj", "p q r s"))
+          .toDF("doc_id", "lang", "text"), "text", "lang",
+        col("doc_id") % 2 =!= 0)
+      .collect().map(r => (r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .head
+    assert(sw._1 == out("disj")._5 && sw._2 == out("disj")._4 &&
+      sw._3 == out("disj")._6)
+  }
 }
