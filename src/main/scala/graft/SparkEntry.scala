@@ -398,6 +398,39 @@ object SparkEntry {
       TextAnalysis.ccnetBuckets(t(s, dir, "documents"), "doc_id", "text",
         "lang", modelFilter = col("source") === "src0")),
 
+    // ---- SIMILARITY: hard-negative mining (round 11) — the published
+    //      contrastive-training recipe (DPR/SimCSE): per anchor, the
+    //      top-k corpus rows by cosine INSIDE the band [0.1, 0.35) —
+    //      informative near-misses below the near-dup zone
+    "q174_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 5, loCos = 0.1, hiCos = 0.35)
+    }),
+
+    // ---- TRAINING-DATA capstone (round 11): contrastive TRIPLETS —
+    //      anchors with a near-dup positive (the q25 banded-LSH pairs
+    //      at cos >= 0.4) each paired with their best hard negative in
+    //      [0.1, 0.35); the (anchor, positive, negative) stream a
+    //      contrastive trainer consumes. Anchors without an in-band
+    //      negative drop (inner join — a declared contract)
+    "q175_contrastive_triplets" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val pos = graft.operators.Dedup.embeddingNearDupsBanded(
+          e, "vec_id", "embedding", 0.4, bands = 4, bandBits = 8)
+        .filter(col("id_a") < 256)
+        .select(col("id_a").as("anchor"), col("id_b").as("positive"),
+          col("cos").as("pos_cos"))
+      val anchors = pos.select(col("anchor").as("vec_id")).distinct()
+        .join(e, Seq("vec_id"))
+      val negs = Similarity.hardNegatives(anchors, e, "vec_id",
+          "embedding", k = 1, loCos = 0.1, hiCos = 0.35)
+        .select(col("query_id").as("anchor"),
+          col("neighbor_id").as("negative"), col("cos").as("neg_cos"))
+      pos.join(negs, Seq("anchor"))
+        .select("anchor", "positive", "pos_cos", "negative", "neg_cos")
+    }),
+
     // ---- PROFILING: token-distribution drift (round 11) — the
     //      crawl-to-crawl monitor behind distributionally-aware
     //      curation (DoReMi-style reweighting reads these): per-lang
@@ -3507,6 +3540,53 @@ object SparkEntry {
                      WHEN pp.ppl <= th.t2 THEN 'middle'
                      ELSE 'tail' END AS bucket
          FROM pp LEFT JOIN th ON pp.lang = th.lang""",
+
+    // hard negatives: the q24 brute mirror with the band filter applied
+    // BEFORE the rank window (WHERE is pre-window on both engines)
+    "q174_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                     FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id, ${COS("qv", "cv")} AS cos
+           FROM c CROSS JOIN q WHERE query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, cos,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         FROM s WHERE cos >= 0.1 AND cos < 0.35
+         QUALIFY rank <= 5""",
+
+    // triplets: q25's banded positive pairs joined with each anchor's
+    // best in-band negative (brute truth for the bounded anchor set)
+    "q175_contrastive_triplets" ->
+      s"""WITH e AS (
+           SELECT vec_id AS id, embedding AS v, ${SIGNBUCKETN(32)} AS sk
+           FROM embeddings),
+         pos AS (
+           SELECT * FROM (
+             SELECT a.id AS anchor, b.id AS positive,
+                    ${COS("a.v", "b.v")} AS pos_cos
+             FROM e a JOIN e b ON a.id < b.id
+             WHERE len(list_filter(range(0, 4),
+                   bb -> bit_count(xor((a.sk >> (bb*8)) & 255,
+                     (b.sk >> (bb*8)) & 255)) <= 1)) > 0) z
+           WHERE pos_cos >= 0.4 AND anchor < 256),
+         anch AS (SELECT DISTINCT anchor FROM pos),
+         negs AS (
+           SELECT anchor, neighbor_id AS negative, cos AS neg_cos FROM (
+             SELECT an.anchor, b.id AS neighbor_id,
+                    ${COS("av.v", "b.v")} AS cos,
+                    row_number() OVER (PARTITION BY an.anchor
+                      ORDER BY ${COS("av.v", "b.v")} DESC, b.id) AS rk
+             FROM anch an
+             JOIN e av ON av.id = an.anchor
+             CROSS JOIN e b
+             WHERE b.id <> an.anchor
+               AND ${COS("av.v", "b.v")} >= 0.1
+               AND ${COS("av.v", "b.v")} < 0.35) zz
+           WHERE rk = 1)
+         SELECT p.anchor, p.positive, p.pos_cos, n.negative, n.neg_cos
+         FROM pos p JOIN negs n ON p.anchor = n.anchor""",
 
     // token drift: identical histogram, identical smoothing ((2c+1)
     // half-units so everything stays integer), identical micro-nat

@@ -735,6 +735,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Hard-negative mining for contrastive training (the published
+    * DPR/SimCSE recipe): per anchor, the top-`k` corpus rows by cosine
+    * WITHIN the band `[loCos, hiCos)` — near enough to be informative,
+    * below the near-dup zone so false negatives (paraphrases labeled
+    * negative) stay out. Self never matches; ties break on neighbor
+    * id. Scale shape = [[bruteForceTopK]]'s (bounded anchor set
+    * broadcast against the streamed corpus, rank pruned map-side);
+    * for corpus-sized anchor sets swap the candidate leg for the
+    * banded-LSH or IVF path — the band filter composes unchanged. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, loCos: Double,
+                    hiCos: Double): DataFrame = {
+    require(loCos < hiCos, s"need loCos < hiCos, got [$loCos, $hiCos)")
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .filter(col("cos") >= loCos && col("cos") < hiCos)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   // ---- SQ8 scalar quantization (the OTHER standard ANN codec beside
   //      PQ: FAISS's ScalarQuantizer QT_8bit, re-expressed) -------------
 

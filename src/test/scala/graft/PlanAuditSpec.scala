@@ -486,6 +486,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length <= 2, p)
   }
 
+  test("quality-keep dedup adds one keyed join + one rep window to the " +
+    "banded-LSH pipeline — never a nested loop (q172)") {
+    val p = plan("q172_best_dedup")
+    assert(!p.toLowerCase.contains("nestedloop") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("token drift: vocab-bounded histogram + broadcast totals, " +
+    "nothing token-sized moves twice (q173)") {
+    val p = plan("q173_token_drift")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // token explode -> (g,t) histogram exchange; group totals; final
+    // divergence aggregate — all vocab-/group-bounded
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 4, p)
+  }
+
+  test("hard negatives keep the q24 shape: bounded anchors broadcast, " +
+    "corpus streamed, rank pruned map-side (q174)") {
+    val p = plan("q174_hard_negatives")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("no suite query materializes an unbounded pair space") {
     // suite-wide invariant: the only non-equi join allowed anywhere is a
     // *broadcast* nested loop whose build side is a bounded query/dim set

@@ -243,6 +243,36 @@ class PqSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
+  test("hardNegatives: band respected, self excluded, equals the " +
+    "plain-Scala banded argmax") {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val q = emb.filter(col("vec_id") < 5)
+    val got = Similarity.hardNegatives(q, emb, "vec_id", "embedding",
+        k = 3, loCos = 0.1, hiCos = 0.35).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.nonEmpty)
+    for (((qid, _), (nid, c)) <- got) {
+      assert(qid != nid && c >= 0.1 && c < 0.35, s"($qid,$nid,$c)")
+    }
+    for (qid <- 0L until 5L) {
+      val expect = vecs.keys.filter(_ != qid).toSeq
+        .map(nid => (nid, cos(vecs(qid), vecs(nid))))
+        .filter { case (_, c) => c >= 0.1 && c < 0.35 }
+        .sortBy { case (nid, c) => (-c, nid) }.take(3)
+      val mine = (1 to 3).flatMap(r => got.get((qid, r)))
+      assert(mine == expect, s"anchor $qid: $mine vs $expect")
+    }
+  }
+
   test("sq8: codes match a plain-Scala mirror, distances are exact " +
     "integers, and recall@5 vs the L2 brute force is high") {
     val stats = Similarity.sq8Train(emb, "embedding").collect()(0)
