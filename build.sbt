@@ -17,6 +17,16 @@ run / fork := true
 // rounds running. StdoutOutput passes the child's stdout through
 // verbatim, so the JSON line lands bare.
 outputStrategy := Some(StdoutOutput)
+// The driver keeps only the LAST 2000 bytes of the run's output; sbt's
+// "[success] Total time: ..." epilogue (~74 bytes) printed AFTER the
+// bench's one-line JSON artifact was eating that budget from the tail
+// end while the 175-query artifact grew from the head end. Suppress
+// the epilogue so the whole capture window belongs to the artifact.
+showSuccess := false
+showTiming := false
+// both keys are command-consumed, which sbt's unused-setting lint
+// can't see — exclude them so the warning doesn't precede every run
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -282,10 +282,17 @@ object Bench {
     // EVERY value rounds to ONE dp (round 11, at 160 queries: the 2 dp
     // sub-second worst case overflowed the 2000-byte capture tail by
     // ~30 bytes; 0.1 s resolution is far below this host's documented
-    // 1.5-3x ambient swing, and BENCH_LAST.json keeps full precision)
+    // 1.5-3x ambient swing, and BENCH_LAST.json keeps full precision).
+    // Values past 10 s round to WHOLE seconds (175-query byte budget —
+    // 0.1 s resolution on a 10 s+ query is noise on this host anyway),
+    // which also makes the line SHRINK under the starved windows that
+    // produce big values and suspect lists at the same time.
     def r2(v: Double) = {
-      val s = (math.rint(v * 10) / 10).toString
-      if (s.endsWith(".0")) s.dropRight(2) else s
+      if (v >= 9.95) math.rint(v).toLong.toString
+      else {
+        val s = (math.rint(v * 10) / 10).toString
+        if (s.endsWith(".0")) s.dropRight(2) else s
+      }
     }
     val qs = names.flatMap { n =>
       headline.get(n).map(v => "\"" + (if (useShort) short(n) else n) + "\":" + r2(v))
@@ -300,13 +307,23 @@ object Bench {
     // byte-budgeted). "suspect" appears ONLY when non-empty (short
     // names): the normal case costs zero bytes, and a starved artifact
     // must carry its own exclusion list into the byte-bounded capture
+    // ... and the suspect list is CAPPED at 8 names (a run starved
+    // enough to flag more is globally tainted anyway; the full list
+    // stays in BENCH_LAST.json) with a "+N" sentinel for the overflow,
+    // so a fully-starved run cannot push the line past the capture.
+    val suspShown = suspects.take(8).map(n =>
+      "\"" + (if (useShort) short(n) else n) + "\"") ++
+      (if (suspects.size > 8) Seq("\"+" + (suspects.size - 8) + "\"") else Nil)
     val susp =
       if (suspects.isEmpty) ""
-      else suspects.map(n => "\"" + (if (useShort) short(n) else n) + "\"")
-        .mkString(""""suspect":[""", ",", "],")
+      else suspShown.mkString(""""suspect":[""", ",", "],")
+    // "n_errors" only when non-zero (round-11 byte budget): a healthy
+    // run's 0 is implied by the absence of -1 values, and the full
+    // artifact always carries the "errors" map.
+    val errField = if (nErrors > 0) s""""n_errors":$nErrors,""" else ""
     s"""{"metric":"total","value":${r2(total)},""" +
       s""""queries":$qs,"noise":$noiseStr,"tainted":$tainted,$susp""" +
-      s""""n_errors":$nErrors,"sf":"$sfShort"}"""
+      errField + s""""sf":"$sfShort"}"""
   }
 
   /** Child-side JSON: this pass's raw cold times, warm-rerun times (the
