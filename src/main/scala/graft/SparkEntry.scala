@@ -287,17 +287,26 @@ object SparkEntry {
     }),
 
     // the piece census through BOTH surfaces: piece strings zipped with
-    // their vocab.txt line ids (the BERT drop-in convention), top-20
+    // their vocab.txt line ids (the BERT drop-in convention), top-20.
+    // Optimization round 11: the piece STRING is a function of the id
+    // (vocab line i holds exactly one piece; duplicate lines never win
+    // an id, and id -1 is always [UNK]), so encode ONCE to ids and
+    // attach the piece from the vocab after the aggregation — the old
+    // zip_with ran the greedy WordPiece encode TWICE per document
+    // (tokens + ids) and shuffled the piece string beside the id it is
+    // determined by. Same rows, same hash: groupBy(id) groups exactly
+    // like groupBy(piece, id) did.
     "q162_wordpiece_pieces" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val V = wpCanonicalVocab
+      val pieces = V.map(_.trim).filter(_.nonEmpty)
+      val pieceOfId = when(col("id") === -1, lit(graft.expressions.WpCodec.Unk))
+        .otherwise(element_at(array(pieces.map(lit): _*), col("id") + 1))
       t(s, dir, "documents")
-        .select(explode(zip_with(
-          graft.operators.TextAnalysis.wordPieceTokens(col("text"), V),
-          graft.operators.TextAnalysis.wordPieceIds(col("text"), V),
-          (p, i) => struct(p.as("piece"), i.as("id")))).as("z"))
-        .select(col("z.piece").as("piece"), col("z.id").as("id"))
-        .groupBy("piece", "id").agg(count(lit(1)).as("n"))
+        .select(explode(
+          graft.operators.TextAnalysis.wordPieceIds(col("text"), V)).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n"))
+        .select(pieceOfId.as("piece"), col("id"), col("n"))
         .withColumn("rank", row_number()
           .over(Window.orderBy(col("n").desc, col("piece"))).cast("int"))
         .filter(col("rank") <= 20)

@@ -168,16 +168,25 @@ object Crawl {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.select(col("node"), lit(base).as("rank"))
     for (_ <- 1 to iterations) {
+      // zero-in-degree nodes are kept by UNIONING a zero contribution
+      // per node into the aggregation itself rather than left-joining
+      // `nodes` back onto the aggregated contributions: the union rides
+      // the SAME exchange the aggregation already pays, where the old
+      // join added an exchange + join stage per iteration (and an AQE
+      // stage-materialization job with it — round-11 job traces showed
+      // the per-iteration stage count, not row volume, dominating the
+      // local wall). sum(c) over the union equals coalesce(s, 0L)
+      // exactly: integer sum, one extra 0 term per node.
       val contrib = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+        .unionAll(nodes.select(col("node"), lit(0L).as("c")))
         .groupBy("node").agg(sum("c").as("s"))
-      val joined = nodes.join(contrib, Seq("node"), "left")
       val next =
         if (nDangling == 0L)
-          joined.select(col("node"),
+          contrib.select(col("node"),
             (lit(teleport) +
-              expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("rank"))
+              expr(s"($dampingPct * s) div 100")).as("rank"))
         else {
           // dangling-mass term: one 1-row aggregate per iteration (long
           // sum — associative, order-independent), floor-divided into an
@@ -187,10 +196,10 @@ object Crawl {
           // q144)
           val dShare = ranks.join(danglingNodes, Seq("node"))
             .agg(expr(s"coalesce(sum(rank), 0L) div $n").as("__dshare"))
-          joined.crossJoin(broadcast(dShare))
+          contrib.crossJoin(broadcast(dShare))
             .select(col("node"),
               (lit(teleport) +
-                expr(s"($dampingPct * (coalesce(s, 0L) + __dshare)) div 100"))
+                expr(s"($dampingPct * (s + __dshare)) div 100"))
                 .as("rank"))
         }
       ranks = next.localCheckpoint(false)
@@ -274,19 +283,19 @@ object Crawl {
     var hub = nodes.select(col("node"), lit(1L).as("hub"))
     var auth = nodes.select(col("node"), lit(0L).as("auth"))
     for (_ <- 1 to iterations) {
-      auth = nodes.join(
-          eChecked.join(hub, eChecked("src") === hub("node"))
-            .groupBy("dst").agg(sum("hub").as("s"))
-            .select(col("dst").as("node"), col("s")),
-          Seq("node"), "left")
-        .select(col("node"), coalesce(col("s"), lit(0L)).as("auth"))
+      // zero-fill via union INTO the aggregation, not a nodes left-join
+      // after it (the pageRank iteration's rewrite): sum over the union
+      // with one 0 term per node equals coalesce(s, 0L) exactly, and
+      // each half-step drops a join + exchange (+ its AQE stage job)
+      auth = eChecked.join(hub, eChecked("src") === hub("node"))
+        .select(col("dst").as("node"), col("hub").as("c"))
+        .unionAll(nodes.select(col("node"), lit(0L).as("c")))
+        .groupBy("node").agg(sum("c").as("auth"))
         .localCheckpoint(false)
-      hub = nodes.join(
-          eChecked.join(auth, eChecked("dst") === auth("node"))
-            .groupBy("src").agg(sum("auth").as("s"))
-            .select(col("src").as("node"), col("s")),
-          Seq("node"), "left")
-        .select(col("node"), coalesce(col("s"), lit(0L)).as("hub"))
+      hub = eChecked.join(auth, eChecked("dst") === auth("node"))
+        .select(col("src").as("node"), col("auth").as("c"))
+        .unionAll(nodes.select(col("node"), lit(0L).as("c")))
+        .groupBy("node").agg(sum("c").as("hub"))
         .localCheckpoint(false)
     }
     val out = auth.join(hub, Seq("node")).localCheckpoint()
