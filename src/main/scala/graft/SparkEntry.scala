@@ -430,6 +430,7 @@ object SparkEntry {
         .filter(col("id_a") < 256)
         .select(col("id_a").as("anchor"), col("id_b").as("positive"),
           col("cos").as("pos_cos"))
+        .localCheckpoint(false)
       val anchors = pos.select(col("anchor").as("vec_id")).distinct()
         .join(e, Seq("vec_id"))
       val negs = Similarity.hardNegatives(anchors, e, "vec_id",
@@ -2185,14 +2186,19 @@ object SparkEntry {
             .as("fp"),
           expr("aggregate(ids, 0L, (a, x) -> a + x)").as("sum_ids"))),
 
+    // Optimization round 11: the exact BPE count is projected ONCE and
+    // reused by both the packing window and the bin aggregate — the old
+    // shape ran the full GPT-2 encode per document twice (window arg +
+    // agg arg; subexpression elimination does not cross the window
+    // boundary). Same values, same rows, same hash.
     "q85_pack_exact" -> ((s, dir) =>
-      Sampling.packBudget(t(s, dir, "documents"), Seq("lang"), "doc_id",
-          TextAnalysis.bpeTokenCountExact(col("text"), bpeCanonicalMerges),
-          budget = 2048)
+      Sampling.packBudget(
+          t(s, dir, "documents").withColumn("__n_tok",
+            TextAnalysis.bpeTokenCountExact(col("text"), bpeCanonicalMerges)),
+          Seq("lang"), "doc_id", col("__n_tok"), budget = 2048)
         .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.bpeTokenCountExact(col("text"), bpeCanonicalMerges))
-            .as("bin_tokens"))
+          sum(col("__n_tok")).as("bin_tokens"))
         .select(col("lang"), col("bin"), col("n_docs"), col("bin_tokens"))),
 
     // raw/rng.yml verbatim: csv-header imposition + a precompute that
