@@ -33,6 +33,15 @@ object JobTrace {
           val ms = (System.nanoTime() - t0) / 1e6
           lines.add(f"job ${je.jobId}%4d ${ms}%8.1f ms  $nStages%3d stages  $site")
         }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = (for (a <- si.completionTime; b <- si.submissionTime)
+            yield a - b).getOrElse(-1L)
+          if (ms >= 200)
+            lines.add(f"  stage ${si.stageId}%4d ${ms.toDouble}%8.1f ms " +
+              f"${si.numTasks}%4d tasks  ${si.name.take(90)}")
+        }
       })
 
     graft.corpus.ReferenceCorpus.ensure(spark, sfDir)
