@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64, aggregate}
 
-import graft.expressions.{AffineMinHash, ArrayCosine, ArrayL2Sq, BinarySlice, BpePreTokens, BpeTokenCount, BpeTokenIds, BpeTokens, ExactMedian, FixMojibake, ImageDims, KmvDistinct, KmvSketch, Md5PrefixHashArray, NfcNormalize, RobotsAllowed, RobotsCrawlDelay, RobotsSitemaps, ScriptCounts, SignBucket, SimHash32, SimHash60, SortedLongJaccard, SpTokenIds, SpTokens, StringNumClass, UnigramEncode, WordPieceIds, WordPieceTokens}
+import graft.expressions.{AffineMinHash, ArrayCosine, ArrayL2Sq, BinarySlice, BpePreTokens, BpeTokenCount, BpeTokenIds, BpeTokens, CsvLineFields, ExactMedian, FixMojibake, ImageDims, KmvDistinct, KmvSketch, Md5PrefixHashArray, NfcNormalize, RobotsAllowed, RobotsCrawlDelay, RobotsSitemaps, ScriptCounts, SignBucket, SimHash32, SimHash60, SortedLongJaccard, SpTokenIds, SpTokens, StringNumClass, UnigramEncode, WordPieceIds, WordPieceTokens}
 
 /** Registers graft's native Catalyst expressions with a SparkSession via
   * the public extensions mechanism:
@@ -50,6 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_numclass"),
       new ExpressionInfo(classOf[StringNumClass].getName, "graft_numclass"),
       (es: Seq[Expression]) => StringNumClass(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_csv_fields"),
+      new ExpressionInfo(classOf[CsvLineFields].getName, "graft_csv_fields"),
+      (es: Seq[Expression]) => CsvLineFields(es.head, es(1))))
     ext.injectFunction((FunctionIdentifier("graft_binary_slice"),
       new ExpressionInfo(classOf[BinarySlice].getName, "graft_binary_slice"),
       (es: Seq[Expression]) => BinarySlice(es.head, es(1), es(2))))

@@ -176,7 +176,6 @@ object CsvSource {
           }
           .toDF("__gf_path", "__gf_line")
           .filter(col("__gf_line") =!= "") // csv source skips blank lines
-        val opts = Map("ignoreLeadingWhiteSpace" -> "true") // pandas skipinitialspace
         // wholetext gives ONE partition per file; a 500-small-log glob
         // would otherwise drag 500 near-empty tasks through every later
         // pass over the (persisted) parse. Coalesce to a size-derived
@@ -232,10 +231,20 @@ object CsvSource {
               totalBytes < cores * (2L << 20))
             lines.repartition(lineParts)
           else lines
+        // graft_csv_fields replaces from_csv(all-string schema,
+        // ignoreLeadingWhiteSpace) — value-identical (CsvLineFieldsSpec
+        // fuzzes the equivalence against from_csv itself) but without the
+        // per-record Univocity reset + FailureSafeParser overhead that
+        // dominated the parse stage (guide §1.2 "per-task work"). The
+        // array is built once per line (CollapseProject never inlines a
+        // non-cheap alias into k consumers); getItem pads short records
+        // with null exactly like PERMISSIVE from_csv did.
         val parsed0 = lines2
           .select(col("__gf_path"),
-            from_csv(col("__gf_line"), schema, opts).as("__gf_r"))
-          .select(col("__gf_path") +: colNames.map(n => col(s"__gf_r.`$n`")): _*)
+            call_function("graft_csv_fields",
+              col("__gf_line"), lit(colNames.length)).as("__gf_a"))
+          .select(col("__gf_path") +: colNames.zipWithIndex.map { case (n, i) =>
+            col("__gf_a").getItem(i).as(n) }: _*)
         // only coalesce when it actually collapses a many-small-files
         // glob (>=4 files per target partition); near the natural
         // per-file layout the relayout just costs parse locality
