@@ -51,14 +51,27 @@ object LineFilter {
     sb.toString
   }
 
+  // Append's strip regexes, compiled once (they used to be re-compiled
+  // by String.replaceAll on every appended line)
+  private val TrailWs = Pattern.compile("\\s+$")
+  private val LeadWs = Pattern.compile("^\\s+")
+
   /** Lazy: pulls input lines only as output is consumed, so a first-line
     * probe reads one line and a multi-GB log never materializes a
-    * filtered copy on the heap. */
+    * filtered copy on the heap.
+    *
+    * Per-task work (guide §1.2): one Matcher per rule is allocated at
+    * iterator construction and `reset(line)` per line — the per-line
+    * `pattern.matcher(line)` allocation (rules × lines of it) was pure
+    * garbage; `find()` after reset and `replaceAll` (which resets
+    * internally) are semantics-identical. */
   def apply(rules: Seq[Rule], lines: Iterator[String]): Iterator[String] =
     new Iterator[String] {
       private var prev = ""
       private var nextLine: String = _
       private var done = false
+      private val matchers = rules.map(_.pattern.matcher("")).toArray
+      private val actions = rules.map(_.action).toArray
 
       private def advance(): Unit = {
         nextLine = null
@@ -66,23 +79,26 @@ object LineFilter {
           var line = lines.next()
           var dropLine = true
           var broke = false
-          val it = rules.iterator
-          while (it.hasNext && !broke) {
-            val rule = it.next()
-            if (rule.pattern.matcher(line).find()) {
+          var i = 0
+          while (i < matchers.length && !broke) {
+            val m = matchers(i)
+            m.reset(line)
+            if (m.find()) {
               dropLine = false
-              rule.action match {
+              actions(i) match {
                 case LineAction.Keep => ()
                 case LineAction.Drop =>
                   dropLine = true; broke = true
                 case LineAction.Append =>
-                  line = prev.replaceAll("\\s+$", "") + " " + line.replaceAll("^\\s+", "")
+                  line = TrailWs.matcher(prev).replaceAll("") + " " +
+                    LeadWs.matcher(line).replaceAll("")
                   dropLine = true
                 case LineAction.Replace(r) =>
-                  line = rule.pattern.matcher(line).replaceAll(javaRepl(r))
+                  line = m.replaceAll(javaRepl(r))
                   dropLine = false
               }
             }
+            i += 1
           }
           prev = line
           if (!dropLine) nextLine = line
