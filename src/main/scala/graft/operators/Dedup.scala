@@ -108,7 +108,7 @@ object Dedup {
     // column the streaming near-dup path watermarks on)
     val rowsPerBand = k / bands
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val hashed = df.repartition(par).select(
+    val hashed = Spread.scan(df).select(
       col(idCol).as("id") +: carry.map(col) :+
       array_sort(array_distinct(
         call_function("graft_md5_hash_array", wordShingles(col(textCol), shingleN), lit(15)))).as("sh"): _*)
@@ -526,7 +526,7 @@ object Dedup {
         shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
     }: _*)
     val shExpr = if (bits == 60) simhash60(col(textCol)) else simhash(col(textCol))
-    val keyed = df.repartition(par)
+    val keyed = Spread.scan(df)
       .select(col(idCol).as("id"), shExpr.as("sh"))
       .select(col("id"), col("sh"), explode(bandKeys).as("bk"))
       .repartition(col("bk"))
@@ -582,7 +582,7 @@ object Dedup {
     }: _*)
     val shExpr = if (bits == 60) simhash60(col(textCol)) else simhash(col(textCol))
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val keyed = df.repartition(par)
+    val keyed = Spread.scan(df)
       .select(col(idCol).as("id"), shExpr.as("sh"))
       .select(col("id"), col("sh"), explode(tableKeys).as("bk"))
       .repartition(col("bk"))
@@ -640,7 +640,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, maxHamming: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val d = df.repartition(par)
+    val d = Spread.scan(df)
       .select(col(blockCol).as("blk"), col(idCol).as("id"),
         simhash(col(textCol)).as("sh"))
       .repartition(col("blk"))
@@ -657,7 +657,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val sh = df.repartition(par)
+    val sh = Spread.scan(df)
       .select(col(blockCol).as("blk"), col(idCol).as("id"),
         array_sort(array_distinct(
           call_function("graft_md5_hash_array", wordShingles(col(textCol), n), lit(15)))).as("sh"))
@@ -706,7 +706,7 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val sets = df.repartition(par).select(col(idCol).as("id"),
+    val sets = Spread.scan(df).select(col(idCol).as("id"),
       array_sort(array_distinct(call_function("graft_md5_hash_array",
         TextAnalysis.wordShingles(col(textCol), n), lit(15)))).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -764,7 +764,7 @@ object Dedup {
     def bandKey(b: Int): Column =
       shiftright(col("sk"), b * bandBits).bitwiseAND(lit(mask))
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val keyed = df.repartition(par).select(col(idCol).as("id"), col(vecCol).as("v"),
+    val keyed = Spread.scan(df).select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.signBucket(col(vecCol), bands * bandBits).as("sk"))
     val exactKeys = array((0 until bands).map(b =>
       struct(lit(b).as("band"), bandKey(b).as("key"))): _*)
@@ -981,8 +981,8 @@ object Dedup {
       case None =>
         // repartition the streamed side: a small single-file corpus would
         // otherwise run the whole O(n²) loop in one task
-        val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-          .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        val a = Spread.scan(
+          df.select(col(idCol).as("id_a"), col(vecCol).as("v_a")))
         val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
         a.crossJoin(broadcast(b))
     }

@@ -58,8 +58,8 @@ object Similarity {
     // spread the streamed corpus across all cores — a small parquet file
     // arrives as ONE split and would otherwise serialize the whole
     // nested-loop scan onto a single task
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val c = Spread.scan(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
@@ -266,7 +266,7 @@ object Similarity {
       .toDF("idx", "cell", "centroid")
     val par = spark.sparkContext.defaultParallelism
     val c6 = round(round(cosine(col("__av"), col("centroid")), 6) * 1e6, 0).cast(LongType)
-    corpus.repartition(par)
+    Spread.scan(corpus)
       .select(col(idCol).as("__assign_id"), col(vecCol).as("__av"))
       .join(broadcast(seedsIdx.select(col("idx"), col("centroid"))))
       .select(col("__assign_id"),
@@ -325,7 +325,7 @@ object Similarity {
   def ivfBuildWith(corpus: DataFrame, idCol: String, vecCol: String,
                    seeds: Seq[(Long, Seq[Float])]): IvfIndex = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val vecs = corpus.repartition(par)
+    val vecs = Spread.scan(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val best = assignCells(corpus, idCol, vecCol, seeds)
       .withColumnRenamed("__assign_id", "neighbor_id")
@@ -513,7 +513,7 @@ object Similarity {
             "(micro-units >= 2^42) — normalize or rescale vectors; got "),
           rawD6.cast("string"))).cast(LongType))
       .otherwise(rawD6)
-    pqSlices(df.repartition(par), idCol, vecCol, cb)
+    pqSlices(Spread.scan(df), idCol, vecCol, cb)
       .join(broadcast(booksDF(df, cb).select(col("sub"), col("idx"), col("centroid"))), Seq("sub"))
       .select(col("__pq_id"), col("sub"),
         (shiftleft(-checkedD6, 21) +
@@ -549,7 +549,7 @@ object Similarity {
     var cb = pqSeedBooks(corpus, idCol, vecCol, dim, m, ksub)
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     for (_ <- 0 until iters) {
-      val sl = pqSlices(corpus.repartition(par), idCol, vecCol, cb)
+      val sl = pqSlices(Spread.scan(corpus), idCol, vecCol, cb)
       val comps = sl
         .join(pqAssign(corpus, idCol, vecCol, cb), Seq("__pq_id", "sub"))
         .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("d", "x")))
@@ -703,8 +703,8 @@ object Similarity {
                        vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val c = Spread.scan(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("dist6", round(l2sq(col("qv"), col("cv")) * 1e6, 0).cast(LongType))
       .withColumn("rank", row_number().over(
@@ -720,7 +720,7 @@ object Similarity {
     // as one split); the bucket-keyed shuffle below is then reused by
     // both sides of the self-join
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val keyed = df.repartition(par)
+    val keyed = Spread.scan(df)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         signBucket(col(vecCol), planes).as("bkt"))
       .repartition(col("bkt"))
@@ -751,8 +751,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val c = Spread.scan(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
       .filter(col("cos") >= loCos && col("cos") < hiCos)
@@ -823,7 +823,7 @@ object Similarity {
     val q = broadcast(sq8Encode(queries, idCol, vecCol, stats)
       .select(col("id").as("query_id"), col("codes").as("qc")))
     val c = sq8Encode(
-        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
+        Spread.scan(corpus),
         idCol, vecCol, stats)
       .select(col("id").as("neighbor_id"), col("codes").as("cc"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
