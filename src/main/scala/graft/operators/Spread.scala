@@ -32,6 +32,11 @@ private[graft] object Spread {
   def scan(df: DataFrame): DataFrame = {
     val sess = df.sparkSession
     val par = sess.sparkContext.defaultParallelism
+    // Streaming frames keep the unconditional spread: batch statistics
+    // are undefined before a micro-batch exists (QueryExecution's
+    // batch-only assertion throws on a streaming source), and a
+    // micro-batch is latency-regime by construction.
+    if (df.isStreaming) return df.repartition(par)
     val maxSplit = JavaUtils.byteStringAsBytes(
       sess.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes

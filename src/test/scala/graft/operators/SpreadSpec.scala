@@ -34,4 +34,15 @@ class SpreadSpec extends AnyFunSuite {
     val n = Spread.scan(spark.range(1000).toDF("id")).rdd.getNumPartitions
     assert(n === spark.sparkContext.defaultParallelism)
   }
+
+  test("streaming frames keep the unconditional spread (no batch-stats probe)") {
+    // batch statistics are undefined on a streaming source — probing them
+    // throws; the streaming near-dup operators must keep working
+    val stream = spark.readStream.format("rate").load().toDF("ts", "value")
+    val spread = Spread.scan(stream)
+    assert(spread.isStreaming)
+    assert(spread.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+    }.nonEmpty)
+  }
 }
