@@ -107,7 +107,6 @@ object Dedup {
     // `carry`: extra columns to ride along unchanged (e.g. an event-time
     // column the streaming near-dup path watermarks on)
     val rowsPerBand = k / bands
-    val par = df.sparkSession.sparkContext.defaultParallelism
     val hashed = Spread.scan(df).select(
       col(idCol).as("id") +: carry.map(col) :+
       array_sort(array_distinct(
@@ -520,7 +519,6 @@ object Dedup {
     require(bits % bands == 0, s"bands must divide $bits, got $bands")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    val par = df.sparkSession.sparkContext.defaultParallelism
     val bandKeys = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
@@ -581,7 +579,6 @@ object Dedup {
       struct(lit(t).as("tbl"), keyOf(c).as("key"))
     }: _*)
     val shExpr = if (bits == 60) simhash60(col(textCol)) else simhash(col(textCol))
-    val par = df.sparkSession.sparkContext.defaultParallelism
     val keyed = Spread.scan(df)
       .select(col(idCol).as("id"), shExpr.as("sh"))
       .select(col("id"), col("sh"), explode(tableKeys).as("bk"))
@@ -639,7 +636,6 @@ object Dedup {
     * [[simhashBandPairs]], whose keys derive from content. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, maxHamming: Int): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
     val d = Spread.scan(df)
       .select(col(blockCol).as("blk"), col(idCol).as("id"),
         simhash(col(textCol)).as("sh"))
@@ -656,7 +652,6 @@ object Dedup {
     * exact Jaccard >= threshold. Blocked equi-join, then verify. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
     val sh = Spread.scan(df)
       .select(col(blockCol).as("blk"), col(idCol).as("id"),
         array_sort(array_distinct(
@@ -705,7 +700,6 @@ object Dedup {
                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val par = df.sparkSession.sparkContext.defaultParallelism
     val sets = Spread.scan(df).select(col(idCol).as("id"),
       array_sort(array_distinct(call_function("graft_md5_hash_array",
         TextAnalysis.wordShingles(col(textCol), n), lit(15)))).as("sh"))
@@ -763,7 +757,6 @@ object Dedup {
     val mask = (1L << bandBits) - 1
     def bandKey(b: Int): Column =
       shiftright(col("sk"), b * bandBits).bitwiseAND(lit(mask))
-    val par = df.sparkSession.sparkContext.defaultParallelism
     val keyed = Spread.scan(df).select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.signBucket(col(vecCol), bands * bandBits).as("sk"))
     val exactKeys = array((0 until bands).map(b =>

@@ -264,7 +264,6 @@ object Similarity {
     val seedsIdx = seeds.sortBy(_._1).zipWithIndex
       .map { case ((cell, cen), i) => (i.toLong, cell, cen) }
       .toDF("idx", "cell", "centroid")
-    val par = spark.sparkContext.defaultParallelism
     val c6 = round(round(cosine(col("__av"), col("centroid")), 6) * 1e6, 0).cast(LongType)
     Spread.scan(corpus)
       .select(col(idCol).as("__assign_id"), col(vecCol).as("__av"))
@@ -324,7 +323,6 @@ object Similarity {
     * the corpus-wide TakeOrdered once per broadcast projection). */
   def ivfBuildWith(corpus: DataFrame, idCol: String, vecCol: String,
                    seeds: Seq[(Long, Seq[Float])]): IvfIndex = {
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val vecs = Spread.scan(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val best = assignCells(corpus, idCol, vecCol, seeds)
@@ -499,7 +497,6 @@ object Similarity {
   private def pqAssign(df: DataFrame, idCol: String, vecCol: String,
                        cb: PqCodebook): DataFrame = {
     val mask = (1L << 21) - 1
-    val par = df.sparkSession.sparkContext.defaultParallelism
     // The packable bound is ENFORCED: shiftleft(-d6, 21) wraps the Long
     // once d6 reaches 2^42 (subspace L2² ~4.4e6 in micro-units —
     // unnormalized feature vectors, not unit embeddings), after which
@@ -547,7 +544,6 @@ object Similarity {
               dim: Int, m: Int, ksub: Int, iters: Int): PqCodebook = {
     require(iters >= 0, s"iters must be >= 0 (got $iters)")
     var cb = pqSeedBooks(corpus, idCol, vecCol, dim, m, ksub)
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
     for (_ <- 0 until iters) {
       val sl = pqSlices(Spread.scan(corpus), idCol, vecCol, cb)
       val comps = sl
@@ -719,7 +715,6 @@ object Similarity {
     // spread bucket computation across cores (single-file inputs arrive
     // as one split); the bucket-keyed shuffle below is then reused by
     // both sides of the self-join
-    val par = df.sparkSession.sparkContext.defaultParallelism
     val keyed = Spread.scan(df)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         signBucket(col(vecCol), planes).as("bkt"))

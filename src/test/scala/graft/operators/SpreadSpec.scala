@@ -22,12 +22,44 @@ class SpreadSpec extends AnyFunSuite {
     assert(isSpread(spark.range(1000).toDF("id")))
   }
 
-  test("keeps the natural layout once the scan already feeds every core") {
+  /** Shrink maxPartitionBytes so the byte-estimate branch reads "big",
+    * restoring the prior state exactly (unset if it was never set — a
+    * plain conf.get-with-default restore would permanently set the key). */
+  private def inBigEstimateRegime[A](body: => A): A = {
     val key = "spark.sql.files.maxPartitionBytes"
-    val prior = spark.conf.get(key, "134217728")
+    val prior = spark.conf.getOption(key)
     spark.conf.set(key, "1") // threshold = cores × 1 byte
-    try assert(!isSpread(spark.range(1000).toDF("id")))
-    finally spark.conf.set(key, prior)
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("keeps the natural layout once the scan already feeds every core") {
+    // range splits across defaultParallelism slices: the split-count
+    // probe confirms the scan feeds every core, so no spread
+    inBigEstimateRegime { assert(!isSpread(spark.range(1000).toDF("id"))) }
+  }
+
+  test("big-estimate input arriving as fewer splits than cores spreads anyway") {
+    // a LogicalRDD's size is non-estimable (defaultSizeInBytes, huge) —
+    // the byte test alone would silently never spread it; the partition
+    // probe sees 2 splits < cores and fires the spread (the same hole
+    // covers few huge unsplittable files)
+    import spark.implicits._
+    val rdd = spark.sparkContext.parallelize(Seq(1L, 2L, 3L, 4L), 2)
+    val logicalRdd = spark.createDataset(rdd).toDF("id")
+    assert(isSpread(logicalRdd))
+  }
+
+  test("big-estimate plan with a shuffle operator is never probed (keeps layout)") {
+    // materializing the RDD of a shuffle-bearing plan would execute its
+    // query stages under AQE — the probe is restricted to shuffle-free
+    // plans, so an aggregated input in the big regime keeps its layout
+    inBigEstimateRegime {
+      assert(!isSpread(spark.range(1000).toDF("id").groupBy("id").count()))
+    }
   }
 
   test("spread output fans the parallelism out to every core") {
