@@ -815,9 +815,9 @@ object Dedup {
 
     /** large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u}).
       * No per-round distinct here — duplicate edges inflate the next
-      * small-star linearly at worst, while the dedup shuffle they'd save
-      * costs a full exchange every round; small-star's canon dedups once
-      * per round. */
+      * small-star linearly at worst (never multiplicatively: each input
+      * edge yields at most one output edge per phase), while the dedup
+      * shuffle they'd save costs a full exchange every round. */
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
@@ -827,15 +827,26 @@ object Dedup {
     }
 
     /** small-star: directed v < u; all smaller neighbors + u link to the
-      * minimum neighbor */
+      * minimum neighbor.
+      *
+      * No per-round distinct here either (round 12): both star phases
+      * are duplicate-tolerant (the groupBy-min absorbs dups; the v≠m
+      * filters do the contraction), neither emits self-loops, and at
+      * the set-level fixpoint this phase's output is exactly the
+      * deduped mins rows — so dropping the dedup costs AT MOST one
+      * extra round of already-contracted edges while saving a full
+      * exchange of the edge multiset EVERY round (guide §2.4: a
+      * distinct on data whose consumers don't need uniqueness). The
+      * checkpointed state still gets an AQE-coalesced layout from the
+      * join's own exchange, so the round-11 entry-canon trap (near-empty
+      * task layouts re-scheduled every round) does not apply. */
     def smallStar(e: DataFrame): DataFrame = {
       val dir = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
-      canon(
-        dir.join(mins, "u").filter(col("v") =!= col("m"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .unionAll(mins.select(col("u"), col("m").as("v"))))
+      dir.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mins.select(col("u"), col("m").as("v")))
     }
 
     def sig(e: DataFrame) =
